@@ -1,0 +1,52 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md) plus the
+  * canonical "log event" view of the `events` table.
+  *
+  * Data model (SURVEY.md §1): the reference's log event is
+  * `[[timestamp, metadata-map], body-map]` (fluent-bit
+  * include/fluent-bit/flb_log_event.h:29-34). Spark mapping: a DataFrame
+  * with `tag STRING, ts TIMESTAMP, meta MAP<STRING,STRING>` plus promoted
+  * body columns and a JSON residue column (`props`).
+  */
+object Tables {
+
+  /** The `events` table ships TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects; read nanos as Long and derive typed columns. Exact parity
+    * with DuckDB via `epoch_ns(ts)`.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(s"$dir/events.parquet")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts_sec", expr("ts_ns div 1000000000").cast("long"))
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Log-event view of `events`: tag = "app.<event_type>", event-time ts,
+    * metadata map, body fields + JSON residue. This is the stream the
+    * FluentQL frontend binds `STREAM:events` / `TAG:'...'` to.
+    */
+  def logEvents(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("tag", concat(lit("app."), col("event_type")))
+      .withColumn("meta", map(lit("source"), lit("events"), lit("type"), col("event_type")))
+}
