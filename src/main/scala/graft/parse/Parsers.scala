@@ -1,0 +1,180 @@
+package graft.parse
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Parsing subsystem (SURVEY.md §2.5) — the scan-side text→structure
+  * operators of the reference (`src/flb_parser.c:1784` flb_parser_do):
+  * regex (onigmo named groups), json, ltsv, logfmt, plus strptime time
+  * handling (`src/flb_strptime.c`) and field decoders
+  * (`src/flb_parser_decoder.c:392-468`).
+  *
+  * Everything here compiles to built-in Catalyst expressions
+  * (regexp_extract / from_json / from_csv / str_to_map /
+  * map_from_arrays) — no UDFs, so parses stay inside whole-stage
+  * codegen and scale linearly with partitions.
+  */
+object Parsers {
+
+  // ---------------------------------------------------------------- regex
+
+  private val NamedGroup = java.util.regex.Pattern.compile("\\(\\?<([A-Za-z][A-Za-z0-9]*)>")
+
+  /** Group names in order of their opening parens — mirrors onigmo's
+    * name table used by flb_parser_regex.c.
+    */
+  def groupNames(pattern: String): Seq[String] = {
+    val m = NamedGroup.matcher(pattern)
+    val names = scala.collection.mutable.ArrayBuffer[String]()
+    while (m.find()) names += m.group(1)
+    names.toSeq
+  }
+
+  /** Index of each named group among ALL capturing groups (named + bare),
+    * needed because regexp_extract addresses groups positionally.
+    */
+  def groupIndexes(pattern: String): Map[String, Int] = {
+    var idx = 0
+    var i = 0
+    val out = scala.collection.mutable.Map[String, Int]()
+    while (i < pattern.length) {
+      if (pattern(i) == '(' && (i == 0 || pattern(i - 1) != '\\')) {
+        val isNonCapturing = i + 2 < pattern.length && pattern(i + 1) == '?' &&
+          pattern(i + 2) != '<'
+        val isLookbehind = i + 3 < pattern.length && pattern(i + 1) == '?' &&
+          pattern(i + 2) == '<' && (pattern(i + 3) == '=' || pattern(i + 3) == '!')
+        if (!isNonCapturing && !isLookbehind) {
+          idx += 1
+          val m = NamedGroup.matcher(pattern.substring(i))
+          if (m.lookingAt()) out(m.group(1)) = idx
+        }
+      }
+      i += 1
+    }
+    out.toMap
+  }
+
+  /** Parse `source` with a named-group regex: one output column per named
+    * group (types applied via `types`, like the parser's `types` option).
+    * Non-matching records yield NULLs — pair with `reserve_data` handling
+    * in the caller (filter_parser semantics, filter_parser.c:174).
+    */
+  def regex(df: DataFrame, source: Column, pattern: String,
+            types: Map[String, String] = Map.empty): DataFrame = {
+    val idx = groupIndexes(pattern)
+    val matched = source.rlike(pattern)
+    groupNames(pattern).foldLeft(df) { (d, name) =>
+      val raw = regexp_extract(source, pattern, idx(name))
+      val v = when(matched, types.get(name).map(t => raw.try_cast(t)).getOrElse(raw))
+      d.withColumn(name, v)
+    }
+  }
+
+  // ----------------------------------------------------------- json / csv
+
+  /** JSON parser (`src/flb_parser_json.c`): body becomes typed columns via
+    * an explicit schema (Spark needs one; schema inference is a separate
+    * sampling pass at scale).
+    */
+  def json(df: DataFrame, source: Column, schema: String, outCol: String): DataFrame =
+    df.withColumn(outCol, from_json(source, org.apache.spark.sql.types.StructType.fromDDL(schema)))
+
+  /** JSON body as a string map — the schemaless residue form. */
+  def jsonAsMap(df: DataFrame, source: Column, outCol: String): DataFrame =
+    df.withColumn(outCol, from_json(source, org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)))
+
+  /** CSV helper (`src/flb_csv.c`) via Spark's from_csv. */
+  def csv(df: DataFrame, source: Column, schema: String, outCol: String): DataFrame =
+    df.withColumn(outCol, from_csv(source, org.apache.spark.sql.types.StructType.fromDDL(schema),
+      Map.empty[String, String]))
+
+  // --------------------------------------------------------- ltsv / logfmt
+
+  /** LTSV (`src/flb_parser_ltsv.c`): tab-separated `key:value` pairs. */
+  def ltsv(df: DataFrame, source: Column, outCol: String): DataFrame =
+    df.withColumn(outCol, str_to_map(source, lit("\t"), lit(":")))
+
+  /** logfmt (`src/flb_parser_logfmt.c`): space-separated `key=value` with
+    * optionally double-quoted values. Two aligned regexp_extract_all
+    * passes (keys, values) zipped into a map — no UDF.
+    */
+  def logfmt(df: DataFrame, source: Column, outCol: String): DataFrame = {
+    val pair = "([A-Za-z0-9_.]+)=(\"[^\"]*\"|[^\\s\"]*)"
+    val keys = regexp_extract_all(source, lit(pair), lit(1))
+    val vals = transform(
+      regexp_extract_all(source, lit(pair), lit(2)),
+      v => regexp_replace(v, "^\"|\"$", ""))
+    df.withColumn(outCol, map_from_arrays(keys, vals))
+  }
+
+  // ------------------------------------------------------------- strptime
+
+  /** strptime → java.time.DateTimeFormatter pattern translation
+    * (reference formats flow through flb_parser_time_lookup,
+    * flb_parser.c:1899; `%L` fractional extension).
+    */
+  def strptimeToJava(fmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt(i) == '%' && i + 1 < fmt.length) {
+        fmt(i + 1) match {
+          case 'Y' => sb.append("yyyy")
+          case 'y' => sb.append("yy")
+          case 'm' => sb.append("MM")
+          case 'd' => sb.append("dd")
+          case 'H' => sb.append("HH")
+          case 'M' => sb.append("mm")
+          case 'S' => sb.append("ss")
+          case 'b' | 'h' => sb.append("MMM")
+          case 'B' => sb.append("MMMM")
+          case 'a' => sb.append("EEE")
+          case 'A' => sb.append("EEEE")
+          case 'e' => sb.append("d")
+          case 'j' => sb.append("DDD")
+          case 'z' => sb.append("XX")
+          case 'Z' => sb.append("zz")
+          case 'L' => sb.append("SSS")
+          case 'f' => sb.append("SSSSSS")
+          case 's' => throw new IllegalArgumentException("%s: use unix_timestamp directly")
+          case '%' => sb.append("%")
+          case c => throw new IllegalArgumentException(s"unsupported strptime %$c")
+        }
+        i += 2
+      } else {
+        if ("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ".indexOf(fmt(i)) >= 0)
+          sb.append("'").append(fmt(i)).append("'")
+        else sb.append(fmt(i))
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Parse a time string with a strptime format (time_key handling of
+    * flb_parser.h:46-54).
+    */
+  def parseTime(source: Column, strptimeFmt: String): Column =
+    to_timestamp(source, strptimeToJava(strptimeFmt))
+
+  // ------------------------------------------------------------- decoders
+
+  /** `escaped` decoder (`src/flb_parser_decoder.c`): unescape \n \t \r \"
+    * \\ sequences left by docker-style stringified logs.
+    */
+  def decodeEscaped(source: Column): Column = {
+    val n = regexp_replace(source, "\\\\n", "\n")
+    val t = regexp_replace(n, "\\\\t", "\t")
+    val r = regexp_replace(t, "\\\\r", "\r")
+    val q = regexp_replace(r, "\\\\\"", "\"")
+    regexp_replace(q, "\\\\\\\\", "\\\\")
+  }
+
+  /** `json` decoder: re-parse a field that itself contains JSON
+    * (do_next/as chaining, flb_parser_decoder.c:677-690).
+    */
+  def decodeJson(source: Column): Column =
+    from_json(source, org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+}

@@ -1,6 +1,144 @@
 package graft.queries
 
-/** Parsing subsystem (SURVEY.md §2.5) as oracle-gated queries. */
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.parse.Parsers
+
+/** Parsing subsystem (SURVEY.md §2.5) exercised end-to-end: each query
+  * synthesizes a raw text line from testdata columns (identically in
+  * DuckDB), parses it with the graft.parse library, and emits the typed
+  * fields — proving text→structure→typed-columns round trips.
+  */
 object ParseQueries {
-  val all: Seq[GraftQuery] = Seq()
+
+  val all: Seq[GraftQuery] = Seq(
+    // Regex parser with named groups (src/flb_parser_regex.c; onigmo
+    // name table ≙ groupIndexes).
+    GraftQuery(
+      "parse_regex_named",
+      (s, dir) => {
+        val raw = Tables.events(s, dir).withColumn(
+          "line",
+          concat(col("event_type"), lit(" id="), col("event_id"),
+            lit(" val="), col("value").cast("string")))
+        Parsers.regex(raw, col("line"),
+            "^(?<etype>\\w+) id=(?<id>\\d+) val=(?<val>[0-9.]+)$",
+            types = Map("id" -> "long", "val" -> "double"))
+          .select(col("event_id"), col("etype"), col("id"), col("val"))
+      },
+      Some("""WITH raw AS (
+               SELECT event_id,
+                      event_type || ' id=' || CAST(event_id AS VARCHAR)
+                        || ' val=' || CAST(value AS VARCHAR) AS line
+               FROM events)
+             SELECT event_id,
+                    regexp_extract(line, '^(\w+) id=(\d+) val=([0-9.]+)$', 1) AS etype,
+                    TRY_CAST(regexp_extract(line, '^(\w+) id=(\d+) val=([0-9.]+)$', 2) AS BIGINT) AS id,
+                    TRY_CAST(regexp_extract(line, '^(\w+) id=(\d+) val=([0-9.]+)$', 3) AS DOUBLE) AS val
+             FROM raw""")
+    ),
+
+    // JSON parser (src/flb_parser_json.c): typed struct from the body.
+    GraftQuery(
+      "parse_json",
+      (s, dir) =>
+        Parsers.json(Tables.events(s, dir), col("props"), "k BIGINT", "body")
+          .select(col("event_id"), col("body.k").as("k")),
+      Some("""SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events""")
+    ),
+
+    // LTSV parser (src/flb_parser_ltsv.c): tab-separated key:value.
+    GraftQuery(
+      "parse_ltsv",
+      (s, dir) => {
+        val raw = Tables.lineitem(s, dir).withColumn(
+          "line",
+          concat(lit("ord:"), col("l_orderkey"), lit("\t"),
+            lit("line:"), col("l_linenumber"), lit("\t"),
+            lit("flag:"), col("l_returnflag")))
+        Parsers.ltsv(raw, col("line"), "m")
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            element_at(col("m"), "ord").try_cast("long").as("ord"),
+            element_at(col("m"), "flag").as("flag"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_orderkey AS ord,
+             l_returnflag AS flag FROM lineitem""")
+    ),
+
+    // logfmt parser (src/flb_parser_logfmt.c): key=value with quoted
+    // values containing spaces.
+    GraftQuery(
+      "parse_logfmt",
+      (s, dir) => {
+        val raw = Tables.part(s, dir).withColumn(
+          "line",
+          concat(lit("pk="), col("p_partkey"), lit(" brand="), col("p_brand"),
+            lit(" name=\""), col("p_name"), lit("\" size="), col("p_size")))
+        Parsers.logfmt(raw, col("line"), "m")
+          .select(
+            col("p_partkey"),
+            element_at(col("m"), "pk").try_cast("long").as("pk"),
+            element_at(col("m"), "name").as("name"),
+            element_at(col("m"), "size").try_cast("int").as("size"))
+      },
+      Some("""SELECT p_partkey, p_partkey AS pk, p_name AS name, p_size AS size
+             FROM part""")
+    ),
+
+    // CSV helper (src/flb_csv.c) via from_csv.
+    GraftQuery(
+      "parse_csv",
+      (s, dir) => {
+        val raw = Tables.supplier(s, dir).withColumn(
+          "line",
+          concat(col("s_suppkey"), lit(","), col("s_name"), lit(","),
+            col("s_acctbal").cast("string")))
+        Parsers.csv(raw, col("line"), "sk BIGINT, nm STRING, bal DOUBLE", "c")
+          .select(col("s_suppkey"), col("c.sk").as("sk"), col("c.nm").as("nm"),
+            col("c.bal").as("bal"))
+      },
+      Some("""SELECT s_suppkey, s_suppkey AS sk, s_name AS nm, s_acctbal AS bal
+             FROM supplier""")
+    ),
+
+    // strptime round trip (src/flb_strptime.c; %d/%b/%Y apache format
+    // with month names — exercises the format translation table).
+    GraftQuery(
+      "parse_time_strptime",
+      (s, dir) => {
+        val raw = Tables.events(s, dir).withColumn(
+          "tstr", date_format(col("ts"), "dd/MMM/yyyy:HH:mm:ss"))
+        raw.select(
+          col("event_id"), col("tstr"),
+          Parsers.parseTime(col("tstr"), "%d/%b/%Y:%H:%M:%S").cast("long").as("parsed_epoch"))
+      },
+      Some("""WITH raw AS (
+               SELECT event_id, strftime(ts, '%d/%b/%Y:%H:%M:%S') AS tstr FROM events)
+             SELECT event_id, tstr,
+                    CAST(floor(epoch(strptime(tstr, '%d/%b/%Y:%H:%M:%S'))) AS BIGINT)
+                      AS parsed_epoch
+             FROM raw""")
+    ),
+
+    // escaped decoder (src/flb_parser_decoder.c): docker-style stringified
+    // logs with \n/\t/\" sequences; verify by decoded length.
+    GraftQuery(
+      "parse_decoder_escaped",
+      (s, dir) => {
+        val raw = Tables.documents(s, dir).withColumn(
+          "esc", regexp_replace(substring(col("text"), 1, 40), " ", "\\\\n"))
+        raw.select(col("doc_id"),
+          length(Parsers.decodeEscaped(col("esc"))).as("decoded_len"),
+          length(col("esc")).as("escaped_len"))
+      },
+      Some("""WITH raw AS (
+               SELECT doc_id, replace(substr(text, 1, 40), ' ', '\n') AS esc
+               FROM documents)
+             SELECT doc_id, length(replace(esc, '\n', chr(10))) AS decoded_len,
+                    length(esc) AS escaped_len
+             FROM raw""")
+    )
+  )
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.parse.Parsers
+
+class ParsersSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("groupIndexes handles mixed named, bare, and non-capturing groups") {
+    val p = "(?<a>\\w+) (x|y) (?:zz) (?<b>\\d+)"
+    assert(Parsers.groupIndexes(p) == Map("a" -> 1, "b" -> 3))
+    assert(Parsers.groupNames(p) == Seq("a", "b"))
+  }
+
+  test("regex parser: apache log line with named groups and types") {
+    val df = Seq(
+      """127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /api HTTP/1.0" 200 2326""",
+      "garbage line"
+    ).toDF("line")
+    val pat = "^(?<host>[^ ]*) [^ ]* (?<user>[^ ]*) \\[(?<time>[^\\]]*)\\] " +
+      "\"(?<method>\\S+)(?: +(?<path>[^\"]*?))?(?: +\\S*)?\" " +
+      "(?<code>[^ ]*) (?<size>[^ ]*)$"
+    val out = Parsers.regex(df, col("line"), pat,
+      types = Map("code" -> "int", "size" -> "long"))
+    val rows = out.collect()
+    val ok = rows(0)
+    assert(ok.getAs[String]("host") == "127.0.0.1")
+    assert(ok.getAs[String]("method") == "GET")
+    assert(ok.getAs[Int]("code") == 200)
+    assert(ok.getAs[Long]("size") == 2326L)
+    assert(rows(1).getAs[String]("host") == null) // unmatched => NULLs
+  }
+
+  test("strptime translation") {
+    assert(Parsers.strptimeToJava("%Y-%m-%d %H:%M:%S") == "yyyy-MM-dd HH:mm:ss")
+    assert(Parsers.strptimeToJava("%d/%b/%Y:%H:%M:%S %z") == "dd/MMM/yyyy:HH:mm:ss XX")
+    assert(Parsers.strptimeToJava("%H:%M:%S.%L") == "HH:mm:ss.SSS")
+    assert(Parsers.strptimeToJava("T%H") == "'T'HH")
+  }
+
+  test("logfmt: quoted values keep spaces, bare values split") {
+    val df = Seq("""lvl=info msg="hello world" n=42""").toDF("line")
+    val m = Parsers.logfmt(df, col("line"), "m")
+      .select(col("m")).as[Map[String, String]].head()
+    assert(m == Map("lvl" -> "info", "msg" -> "hello world", "n" -> "42"))
+  }
+
+  test("ltsv parses tab-separated key:value") {
+    val df = Seq("a:1\tb:two").toDF("line")
+    val m = Parsers.ltsv(df, col("line"), "m")
+      .select(col("m")).as[Map[String, String]].head()
+    assert(m == Map("a" -> "1", "b" -> "two"))
+  }
+
+  test("escaped decoder round-trips docker-style escapes") {
+    val df = Seq("line1\\nline2\\ttabbed\\\"q\\\"").toDF("s")
+    val out = df.select(Parsers.decodeEscaped(col("s"))).as[String].head()
+    assert(out == "line1\nline2\ttabbed\"q\"")
+  }
+}
