@@ -1,8 +1,250 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+
 /** Training-data-pipeline extensions (dedup, similarity, text analysis,
-  * multimodal) as oracle-gated queries.
+  * multimodal) as oracle-gated queries over `documents` / `embeddings`.
   */
 object ExtQueries {
-  val all: Seq[GraftQuery] = Seq()
+
+  /** Shared DuckDB CTEs: 3-gram shingles → 16 minhashes → 4 bands →
+    * candidate pairs (mirror of Dedup.shingles/minhash/bandSignatures/
+    * candidatePairs).
+    */
+  private val LshCtes = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+      FROM documents),
+    sh0 AS (
+      SELECT doc_id,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    sh AS (SELECT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+    mh AS (
+      SELECT doc_id, t.i,
+             min(md5(CAST(t.i AS VARCHAR) || '|' || shingle)) AS mh
+      FROM sh, (SELECT unnest(range(0, 16)) AS i) t
+      GROUP BY doc_id, t.i),
+    bands AS (
+      SELECT doc_id, CAST(i // 4 AS INT) AS band,
+             md5(string_agg(mh, ',' ORDER BY i)) AS sig
+      FROM mh GROUP BY doc_id, i // 4),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+  """
+
+  val all: Seq[GraftQuery] = Seq(
+    // Exact dedup: content-hash groups with representative + cardinality.
+    GraftQuery(
+      "x_dedup_exact",
+      (s, dir) =>
+        Dedup.exactGroups(Tables.documents(s, dir), col("doc_id"), col("text")),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+             count(*) AS n_dups FROM documents GROUP BY 1""")
+    ),
+
+    // MinHash LSH: banded candidate pairs + estimated Jaccard from
+    // signature agreement.
+    GraftQuery(
+      "x_dedup_minhash",
+      (s, dir) => {
+        val sh = Dedup.shingles(Tables.documents(s, dir), col("doc_id"), col("text"), 3)
+        val mh = Dedup.minhash(sh, 16)
+        val pairs = Dedup.candidatePairs(Dedup.bandSignatures(mh, 4))
+        Dedup.estimatedJaccard(pairs, mh, 16)
+      },
+      Some(LshCtes + """
+        SELECT p.doc_a, p.doc_b,
+               sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+        FROM pairs p
+        JOIN mh ma ON ma.doc_id = p.doc_a
+        JOIN mh mb ON mb.doc_id = p.doc_b AND mb.i = ma.i
+        GROUP BY p.doc_a, p.doc_b""")
+    ),
+
+    // Exact n-gram Jaccard, computed only on LSH candidates (the scale
+    // path: never O(n²)).
+    GraftQuery(
+      "x_dedup_jaccard",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.minhashLsh(docs, col("doc_id"), col("text"))
+          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 3).as("jac"))
+      },
+      Some(LshCtes + """,
+        dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        sz AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY 1),
+        inter AS (
+          SELECT p.doc_a, p.doc_b, count(*) AS inter
+          FROM pairs p
+          JOIN dsh a ON a.doc_id = p.doc_a
+          JOIN dsh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+          GROUP BY 1, 2)
+        SELECT p.doc_a, p.doc_b,
+               round(CAST(COALESCE(i.inter, 0) AS DOUBLE) /
+                     (sa.sz + sb.sz - COALESCE(i.inter, 0)), 3) AS jac
+        FROM pairs p
+        LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        JOIN sz sa ON sa.doc_id = p.doc_a
+        JOIN sz sb ON sb.doc_id = p.doc_b""")
+    ),
+
+    // SimHash (portable 16-bit parity variant; 64-bit xxhash64 form in
+    // Dedup.simhash64 is the production path).
+    GraftQuery(
+      "x_dedup_simhash",
+      (s, dir) =>
+        Dedup.simhash16(Tables.documents(s, dir), col("doc_id"), col("text")),
+      Some {
+        val votes = (1 to 16).map(p =>
+          s"sum(CASE WHEN ascii(substr(md5(tok), $p, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v$p")
+          .mkString(", ")
+        val bits = (1 to 16).map(p =>
+          s"(CASE WHEN v$p >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+        s"""WITH toks AS (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+           v AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id)
+           SELECT doc_id, $bits AS simhash16 FROM v"""
+      }
+    ),
+
+    // Brute-force cosine top-k (baseline ANN; broadcast queries, map-only
+    // over the corpus).
+    GraftQuery(
+      "x_sim_cosine_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .withColumn("embedding", col("embedding").cast("array<double>"))
+        Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5)
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                        FROM embeddings WHERE vec_id < 3),
+             c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+             d AS (
+               SELECT qid, cid,
+                      round(list_dot_product(qv, cv) /
+                            (sqrt(list_dot_product(qv, qv)) *
+                             sqrt(list_dot_product(cv, cv))), 3) AS cos
+               FROM q, c WHERE qid <> cid)
+             SELECT qid, cid, cos, rank FROM (
+               SELECT *, row_number() OVER (PARTITION BY qid
+                         ORDER BY cos DESC, cid) AS rank FROM d)
+             WHERE rank <= 5""")
+    ),
+
+    // Random-hyperplane LSH signatures (the bucketed ANN scale path).
+    GraftQuery(
+      "x_ann_lsh",
+      (s, dir) =>
+        Similarity.lshSignature(
+          Tables.embeddings(s, dir)
+            .withColumn("embedding", col("embedding").cast("array<double>")),
+          "vec_id", "embedding", nPlanes = 8, dims = 64),
+      Some("""WITH planes AS (
+               SELECT p.p, d.d,
+                      CAST(ascii(substr(md5(CAST(p.p AS VARCHAR) || '_' ||
+                           CAST(d.d AS VARCHAR)), 1, 1)) - 80 AS DOUBLE) AS w
+               FROM (SELECT unnest(range(0, 8)) AS p) p,
+                    (SELECT unnest(range(0, 64)) AS d) d),
+             proj AS (
+               SELECT e.vec_id, pl.p,
+                      sum(e.embedding[pl.d + 1]::DOUBLE * pl.w) AS s
+               FROM embeddings e, planes pl GROUP BY 1, 2)
+             SELECT vec_id,
+                    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+                               ORDER BY p) AS lsh_sig
+             FROM proj GROUP BY vec_id""")
+    ),
+
+    // Language ID (stopword-hit heuristic).
+    GraftQuery(
+      "x_text_langid",
+      (s, dir) =>
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.enStopwordHits(col("text")).as("en_hits"),
+          TextAnalysis.languageId(col("text")).as("pred_lang")),
+      Some("""SELECT doc_id,
+             len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it)\b')) AS en_hits,
+             CASE WHEN len(regexp_extract_all(text,
+               '\b(the|a|of|and|to|in|is|it)\b')) >= 2
+               THEN 'en' ELSE 'other' END AS pred_lang
+             FROM documents""")
+    ),
+
+    // Quality scoring (length/stopword/punct ratios, composite score).
+    GraftQuery(
+      "x_text_quality",
+      (s, dir) =>
+        TextAnalysis.quality(Tables.documents(s, dir), col("doc_id"), col("text")),
+      Some("""WITH m AS (
+               SELECT doc_id, length(text) AS n_chars,
+                      len(string_split(text, ' ')) AS n_words,
+                      len(regexp_extract_all(text,
+                        '\b(the|a|of|and|to|in|is|it)\b')) AS n_stop,
+                      len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+               FROM documents)
+             SELECT doc_id, n_chars, n_words,
+                    round(CAST(n_chars AS DOUBLE) / n_words, 3) AS avg_word_len,
+                    round(CAST(n_stop AS DOUBLE) / n_words, 3) AS stopword_ratio,
+                    n_punct,
+                    round(least(1.0, CAST(n_words AS DOUBLE) / 50) * 0.5 +
+                          least(1.0, CAST(n_stop AS DOUBLE) * 10 / n_words) * 0.5,
+                          3) AS quality_score
+             FROM m""")
+    ),
+
+    // Token counting: whitespace + BPE-ish regex segmentation.
+    GraftQuery(
+      "x_text_tokens",
+      (s, dir) =>
+        TextAnalysis.tokenCounts(Tables.documents(s, dir), col("doc_id"), col("text")),
+      Some("""SELECT doc_id,
+             len(string_split(text, ' ')) AS ws_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+               AS bpe_tokens
+             FROM documents""")
+    ),
+
+    // Document fingerprint (position-weighted rolling hash).
+    GraftQuery(
+      "x_text_fingerprint",
+      (s, dir) =>
+        TextAnalysis.fingerprint(Tables.documents(s, dir), col("doc_id"), col("text")),
+      Some("""WITH toks AS (
+               SELECT doc_id,
+                      unnest(string_split(text, ' ')) AS tok,
+                      unnest(range(0, len(string_split(text, ' ')))) AS pos
+               FROM documents)
+             SELECT doc_id,
+                    sum((ascii(substr(md5(tok), 1, 1)) * 256 +
+                         ascii(substr(md5(tok), 2, 1))) * (1 + pos % 97))
+                      % 1000000007 AS fingerprint
+             FROM toks GROUP BY doc_id""")
+    ),
+
+    // Multimodal plumbing: opaque binary payload + deterministic
+    // metadata (decode stub exercised in MultimodalSpec).
+    GraftQuery(
+      "x_multimodal_ingest",
+      (s, dir) =>
+        graft.multimodal.Multimodal.ingest(
+          Tables.documents(s, dir), "doc_id", "text", "text/plain")
+          .select(col("media_id"), col("kind"), col("size_bytes"),
+            sha2(col("payload"), 256).as("payload_sha")),
+      Some("""SELECT doc_id AS media_id, 'text/plain' AS kind,
+             octet_length(encode(text)) AS size_bytes,
+             sha256(text) AS payload_sha
+             FROM documents""")
+    )
+  )
 }

@@ -1,0 +1,70 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (north-star
+  * extensions): language-ID, quality scoring, token counting, document
+  * fingerprinting. All pure column expressions — codegen-friendly,
+  * map-only (no shuffles) at any scale.
+  */
+object TextAnalysis {
+
+  private val EnStop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** n-gram/stopword-heuristic language ID: score = English function-word
+    * hits; classify `en` above threshold. (Real corpora would carry a
+    * per-language table; the mechanism — regexp hit counting per
+    * language — is the operator.)
+    */
+  def enStopwordHits(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\b(" + EnStop.mkString("|") + ")\\b"), lit(0)))
+
+  def languageId(text: Column, threshold: Int = 2): Column =
+    when(enStopwordHits(text) >= threshold, lit("en")).otherwise(lit("other"))
+
+  /** Quality metrics: length, word count, average word length, stopword
+    * ratio, punctuation count; composite score in [0,1] from exact
+    * integer ratios (deterministic across engines).
+    */
+  def quality(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    val nChars = length(text)
+    val nWords = size(split(text, " "))
+    val nStop = enStopwordHits(text)
+    val nPunct = size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0)))
+    df.select(
+      idCol.as("doc_id"),
+      nChars.as("n_chars"),
+      nWords.as("n_words"),
+      round(nChars.cast("double") / nWords, 3).as("avg_word_len"),
+      round(nStop.cast("double") / nWords, 3).as("stopword_ratio"),
+      nPunct.as("n_punct"),
+      round(
+        least(lit(1.0), nWords.cast("double") / 50) * lit(0.5) +
+          least(lit(1.0), nStop.cast("double") * 10 / nWords) * lit(0.5),
+        3).as("quality_score"))
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs / digit runs / single non-space symbols).
+    */
+  def tokenCounts(df: DataFrame, idCol: Column, text: Column): DataFrame =
+    df.select(
+      idCol.as("doc_id"),
+      size(split(text, " ")).as("ws_tokens"),
+      size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+        .as("bpe_tokens"))
+
+  /** Document fingerprint: position-weighted rolling hash over tokens.
+    * Token hash = two md5 hex chars (portable, exact int64 math); weight
+    * cycles with position so near-identical docs with swapped words get
+    * different prints.
+    */
+  def fingerprint(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    val toks = df.select(idCol.as("doc_id"), posexplode(split(text, " ")).as(Seq("pos", "tok")))
+    val tokHash = (ascii(substring(md5(col("tok")), 1, 1)) * 256 +
+      ascii(substring(md5(col("tok")), 2, 1))).cast("long")
+    toks.groupBy(col("doc_id"))
+      .agg((sum(tokHash * (lit(1L) + col("pos") % 97)) % 1000000007L).as("fingerprint"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+import graft.multimodal.Multimodal
+
+class ExtSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (4L, "completely different words about spark engines and logs here")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps one representative per identical text") {
+    val out = Dedup.exact(docs, col("doc_id"), col("text"))
+    assert(out.count() == 3)
+    assert(!out.select("doc_id").as[Long].collect().contains(3L))
+  }
+
+  test("minhash LSH surfaces the near-dup pair with high jaccard") {
+    val out = Dedup.minhashLsh(docs, col("doc_id"), col("text"))
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exact = out.find(p => p._1 == 1L && p._2 == 3L)
+    assert(exact.exists(_._3 == 1.0), s"exact dup pair missing: $out")
+    val near = out.find(p => p._1 == 1L && p._2 == 2L)
+    assert(near.exists(_._3 > 0.5), s"near dup pair missing: $out")
+    assert(!out.exists(p => p._2 == 4L && p._3 > 0.3), s"false positive: $out")
+  }
+
+  test("simhash64: identical docs share signatures, different docs do not") {
+    val sh = Dedup.simhash64(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(3L))
+    assert(sh(1L) != sh(4L))
+    val hamming12 = java.lang.Long.bitCount(sh(1L) ^ sh(2L))
+    val hamming14 = java.lang.Long.bitCount(sh(1L) ^ sh(4L))
+    assert(hamming12 < hamming14, s"near-dup hamming $hamming12 !< $hamming14")
+  }
+
+  test("brute-force cosine top-k finds the planted neighbor first") {
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0, 0.0)),
+      (1L, Array(0.99, 0.1, 0.0)), // near 0
+      (2L, Array(0.0, 1.0, 0.0)),
+      (3L, Array(0.0, 0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+      vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect()
+    assert(out(0).getAs[Long]("cid") == 1L)
+    assert(out(0).getAs[Double]("cos") > 0.99)
+  }
+
+  test("lsh signature buckets similar vectors together") {
+    val vecs = Seq(
+      (0L, (0 until 64).map(i => math.sin(i).toFloat).toArray),
+      (1L, (0 until 64).map(i => (math.sin(i) * 1.01).toFloat).toArray),
+      (2L, (0 until 64).map(i => math.cos(i * 3).toFloat).toArray)
+    ).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val sigs = Similarity.lshSignature(vecs, "vec_id", "embedding", 8, 64)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs(0L) == sigs(1L)) // scaled copy: identical signs
+    assert(sigs.values.forall(_.length == 8))
+  }
+
+  test("text quality and token metrics on a known string") {
+    val d = Seq((1L, "the cat sat on the mat.")).toDF("doc_id", "text")
+    val q = TextAnalysis.quality(d, col("doc_id"), col("text")).collect().head
+    assert(q.getAs[Int]("n_words") == 6)
+    assert(q.getAs[Int]("n_punct") == 1)
+    val t = TextAnalysis.tokenCounts(d, col("doc_id"), col("text")).collect().head
+    assert(t.getAs[Int]("ws_tokens") == 6)
+    assert(t.getAs[Int]("bpe_tokens") == 7) // 6 words + '.'
+  }
+
+  test("fingerprint is order-sensitive") {
+    val d = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) != fp(2L))
+  }
+
+  test("multimodal: stub decode is deterministic; frame sampling slices payload") {
+    val media = Multimodal.ingest(docs, "doc_id", "text", "text/plain")
+    val feats = Multimodal.extractFeatures(spark, media, dims = 4, parallelism = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).feature.toSeq == feats(3L).feature.toSeq) // same payload
+    assert(feats(1L).size_bytes == 43L)
+    assert(feats(1L).mean_byte > 0)
+    val frames = Multimodal.frameSample(media, frameBytes = 10, everyN = 2)
+      .filter(col("media_id") === 1).select("frames").collect().head
+      .getSeq[Array[Byte]](0)
+    assert(frames.head.length == 10)
+  }
+}
