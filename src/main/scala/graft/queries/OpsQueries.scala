@@ -271,6 +271,37 @@ object OpsQueries {
              WHERE starts_with('app.' || event_type, 'app.err')""")
     ),
 
+    // filter_multiline, batch form (SURVEY §2.6; flb_ml.c rule machine):
+    // start-marker cumulative sum assigns record groups per stream key,
+    // then one aggregation assembles the message — shuffle only on the
+    // stream key, never a global sort.
+    GraftQuery(
+      "f_multiline_batch",
+      (s, dir) => {
+        val lines = Tables.events(s, dir).select(
+          col("user_id"), col("event_id"),
+          when(col("value") > 100,
+            concat(lit("ERROR "), col("event_id")))
+            .otherwise(concat(lit("  at frame "), col("event_id"))).as("line"))
+        graft.streaming.Multiline.assembleBatch(
+          lines, Seq("user_id"), "event_id", "line",
+          Seq(graft.streaming.Multiline.Rule(Set("start", "cont"), "^\\s+at ", "cont")))
+      },
+      Some("""WITH lines AS (
+               SELECT user_id, event_id,
+                      CASE WHEN value > 100 THEN 'ERROR ' || CAST(event_id AS VARCHAR)
+                           ELSE '  at frame ' || CAST(event_id AS VARCHAR) END AS line
+               FROM events),
+             g AS (
+               SELECT *, sum(CASE WHEN NOT regexp_matches(line, '^\s+at ')
+                                  THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY event_id) AS grp
+               FROM lines)
+             SELECT user_id, min(event_id) AS first_event_id, count(*) AS n_lines,
+                    string_agg(line, chr(10) ORDER BY event_id) AS message
+             FROM g GROUP BY user_id, grp""")
+    ),
+
     // processor_sampling, probabilistic mode (sampling.h:27-31) —
     // deterministic md5-bucket variant so reruns and the oracle agree.
     GraftQuery(

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming operators (SURVEY §2.3/§2.4 stateful rows):
+  * snapshot ring buffers, throttle token buckets, trace tail sampling —
+  * each a flatMapGroupsWithState design with bounded state
+  * (the reference bounds by pages/records, flb_sp_snapshot.c:110-180;
+  * we bound identically and let watermarks/timeouts evict).
+  */
+object Stateful {
+
+  // ------------------------------------------------------------ snapshot
+
+  final case class Rec(tag: String, tsSec: Long, body: String)
+  final case class SnapshotState(buffer: List[Rec])
+
+  /** CREATE SNAPSHOT / FLUSH SNAPSHOT (flb_sp.c:403-432): per-tag ring
+    * buffer bounded by `maxRecords` and `seconds`; when `flushWhen`
+    * matches an incoming record, the buffered records are re-emitted.
+    */
+  def snapshotFlush(spark: SparkSession, recs: Dataset[Rec],
+                    maxRecords: Int, seconds: Long,
+                    flushWhen: Rec => Boolean): Dataset[Rec] = {
+    import spark.implicits._
+    recs.groupByKey(_.tag)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, it: Iterator[Rec], state: GroupState[SnapshotState]) => {
+          var buf = state.getOption.map(_.buffer).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer[Rec]()
+          it.toSeq.sortBy(_.tsSec).foreach { r =>
+            if (flushWhen(r)) {
+              out ++= buf.reverse
+              buf = Nil
+            }
+            buf = (r :: buf)
+              .filter(_.tsSec > r.tsSec - seconds)
+              .take(maxRecords)
+          }
+          state.update(SnapshotState(buf))
+          out.iterator
+        })
+  }
+
+  // ------------------------------------------------------------ throttle
+
+  final case class BucketState(paneStart: Long, emitted: Long)
+
+  /** filter_throttle streaming twin (throttle.c:190): token bucket per
+    * key — at most `rate` records per `paneSeconds`, decided on
+    * event-time; excess records drop (the reference drops, not delays).
+    */
+  def throttle(spark: SparkSession, recs: Dataset[Rec], rate: Long,
+               paneSeconds: Long): Dataset[Rec] = {
+    import spark.implicits._
+    recs.groupByKey(_.tag)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, it: Iterator[Rec], state: GroupState[BucketState]) => {
+          var st = state.getOption.getOrElse(BucketState(Long.MinValue, 0))
+          val out = scala.collection.mutable.ArrayBuffer[Rec]()
+          it.toSeq.sortBy(_.tsSec).foreach { r =>
+            val pane = r.tsSec - (r.tsSec % paneSeconds)
+            if (pane != st.paneStart) st = BucketState(pane, 0)
+            if (st.emitted < rate) {
+              out += r
+              st = st.copy(emitted = st.emitted + 1)
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
+  // -------------------------------------------------------- tail sampling
+
+  final case class Span(traceId: String, spanId: String, tsSec: Long,
+                        durationMs: Long, statusCode: Int, body: String)
+  final case class TraceState(spans: List[Span], firstSeen: Long)
+
+  /** Tail-sampling policy — the pluggable conditions of
+    * processor_sampling (sampling_cond_*.c): keep a whole trace if any
+    * span breaches latency/status thresholds.
+    */
+  final case class TailPolicy(maxLatencyMs: Long = Long.MaxValue,
+                              errorStatusMin: Int = 500,
+                              keepErrorTraces: Boolean = true) {
+    def keep(spans: Seq[Span]): Boolean =
+      spans.exists(_.durationMs >= maxLatencyMs) ||
+        (keepErrorTraces && spans.exists(_.statusCode >= errorStatusMin))
+  }
+
+  /** processor_sampling tail mode (sampling.h:27-31): buffer whole traces
+    * (span registry ≙ the group state), decide once the trace is quiet
+    * for `decisionWaitMs`, emit all spans or none.
+    */
+  def tailSample(spark: SparkSession, spans: Dataset[Span], policy: TailPolicy,
+                 decisionWaitMs: Long = 2000): Dataset[Span] = {
+    import spark.implicits._
+    spans.groupByKey(_.traceId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        (_: String, it: Iterator[Span], state: GroupState[TraceState]) => {
+          if (state.hasTimedOut) {
+            val spansBuf = state.getOption.map(_.spans.reverse).getOrElse(Nil)
+            state.remove()
+            if (policy.keep(spansBuf)) spansBuf.iterator else Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(TraceState(Nil, 0))
+            val all = it.foldLeft(prev.spans)((acc, s) => s :: acc)
+            state.update(TraceState(all, prev.firstSeen))
+            state.setTimeoutDuration(decisionWaitMs)
+            Iterator.empty
+          }
+        })
+  }
+}

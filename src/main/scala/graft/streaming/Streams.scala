@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming facade (SURVEY §2.9/§2.10 source+sink mapping).
+  *
+  * fluent-bit's pipeline = inputs → filters/SP → tag-routed outputs with
+  * retry + filesystem buffering. Spark-native: readStream sources →
+  * the same graft.ops/FluentQL transforms (they are plain DataFrame
+  * functions, batch/streaming agnostic) → per-sink filtered writeStream
+  * with checkpointing (replaces the offset sqlite + chunkio buffering).
+  */
+object Streams {
+
+  /** in_tail analogue: tail files under a glob. Offset tracking is the
+    * checkpoint, not a sqlite DB (tail_db.c:82). `maxFilesPerTrigger`
+    * bounds per-batch intake like mem_buf_limit backpressure.
+    */
+  def tailText(spark: SparkSession, pathGlob: String,
+               maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(pathGlob)
+
+  def tailParquet(spark: SparkSession, path: String, schema: StructType,
+                  maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+
+  /** Event-time tumbling/hopping window aggregation with watermark —
+    * the streaming twin of the FQL WINDOW clause (correct mode per
+    * SURVEY §7.4(2); watermark bounds state).
+    */
+  def windowedAgg(df: DataFrame, tsCol: String, watermark: String,
+                  size: String, advance: Option[String],
+                  groupKeys: Seq[String], aggs: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val win = advance match {
+      case Some(adv) => window(col(tsCol), size, adv)
+      case None => window(col(tsCol), size)
+    }
+    df.withWatermark(tsCol, watermark)
+      .groupBy((win +: groupKeys.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Tag-routed fan-out: one writeStream per sink pattern
+    * (§2.8 routing; each sink gets its own checkpoint = independent
+    * delivery progress, like per-output task queues).
+    */
+  def routeToSinks(df: DataFrame, tagCol: String,
+                   sinks: Seq[(String, DataFrameWriterConfig)]): Seq[StreamingQuery] =
+    sinks.map { case (pattern, cfg) =>
+      val routed = df.filter(graft.route.Router.tagMatch(col(tagCol), pattern))
+      cfg.start(routed)
+    }
+
+  final case class DataFrameWriterConfig(
+      format: String,
+      path: Option[String] = None,
+      queryName: Option[String] = None,
+      checkpoint: Option[String] = None,
+      outputMode: String = "append",
+      trigger: Option[Trigger] = None
+  ) {
+    def start(df: DataFrame): StreamingQuery = {
+      var w: DataStreamWriter[org.apache.spark.sql.Row] =
+        df.writeStream.format(format).outputMode(outputMode)
+      path.foreach(p => w = w.option("path", p))
+      queryName.foreach(n => w = w.queryName(n))
+      checkpoint.foreach(c => w = w.option("checkpointLocation", c))
+      trigger.foreach(t => w = w.trigger(t))
+      w.start()
+    }
+  }
+}
