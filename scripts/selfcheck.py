@@ -49,8 +49,16 @@ def main(sf_dir, out_dir):
             got = con.execute(
                 f"SELECT * FROM read_parquet('{qdir}/*.parquet')").fetchall()
             gcols = [d[0] for d in con.description]
-            exp = con.execute(sql).fetchall()
-            ecols = [d[0] for d in con.description]
+            rel = con.sql(sql)
+            # HUGEINT/UHUGEINT output columns round-trip as float64 in the
+            # driver's hasher => hash mismatch even when values are equal.
+            huge = [c for c, t in zip(rel.columns, rel.types)
+                    if "HUGEINT" in str(t).upper()]
+            if huge:
+                print(f"FAIL {name}: oracle emits HUGEINT columns {huge} "
+                      f"(CAST to BIGINT)"); n_fail += 1; continue
+            exp = rel.fetchall()
+            ecols = rel.columns
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         gc, g = canon(got, gcols)

@@ -226,9 +226,9 @@ object ExtQueries {
                       unnest(range(0, len(string_split(text, ' ')))) AS pos
                FROM documents)
              SELECT doc_id,
-                    sum((ascii(substr(md5(tok), 1, 1)) * 256 +
+                    CAST(sum((ascii(substr(md5(tok), 1, 1)) * 256 +
                          ascii(substr(md5(tok), 2, 1))) * (1 + pos % 97))
-                      % 1000000007 AS fingerprint
+                      % 1000000007 AS BIGINT) AS fingerprint
              FROM toks GROUP BY doc_id""")
     ),
 

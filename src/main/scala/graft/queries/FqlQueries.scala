@@ -48,7 +48,7 @@ object FqlQueries {
             COUNT(*) AS n, SUM(user_id) AS sum_uid, AVG(user_id) AS avg_uid
             FROM STREAM:events WHERE value IS NOT NULL GROUP BY event_type;"""),
       Some("""SELECT event_type, min(value) AS min_v, max(value) AS max_v,
-             count(*) AS n, sum(user_id) AS sum_uid,
+             count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_uid,
              CAST(sum(user_id) AS DOUBLE) / count(*) AS avg_uid
              FROM events WHERE value IS NOT NULL GROUP BY event_type""")
     ),
@@ -58,7 +58,7 @@ object FqlQueries {
       fql("""SELECT COUNT(*) AS n, SUM(user_id) AS su FROM STREAM:events
             WINDOW TUMBLING (300 SECOND);"""),
       Some("""SELECT (epoch_ns(ts) // 300000000000) * 300 AS wstart,
-             count(*) AS n, sum(user_id) AS su
+             count(*) AS n, CAST(sum(user_id) AS BIGINT) AS su
              FROM events GROUP BY 1""")
     ),
 

@@ -162,9 +162,9 @@ object OpsQueries {
           buckets = Seq(50.0, 100.0, 200.0)
         ),
       Some("""SELECT user_id,
-             sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS "le_50.0",
-             sum(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) AS "le_100.0",
-             sum(CASE WHEN value <= 200.0 THEN 1 ELSE 0 END) AS "le_200.0",
+             CAST(sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS "le_50.0",
+             CAST(sum(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS "le_100.0",
+             CAST(sum(CASE WHEN value <= 200.0 THEN 1 ELSE 0 END) AS BIGINT) AS "le_200.0",
              count(*) AS le_inf,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
              'error_value' AS metric_name, 'histogram' AS metric_type
