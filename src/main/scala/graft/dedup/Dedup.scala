@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   *   - SimHash: 64-bit signature via xxhash64 bit-votes; near-dup pairs
   *     are exact-signature or banded-hamming joins;
   *   - exact n-gram Jaccard runs only on LSH candidates.
+  *
+  * Plan-shape invariants (checked via .explain during development):
+  * shingle generation is NARROW (array slicing on the tokenized text, no
+  * window/sort); minhash signatures aggregate elementwise-min map-side,
+  * so the only shuffle carries (doc_id, k strings) — never the k-times
+  * exploded hash stream.
   */
 object Dedup {
 
@@ -33,45 +39,43 @@ object Dedup {
     df.groupBy(md5(textCol).as("content_hash"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Word n-gram shingles: (id, shingle) rows, positions via posexplode —
-    * narrow (no shuffle) until the downstream aggregation.
+  /** Word n-gram shingles as (doc_id, shingle) rows. Narrow: one
+    * codegen'd loop per document ([[graft.functions.WordShingles]]), no
+    * window function, no shuffle, no per-document sort.
     */
-  def shingles(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
-    val toks = df.select(idCol.as("doc_id"),
-      posexplode(split(textCol, " ")).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val withNext = (1 until n).foldLeft(toks) { (d, i) =>
-      d.withColumn(s"tok$i", lead(col("tok"), i).over(w))
-    }
-    val parts = col("tok") +: (1 until n).map(i => col(s"tok$i"))
-    withNext
-      .filter(parts.map(_.isNotNull).reduce(_ && _))
-      .select(col("doc_id"), concat_ws(" ", parts: _*).as("shingle"))
+  def shingles(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame =
+    df.select(idCol.as("doc_id"),
+      explode(graft.functions.TextFunctions.wordShingles(textCol, n)).as("shingle"))
+
+  /** MinHash signatures in wide form: (doc_id, mhs ARRAY<STRING> of k).
+    * Hash family: the 64 hex chars of `md5(s) || md5('x'||s)` cut into
+    * eight independent 8-hex (32-bit) slices — h_i(s) = slice i,
+    * signature element i = min over shingles. TWO digest evaluations per
+    * shingle produce all k ≤ 8 hash functions (vs one digest per
+    * function), and the elementwise-min aggregates map-side, so the
+    * shuffle carries one row of k strings per (partition, doc). Hex min
+    * ≡ numeric min and is portable (bit-identical in any SQL engine).
+    */
+  def minhash(sh: DataFrame, k: Int = 8): DataFrame = {
+    require(k <= 8, s"slice hash family yields at most 8 functions, got $k")
+    val hs = sh.select(col("doc_id"),
+      concat(md5(col("shingle")), md5(concat(lit("x"), col("shingle")))).as("hx"))
+    hs.groupBy(col("doc_id"))
+      .agg(array((0 until k).map(i =>
+        min(substring(col("hx"), i * 8 + 1, 8))): _*).as("mhs"))
   }
 
-  /** MinHash signatures: k independent hash functions h_i(s)=md5(i|s),
-    * signature = per-i minimum. md5-hex min is portable (same in any
-    * SQL engine) — the library also offers xxhash64 for speed.
+  /** LSH banding over wide signatures: band b's signature = md5 of the
+    * ordered concat of its `rowsPerBand` minhashes. Docs sharing any
+    * (band, signature) are candidates.
     */
-  def minhash(sh: DataFrame, k: Int, fast: Boolean = false): DataFrame = {
-    val hashes = sh
-      .withColumn("i", explode(array((0 until k).map(lit): _*)))
-      .withColumn("h",
-        if (fast) xxhash64(concat(col("i"), lit("|"), col("shingle"))).cast("string")
-        else md5(concat(col("i"), lit("|"), col("shingle"))))
-    hashes.groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("mh"))
+  def bandSignatures(mh: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = k / rowsPerBand
+    mh.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+        b => md5(concat_ws(",", slice(col("mhs"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+        .as(Seq("band", "sig")))
   }
-
-  /** LSH banding: group the k minhashes into bands of `rowsPerBand`; band
-    * signature = ordered concat. Docs sharing any (band, signature) are
-    * candidates.
-    */
-  def bandSignatures(mh: DataFrame, rowsPerBand: Int): DataFrame =
-    mh.withColumn("band", (col("i") / rowsPerBand).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-          s => s.getField("mh")))).as("sig"))
 
   /** Candidate pairs: equi-join on (band, sig), deduped, a<b. */
   def candidatePairs(bands: DataFrame): DataFrame = {
@@ -82,14 +86,18 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** Estimated Jaccard from minhash agreement on candidate pairs. */
+  /** Estimated Jaccard from minhash agreement on candidate pairs: two
+    * joins bring both wide signatures onto the pair row; agreement is an
+    * elementwise compare of two k-arrays (no k-way row explosion).
+    */
   def estimatedJaccard(pairs: DataFrame, mh: DataFrame, k: Int): DataFrame = {
-    val ma = mh.select(col("doc_id").as("doc_a"), col("i"), col("mh").as("mh_a"))
-    val mb = mh.select(col("doc_id").as("doc_b"), col("i"), col("mh").as("mh_b"))
-    pairs.join(ma, "doc_a").join(mb, Seq("doc_b", "i"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg((sum(when(col("mh_a") === col("mh_b"), 1).otherwise(0)) /
-        lit(k.toDouble)).as("est_jaccard"))
+    val ma = mh.select(col("doc_id").as("doc_a"), col("mhs").as("mhs_a"))
+    val mb = mh.select(col("doc_id").as("doc_b"), col("mhs").as("mhs_b"))
+    pairs.join(ma, "doc_a").join(mb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(zip_with(col("mhs_a"), col("mhs_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v) / lit(k.toDouble)).as("est_jaccard"))
   }
 
   /** Exact n-gram Jaccard on (already-narrowed) candidate pairs:
@@ -110,12 +118,14 @@ object Dedup {
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
   }
 
-  /** Full MinHash-LSH near-dup pipeline. */
+  /** Full MinHash-LSH near-dup pipeline. Default k=8, r=2 ⇒ 4 bands,
+    * candidate threshold ≈ (1/4)^(1/2) = 0.5 estimated Jaccard.
+    */
   def minhashLsh(df: DataFrame, idCol: Column, textCol: Column,
-                 ngram: Int = 3, k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+                 ngram: Int = 3, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val sh = shingles(df, idCol, textCol, ngram)
     val mh = minhash(sh, k)
-    val pairs = candidatePairs(bandSignatures(mh, rowsPerBand))
+    val pairs = candidatePairs(bandSignatures(mh, k, rowsPerBand))
     exactJaccard(pairs, sh)
   }
 
@@ -146,6 +156,6 @@ object Dedup {
     toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
         concat((1 to 16).map(p =>
-          when(col(s"v$p") >= 0, lit("1")).otherwise(lit("0"))): _*).as("simhash16"))
+          when(col(s"v$p") >= 0, lit(1)).otherwise(lit(0)).cast("string")): _*).as("simhash16"))
   }
 }

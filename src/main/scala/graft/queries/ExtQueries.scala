@@ -11,9 +11,9 @@ import graft.text.TextAnalysis
   */
 object ExtQueries {
 
-  /** Shared DuckDB CTEs: 3-gram shingles → 16 minhashes → 4 bands →
-    * candidate pairs (mirror of Dedup.shingles/minhash/bandSignatures/
-    * candidatePairs).
+  /** Shared DuckDB CTEs: 3-gram shingles → 8 minhashes (8-hex slices of
+    * md5(s)||md5('x'||s)) → 4 bands of 2 → candidate pairs (mirror of
+    * Dedup.shingles/minhash/bandSignatures/candidatePairs).
     */
   private val LshCtes = """
     WITH toks AS (
@@ -28,13 +28,14 @@ object ExtQueries {
     sh AS (SELECT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
     mh AS (
       SELECT doc_id, t.i,
-             min(md5(CAST(t.i AS VARCHAR) || '|' || shingle)) AS mh
-      FROM sh, (SELECT unnest(range(0, 16)) AS i) t
+             min(substr(md5(shingle) || md5('x' || shingle),
+                        CAST(t.i * 8 + 1 AS INT), 8)) AS mh
+      FROM sh, (SELECT unnest(range(0, 8)) AS i) t
       GROUP BY doc_id, t.i),
     bands AS (
-      SELECT doc_id, CAST(i // 4 AS INT) AS band,
+      SELECT doc_id, CAST(i // 2 AS INT) AS band,
              md5(string_agg(mh, ',' ORDER BY i)) AS sig
-      FROM mh GROUP BY doc_id, i // 4),
+      FROM mh GROUP BY doc_id, i // 2),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -57,13 +58,13 @@ object ExtQueries {
       "x_dedup_minhash",
       (s, dir) => {
         val sh = Dedup.shingles(Tables.documents(s, dir), col("doc_id"), col("text"), 3)
-        val mh = Dedup.minhash(sh, 16)
-        val pairs = Dedup.candidatePairs(Dedup.bandSignatures(mh, 4))
-        Dedup.estimatedJaccard(pairs, mh, 16)
+        val mh = Dedup.minhash(sh, 8)
+        val pairs = Dedup.candidatePairs(Dedup.bandSignatures(mh, 8, 2))
+        Dedup.estimatedJaccard(pairs, mh, 8)
       },
       Some(LshCtes + """
         SELECT p.doc_a, p.doc_b,
-               sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+               sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / 8.0 AS est_jaccard
         FROM pairs p
         JOIN mh ma ON ma.doc_id = p.doc_a
         JOIN mh mb ON mb.doc_id = p.doc_b AND mb.i = ma.i

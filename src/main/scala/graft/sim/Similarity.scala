@@ -1,28 +1,51 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.{dotProduct, l2Norm}
 
 /** Approximate-nearest-neighbor search over an embedding column
-  * (`Array[Float]`) — north-star extension (BASELINE.json).
+  * (`Array[Float]`/`Array[Double]`) — north-star extension (BASELINE.json).
   *
   * Scale design: the brute-force path broadcasts the (small) query set
   * and streams the candidate corpus — a map-only plan, no shuffle of the
-  * corpus; dot products run as `aggregate(zip_with(...))` column
-  * expressions inside codegen. The LSH path buckets vectors by
-  * random-hyperplane signatures so candidate generation is an equi-join
-  * on (bucket), which partitions evenly at any corpus size.
+  * corpus; dot products run through the codegen'd [[graft.functions.DotProduct]]
+  * expression (a primitive loop inside WholeStageCodegen, not an
+  * interpreted higher-order lambda), and each side's norm is computed
+  * once, not once per pair. Top-k selection is two-phase (per-partition
+  * partial top-k, then a tiny merge) so no executor ever sorts the full
+  * score set and low-cardinality query ids cause no shuffle skew. The
+  * LSH path buckets vectors by random-hyperplane signatures so candidate
+  * generation is an equi-join on (bucket), which partitions evenly at
+  * any corpus size.
   */
 object Similarity {
 
-  /** dot(a, b) as a pure column expression. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  /** dot(a, b) — codegen'd Catalyst expression. */
+  def dot(a: Column, b: Column): Column = dotProduct(a, b)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = l2Norm(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Per-group top-k without a global window sort: partial top-k per
+    * input partition, then merge the (≤ k × nPartitions)-element lists
+    * per group. Orders by (orderAsc..) ascending; emits rank 1..k.
+    */
+  private def topKPerGroup(scored: DataFrame, groupCol: String, k: Int,
+                           payload: Seq[String], orderAsc: Seq[Column]): DataFrame = {
+    val item = struct(orderAsc ++ payload.map(col): _*)
+    val partial = scored
+      .groupBy(col(groupCol), spark_partition_id().as("__pid"))
+      .agg(slice(array_sort(collect_list(item)), 1, k).as("__top"))
+    partial
+      .groupBy(col(groupCol))
+      .agg(slice(array_sort(flatten(collect_list(col("__top")))), 1, k).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")).as(Seq("__pos", "__item")))
+      .select(
+        (col(groupCol) +: payload.map(p => col(s"__item.$p")) :+
+          (col("__pos") + 1).as("rank")): _*)
+  }
 
   /** Brute-force top-k cosine neighbors of each query vector.
     * `queries` must be small (it is broadcast); ranking uses the rounded
@@ -30,13 +53,16 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv"))))
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = q.join(c, col("qid") =!= col("cid"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 3))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 3))
+      .select("qid", "cid", "cos")
+    topKPerGroup(scored, "qid", k,
+      payload = Seq("cid", "cos"),
+      orderAsc = Seq(negate(col("cos")).as("__negcos"), col("cid").as("__cid")))
       .select(col("qid"), col("cid"), col("cos"), col("rank"))
   }
 
@@ -49,18 +75,15 @@ object Similarity {
       .cast("double")
 
   /** Random-hyperplane LSH signature (`nPlanes` sign bits) per vector.
-    * Scale path: same-signature buckets give candidates via equi-join.
+    * The plane matrix is a constant-foldable literal array per plane, so
+    * each signature is `nPlanes` codegen'd dot products over the vector.
     */
   def lshSignature(df: DataFrame, idCol: String, vecCol: String,
                    nPlanes: Int, dims: Int): DataFrame = {
     val sigBits = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(col(vecCol),
-          transform(sequence(lit(0), lit(dims - 1)),
-            d => planeComponent(p, d.cast("string"))),
-          (x, w) => x * w),
-        lit(0.0d), (acc, v) => acc + v)
-      when(proj >= 0, lit("1")).otherwise(lit("0"))
+      val planeVec = transform(sequence(lit(0), lit(dims - 1)),
+        d => planeComponent(p, d.cast("string")))
+      when(dot(col(vecCol), planeVec) >= 0, lit("1")).otherwise(lit("0"))
     }
     df.select(col(idCol), concat(sigBits: _*).as("lsh_sig"))
   }
@@ -72,12 +95,17 @@ object Similarity {
               nPlanes: Int, dims: Int, k: Int): DataFrame = {
     val sigs = lshSignature(corpus, idCol, vecCol, nPlanes, dims)
     val withSig = corpus.join(sigs, idCol)
-    val a = withSig.select(col("lsh_sig"), col(idCol).as("qid"), col(vecCol).as("qv"))
-    val b = withSig.select(col("lsh_sig"), col(idCol).as("cid"), col(vecCol).as("cv"))
+      .withColumn("__n", norm(col(vecCol)))
+    val a = withSig.select(col("lsh_sig"), col(idCol).as("qid"),
+      col(vecCol).as("qv"), col("__n").as("qn"))
+    val b = withSig.select(col("lsh_sig"), col(idCol).as("cid"),
+      col(vecCol).as("cv"), col("__n").as("cn"))
     val scored = a.join(b, Seq("lsh_sig")).filter(col("qid") < col("cid"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 3))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 3))
+      .select("qid", "cid", "cos")
+    topKPerGroup(scored, "qid", k,
+      payload = Seq("cid", "cos"),
+      orderAsc = Seq(negate(col("cos")).as("__negcos"), col("cid").as("__cid")))
       .select(col("qid"), col("cid"), col("cos"))
   }
 }

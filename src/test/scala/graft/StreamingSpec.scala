@@ -4,30 +4,45 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming._
-import graft.streaming.Multiline.{Assembled, Line, Rule}
+import graft.streaming.Multiline.{Assembled, Line}
 import graft.streaming.Stateful._
 
 /** Streaming stateful ops driven by MemoryStream — the exact analogue of
   * the reference's library-mode runtime tests (flb_lib_push → out_lib
   * callback, SURVEY §3.3).
+  *
+  * Harness note: for queries whose state registers a
+  * GroupStateTimeout.ProcessingTimeTimeout, `processAllAvailable` never
+  * returns on Spark 4.1 — pending timeouts make every trigger construct
+  * another batch, so the no-new-data signal never fires. Those tests poll
+  * the memory sink for the expected row count with a deadline instead.
+  * NoTimeout queries still use `processAllAvailable`.
   */
 class StreamingSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
-  private def runToMemory[T](ds: org.apache.spark.sql.Dataset[T], name: String)(
-      feed: => Unit): Unit = {
-    val q = ds.writeStream.format("memory").queryName(name)
+  private def startToMemory[T](ds: org.apache.spark.sql.Dataset[T], name: String) =
+    ds.writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
-    try { feed; q.processAllAvailable() } finally q.stop()
+
+  /** Poll until `name` has ≥ n rows; fail after the deadline. */
+  private def awaitRows(name: String, n: Long, timeoutMs: Long = 60000): Unit = {
+    val deadline = System.currentTimeMillis + timeoutMs
+    var count = spark.table(name).count()
+    while (count < n && System.currentTimeMillis < deadline) {
+      Thread.sleep(100); count = spark.table(name).count()
+    }
+    assert(count >= n, s"$name: $count rows after ${timeoutMs}ms, wanted $n")
   }
 
   test("multiline stream assembles stack traces; new start flushes previous") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Line]
     val out = Multiline.assembleStream(spark, in.toDS(), Multiline.Modes.java,
-      flushMs = 60000)
-    runToMemory(out, "ml_out") {
+      flushMs = 120000)
+    val q = startToMemory(out, "ml_out")
+    try {
       in.addData(
         Line("pod1", 1, "ERROR boom"),
         Line("pod1", 2, "  at a.b.C(1)"),
@@ -36,14 +51,17 @@ class StreamingSpec extends AnyFunSuite {
         Line("pod2", 1, "plain line"),
         Line("pod2", 2, "another start")     // flushes "plain line"
       )
-    }
+      awaitRows("ml_out", 2)
+    } finally q.stop()
     val got = spark.table("ml_out").as[Assembled].collect()
       .map(a => (a.key, a.firstSeq) -> a).toMap
     assert(got(("pod1", 1L)).message == "ERROR boom\n  at a.b.C(1)\n  at d.e.F(2)")
     assert(got(("pod1", 1L)).nLines == 3)
     assert(got(("pod2", 1L)).message == "plain line")
-    // the still-open groups (INFO next record / another start) remain buffered
+    // the still-open groups (INFO next record / another start) stay
+    // buffered: flush_ms is far beyond the polling window
     assert(!got.contains(("pod1", 4L)))
+    assert(!got.contains(("pod2", 2L)))
   }
 
   test("multiline stream flushes on processing-time timeout (flush_ms)") {
@@ -51,19 +69,12 @@ class StreamingSpec extends AnyFunSuite {
     val in = MemoryStream[Line]
     val out = Multiline.assembleStream(spark, in.toDS(), Multiline.Modes.java,
       flushMs = 300)
-    val q = out.writeStream.format("memory").queryName("ml_timeout")
-      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    val q = startToMemory(out, "ml_timeout")
     try {
       in.addData(Line("pod1", 1, "ERROR boom"), Line("pod1", 2, "  at x"))
-      q.processAllAvailable()
-      Thread.sleep(600)
-      in.addData(Line("other", 99, "tick")) // drive a batch so timeouts fire
-      q.processAllAvailable()
-      var tries = 0
-      while (spark.table("ml_timeout").isEmpty && tries < 20) {
-        Thread.sleep(200); in.addData(Line("other", 100 + tries, "tick"))
-        q.processAllAvailable(); tries += 1
-      }
+      // no further input: the 300ms timeout fires on a subsequent
+      // timeout-driven batch and flushes the buffered group
+      awaitRows("ml_timeout", 1)
     } finally q.stop()
     val got = spark.table("ml_timeout").as[Assembled].collect()
     assert(got.exists(a => a.key == "pod1" && a.nLines == 2), got.mkString(";"))
@@ -73,10 +84,12 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Rec]
     val out = Stateful.throttle(spark, in.toDS(), rate = 2, paneSeconds = 10)
-    runToMemory(out, "thr_out") {
+    val q = startToMemory(out, "thr_out")
+    try {
       in.addData((1 to 6).map(i => Rec("k1", 100L + i % 5, s"r$i")): _*)
       in.addData(Rec("k1", 115L, "next_pane"), Rec("k2", 100L, "other_key"))
-    }
+      q.processAllAvailable() // NoTimeout state: safe
+    } finally q.stop()
     val got = spark.table("thr_out").as[Rec].collect()
     assert(got.count(r => r.tag == "k1" && r.tsSec < 110) == 2) // capped
     assert(got.exists(_.body == "next_pane")) // new pane refills
@@ -88,10 +101,13 @@ class StreamingSpec extends AnyFunSuite {
     val in = MemoryStream[Rec]
     val out = Stateful.snapshotFlush(spark, in.toDS(), maxRecords = 10,
       seconds = 100, flushWhen = _.body.contains("ALERT"))
-    runToMemory(out, "snap_out") {
+    val q = startToMemory(out, "snap_out")
+    try {
       in.addData(Rec("t", 1, "a"), Rec("t", 2, "b"))
+      q.processAllAvailable()
       in.addData(Rec("t", 3, "ALERT now"))
-    }
+      q.processAllAvailable() // NoTimeout state: safe
+    } finally q.stop()
     val got = spark.table("snap_out").as[Rec].collect().map(_.body).toSet
     assert(got == Set("a", "b")) // buffered history re-emitted on flush
   }
@@ -101,21 +117,14 @@ class StreamingSpec extends AnyFunSuite {
     val in = MemoryStream[Span]
     val out = Stateful.tailSample(spark, in.toDS(),
       TailPolicy(maxLatencyMs = 1000), decisionWaitMs = 300)
-    val q = out.writeStream.format("memory").queryName("tail_out")
-      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    val q = startToMemory(out, "tail_out")
     try {
       in.addData(
         Span("trace_err", "s1", 1, 10, 200, "ok span"),
         Span("trace_err", "s2", 2, 20, 503, "error span"),
         Span("trace_ok", "s3", 1, 10, 200, "clean"))
-      q.processAllAvailable()
-      Thread.sleep(600)
-      var tries = 0
-      while (spark.table("tail_out").isEmpty && tries < 20) {
-        Thread.sleep(200)
-        in.addData(Span("tick", s"t$tries", 1, 1, 200, "tick"))
-        q.processAllAvailable(); tries += 1
-      }
+      // decision timeout fires ~300ms after the traces go quiet
+      awaitRows("tail_out", 2)
     } finally q.stop()
     val got = spark.table("tail_out").as[Span].collect()
     assert(got.map(_.traceId).toSet == Set("trace_err"))
