@@ -166,6 +166,70 @@ object ExtQueries {
              FROM proj GROUP BY vec_id""")
     ),
 
+    // Embedding-cosine near-dup (the dedup-by-embedding path): exact
+    // cosine only within LSH buckets, top-3 bucket-mates per vector.
+    GraftQuery(
+      "x_dedup_embed",
+      (s, dir) =>
+        Similarity.lshTopK(
+          Tables.embeddings(s, dir)
+            .withColumn("embedding", col("embedding").cast("array<double>")),
+          "vec_id", "embedding", nPlanes = 8, dims = 64, k = 3),
+      Some("""WITH planes AS (
+               SELECT p.p, d.d,
+                      CAST(ascii(substr(md5(CAST(p.p AS VARCHAR) || '_' ||
+                           CAST(d.d AS VARCHAR)), 1, 1)) - 80 AS DOUBLE) AS w
+               FROM (SELECT unnest(range(0, 8)) AS p) p,
+                    (SELECT unnest(range(0, 64)) AS d) d),
+             sigs AS (
+               SELECT e.vec_id,
+                      string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+                                 ORDER BY p) AS sig
+               FROM (SELECT e.vec_id, pl.p,
+                            sum(e.embedding[pl.d + 1]::DOUBLE * pl.w) AS s
+                     FROM embeddings e, planes pl GROUP BY 1, 2) e
+               GROUP BY e.vec_id),
+             v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+             scored AS (
+               SELECT a.vec_id AS qid, b.vec_id AS cid,
+                      round(list_dot_product(va.ev, vb.ev) /
+                            (sqrt(list_dot_product(va.ev, va.ev)) *
+                             sqrt(list_dot_product(vb.ev, vb.ev))), 3) AS cos
+               FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+               JOIN v va ON va.vec_id = a.vec_id
+               JOIN v vb ON vb.vec_id = b.vec_id)
+             SELECT qid, cid, cos FROM (
+               SELECT *, row_number() OVER (PARTITION BY qid
+                         ORDER BY cos DESC, cid) AS rnk FROM scored)
+             WHERE rnk <= 3""")
+    ),
+
+    // IVF coarse quantization (the inverted-file ANN scale path):
+    // deterministic centroid subset, per-vector best-cell assignment.
+    GraftQuery(
+      "x_ann_ivf",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .withColumn("embedding", col("embedding").cast("array<double>"))
+        Similarity.ivfAssign(
+          emb, emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding")
+      },
+      Some("""WITH cent AS (
+               SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+               FROM embeddings WHERE vec_id % 100 = 0),
+             v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+             scored AS (
+               SELECT v.vec_id, c.cent_id,
+                      round(list_dot_product(v.ev, c.cv) /
+                            (sqrt(list_dot_product(v.ev, v.ev)) *
+                             sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos
+               FROM v, cent c)
+             SELECT vec_id, cent_id AS cell FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id
+                         ORDER BY cos DESC, cent_id) AS rnk FROM scored)
+             WHERE rnk = 1""")
+    ),
+
     // Language ID (stopword-hit heuristic).
     GraftQuery(
       "x_text_langid",

@@ -88,6 +88,25 @@ object FqlQueries {
              WHERE json_extract_string(props, '$.k') IS NOT NULL AND value >= 200""")
     ),
 
+    // S16: CREATE STREAM ... WITH (tag=...) — result re-tagged
+    // (flb_sp_stream.c:60-152).
+    GraftQuery(
+      "fql_create_stream",
+      fql("""CREATE STREAM alerts WITH (tag='alerts.high') AS
+            SELECT event_id FROM STREAM:events WHERE value > 150.0;"""),
+      Some("""SELECT event_id, 'alerts.high' AS tag FROM events
+             WHERE value > 150.0""")
+    ),
+
+    // S17: FLUSH SNAPSHOT ... WHERE cond (flb_sp.c:1692-1700) — batch
+    // analogue re-emits the matching buffered records.
+    GraftQuery(
+      "fql_flush_snapshot",
+      fql("""FLUSH SNAPSHOT recent AS
+            SELECT event_id, user_id FROM STREAM:events WHERE value >= 190.0;"""),
+      Some("""SELECT event_id, user_id FROM events WHERE value >= 190.0""")
+    ),
+
     GraftQuery(
       "fql_forecast",
       fql("""SELECT TIMESERIES_FORECAST(user_id, 600) AS fc FROM STREAM:events

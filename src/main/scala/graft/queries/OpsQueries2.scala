@@ -1,0 +1,307 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.ops._
+import graft.sinks.Formats
+
+/** Second wave of filter/processor/sink coverage (SURVEY.md §2.3/§2.4/
+  * §2.10): throttle_size, alter_size, expect, parser-filter, labels,
+  * tail sampling, OTel envelope, snapshot/flush, record-accessor tag
+  * parts, out_file serialization formats, GELF, Prometheus exposition —
+  * each with a DuckDB oracle.
+  */
+object OpsQueries2 {
+
+  val all: Seq[GraftQuery] = Seq(
+    // filter_throttle_size (throttle_size.c:659): cumulative bytes per
+    // (key, pane) capped — running sum over a key-local order.
+    GraftQuery(
+      "f_throttle_size",
+      (s, dir) =>
+        ThrottleSize(
+          Tables.events(s, dir),
+          keyCols = Seq(col("event_type")),
+          tsSecCol = col("ts_sec"),
+          orderCols = Seq(col("ts_ns"), col("event_id")),
+          sizeCol = length(col("props")),
+          paneSeconds = 3600L,
+          maxBytes = 2000L
+        ).select(col("event_id"), col("event_type")),
+      Some("""SELECT event_id, event_type FROM (
+               SELECT event_id, event_type,
+                      sum(length(props)) OVER (
+                        PARTITION BY event_type, (epoch_ns(ts) // 1000000000) // 3600
+                        ORDER BY epoch_ns(ts), event_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+               FROM events) WHERE cum <= 2000""")
+    ),
+
+    // filter_alter_size (alter_size.c:91): keep first-N per chunk (≙ key
+    // group with total order).
+    GraftQuery(
+      "f_alter_size",
+      (s, dir) =>
+        AlterSize.head(
+          Tables.events(s, dir),
+          keyCols = Seq(col("event_type")),
+          orderCols = Seq(col("ts_ns"), col("event_id")),
+          n = 3
+        ).select(col("event_id"), col("event_type")),
+      Some("""SELECT event_id, event_type FROM (
+               SELECT event_id, event_type,
+                      row_number() OVER (
+                        PARTITION BY event_type
+                        ORDER BY epoch_ns(ts), event_id) AS rn
+               FROM events) WHERE rn <= 3""")
+    ),
+
+    // filter_expect (expect.c:398): per-rule violation counts (the
+    // assertion/data-quality operator).
+    GraftQuery(
+      "f_expect",
+      (s, dir) =>
+        Expect.violations(
+          Tables.orders(s, dir),
+          Seq(
+            "orderkey_exists" -> col("o_orderkey").isNotNull,
+            "status_known" -> col("o_orderstatus").isin("O", "F", "P"),
+            "priority_has_dash" -> col("o_orderpriority").contains("-")
+          )),
+      Some("""SELECT 'orderkey_exists' AS rule,
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS violations FROM orders
+             UNION ALL
+             SELECT 'status_known',
+             CAST(sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), false)
+                      THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+             UNION ALL
+             SELECT 'priority_has_dash',
+             CAST(sum(CASE WHEN NOT coalesce(contains(o_orderpriority, '-'), false)
+                      THEN 1 ELSE 0 END) AS BIGINT) FROM orders""")
+    ),
+
+    // filter_parser (filter_parser.c:174): re-parse a field, reserve_data
+    // off (drop unparsed fields), preserve_key on (keep the source).
+    GraftQuery(
+      "f_parser_filter",
+      (s, dir) => {
+        val raw = Tables.events(s, dir).withColumn(
+          "line", concat(lit("lvl="), col("event_type"),
+            lit(" id="), col("event_id")))
+        ParserFilter.regex(raw, "line", "^lvl=(?<lvl>\\w+) id=(?<pid>\\d+)$",
+          reserveData = false, preserveKey = true,
+          types = Map("pid" -> "long"))
+      },
+      Some("""WITH raw AS (
+               SELECT 'lvl=' || event_type || ' id=' || CAST(event_id AS VARCHAR)
+                        AS line FROM events)
+             SELECT line,
+                    regexp_extract(line, '^lvl=(\w+) id=(\d+)$', 1) AS lvl,
+                    TRY_CAST(regexp_extract(line, '^lvl=(\w+) id=(\d+)$', 2)
+                             AS BIGINT) AS pid
+             FROM raw""")
+    ),
+
+    // processor_labels (labels.c): insert + upsert + delete + hash over a
+    // label map, verified in exploded long form.
+    GraftQuery(
+      "p_labels",
+      (s, dir) => {
+        val base = Tables.events(s, dir).withColumn("labels",
+          map(lit("type"), col("event_type"),
+            lit("user"), col("user_id").cast("string")))
+        val done = base
+          .withColumn("labels", Labels.insert(col("labels"), "env", lit("prod")))
+          .withColumn("labels", Labels.upsert(col("labels"), "region", lit("us")))
+          .withColumn("labels", Labels.delete(col("labels"), "user"))
+          .withColumn("labels", Labels.hash(col("labels"), "type"))
+        Labels.explodeSorted(done, col("labels"), Seq(col("event_id")))
+      },
+      Some("""SELECT event_id, 'env' AS label_key, 'prod' AS label_value FROM events
+             UNION ALL SELECT event_id, 'region', 'us' FROM events
+             UNION ALL SELECT event_id, 'type', sha256(event_type) FROM events""")
+    ),
+
+    // processor_sampling tail mode (sampling_cond_latency.c /
+    // sampling_cond_status_code.c): keep whole traces where any span
+    // breaches the policy; trace ≙ user_id, span latency ≙ value.
+    GraftQuery(
+      "p_sampling_tail",
+      (s, dir) =>
+        TailSampling.keepMatchingTraces(
+          Tables.events(s, dir),
+          traceId = col("user_id"),
+          spanCond = TailSampling.latencyPolicy(col("value"), 195.0) ||
+            col("event_type") === "error"
+        ).select(col("event_id"), col("user_id")),
+      Some("""SELECT event_id, user_id FROM events
+             WHERE user_id IN (SELECT DISTINCT user_id FROM events
+                               WHERE value >= 195.0 OR event_type = 'error')""")
+    ),
+
+    // processor_opentelemetry_envelope (otel_envelope.c): wrap into
+    // resource/scope/record grouping, then unwrap; the envelope is also
+    // serialized to check the nesting shape.
+    GraftQuery(
+      "p_otel_envelope",
+      (s, dir) => {
+        val wrapped = OtelEnvelope.wrap(
+          Tables.events(s, dir),
+          resourceAttrs = Seq(
+            "service" -> lit("graft"),
+            "host" -> concat(lit("h"), (col("user_id") % 3).cast("string"))),
+          scopeName = "app",
+          bodyCols = Seq("event_id", "event_type"))
+        OtelEnvelope.unwrap(wrapped, "envelope")
+          .withColumn("envelope_json",
+            to_json(struct(
+              struct(col("resource_service").as("service"),
+                col("resource_host").as("host")).as("resource"),
+              struct(lit("app").as("name")).as("scope"),
+              struct(col("event_id"), col("event_type")).as("record"))))
+      },
+      Some("""SELECT 'graft' AS resource_service,
+             'h' || CAST(user_id % 3 AS VARCHAR) AS resource_host,
+             event_id, event_type,
+             to_json(struct_pack(
+               resource := struct_pack(service := 'graft',
+                 host := 'h' || CAST(user_id % 3 AS VARCHAR)),
+               scope := struct_pack(name := 'app'),
+               record := struct_pack(event_id := event_id,
+                 event_type := event_type))) AS envelope_json
+             FROM events""")
+    ),
+
+    // CREATE SNAPSHOT / FLUSH (flb_sp_snapshot.c, flb_sp.c:1692-1700)
+    // batch analogue: last-5 ring buffer per tag, flushed at each key's
+    // latest record matching the WHERE.
+    GraftQuery(
+      "s17_snapshot_flush",
+      (s, dir) =>
+        Snapshot.flush(
+          Tables.events(s, dir),
+          keyCols = Seq(col("event_type")),
+          orderCol = col("event_id"),
+          n = 5,
+          cond = col("value") > 195.0
+        ).select(col("event_id"), col("event_type")),
+      Some("""WITH f AS (
+               SELECT event_type,
+                      max(event_id) FILTER (WHERE value > 195.0) AS flush_at
+               FROM events GROUP BY event_type)
+             SELECT event_id, event_type FROM (
+               SELECT e.event_id, e.event_type,
+                      row_number() OVER (PARTITION BY e.event_type
+                                         ORDER BY e.event_id DESC) AS rnk
+               FROM events e JOIN f USING (event_type)
+               WHERE f.flush_at IS NOT NULL AND e.event_id <= f.flush_at)
+             WHERE rnk <= 5""")
+    ),
+
+    // Record accessor $TAG / $TAG[n] (ra.y; tag part split at
+    // record_accessor.c patterns): dot-separated tag parts.
+    GraftQuery(
+      "ra_tag_parts",
+      (s, dir) => {
+        val le = Tables.logEvents(s, dir)
+        le.select(col("event_id"),
+          graft.route.Router.tagPart(col("tag"), 0).as("tag0"),
+          graft.route.Router.tagPart(col("tag"), 1).as("tag1"))
+      },
+      Some("""SELECT event_id,
+             string_split('app.' || event_type, '.')[1] AS tag0,
+             string_split('app.' || event_type, '.')[2] AS tag1
+             FROM events""")
+    ),
+
+    // out_file formats json/csv/ltsv/template (file.c:472-580,987-1020).
+    GraftQuery(
+      "sink_file_formats",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.select(
+          col("o_orderkey"),
+          Formats.jsonLine(Seq(
+            "k" -> col("o_orderkey"), "st" -> col("o_orderstatus"))).as("json_line"),
+          Formats.csvLine(Seq(
+            col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))).as("csv_line"),
+          Formats.ltsvLine(Seq(
+            "k" -> col("o_orderkey"), "st" -> col("o_orderstatus"))).as("ltsv_line"),
+          Formats.templateLine("order {k} is {st}",
+            Map("k" -> col("o_orderkey"), "st" -> col("o_orderstatus"))).as("tpl_line"))
+      },
+      Some("""SELECT o_orderkey,
+             to_json(struct_pack(k := o_orderkey, st := o_orderstatus)) AS json_line,
+             CAST(o_orderkey AS VARCHAR) || ',' || o_orderstatus || ',' ||
+               o_orderpriority AS csv_line,
+             'k:' || CAST(o_orderkey AS VARCHAR) || chr(9) || 'st:' ||
+               o_orderstatus AS ltsv_line,
+             'order ' || CAST(o_orderkey AS VARCHAR) || ' is ' || o_orderstatus
+               AS tpl_line
+             FROM orders""")
+    ),
+
+    // GELF mapping (src/flb_pack_gelf.c): version/host/short_message/
+    // timestamp/level + _-prefixed extras.
+    GraftQuery(
+      "sink_gelf",
+      (s, dir) => {
+        val le = Tables.logEvents(s, dir)
+        le.select(col("event_id"),
+          Formats.gelf(
+            host = col("tag"),
+            shortMessage = col("event_type"),
+            timestampSec = col("ts_sec"),
+            level = when(col("event_type") === "error", lit(3)).otherwise(lit(6)),
+            additional = Seq("user" -> col("user_id"))).as("gelf"))
+      },
+      Some("""SELECT event_id,
+             to_json(struct_pack(
+               version := '1.1',
+               host := 'app.' || event_type,
+               short_message := event_type,
+               "timestamp" := epoch_ns(ts) // 1000000000,
+               level := CASE WHEN event_type = 'error' THEN 3 ELSE 6 END,
+               _user := user_id)) AS gelf
+             FROM events""")
+    ),
+
+    // Prometheus text exposition (out_prometheus_exporter): counter lines
+    // from log_to_metrics output.
+    GraftQuery(
+      "sink_prom_text",
+      (s, dir) => {
+        val counters = LogToMetrics.counter(
+          Tables.events(s, dir),
+          matchCond = col("value") > 100.0,
+          labels = Seq(col("event_type")),
+          name = "high_value_events")
+        counters.select(
+          col("event_type"),
+          Formats.promLine("high_value_events",
+            Seq("type" -> col("event_type")), col("value")).as("line"))
+      },
+      Some("""SELECT event_type,
+             'high_value_events{type="' || event_type || '"} ' ||
+               CAST(count(*) AS VARCHAR) AS line
+             FROM events WHERE value > 100.0 GROUP BY event_type""")
+    ),
+
+    // log_to_metrics gauge mode (log_to_metrics.h:44-46).
+    GraftQuery(
+      "f_log_to_metrics_gauge",
+      (s, dir) =>
+        LogToMetrics.gauge(
+          Tables.events(s, dir),
+          matchCond = col("event_type") =!= "click",
+          valueCol = col("value"),
+          labels = Seq(col("event_type")),
+          name = "peak_value"
+        ),
+      Some("""SELECT event_type, max(value) AS value,
+             'peak_value' AS metric_name, 'gauge' AS metric_type
+             FROM events WHERE event_type <> 'click' GROUP BY event_type""")
+    )
+  )
+}

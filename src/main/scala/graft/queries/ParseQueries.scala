@@ -122,6 +122,54 @@ object ParseQueries {
              FROM raw""")
     ),
 
+    // syslog RFC5424 (conf/parsers.conf:68-74 `syslog-rfc5424`): the
+    // named-group pattern includes a NESTED bare group inside
+    // `extradata` — exercises the parser's group-index accounting.
+    GraftQuery(
+      "parse_syslog5424",
+      (s, dir) => {
+        val raw = Tables.events(s, dir).withColumn(
+          "line",
+          concat(lit("<"), (col("user_id") % 8 + 8).cast("string"), lit(">1 "),
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"), lit(" h"),
+            (col("user_id") % 5).cast("string"), lit(" app "),
+            col("event_id").cast("string"), lit(" - [k=1] "),
+            col("event_type"), lit(" happened")))
+        Parsers.regex(raw, col("line"),
+            "^<(?<pri>[0-9]{1,5})>1 (?<time>[^ ]+) (?<host>[^ ]+) (?<ident>[^ ]+) " +
+              "(?<pid>[-0-9]+) (?<msgid>[^ ]+) (?<extradata>(\\[.*?\\]|-)) (?<message>.+)$",
+            types = Map("pri" -> "int", "pid" -> "long"))
+          .select(col("event_id"), col("pri"), col("host"), col("ident"),
+            col("pid"), col("msgid"), col("extradata"), col("message"))
+      },
+      Some("""SELECT event_id,
+             CAST(user_id % 8 + 8 AS INT) AS pri,
+             'h' || CAST(user_id % 5 AS VARCHAR) AS host,
+             'app' AS ident,
+             event_id AS pid,
+             '-' AS msgid,
+             '[k=1]' AS extradata,
+             event_type || ' happened' AS message
+             FROM events""")
+    ),
+
+    // CRI log line format (conf/parsers.conf:119-124 `cri`):
+    // `time stream logtag message`.
+    GraftQuery(
+      "parse_cri",
+      (s, dir) => {
+        val raw = Tables.events(s, dir).withColumn(
+          "line",
+          concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+            lit(" stdout F "), col("event_type"), lit(" msg")))
+        Parsers.regex(raw, col("line"),
+            "^(?<time>[^ ]+) (?<stream>stdout|stderr) (?<logtag>[^ ]*) (?<message>.*)$")
+          .select(col("event_id"), col("stream"), col("logtag"), col("message"))
+      },
+      Some("""SELECT event_id, 'stdout' AS stream, 'F' AS logtag,
+             event_type || ' msg' AS message FROM events""")
+    ),
+
     // escaped decoder (src/flb_parser_decoder.c): docker-style stringified
     // logs with \n/\t/\" sequences; verify by decoded length.
     GraftQuery(

@@ -88,6 +88,51 @@ object Similarity {
     df.select(col(idCol), concat(sigBits: _*).as("lsh_sig"))
   }
 
+  /** IVF coarse quantization: assign every vector to its
+    * highest-cosine centroid (ties broken by centroid id). `centroids`
+    * must be small (broadcast); assignment is a map-only scan of the
+    * corpus plus a tiny two-phase argmax — the standard inverted-file
+    * layout where a later query searches only its cell.
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                vecCol: String): DataFrame = {
+    val cent = broadcast(centroids
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
+      .withColumn("cn", norm(col("cv"))))
+    val v = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("ev"))
+      .withColumn("vn", norm(col("ev")))
+    val scored = v.join(cent, lit(true))
+      .withColumn("cos", round(dot(col("ev"), col("cv")) / (col("vn") * col("cn")), 6))
+      .select("vec_id", "cent_id", "cos")
+    topKPerGroup(scored, "vec_id", 1,
+      payload = Seq("cent_id"),
+      orderAsc = Seq(negate(col("cos")).as("__negcos"), col("cent_id").as("__cid")))
+      .select(col("vec_id"), col("cent_id").as("cell"))
+  }
+
+  /** IVF ANN search: exact cosine top-k, but only within each query's
+    * cell — the scale path where cells bound the candidate set.
+    */
+  def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int): DataFrame = {
+    val assign = ivfAssign(corpus, centroids, idCol, vecCol)
+    val withCell = corpus.join(assign, corpus(idCol) === assign("vec_id"))
+      .withColumn("__n", norm(col(vecCol)))
+    val q = withCell.join(
+      broadcast(queries.select(col(idCol).as("__qid"))), col("vec_id") === col("__qid"))
+      .select(col("cell"), col("vec_id").as("qid"), col(vecCol).as("qv"),
+        col("__n").as("qn"))
+    val c = withCell.select(col("cell"), col("vec_id").as("cid"),
+      col(vecCol).as("cv"), col("__n").as("cn"))
+    val scored = broadcast(q).join(c, Seq("cell")).filter(col("qid") =!= col("cid"))
+      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 3))
+      .select("qid", "cid", "cos")
+    topKPerGroup(scored, "qid", k,
+      payload = Seq("cid", "cos"),
+      orderAsc = Seq(negate(col("cos")).as("__negcos"), col("cid").as("__cid")))
+      .select(col("qid"), col("cid"), col("cos"), col("rank"))
+  }
+
   /** Bucketed ANN: candidates share the LSH signature; exact cosine is
     * computed only within buckets.
     */
