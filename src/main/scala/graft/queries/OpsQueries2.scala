@@ -288,6 +288,28 @@ object OpsQueries2 {
              FROM events WHERE value > 100.0 GROUP BY event_type""")
     ),
 
+    // cmetrics summary type (lib/cmetrics cmetrics.h:26-30): exact
+    // quantiles per label set — Spark `percentile` ≙ DuckDB
+    // quantile_cont (both exact linear interpolation; rounded to kill
+    // last-ulp formula differences).
+    GraftQuery(
+      "p_metrics_summary",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(
+            round(percentile(col("value"), lit(0.25)), 6).as("p25"),
+            round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+            round(percentile(col("value"), lit(0.9)), 6).as("p90"),
+            count(lit(1)).as("n")),
+      Some("""SELECT event_type,
+             round(quantile_cont(value, 0.25), 6) AS p25,
+             round(quantile_cont(value, 0.5), 6) AS p50,
+             round(quantile_cont(value, 0.9), 6) AS p90,
+             count(*) AS n
+             FROM events GROUP BY event_type""")
+    ),
+
     // log_to_metrics gauge mode (log_to_metrics.h:44-46).
     GraftQuery(
       "f_log_to_metrics_gauge",

@@ -28,15 +28,20 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Per-group top-k without a global window sort: partial top-k per
-    * input partition, then merge the (≤ k × nPartitions)-element lists
-    * per group. Orders by (orderAsc..) ascending; emits rank 1..k.
+  /** Per-group top-k without a global window sort: a deterministic
+    * 64-way hash salt splits each group so no single reducer sorts a
+    * whole group (low-cardinality query ids would otherwise skew), then
+    * the ≤ k×64-element salted winners merge per group. A
+    * nondeterministic salt (spark_partition_id) would force Catalyst to
+    * materialize an extra exchange — the salt must be deterministic.
+    * Orders by (orderAsc..) ascending; emits rank 1..k.
     */
   private def topKPerGroup(scored: DataFrame, groupCol: String, k: Int,
                            payload: Seq[String], orderAsc: Seq[Column]): DataFrame = {
     val item = struct(orderAsc ++ payload.map(col): _*)
+    val salt = pmod(xxhash64(col(payload.head)), lit(64)).as("__salt")
     val partial = scored
-      .groupBy(col(groupCol), spark_partition_id().as("__pid"))
+      .groupBy(col(groupCol), salt)
       .agg(slice(array_sort(collect_list(item)), 1, k).as("__top"))
     partial
       .groupBy(col(groupCol))

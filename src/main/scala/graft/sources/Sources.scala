@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Batch file ingestion (SURVEY §2.9): the read-side counterparts of the
+  * out_file formats — NDJSON, CSV, raw text lines — normalized toward
+  * the log-event shape (`tag`, `ts`, body columns). Streaming twins live
+  * in [[graft.streaming.Streams]] (tailText/tailParquet); network push
+  * sources (tcp/syslog/http/forward) map to socket/Kafka sources in a
+  * real deployment and are represented by the MemoryStream-driven tests.
+  *
+  * Scale note: every reader here is a plain FileScan — partition count
+  * follows `spark.sql.files.maxPartitionBytes`, column pruning and
+  * filter pushdown apply to the parsed columns (json/csv), and no
+  * driver-side work happens beyond listing.
+  */
+object Sources {
+
+  /** NDJSON file(s) with an explicit schema (in_tail + json parser).
+    * Schema-on-read: inference is a separate sampling pass at 100 TB, so
+    * the library requires the DDL up front.
+    */
+  def ndjson(spark: SparkSession, path: String, ddl: String): DataFrame =
+    spark.read.schema(StructType.fromDDL(ddl)).json(path)
+
+  /** CSV file(s) with an explicit schema (in_tail + csv parser). */
+  def csvFile(spark: SparkSession, path: String, ddl: String,
+              header: Boolean = false, delimiter: String = ","): DataFrame =
+    spark.read.schema(StructType.fromDDL(ddl))
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .csv(path)
+
+  /** Raw text lines (in_tail without a parser): one `value` column plus
+    * the source file path as the tag seed (≙ tail's tag-from-path).
+    */
+  def textLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .withColumn("tag", input_file_name())
+
+  /** Tag a batch of records the way an input plugin instance would:
+    * constant tag plus optional per-record suffix column.
+    */
+  def withTag(df: DataFrame, base: String, suffix: Option[String] = None): DataFrame =
+    suffix match {
+      case Some(c) => df.withColumn("tag", concat(lit(base + "."), col(c)))
+      case None => df.withColumn("tag", lit(base))
+    }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Registry
+
+/** Physical-plan shape assertions — the properties that decide whether a
+  * plan survives a 100 TB scale-up (SURVEY §4.2): filters reach the
+  * parquet scan, projections prune the read schema, enrichment joins
+  * broadcast instead of shuffling the fact side, and hot paths stay
+  * inside whole-stage codegen.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def planOf(name: String): String = {
+    val df = Registry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("WHERE predicates push down to the parquet scan") {
+    val plan = planOf("s04_where_cond")
+    assert(plan.contains("PushedFilters: [Or(And(GreaterThan(value"), plan.take(2000))
+  }
+
+  test("allowlist projection prunes the parquet read schema") {
+    val plan = planOf("f_record_modifier")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("p_partkey") && readSchema.contains("p_brand"))
+    assert(!readSchema.contains("p_name") && !readSchema.contains("p_retailprice"),
+      readSchema)
+  }
+
+  test("enrichment joins broadcast the dimension side") {
+    val plan = planOf("f_kubernetes_enrich")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), "dim join must not shuffle the fact side")
+  }
+
+  test("dedup LSH candidate generation is an equi-join, not a cross join") {
+    val plan = planOf("x_dedup_minhash")
+    assert(!plan.contains("CartesianProduct"), "LSH banding must join on (band, sig)")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("shingle generation is narrow: no window sort before aggregation") {
+    val plan = planOf("x_dedup_minhash")
+    assert(!plan.contains("Window"), "shingles must not use a window function")
+  }
+
+  test("brute-force similarity scan stays in whole-stage codegen") {
+    val df = Registry.queries("x_sim_cosine_topk")(spark, sf)
+    df.collect() // finalize THIS adaptive plan so codegen stages materialize
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages in executedPlan.toString
+    assert(plan.contains("*("), plan.take(2000))
+    // the corpus side streams through a broadcast join of the tiny query set
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("throttle partitions by (key, pane), never globally") {
+    val df = Registry.queries("f_throttle")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning"), plan.take(2000))
+    assert(!plan.contains("rangepartitioning"),
+      "pane ranking must not trigger a global sort")
+  }
+}
