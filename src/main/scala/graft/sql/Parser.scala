@@ -301,10 +301,22 @@ object Parser {
         expectSym(")")
         if (ns.toLowerCase != "record")
           throw new ParseException(s"unknown function namespace @$ns")
-        return fn.toLowerCase match {
+        val rf = fn.toLowerCase match {
           case "contains" | "time" => RecordFunc(fn.toLowerCase, arg)
           case other => throw new ParseException(s"unknown @record.$other()")
         }
+        // @record.time() is a value — allow `@record.time() > 123`
+        // (sql.y:370-373); @record.contains() is a bare predicate.
+        if (rf.name == "time") {
+          peek match {
+            case TSym(op @ ("=" | "!=" | "<" | "<=" | ">" | ">=")) =>
+              pos += 1
+              val r = operand()
+              return Cmp(if (op == "=") "==" else op, rf, r)
+            case _ => ()
+          }
+        }
+        return rf
       }
       val l = operand()
       peek match {

@@ -314,6 +314,8 @@ object Planner {
     case TimeFunc("UNIX_TIMESTAMP") => unix_timestamp()
     case TimeFunc("RECORD_TAG") => col(catalog.tagCol)
     case TimeFunc("RECORD_TIME") => col(catalog.tsSecCol).cast("double")
+    // @record.time() as a comparison operand (sql.y:370-373)
+    case RecordFunc("time", None) => col(catalog.tsSecCol).cast("double")
     case other => throw new ParseException(s"cannot project $other")
   }
 }

@@ -131,6 +131,11 @@ class FluentQLSpec extends AnyFunSuite {
     assert(math.abs(fc - 310.0) < 1e-6, s"forecast=$fc")
   }
 
+  test("@record.time() compares as a numeric value (sql.y:370-373)") {
+    val out = run("SELECT id FROM STREAM:FLB WHERE @record.time() >= 1704067205;")
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 6L, 7L, 8L, 9L, 10L))
+  }
+
   test("invalid queries are rejected (sp_invalid_queries.h)") {
     assertThrows[ParseException](run("SELECT *, COUNT(id) FROM STREAM:FLB;"))
     assertThrows[ParseException](run("SELECT id FROM STREAM:FLB WHERE bool = NULL;"))
