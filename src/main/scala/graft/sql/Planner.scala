@@ -34,7 +34,12 @@ object Planner {
       tagCol: String = "tag",
       tsSecCol: String = "ts_sec",
       /** Stream TAG:'pat' sources select from. */
-      defaultStream: Option[String] = None
+      defaultStream: Option[String] = None,
+      /** Event-time column + watermark used when a WINDOW query binds to
+        * a STREAMING DataFrame (batch windows use tsSecCol arithmetic).
+        */
+      tsCol: String = "ts",
+      watermark: String = "1 minute"
   ) {
     def stream(name: String): DataFrame =
       streams.getOrElse(name, throw new ParseException(s"unknown stream $name"))
@@ -115,26 +120,35 @@ object Planner {
         throw new ParseException(s"key ${k.path.mkString(".")} must appear in GROUP BY")
     }
 
+    // Streaming source + WINDOW ⇒ event-time window() with a watermark
+    // (append-able, state bounded); batch ⇒ epoch-bucket arithmetic that
+    // the DuckDB oracles can mirror exactly.
+    val streamingWin = filtered.isStreaming && sel.window.isDefined
+
     val groupCols: Seq[(Column, String)] =
       sel.window.map { w =>
-        val ts = col(catalog.tsSecCol)
-        w match {
-          case Tumbling(n) =>
+        (w, streamingWin) match {
+          case (Tumbling(n), false) =>
             Seq((expr(s"(${catalog.tsSecCol} div $n) * $n").cast("long"), "wstart"))
-          case Hopping(n, adv) => // handled via pre-explode below
+          case (Hopping(_, _), false) => // handled via pre-explode below
             Seq((col("__wstart"), "wstart"))
+          case (Tumbling(n), true) =>
+            Seq((window(col(catalog.tsCol), s"$n seconds"), "window"))
+          case (Hopping(n, adv), true) =>
+            Seq((window(col(catalog.tsCol), s"$n seconds", s"$adv seconds"), "window"))
         }
       }.getOrElse(Nil) ++
         sel.groupBy.map(k => (keyColumn(k, filtered, catalog), k.path.last))
 
     val exploded = sel.window match {
-      case Some(Hopping(n, adv)) =>
+      case Some(Hopping(n, adv)) if !streamingWin =>
         val slots = (n / adv).toInt
         filtered
           .withColumn("__slot", explode(array((0 until slots).map(i => lit(i.toLong)): _*)))
           .withColumn("__wstart",
             (expr(s"(${catalog.tsSecCol} - __slot * $adv) div $n") * n +
               col("__slot") * adv).cast("long"))
+      case _ if streamingWin => filtered.withWatermark(catalog.tsCol, catalog.watermark)
       case _ => filtered
     }
 
@@ -206,8 +220,13 @@ object Planner {
         .groupBy(groupCols.map { case (c, n) => c.as(n) }: _*)
         .agg(aggExprs.head, aggExprs.tail.toSeq: _*)
 
-    // output: group keys (window first), then select-ordered items
-    val keyOut = groupCols.map { case (_, n) => col(n) }
+    // output: group keys (window first), then select-ordered items;
+    // streaming window struct flattens to epoch-second wstart
+    val keyOut = groupCols.map {
+      case (_, "window") =>
+        unix_timestamp(col("window.start")).as("wstart")
+      case (_, n) => col(n)
+    }
     val keyNames = groupCols.map(_._2).toSet
     val finalOut = finals.filterNot { case (_, n) => keyNames.contains(n) }.map(_._1)
     grouped.select((keyOut ++ finalOut).toSeq: _*)

@@ -136,6 +136,40 @@ class FluentQLSpec extends AnyFunSuite {
     assert(out.collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 6L, 7L, 8L, 9L, 10L))
   }
 
+  test("nested subkeys: 3-level map paths, missing path is NULL " +
+    "(sp_select_subkeys.h / flb_sp_key.c:98-166)") {
+    // samples-subkeys shape: map.sub1.sub2 with heterogeneous values
+    val subkeys = Seq(
+      (0L, Map("sub1" -> Map("sub2" -> "50"), "color" -> Map.empty[String, String])),
+      (1L, Map("sub1" -> Map("sub2" -> "60", "sub3" -> "70"))),
+      (2L, Map("other" -> Map("x" -> "1")))
+    ).toDF("id", "map")
+      .withColumn("tag", lit("samples"))
+      .withColumn("ts_sec", lit(1704067200L) + col("id"))
+    val kcat = Planner.Catalog(streams = Map("SK" -> subkeys), defaultStream = Some("SK"))
+
+    // numeric coercion on a nested map path
+    val hit = FluentQL.sql(
+      "SELECT id FROM STREAM:SK WHERE map['sub1']['sub2'] > 55;", kcat)
+    assert(hit.collect().map(_.getLong(0)).toSeq == Seq(1L))
+
+    // missing path ⇒ NULL ⇒ filtered out, never an error
+    val miss = FluentQL.sql(
+      "SELECT id FROM STREAM:SK WHERE map['sub1']['nope'] = 1;", kcat)
+    assert(miss.count() == 0)
+
+    // @record.contains on a nested path = existence
+    val exists = FluentQL.sql(
+      "SELECT id FROM STREAM:SK WHERE @record.contains(map['sub1']['sub3']);", kcat)
+    assert(exists.collect().map(_.getLong(0)).toSeq == Seq(1L))
+
+    // projection of a nested path with alias
+    val proj = FluentQL.sql(
+      "SELECT id, map['sub1']['sub2'] AS s2 FROM STREAM:SK;", kcat)
+    assert(proj.orderBy("id").collect().map(r => Option(r.getString(1))).toSeq ==
+      Seq(Some("50"), Some("60"), None))
+  }
+
   test("invalid queries are rejected (sp_invalid_queries.h)") {
     assertThrows[ParseException](run("SELECT *, COUNT(id) FROM STREAM:FLB;"))
     assertThrows[ParseException](run("SELECT id FROM STREAM:FLB WHERE bool = NULL;"))

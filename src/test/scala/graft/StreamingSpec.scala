@@ -131,6 +131,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.length == 2) // whole trace, all spans
   }
 
+  test("FluentQL WINDOW TUMBLING on a streaming source compiles to event-time window") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = in.toDF().toDF("ts", "user_id")
+    val cat = graft.sql.Planner.Catalog(
+      streams = Map("s" -> df), defaultStream = Some("s"),
+      tsCol = "ts", watermark = "30 seconds")
+    val agg = graft.sql.FluentQL.sql(
+      "SELECT COUNT(*) AS n, SUM(user_id) AS su FROM STREAM:s WINDOW TUMBLING (10 SECOND);",
+      cat)
+    assert(agg.isStreaming)
+    val q = agg.writeStream.format("memory").queryName("fql_win")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      in.addData((t("2024-01-01 00:00:01"), 1L), (t("2024-01-01 00:00:05"), 2L),
+        (t("2024-01-01 00:00:13"), 3L))
+      q.processAllAvailable()
+      in.addData((t("2024-01-01 00:02:00"), 9L)) // advance watermark
+      q.processAllAvailable()
+      in.addData((t("2024-01-01 00:04:00"), 9L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("fql_win")
+      .select(col("wstart"), col("n"), col("su"))
+      .as[(Long, Long, Long)].collect().toSet
+    val base = t("2024-01-01 00:00:00").getTime / 1000
+    assert(rows.contains((base, 2L, 3L)), rows)      // [00:00:00, 00:00:10)
+    assert(rows.contains((base + 10, 1L, 3L)), rows) // [00:00:10, 00:00:20)
+  }
+
   test("windowed streaming aggregation with watermark emits closed windows") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
