@@ -288,6 +288,37 @@ object OpsQueries2 {
              FROM events WHERE value > 100.0 GROUP BY event_type""")
     ),
 
+    // filter_multiline CRI partial mode (flb_ml_parser_cri.c): runs of
+    // P(artial) lines closed by an F(inal) line concatenate without
+    // separators; incomplete trailing runs are marked.
+    GraftQuery(
+      "f_multiline_cri",
+      (s, dir) => {
+        val lines = Tables.events(s, dir).select(
+          col("user_id"), col("event_id"),
+          when(col("event_id") % 3 === 2, lit("F")).otherwise(lit("P")).as("flag"),
+          substring(col("event_type"), 1, 3).as("chunk"))
+        graft.streaming.Multiline.assembleCriBatch(
+          lines, Seq("user_id"), "event_id", "flag", "chunk")
+      },
+      Some("""WITH lines AS (
+               SELECT user_id, event_id,
+                      CASE WHEN event_id % 3 = 2 THEN 'F' ELSE 'P' END AS flag,
+                      substr(event_type, 1, 3) AS chunk
+               FROM events),
+             g AS (
+               SELECT *, coalesce(count(*) FILTER (WHERE flag = 'F') OVER (
+                 PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS grp
+               FROM lines)
+             SELECT user_id, min(event_id) AS first_event_id,
+                    count(*) AS n_parts,
+                    string_agg(chunk, '' ORDER BY event_id) AS message,
+                    CAST(max(CASE WHEN flag = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+                      AS complete
+             FROM g GROUP BY user_id, grp""")
+    ),
+
     // cmetrics summary type (lib/cmetrics cmetrics.h:26-30): exact
     // quantiles per label set — Spark `percentile` ≙ DuckDB
     // quantile_cont (both exact linear interpolation; rounded to kill

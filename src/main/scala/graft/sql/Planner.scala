@@ -255,7 +255,12 @@ object Planner {
   private def numericKey(k: Key, df: DataFrame, catalog: Catalog): Column = {
     val c = keyColumn(k, df, catalog)
     df.select(c.as("__t")).schema.head.dataType match {
-      case StringType => c.try_cast("double")
+      case StringType =>
+        // Spark orders NaN above every double ('NaN' > x ⇒ true); the
+        // reference's C comparison on a NaN operand is false — coerce
+        // NaN to NULL so it compares false (found by CoercionSpec).
+        val d = c.try_cast("double")
+        when(!isnan(d), d)
       case _ => c
     }
   }

@@ -92,6 +92,30 @@ object Multiline {
       .drop("__grp")
   }
 
+  /** CRI partial-line assembly (flb_ml_parser_cri.c concept): a record is
+    * a run of `P`(artial) lines closed by an `F`(inal) line; contents
+    * concatenate WITHOUT separators (the runtime split the line, not the
+    * program). Group id = count of F lines strictly before this one in
+    * the per-key order; `complete` marks groups that saw their F.
+    */
+  def assembleCriBatch(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                       flagCol: String, contentCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    val grouped = df.withColumn("__grp",
+      coalesce(sum(when(col(flagCol) === "F", 1L).otherwise(0L))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    grouped
+      .groupBy((keyCols.map(col) :+ col("__grp")): _*)
+      .agg(
+        min(col(orderCol)).as("first_" + orderCol),
+        count(lit(1)).as("n_parts"),
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col(orderCol), col(contentCol)))),
+          s => s.getField(contentCol))).as("message"),
+        max(when(col(flagCol) === "F", 1L).otherwise(0L)).as("complete"))
+      .drop("__grp")
+  }
+
   // ---------------------------------------------------------- streaming
 
   final case class Line(key: String, seq: Long, line: String)
