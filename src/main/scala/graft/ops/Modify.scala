@@ -27,6 +27,11 @@ object Modify {
   final case class RemoveWildcard(prefix: String) extends Rule
   final case class RemoveRegex(pattern: String) extends Rule
   final case class Copy(from: String, to: String, hard: Boolean = false) extends Rule
+  /** MOVE_TO_START / MOVE_TO_END (modify.h:38-39): reorder keys matching
+    * a prefix wildcard to the front/back of the record.
+    */
+  final case class MoveToStart(prefix: String) extends Rule
+  final case class MoveToEnd(prefix: String) extends Rule
 
   sealed trait Condition { def toColumn(df: DataFrame): Column }
   final case class KeyExists(key: String) extends Condition {
@@ -68,6 +73,12 @@ object Modify {
           if (!d.columns.contains(from)) d
           else if (d.columns.contains(to) && !hard) d
           else d.withColumn(to, gated(gate, col(from), lit(null)))
+        case MoveToStart(prefix) =>
+          val (m, rest) = d.columns.partition(_.startsWith(prefix))
+          d.select((m ++ rest).map(col).toIndexedSeq: _*)
+        case MoveToEnd(prefix) =>
+          val (m, rest) = d.columns.partition(_.startsWith(prefix))
+          d.select((rest ++ m).map(col).toIndexedSeq: _*)
       }
     }
   }

@@ -30,4 +30,25 @@ object RewriteTag {
   /** `$1`-style capture-group reference for tag templates. */
   def capture(field: Column, pattern: String, group: Int): Column =
     regexp_extract(field, pattern, group)
+
+  /** Re-injection loop (rewrite_tag.c:425 + in_emitter): rewritten
+    * records re-enter routing and may match other rules under their new
+    * tag. The reference bounds this by emitter hop count; here it is an
+    * iterative fixpoint over a work set, `maxHops` deep — plain unions,
+    * no driver-side recursion, each hop a narrow transformation.
+    *
+    * Rules apply in order within a hop (a later rule sees the tags an
+    * earlier one produced); unmatched records pass through unchanged,
+    * so the loop is idempotent once no rule matches. Rules matching
+    * their own output tags would ping-pong — the hop bound caps that
+    * exactly like the reference's emitter limit. The final distinct()
+    * collapses the duplicates keep=true re-emission accumulates.
+    */
+  def reinjectLoop(df: DataFrame, tagCol: String, rules: Seq[Rule],
+                   maxHops: Int = 4): DataFrame = {
+    require(rules.nonEmpty, "reinjectLoop needs at least one rule")
+    (1 to maxHops).foldLeft(df) { (work, _) =>
+      rules.foldLeft(work) { (d, r) => apply(d, tagCol, r) }
+    }.distinct()
+  }
 }

@@ -31,6 +31,28 @@ object Streams {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(path)
 
+  /** in_dummy / in_random analogue: the `rate` source emitting
+    * `recordsPerSecond` rows, shaped as log events with a constant tag
+    * and templated body — the generator the reference's runtime tests
+    * lean on (in_dummy fixed-message intervals).
+    */
+  def dummy(spark: SparkSession, tag: String, message: String,
+            recordsPerSecond: Int = 10): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", recordsPerSecond)
+      .load()
+      .select(
+        lit(tag).as("tag"),
+        col("timestamp").as("ts"),
+        lit(message).as("message"),
+        col("value").as("seq"))
+
+  /** out_counter / out_flowcounter analogue: running record count per
+    * tag (complete-mode aggregate — the sink IS the aggregation).
+    */
+  def counterSink(df: DataFrame, tagCol: String): DataFrame =
+    df.groupBy(col(tagCol)).agg(count(lit(1)).as("records"))
+
   /** Event-time tumbling/hopping window aggregation with watermark —
     * the streaming twin of the FQL WINDOW clause (correct mode per
     * SURVEY §7.4(2); watermark bounds state).

@@ -34,6 +34,50 @@ class Ops2Spec extends AnyFunSuite {
     assert(!out.exists(_.body.get("k").contains("drop_me")))
   }
 
+  test("rewrite_tag re-injection: chained rules converge within the hop bound") {
+    import graft.ops.RewriteTag
+    val df = Seq((1L, "app.error"), (2L, "app.info"), (3L, "svc.error"))
+      .toDF("id", "tag")
+    // hop 1: app.error → alert.app ; hop 2: alert.* → page.alert
+    val rules = Seq(
+      RewriteTag.Rule(col("tag"), "^app\\.error$", lit("alert.app"), keep = false),
+      RewriteTag.Rule(col("tag"), "^alert\\..*$", lit("page.alert"), keep = false))
+    val out = RewriteTag.reinjectLoop(df, "tag", rules, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "page.alert") // two rewrites in sequence
+    assert(out(2L) == "app.info")   // never matched, unchanged
+    assert(out(3L) == "svc.error")
+    assert(out.size == 3)           // keep=false: no duplicates
+  }
+
+  test("modify MOVE_TO_START reorders matching keys to the front") {
+    import graft.ops.Modify
+    val df = Seq((1, "x", "y")).toDF("id", "meta_a", "val")
+    val out = Modify(df, Seq(Modify.MoveToStart("meta_")))
+    assert(out.columns.toSeq == Seq("meta_a", "id", "val"))
+    val out2 = Modify(df, Seq(Modify.MoveToEnd("id")))
+    assert(out2.columns.toSeq == Seq("meta_a", "val", "id"))
+  }
+
+  test("dummy rate source emits tagged log events; counter sink counts per tag") {
+    val src = graft.streaming.Streams.dummy(spark, "dummy.0", "hello", 100)
+    assert(src.isStreaming)
+    assert(src.columns.toSeq == Seq("tag", "ts", "message", "seq"))
+    val counted = graft.streaming.Streams.counterSink(src, "tag")
+    val q = counted.writeStream.format("memory").queryName("cnt_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      var tries = 0
+      while (spark.table("cnt_out").isEmpty && tries < 50) {
+        Thread.sleep(200); q.processAllAvailable(); tries += 1
+      }
+    } finally q.stop()
+    val rows = spark.table("cnt_out").collect()
+    assert(rows.nonEmpty && rows.head.getString(0) == "dummy.0")
+    assert(rows.head.getLong(1) > 0)
+  }
+
   test("ndjson source reads typed columns; text source tags by file") {
     val dir = java.nio.file.Files.createTempDirectory("graft_src").toFile
     val f = new java.io.File(dir, "part1.jsonl")
