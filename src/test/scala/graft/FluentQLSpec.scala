@@ -131,6 +131,17 @@ class FluentQLSpec extends AnyFunSuite {
     assert(math.abs(fc - 310.0) < 1e-6, s"forecast=$fc")
   }
 
+  test("NOW() and UNIX_TIMESTAMP() project per record (flb_sp_func_time.c)") {
+    val out = run(
+      "SELECT id, NOW() AS now_s, UNIX_TIMESTAMP() AS uts FROM STREAM:FLB WHERE bytes > 10;")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getString(1).matches("\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}"))
+      assert(r.getLong(2) > 1700000000L)
+    }
+  }
+
   test("@record.time() compares as a numeric value (sql.y:370-373)") {
     val out = run("SELECT id FROM STREAM:FLB WHERE @record.time() >= 1704067205;")
     assert(out.collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 6L, 7L, 8L, 9L, 10L))

@@ -78,6 +78,31 @@ class Ops2Spec extends AnyFunSuite {
     assert(rows.head.getLong(1) > 0)
   }
 
+  test("conditions framework: all ten operators with NULL=>false, AND/OR combine") {
+    import graft.ops.Conditions
+    import graft.ops.Conditions._
+    val df = Seq(
+      (1L, Some("error"), Some(10.0)),
+      (2L, Some("info"), Some(99.0)),
+      (3L, None, None) // missing fields must fail rules, never error
+    ).toDF("id", "level", "v")
+    def ids(c: org.apache.spark.sql.Column): Set[Long] =
+      df.filter(c).select("id").collect().map(_.getLong(0)).toSet
+
+    assert(ids(compile(Rule(col("level"), Eq, "error"))) == Set(1L))
+    assert(ids(compile(Rule(col("level"), Neq, "error"))) == Set(2L))
+    assert(ids(compile(Rule(col("v"), Gt, 50.0))) == Set(2L))
+    assert(ids(compile(Rule(col("v"), Lte, 10.0))) == Set(1L))
+    assert(ids(compile(Rule(col("level"), Regex, "^err"))) == Set(1L))
+    assert(ids(compile(Rule(col("level"), NotRegex, "^err"))) == Set(2L))
+    assert(ids(compile(Rule(col("level"), In, Seq[Any]("error", "warn")))) == Set(1L))
+    assert(ids(compile(Rule(col("level"), NotIn, Seq[Any]("error", "warn")))) == Set(2L))
+    assert(ids(Conditions.combine(Seq(
+      Rule(col("level"), Eq, "info"), Rule(col("v"), Gte, 90.0)), "and")) == Set(2L))
+    assert(ids(Conditions.combine(Seq(
+      Rule(col("level"), Eq, "error"), Rule(col("v"), Gt, 90.0)), "or")) == Set(1L, 2L))
+  }
+
   test("ndjson source reads typed columns; text source tags by file") {
     val dir = java.nio.file.Files.createTempDirectory("graft_src").toFile
     val f = new java.io.File(dir, "part1.jsonl")
