@@ -121,13 +121,15 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int): DataFrame = {
     val assign = ivfAssign(corpus, centroids, idCol, vecCol)
-    val withCell = corpus.join(assign, corpus(idCol) === assign("vec_id"))
+      .withColumnRenamed("vec_id", "__aid")
+    val withCell = corpus.join(assign, corpus(idCol) === col("__aid"))
+      .drop("__aid")
       .withColumn("__n", norm(col(vecCol)))
     val q = withCell.join(
-      broadcast(queries.select(col(idCol).as("__qid"))), col("vec_id") === col("__qid"))
-      .select(col("cell"), col("vec_id").as("qid"), col(vecCol).as("qv"),
+      broadcast(queries.select(col(idCol).as("__qid"))), col(idCol) === col("__qid"))
+      .select(col("cell"), col(idCol).as("qid"), col(vecCol).as("qv"),
         col("__n").as("qn"))
-    val c = withCell.select(col("cell"), col("vec_id").as("cid"),
+    val c = withCell.select(col("cell"), col(idCol).as("cid"),
       col(vecCol).as("cv"), col("__n").as("cn"))
     val scored = broadcast(q).join(c, Seq("cell")).filter(col("qid") =!= col("cid"))
       .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 3))

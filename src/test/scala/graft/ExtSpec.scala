@@ -59,6 +59,28 @@ class ExtSpec extends AnyFunSuite {
     assert(out(0).getAs[Double]("cos") > 0.99)
   }
 
+  test("IVF: vectors assign to their nearest centroid; search stays in-cell") {
+    // two well-separated cells around orthogonal centroids 0 and 10
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0, 0.0)),   // centroid of cell A (vec_id % 10 == 0)
+      (1L, Array(0.9, 0.1, 0.0)),   // cell A
+      (2L, Array(0.95, 0.05, 0.0)), // cell A
+      (10L, Array(0.0, 1.0, 0.0)),  // centroid of cell B
+      (11L, Array(0.1, 0.9, 0.0))   // cell B
+    ).toDF("vec_id", "embedding")
+    val cents = vecs.filter(col("vec_id") % 10 === 0)
+    val assign = Similarity.ivfAssign(vecs, cents, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign(1L) == 0L && assign(2L) == 0L)
+    assert(assign(11L) == 10L)
+    assert(assign(0L) == 0L && assign(10L) == 10L) // centroids self-assign
+
+    val hits = Similarity.ivfTopK(vecs, cents,
+      vecs.filter(col("vec_id") === 1), "vec_id", "embedding", k = 5)
+      .collect().map(_.getAs[Long]("cid")).toSet
+    assert(hits == Set(0L, 2L)) // only cell-A mates, never cell B
+  }
+
   test("lsh signature buckets similar vectors together") {
     val vecs = Seq(
       (0L, (0 until 64).map(i => math.sin(i).toFloat).toArray),
