@@ -19,9 +19,9 @@ import org.apache.spark.sql.functions._
   *
   * Plan-shape invariants (checked via .explain during development):
   * shingle generation is NARROW (array slicing on the tokenized text, no
-  * window/sort); minhash signatures aggregate elementwise-min map-side,
-  * so the only shuffle carries (doc_id, k strings) — never the k-times
-  * exploded hash stream.
+  * window/sort); minhash signatures aggregate elementwise-min map-side
+  * as a HashAggregate over k numeric slots, so the only shuffle carries
+  * (doc_id, k longs) — never the k-times exploded hash stream.
   */
 object Dedup {
 
@@ -47,34 +47,76 @@ object Dedup {
     df.select(idCol.as("doc_id"),
       explode(graft.functions.TextFunctions.wordShingles(textCol, n)).as("shingle"))
 
-  /** MinHash signatures in wide form: (doc_id, mhs ARRAY<STRING> of k).
-    * Hash family: the 64 hex chars of `md5(s) || md5('x'||s)` cut into
-    * eight independent 8-hex (32-bit) slices — h_i(s) = slice i,
-    * signature element i = min over shingles. TWO digest evaluations per
-    * shingle produce all k ≤ 8 hash functions (vs one digest per
-    * function), and the elementwise-min aggregates map-side, so the
-    * shuffle carries one row of k strings per (partition, doc). Hex min
-    * ≡ numeric min and is portable (bit-identical in any SQL engine).
+  /** Mersenne prime 2^31-1 — modulus of the universal hash family. */
+  val P31 = 2147483647L
+
+  /** Deterministic multiplier/offset pairs (a_i, b_i) for the universal
+    * hash family, from a fixed-seed SplitMix64 — identical constants are
+    * embedded in the DuckDB oracle SQL (ExtQueries regenerates them from
+    * here). a_i ∈ [1, P31), b_i ∈ [0, P31).
     */
-  def minhash(sh: DataFrame, k: Int = 8): DataFrame = {
-    require(k <= 8, s"slice hash family yields at most 8 functions, got $k")
-    val hs = sh.select(col("doc_id"),
-      concat(md5(col("shingle")), md5(concat(lit("x"), col("shingle")))).as("hx"))
-    hs.groupBy(col("doc_id"))
-      .agg(array((0 until k).map(i =>
-        min(substring(col("hx"), i * 8 + 1, 8))): _*).as("mhs"))
+  def hashParams(k: Int): Seq[(Long, Long)] = {
+    var s = 0x9E3779B97F4A7C15L
+    def next(): Long = {
+      s += 0x9E3779B97F4A7C15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      (z ^ (z >>> 31)) >>> 33 // top 31 bits, non-negative
+    }
+    (0 until k).map(_ => (next() % (P31 - 1) + 1, next() % P31))
   }
+
+  /** MinHash signatures in wide form: (doc_id, mhs ARRAY<BIGINT> of k).
+    * Universal hash family: ONE md5 per shingle yields a 31-bit base
+    * value x = hex[0:8] mod P31; h_i(s) = (a_i·x + b_i) mod P31 — k
+    * integer multiply-adds, no extra digests (the round-2 family needed
+    * k/4 digests per shingle and string mins that forced SortAggregate).
+    * Signature element i = min over shingles: NUMERIC min keeps the
+    * aggregate a HashAggregate and partials combine map-side, so the
+    * shuffle carries one row of k longs per (partition, doc). a_i·x
+    * ≤ 2^62 — no int64 overflow; every step is portable SQL (DuckDB:
+    * `('0x' || substr(md5(s),1,8))::BIGINT % P31`).
+    */
+  def minhash(sh: DataFrame, k: Int = 128): DataFrame = {
+    val params = hashParams(k)
+    val hs = sh.select(col("doc_id"),
+      (conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long") % P31)
+        .as("__x"))
+    hs.groupBy(col("doc_id"))
+      .agg(array(params.map { case (a, b) =>
+        min((lit(a) * col("__x") + lit(b)) % P31)
+      }: _*).as("mhs"))
+  }
+
+  /** xxhash64-seeded MinHash family — the fast production path (one
+    * 64-bit hash per (seed, shingle), no digest slicing, not oracle-
+    * portable). Same output shape as [[minhash]]: (doc_id, mhs ARRAY<BIGINT>).
+    */
+  def minhashFast(sh: DataFrame, k: Int = 128): DataFrame =
+    sh.groupBy(col("doc_id"))
+      .agg(array((0 until k).map(i =>
+        min(xxhash64(lit(i), col("shingle")))): _*).as("mhs"))
 
   /** LSH banding over wide signatures: band b's signature = md5 of the
     * ordered concat of its `rowsPerBand` minhashes. Docs sharing any
-    * (band, signature) are candidates.
+    * (band, signature) are candidates. Bands are built from explicit
+    * per-band element_at expressions — higher-order lambdas
+    * (transform/slice) are interpreted, not codegen'd, and were the
+    * hotspot at k=128.
     */
   def bandSignatures(mh: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+    require(rowsPerBand >= 1 && k % rowsPerBand == 0,
+      s"k=$k must divide evenly into bands of $rowsPerBand (trailing hashes would be silently dropped)")
     val nBands = k / rowsPerBand
-    mh.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
-        b => md5(concat_ws(",", slice(col("mhs"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-        .as(Seq("band", "sig")))
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", (0 until rowsPerBand).map(j =>
+          element_at(col("mhs"), b * rowsPerBand + j + 1).cast("string")): _*))
+          .as("sig"))
+    }
+    mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("__bs"))
+      .select(col("doc_id"), col("__bs.band").as("band"), col("__bs.sig").as("sig"))
   }
 
   /** Candidate pairs: equi-join on (band, sig), deduped, a<b. */
@@ -118,11 +160,11 @@ object Dedup {
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
   }
 
-  /** Full MinHash-LSH near-dup pipeline. Default k=8, r=2 ⇒ 4 bands,
-    * candidate threshold ≈ (1/4)^(1/2) = 0.5 estimated Jaccard.
+  /** Full MinHash-LSH near-dup pipeline. Default k=128, r=4 ⇒ 32 bands,
+    * candidate threshold ≈ (1/32)^(1/4) ≈ 0.42 estimated Jaccard.
     */
   def minhashLsh(df: DataFrame, idCol: Column, textCol: Column,
-                 ngram: Int = 3, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+                 ngram: Int = 3, k: Int = 128, rowsPerBand: Int = 4): DataFrame = {
     val sh = shingles(df, idCol, textCol, ngram)
     val mh = minhash(sh, k)
     val pairs = candidatePairs(bandSignatures(mh, k, rowsPerBand))

@@ -33,22 +33,41 @@ object RewriteTag {
 
   /** Re-injection loop (rewrite_tag.c:425 + in_emitter): rewritten
     * records re-enter routing and may match other rules under their new
-    * tag. The reference bounds this by emitter hop count; here it is an
+    * tag. The reference bounds this by emitter capacity; here it is an
     * iterative fixpoint over a work set, `maxHops` deep — plain unions,
     * no driver-side recursion, each hop a narrow transformation.
     *
-    * Rules apply in order within a hop (a later rule sees the tags an
-    * earlier one produced); unmatched records pass through unchanged,
-    * so the loop is idempotent once no rule matches. Rules matching
-    * their own output tags would ping-pong — the hop bound caps that
-    * exactly like the reference's emitter limit. The final distinct()
-    * collapses the duplicates keep=true re-emission accumulates.
+    * Faithful to the reference's per-pass loop (rewrite_tag.c:380-390):
+    * the FIRST matching rule wins — it fixes the new tag and its `keep`
+    * flag, and later rules never see the record that pass. A matched
+    * record's rewritten copy re-enters the next hop (the emitter path);
+    * the original either settles into the output (`keep=true`) or is
+    * dropped. Unmatched records settle unchanged. No distinct() anywhere:
+    * legitimately identical input records keep their multiplicity, and
+    * re-emission never manufactures duplicates (one copy per match).
+    * Records still matching after `maxHops` are emitted as-is — the
+    * bounded analogue of the reference's emitter backlog.
     */
   def reinjectLoop(df: DataFrame, tagCol: String, rules: Seq[Rule],
                    maxHops: Int = 4): DataFrame = {
     require(rules.nonEmpty, "reinjectLoop needs at least one rule")
-    (1 to maxHops).foldLeft(df) { (work, _) =>
-      rules.foldLeft(work) { (d, r) => apply(d, tagCol, r) }
-    }.distinct()
+    val matches = rules.map(r => coalesce(r.field.rlike(r.pattern), lit(false)))
+    val anyMatch = matches.reduce(_ || _)
+    // First-match-wins when-chains: rule i applies iff no earlier matched.
+    val newTag = rules.zip(matches).foldRight(col(tagCol)) {
+      case ((r, m), els) => when(m, r.newTagTemplate).otherwise(els)
+    }
+    val keepOriginal = rules.zip(matches).foldRight(lit(false)) {
+      case ((r, m), els) => when(m, lit(r.keep)).otherwise(els)
+    }
+    var settled = Vector.empty[DataFrame]
+    var work = df
+    (1 to maxHops).foreach { _ =>
+      val matched = work.filter(anyMatch)
+      settled :+= work.filter(!anyMatch)
+      settled :+= matched.filter(keepOriginal)
+      work = matched.withColumn(tagCol, newTag)
+    }
+    (settled :+ work).reduce(_ unionByName _)
   }
 }

@@ -11,11 +11,17 @@ import graft.text.TextAnalysis
   */
 object ExtQueries {
 
-  /** Shared DuckDB CTEs: 3-gram shingles → 8 minhashes (8-hex slices of
-    * md5(s)||md5('x'||s)) → 4 bands of 2 → candidate pairs (mirror of
-    * Dedup.shingles/minhash/bandSignatures/candidatePairs).
+  /** Shared DuckDB CTEs: 3-gram shingles → k=128 numeric minhashes
+    * (universal hash family (a_i·x + b_i) mod 2^31-1 over the 32-bit md5
+    * slice x, constants from Dedup.hashParams) → 32 bands of 4 →
+    * candidate pairs (mirror of Dedup.shingles/minhash/bandSignatures/
+    * candidatePairs).
     */
-  private val LshCtes = """
+  private val MinhashK = 128
+  private val RowsPerBand = 4
+  private val HashParamRows = Dedup.hashParams(MinhashK).zipWithIndex
+    .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+  private val LshCtes = s"""
     WITH toks AS (
       SELECT doc_id,
              unnest(string_split(text, ' ')) AS tok,
@@ -26,16 +32,18 @@ object ExtQueries {
              tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
       FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
     sh AS (SELECT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+    sx AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS x
+      FROM sh),
     mh AS (
-      SELECT doc_id, t.i,
-             min(substr(md5(shingle) || md5('x' || shingle),
-                        CAST(t.i * 8 + 1 AS INT), 8)) AS mh
-      FROM sh, (SELECT unnest(range(0, 8)) AS i) t
+      SELECT doc_id, t.i, min((t.a * x + t.b) % 2147483647) AS mh
+      FROM sx, (VALUES $HashParamRows) t(i, a, b)
       GROUP BY doc_id, t.i),
     bands AS (
-      SELECT doc_id, CAST(i // 2 AS INT) AS band,
-             md5(string_agg(mh, ',' ORDER BY i)) AS sig
-      FROM mh GROUP BY doc_id, i // 2),
+      SELECT doc_id, CAST(i // $RowsPerBand AS INT) AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS sig
+      FROM mh GROUP BY doc_id, i // $RowsPerBand),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -58,13 +66,13 @@ object ExtQueries {
       "x_dedup_minhash",
       (s, dir) => {
         val sh = Dedup.shingles(Tables.documents(s, dir), col("doc_id"), col("text"), 3)
-        val mh = Dedup.minhash(sh, 8)
-        val pairs = Dedup.candidatePairs(Dedup.bandSignatures(mh, 8, 2))
-        Dedup.estimatedJaccard(pairs, mh, 8)
+        val mh = Dedup.minhash(sh, MinhashK)
+        val pairs = Dedup.candidatePairs(Dedup.bandSignatures(mh, MinhashK, RowsPerBand))
+        Dedup.estimatedJaccard(pairs, mh, MinhashK)
       },
-      Some(LshCtes + """
+      Some(LshCtes + s"""
         SELECT p.doc_a, p.doc_b,
-               sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / 8.0 AS est_jaccard
+               sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / $MinhashK.0 AS est_jaccard
         FROM pairs p
         JOIN mh ma ON ma.doc_id = p.doc_a
         JOIN mh mb ON mb.doc_id = p.doc_b AND mb.i = ma.i

@@ -71,8 +71,13 @@ object Planner {
       val base = planSelect(sel, catalog)
       props.get("seconds") match {
         case Some(secs) =>
-          val maxTs = base.agg(max(col(catalog.tsSecCol))).head.getLong(0)
-          base.filter(col(catalog.tsSecCol) > maxTs - secs.toLong)
+          // Lazy scalar join — no Spark job at plan-build time. The max
+          // is a 1-row broadcast folded into the same DAG, so planning
+          // stays a pure declaration and the source is read once.
+          val maxTs = base.agg(max(col(catalog.tsSecCol)).as("__max_ts"))
+          base.crossJoin(broadcast(maxTs))
+            .filter(col(catalog.tsSecCol) > col("__max_ts") - secs.toLong)
+            .drop("__max_ts")
         case None => base
       }
     case FlushSnapshot(_, sel) => planSelect(sel, catalog)
@@ -259,8 +264,9 @@ object Planner {
         // Spark orders NaN above every double ('NaN' > x ⇒ true); the
         // reference's C comparison on a NaN operand is false — coerce
         // NaN to NULL so it compares false (found by CoercionSpec).
-        val d = c.try_cast("double")
-        when(!isnan(d), d)
+        // nanvl evaluates the cast once (a when(!isnan(d), d) pair
+        // evaluated it twice per row).
+        nanvl(c.try_cast("double"), lit(null).cast("double"))
       case _ => c
     }
   }

@@ -47,6 +47,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "shingles must not use a window function")
   }
 
+  test("minhash signatures hash-aggregate (numeric family, no sort)") {
+    val plan = planOf("x_dedup_minhash")
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+    assert(!plan.contains("SortAggregate"),
+      "numeric min() must stay a HashAggregate; string min forces SortAggregate")
+  }
+
   test("brute-force similarity scan stays in whole-stage codegen") {
     val df = Registry.queries("x_sim_cosine_topk")(spark, sf)
     df.collect() // finalize THIS adaptive plan so codegen stages materialize
