@@ -186,6 +186,57 @@ object Dedup {
           .multiply(lit(1L << b))).reduce(_ + _).as("simhash"))
   }
 
+  /** Banded-hamming near-dup pairs over the 64-bit [[simhash64]]
+    * signature: 4×16-bit bands — by pigeonhole, any pair within hamming
+    * distance 3 shares at least one intact band, so candidates come from
+    * an equi-join on (band, 16-bit slice), never an all-pairs scan.
+    * Verification is a codegen'd popcount of the XOR.
+    */
+  def simhashPairs64(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bsig"))
+    }
+    val exploded = sig.select(col("doc_id"), col("simhash"),
+      explode(array(bands: _*)).as("__b"))
+      .select(col("doc_id"), col("simhash"),
+        col("__b.band").as("band"), col("__b.bsig").as("bsig"))
+    val a = exploded.select(col("band"), col("bsig"),
+      col("doc_id").as("doc_a"), col("simhash").as("__ha"))
+    val b = exploded.select(col("band"), col("bsig"),
+      col("doc_id").as("doc_b"), col("simhash").as("__hb"))
+    a.join(b, Seq("band", "bsig")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Banded-hamming pairs over the portable 16-bit [[simhash16]] bit
+    * string: 4×4-bit bands, hamming = positionwise char compare — every
+    * step mirrors into plain SQL for the DuckDB oracle.
+    */
+  def simhashPairs16(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = (0 until 4).map { b =>
+      struct(lit(b).as("band"), substring(col("simhash16"), b * 4 + 1, 4).as("bsig"))
+    }
+    val exploded = sig.select(col("doc_id"), col("simhash16"),
+      explode(array(bands: _*)).as("__b"))
+      .select(col("doc_id"), col("simhash16"),
+        col("__b.band").as("band"), col("__b.bsig").as("bsig"))
+    val a = exploded.select(col("band"), col("bsig"),
+      col("doc_id").as("doc_a"), col("simhash16").as("__ha"))
+    val b = exploded.select(col("band"), col("bsig"),
+      col("doc_id").as("doc_b"), col("simhash16").as("__hb"))
+    val hamming = (1 to 16).map(i =>
+      when(substring(col("__ha"), i, 1) =!= substring(col("__hb"), i, 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    a.join(b, Seq("band", "bsig")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Portable 16-bit SimHash variant (md5-hex-char parity votes) — the
     * oracle-checkable form; same algorithm, narrower signature.
     */

@@ -30,6 +30,11 @@ object Conditions {
   final case class Rule(field: Column, op: Op, value: Any)
 
   def compile(r: Rule): Column = {
+    def listValue: Seq[Any] = r.value match {
+      case s: Seq[_] => s
+      case other => throw new IllegalArgumentException(
+        s"in/not_in condition needs a list value, got ${if (other == null) "null" else other.getClass.getSimpleName}: $other")
+    }
     val c = r.op match {
       case Eq => r.field === lit(r.value)
       case Neq => r.field =!= lit(r.value)
@@ -39,17 +44,20 @@ object Conditions {
       case Lte => r.field <= lit(r.value)
       case Regex => r.field.rlike(r.value.toString)
       case NotRegex => !r.field.rlike(r.value.toString)
-      case In => r.field.isin(r.value.asInstanceOf[Seq[Any]]: _*)
-      case NotIn => !r.field.isin(r.value.asInstanceOf[Seq[Any]]: _*)
+      case In => r.field.isin(listValue: _*)
+      case NotIn => !r.field.isin(listValue: _*)
     }
     coalesce(c, lit(false))
   }
 
-  /** AND/OR combination of a rule list (flb_conditionals.h:50-51). */
+  /** AND/OR combination of a rule list (flb_conditionals.h:50-51). An
+    * empty rule list passes everything — a processor unit with no
+    * condition always runs (flb_processor.h:69-84).
+    */
   def combine(rules: Seq[Rule], operator: String = "and"): Column =
     operator.toLowerCase match {
-      case "and" => rules.map(compile).reduce(_ && _)
-      case "or" => rules.map(compile).reduce(_ || _)
+      case "and" => rules.map(compile).reduceOption(_ && _).getOrElse(lit(true))
+      case "or" => rules.map(compile).reduceOption(_ || _).getOrElse(lit(true))
       case other => throw new IllegalArgumentException(s"condition operator $other")
     }
 }

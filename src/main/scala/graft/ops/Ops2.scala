@@ -5,23 +5,44 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** filter_throttle_size (reference
-  * `plugins/filter_throttle_size/throttle_size.c:659`): like throttle but
-  * limits total BYTES per window per key — keep records while the running
-  * byte total within (key, pane) stays under the limit.
+  * `plugins/filter_throttle_size/throttle_size.c:360-433`): like throttle
+  * but limits total BYTES per window per key. Faithful admit-only
+  * accumulation: a DROPPED record's size is NOT added to the window
+  * total, so a later smaller record can still be admitted (a cumulative
+  * running sum over-drops — round-2 divergence flagged in review).
   *
-  * Scale note: the running sum partitions by (key, pane) — bounded state,
-  * no global sort; same distribution story as Throttle.
+  * Scale shape: repartition on (key, pane) + sortWithinPartitions + one
+  * streaming pass per partition holding a single (group, runningTotal)
+  * pair — bounded state, no global sort, no per-group buffering. The
+  * sequential fold is inherently order-dependent, so this is one of the
+  * few operators where mapPartitions is the honest primitive (like the
+  * reference's per-window byte ledger).
   */
 object ThrottleSize {
   def apply(df: DataFrame, keyCols: Seq[Column], tsSecCol: Column,
             orderCols: Seq[Column], sizeCol: Column, paneSeconds: Long,
             maxBytes: Long): DataFrame = {
-    val pane = (tsSecCol / paneSeconds).cast("long")
-    val w = Window.partitionBy((keyCols :+ pane): _*).orderBy(orderCols: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__bytes", sum(sizeCol).over(w))
-      .filter(col("__bytes") <= maxBytes)
-      .drop("__bytes")
+    val withCols = df
+      .withColumn("__size", coalesce(sizeCol.cast("long"), lit(0L)))
+      .withColumn("__gkey", concat_ws("\u0001",
+        (keyCols.map(_.cast("string")) :+
+          (tsSecCol / paneSeconds).cast("long").cast("string")): _*))
+    val parted = withCols
+      .repartition(col("__gkey"))
+      .sortWithinPartitions(col("__gkey") +: orderCols: _*)
+    val enc = org.apache.spark.sql.Encoders.row(parted.schema)
+    parted.mapPartitions { rows =>
+      var cur: String = null
+      var tot = 0L
+      rows.filter { r =>
+        val g = r.getAs[String]("__gkey")
+        val sz = r.getAs[Long]("__size")
+        if (g != cur) { cur = g; tot = 0L }
+        val admit = tot + sz <= maxBytes
+        if (admit) tot += sz
+        admit
+      }
+    }(enc).drop("__size", "__gkey")
   }
 }
 

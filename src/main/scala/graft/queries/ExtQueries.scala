@@ -125,6 +125,46 @@ object ExtQueries {
       }
     ),
 
+    // SimHash banded-hamming near-dup pairs (4×4-bit bands over the
+    // portable 16-bit signature; pigeonhole guarantees hamming≤3 pairs
+    // share a band, so candidates are an equi-join, never all-pairs).
+    GraftQuery(
+      "x_dedup_simhash_pairs",
+      // maxHamming=1 for the gated run: the 16-bit signature space makes
+      // h<=3 pairs plentiful on correlated corpora (42k rows at sf0.01);
+      // h<=1 still exercises band join + hamming verify at bounded size.
+      (s, dir) =>
+        Dedup.simhashPairs16(
+          Dedup.simhash16(Tables.documents(s, dir), col("doc_id"), col("text")),
+          maxHamming = 1),
+      Some {
+        val votes = (1 to 16).map(p =>
+          s"sum(CASE WHEN ascii(substr(md5(tok), $p, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v$p")
+          .mkString(", ")
+        val bits = (1 to 16).map(p =>
+          s"(CASE WHEN v$p >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+        val ham = (1 to 16).map(i =>
+          s"CASE WHEN substr(ha, $i, 1) <> substr(hb, $i, 1) THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH toks AS (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+           v AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id),
+           sg AS (SELECT doc_id, $bits AS simhash16 FROM v),
+           bands AS (
+             SELECT doc_id, simhash16, t.b,
+                    substr(simhash16, CAST(t.b * 4 + 1 AS INT), 4) AS bsig
+             FROM sg, (SELECT unnest(range(0, 4)) AS b) t),
+           cand AS (
+             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.simhash16 AS ha, b.simhash16 AS hb
+             FROM bands a JOIN bands b
+               ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+           SELECT doc_a, doc_b, hamming FROM (
+             SELECT doc_a, doc_b, $ham AS hamming FROM cand)
+           WHERE hamming <= 1"""
+      }
+    ),
+
     // Brute-force cosine top-k (baseline ANN; broadcast queries, map-only
     // over the corpus).
     GraftQuery(
@@ -174,38 +214,45 @@ object ExtQueries {
              FROM proj GROUP BY vec_id""")
     ),
 
-    // Embedding-cosine near-dup (the dedup-by-embedding path): exact
-    // cosine only within LSH buckets, top-3 bucket-mates per vector.
+    // Embedding-cosine near-dup (the dedup-by-embedding path): TWO
+    // independent 8-plane LSH tables OR-amplify recall (a pair missed by
+    // one table's buckets is caught by the other); candidates are the
+    // deduped union, exact cosine only on candidates, top-3 per vector.
     GraftQuery(
       "x_dedup_embed",
       (s, dir) =>
         Similarity.lshTopK(
           Tables.embeddings(s, dir)
             .withColumn("embedding", col("embedding").cast("array<double>")),
-          "vec_id", "embedding", nPlanes = 8, dims = 64, k = 3),
+          "vec_id", "embedding", nPlanes = 8, dims = 64, k = 3, nTables = 2),
       Some("""WITH planes AS (
                SELECT p.p, d.d,
                       CAST(ascii(substr(md5(CAST(p.p AS VARCHAR) || '_' ||
                            CAST(d.d AS VARCHAR)), 1, 1)) - 80 AS DOUBLE) AS w
-               FROM (SELECT unnest(range(0, 8)) AS p) p,
+               FROM (SELECT unnest(range(0, 16)) AS p) p,
                     (SELECT unnest(range(0, 64)) AS d) d),
+             proj AS (
+               SELECT e.vec_id, pl.p,
+                      CASE WHEN sum(e.embedding[pl.d + 1]::DOUBLE * pl.w) >= 0
+                        THEN '1' ELSE '0' END AS bit
+               FROM embeddings e, planes pl GROUP BY e.vec_id, pl.p),
              sigs AS (
-               SELECT e.vec_id,
-                      string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
-                                 ORDER BY p) AS sig
-               FROM (SELECT e.vec_id, pl.p,
-                            sum(e.embedding[pl.d + 1]::DOUBLE * pl.w) AS s
-                     FROM embeddings e, planes pl GROUP BY 1, 2) e
-               GROUP BY e.vec_id),
+               SELECT vec_id, CAST(p // 8 AS INT) AS tbl,
+                      string_agg(bit, '' ORDER BY p) AS sig
+               FROM proj GROUP BY vec_id, p // 8),
+             cand AS (
+               SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid
+               FROM sigs a JOIN sigs b
+                 ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id),
              v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
              scored AS (
-               SELECT a.vec_id AS qid, b.vec_id AS cid,
+               SELECT c.qid, c.cid,
                       round(list_dot_product(va.ev, vb.ev) /
                             (sqrt(list_dot_product(va.ev, va.ev)) *
                              sqrt(list_dot_product(vb.ev, vb.ev))), 3) AS cos
-               FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
-               JOIN v va ON va.vec_id = a.vec_id
-               JOIN v vb ON vb.vec_id = b.vec_id)
+               FROM cand c
+               JOIN v va ON va.vec_id = c.qid
+               JOIN v vb ON vb.vec_id = c.cid)
              SELECT qid, cid, cos FROM (
                SELECT *, row_number() OVER (PARTITION BY qid
                          ORDER BY cos DESC, cid) AS rnk FROM scored)
@@ -236,6 +283,57 @@ object ExtQueries {
                SELECT *, row_number() OVER (PARTITION BY vec_id
                          ORDER BY cos DESC, cent_id) AS rnk FROM scored)
              WHERE rnk = 1""")
+    ),
+
+    // IVF cell search (nprobe=2): exact cosine top-k over the union of
+    // each query's two nearest centroids' cells — the recall-correct
+    // inverted-file search path (home cell alone misses cross-boundary
+    // neighbors).
+    GraftQuery(
+      "x_ann_ivf_search",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .withColumn("embedding", col("embedding").cast("array<double>"))
+        Similarity.ivfTopK(
+          emb, emb.filter(col("vec_id") % 100 === 0),
+          emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+          k = 5, nprobe = 2)
+      },
+      Some("""WITH cent AS (
+               SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+               FROM embeddings WHERE vec_id % 100 = 0),
+             v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+             ascore AS (
+               SELECT v.vec_id, c.cent_id,
+                      round(list_dot_product(v.ev, c.cv) /
+                            (sqrt(list_dot_product(v.ev, v.ev)) *
+                             sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos
+               FROM v, cent c),
+             assign AS (
+               SELECT vec_id, cent_id AS cell FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY cos DESC, cent_id) AS rnk FROM ascore)
+               WHERE rnk = 1),
+             probes AS (
+               SELECT vec_id AS qid, cent_id AS cell FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY cos DESC, cent_id) AS rnk
+                 FROM ascore WHERE vec_id < 3)
+               WHERE rnk <= 2),
+             scored AS (
+               SELECT p.qid, v2.vec_id AS cid,
+                      round(list_dot_product(q.ev, v2.ev) /
+                            (sqrt(list_dot_product(q.ev, q.ev)) *
+                             sqrt(list_dot_product(v2.ev, v2.ev))), 3) AS cos
+               FROM probes p
+               JOIN v q ON q.vec_id = p.qid
+               JOIN assign a ON a.cell = p.cell
+               JOIN v v2 ON v2.vec_id = a.vec_id
+               WHERE v2.vec_id <> p.qid)
+             SELECT qid, cid, cos, rank FROM (
+               SELECT *, row_number() OVER (PARTITION BY qid
+                         ORDER BY cos DESC, cid) AS rank FROM scored)
+             WHERE rank <= 5""")
     ),
 
     // Language ID (stopword-hit heuristic).

@@ -18,23 +18,44 @@ object OpsQueries2 {
     // (key, pane) capped — running sum over a key-local order.
     GraftQuery(
       "f_throttle_size",
+      // Admit-only semantics (throttle_size.c:360-433): a dropped
+      // record's bytes do NOT count toward the window total, so later
+      // smaller records can still be admitted. The synthetic variable
+      // size (props length + event_id%40) with a 60-byte cap makes the
+      // cap genuinely bind (~43% dropped, ~300 rows differ from a
+      // cumulative running sum at sf0.01). Oracle = the same sequential
+      // ledger as a recursive CTE over per-pane ranks.
       (s, dir) =>
         ThrottleSize(
           Tables.events(s, dir),
           keyCols = Seq(col("event_type")),
           tsSecCol = col("ts_sec"),
           orderCols = Seq(col("ts_ns"), col("event_id")),
-          sizeCol = length(col("props")),
+          sizeCol = length(col("props")) + col("event_id") % 40,
           paneSeconds = 3600L,
-          maxBytes = 2000L
+          maxBytes = 60L
         ).select(col("event_id"), col("event_type")),
-      Some("""SELECT event_id, event_type FROM (
+      Some("""WITH RECURSIVE ranked AS (
                SELECT event_id, event_type,
-                      sum(length(props)) OVER (
+                      coalesce(length(props), 0) + event_id % 40 AS sz,
+                      (epoch_ns(ts) // 1000000000) // 3600 AS pane,
+                      row_number() OVER (
                         PARTITION BY event_type, (epoch_ns(ts) // 1000000000) // 3600
-                        ORDER BY epoch_ns(ts), event_id
-                        ROWS UNBOUNDED PRECEDING) AS cum
-               FROM events) WHERE cum <= 2000""")
+                        ORDER BY epoch_ns(ts), event_id) AS rn
+               FROM events),
+             walk AS (
+               SELECT event_id, event_type, pane, rn, sz,
+                      CASE WHEN sz <= 60 THEN sz ELSE 0 END AS tot,
+                      (sz <= 60) AS admit
+               FROM ranked WHERE rn = 1
+               UNION ALL
+               SELECT r.event_id, r.event_type, r.pane, r.rn, r.sz,
+                      w.tot + CASE WHEN w.tot + r.sz <= 60 THEN r.sz ELSE 0 END,
+                      (w.tot + r.sz <= 60)
+               FROM ranked r JOIN walk w
+                 ON r.event_type = w.event_type AND r.pane = w.pane
+                AND r.rn = w.rn + 1)
+             SELECT event_id, event_type FROM walk WHERE admit""")
     ),
 
     // filter_alter_size (alter_size.c:91): keep first-N per chunk (≙ key

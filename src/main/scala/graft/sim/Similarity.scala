@@ -115,20 +115,47 @@ object Similarity {
       .select(col("vec_id"), col("cent_id").as("cell"))
   }
 
-  /** IVF ANN search: exact cosine top-k, but only within each query's
-    * cell — the scale path where cells bound the candidate set.
+  /** Per-query probe cells: the `nprobe` highest-cosine centroids of
+    * each query vector (the standard IVF recall knob — nprobe=1 searches
+    * only the home cell and misses neighbors that quantized across a
+    * cell boundary).
+    */
+  def ivfProbes(queries: DataFrame, centroids: DataFrame, idCol: String,
+                vecCol: String, nprobe: Int): DataFrame = {
+    val cent = broadcast(centroids
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
+      .withColumn("cn", norm(col("cv"))))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = q.join(cent, lit(true))
+      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .select("qid", "cent_id", "cos")
+    topKPerGroup(scored, "qid", nprobe,
+      payload = Seq("cent_id"),
+      orderAsc = Seq(negate(col("cos")).as("__negcos"), col("cent_id").as("__cid")))
+      .select(col("qid"), col("cent_id").as("cell"))
+  }
+
+  /** IVF ANN search: exact cosine top-k over the union of each query's
+    * `nprobe` probe cells — the scale path where cells bound the
+    * candidate set. The (query × probe-cell) table is tiny and
+    * broadcast; the corpus streams partitioned by its home cell.
     */
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
-              idCol: String, vecCol: String, k: Int): DataFrame = {
+              idCol: String, vecCol: String, k: Int, nprobe: Int = 2): DataFrame = {
     val assign = ivfAssign(corpus, centroids, idCol, vecCol)
       .withColumnRenamed("vec_id", "__aid")
     val withCell = corpus.join(assign, corpus(idCol) === col("__aid"))
       .drop("__aid")
       .withColumn("__n", norm(col(vecCol)))
-    val q = withCell.join(
+    val qvecs = corpus.join(
       broadcast(queries.select(col(idCol).as("__qid"))), col(idCol) === col("__qid"))
-      .select(col("cell"), col(idCol).as("qid"), col(vecCol).as("qv"),
-        col("__n").as("qn"))
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val probes = ivfProbes(qvecs.select(col("qid").as(idCol), col("qv").as(vecCol)),
+      centroids, idCol, vecCol, nprobe)
+    val q = probes.join(qvecs, "qid")
+      .select(col("cell"), col("qid"), col("qv"), col("qn"))
     val c = withCell.select(col("cell"), col(idCol).as("cid"),
       col(vecCol).as("cv"), col("__n").as("cn"))
     val scored = broadcast(q).join(c, Seq("cell")).filter(col("qid") =!= col("cid"))
@@ -140,19 +167,55 @@ object Similarity {
       .select(col("qid"), col("cid"), col("cos"), col("rank"))
   }
 
-  /** Bucketed ANN: candidates share the LSH signature; exact cosine is
-    * computed only within buckets.
+  /** Multi-table random-hyperplane signatures: one row per (id, table),
+    * table t using planes [t·nPlanes, (t+1)·nPlanes). Multiple
+    * independent tables OR-amplify recall: a near pair missed by one
+    * table's buckets is caught by another, without lowering any single
+    * table's precision. Output: (idCol, table, lsh_sig).
+    */
+  def lshSignatures(df: DataFrame, idCol: String, vecCol: String,
+                    nPlanes: Int, dims: Int, nTables: Int): DataFrame = {
+    val tables = (0 until nTables).map { t =>
+      val bits = (0 until nPlanes).map { p =>
+        val planeVec = transform(sequence(lit(0), lit(dims - 1)),
+          d => planeComponent(t * nPlanes + p, d.cast("string")))
+        when(dot(col(vecCol), planeVec) >= 0, lit("1")).otherwise(lit("0"))
+      }
+      struct(lit(t).as("table"), concat(bits: _*).as("sig"))
+    }
+    df.select(col(idCol), explode(array(tables: _*)).as("__t"))
+      .select(col(idCol), col("__t.table").as("table"), col("__t.sig").as("lsh_sig"))
+  }
+
+  /** Bucketed ANN: candidates share an LSH signature in ANY of the
+    * `nTables` tables (union + pair-dedup = OR-amplification); exact
+    * cosine is computed only on deduped candidates. `bucketCap` drops
+    * overflow buckets outright — a degenerate bucket (zero vectors,
+    * near-identical corpus slices) would otherwise degrade toward
+    * O(n²/buckets) on one hot reducer; capped buckets lose candidates a
+    * healthier table usually recovers. Use [[bucketSizes]] to account
+    * for what a cap would drop.
     */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
-              nPlanes: Int, dims: Int, k: Int): DataFrame = {
-    val sigs = lshSignature(corpus, idCol, vecCol, nPlanes, dims)
-    val withSig = corpus.join(sigs, idCol)
-      .withColumn("__n", norm(col(vecCol)))
-    val a = withSig.select(col("lsh_sig"), col(idCol).as("qid"),
-      col(vecCol).as("qv"), col("__n").as("qn"))
-    val b = withSig.select(col("lsh_sig"), col(idCol).as("cid"),
-      col(vecCol).as("cv"), col("__n").as("cn"))
-    val scored = a.join(b, Seq("lsh_sig")).filter(col("qid") < col("cid"))
+              nPlanes: Int, dims: Int, k: Int, nTables: Int = 1,
+              bucketCap: Option[Int] = None): DataFrame = {
+    val sigs = lshSignatures(corpus, idCol, vecCol, nPlanes, dims, nTables)
+    val capped = bucketCap match {
+      case Some(cap) =>
+        val ok = sigs.groupBy("table", "lsh_sig")
+          .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= cap)
+          .select("table", "lsh_sig")
+        sigs.join(ok, Seq("table", "lsh_sig"), "left_semi")
+      case None => sigs
+    }
+    val a = capped.select(col("table"), col("lsh_sig"), col(idCol).as("qid"))
+    val b = capped.select(col("table"), col("lsh_sig"), col(idCol).as("cid"))
+    val cand = a.join(b, Seq("table", "lsh_sig"))
+      .filter(col("qid") < col("cid")).select("qid", "cid").distinct()
+    val v = corpus.select(col(idCol), col(vecCol)).withColumn("__n", norm(col(vecCol)))
+    val scored = cand
+      .join(v.select(col(idCol).as("qid"), col(vecCol).as("qv"), col("__n").as("qn")), "qid")
+      .join(v.select(col(idCol).as("cid"), col(vecCol).as("cv"), col("__n").as("cn")), "cid")
       .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 3))
       .select("qid", "cid", "cos")
     topKPerGroup(scored, "qid", k,
@@ -160,4 +223,10 @@ object Similarity {
       orderAsc = Seq(negate(col("cos")).as("__negcos"), col("cid").as("__cid")))
       .select(col("qid"), col("cid"), col("cos"))
   }
+
+  /** Bucket-size accounting for the cap policy: (table, lsh_sig, n). */
+  def bucketSizes(corpus: DataFrame, idCol: String, vecCol: String,
+                  nPlanes: Int, dims: Int, nTables: Int): DataFrame =
+    lshSignatures(corpus, idCol, vecCol, nPlanes, dims, nTables)
+      .groupBy("table", "lsh_sig").agg(count(lit(1)).as("n"))
 }

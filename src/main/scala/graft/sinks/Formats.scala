@@ -20,13 +20,17 @@ object Formats {
   def jsonLine(fields: Seq[(String, Column)]): Column =
     to_json(struct(fields.map { case (n, c) => c.as(n) }: _*))
 
-  /** out_file `Format csv` (file.c:472): delimiter-joined values; strings
-    * containing the delimiter are double-quoted.
+  /** out_file `Format csv` (file.c:472): delimiter-joined values. NULLs
+    * serialize as empty fields (concat_ws would silently SKIP them,
+    * shifting every later column); values containing the delimiter, a
+    * quote, or a newline are double-quoted with embedded quotes doubled.
     */
   def csvLine(fields: Seq[Column], delim: String = ","): Column =
     concat_ws(delim, fields.map { f =>
-      val s = f.cast("string")
-      when(s.contains(delim), concat(lit("\""), s, lit("\""))).otherwise(s)
+      val s = coalesce(f.cast("string"), lit(""))
+      val quoted = concat(lit("\""), regexp_replace(s, "\"", "\"\""), lit("\""))
+      when(s.contains(delim) || s.contains("\"") || s.contains("\n"), quoted)
+        .otherwise(s)
     }: _*)
 
   /** out_file `Format ltsv` (file.c:530): `key:value` pairs joined by tabs. */

@@ -76,9 +76,29 @@ class ExtSpec extends AnyFunSuite {
     assert(assign(0L) == 0L && assign(10L) == 10L) // centroids self-assign
 
     val hits = Similarity.ivfTopK(vecs, cents,
-      vecs.filter(col("vec_id") === 1), "vec_id", "embedding", k = 5)
+      vecs.filter(col("vec_id") === 1), "vec_id", "embedding", k = 5, nprobe = 1)
       .collect().map(_.getAs[Long]("cid")).toSet
-    assert(hits == Set(0L, 2L)) // only cell-A mates, never cell B
+    assert(hits == Set(0L, 2L)) // nprobe=1: only cell-A mates, never cell B
+
+    // nprobe=2 probes the second-best centroid too: cell-B members become
+    // reachable candidates (ranked below the cell-A mates).
+    val hits2 = Similarity.ivfTopK(vecs, cents,
+      vecs.filter(col("vec_id") === 1), "vec_id", "embedding", k = 5, nprobe = 2)
+      .collect().map(_.getAs[Long]("cid")).toSet
+    assert(hits2 == Set(0L, 2L, 10L, 11L), s"nprobe=2 hits: $hits2")
+  }
+
+  test("simhash banded-hamming pairs: exact dup found, unrelated doc excluded") {
+    val pairs64 = Dedup.simhashPairs64(
+      Dedup.simhash64(docs, col("doc_id"), col("text")), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs64.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 0),
+      s"exact dup pair missing: ${pairs64.toSeq}")
+    assert(!pairs64.exists(p => p._2 == 4L), s"unrelated doc paired: ${pairs64.toSeq}")
+    val pairs16 = Dedup.simhashPairs16(
+      Dedup.simhash16(docs, col("doc_id"), col("text")), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs16.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 0))
   }
 
   test("lsh signature buckets similar vectors together") {
@@ -92,6 +112,26 @@ class ExtSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(sigs(0L) == sigs(1L)) // scaled copy: identical signs
     assert(sigs.values.forall(_.length == 8))
+  }
+
+  test("lsh bucket cap drops hot buckets; second table recovers recall") {
+    // 40 near-identical vectors collapse into one hot bucket per table;
+    // two distinct planted vectors land elsewhere.
+    val hot = (0 until 40).map(i =>
+      (i.toLong, (0 until 64).map(d => 1.0 + 1e-9 * i * d).toArray))
+    val vecs = (hot ++ Seq(
+      (100L, (0 until 64).map(d => math.sin(d + 1)).toArray),
+      (101L, (0 until 64).map(d => math.sin(d + 1) * 1.01).toArray)
+    )).toDF("vec_id", "embedding")
+    val capped = Similarity.lshTopK(vecs, "vec_id", "embedding",
+      nPlanes = 8, dims = 64, k = 3, nTables = 2, bucketCap = Some(10))
+    // the hot cluster's pairs are gone (bucket > cap in every table)…
+    assert(capped.filter(col("qid") < 40 && col("cid") < 40).count() == 0)
+    // …but the small planted pair survives in an un-capped bucket
+    assert(capped.filter(col("qid") === 100 && col("cid") === 101).count() == 1)
+    // and no surviving bucket exceeded the cap
+    val sizes = Similarity.bucketSizes(vecs, "vec_id", "embedding", 8, 64, 2)
+    assert(sizes.filter(col("n") > 10).count() > 0) // fixture really is skewed
   }
 
   test("text quality and token metrics on a known string") {

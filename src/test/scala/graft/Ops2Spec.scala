@@ -34,6 +34,37 @@ class Ops2Spec extends AnyFunSuite {
     assert(!out.exists(_.body.get("k").contains("drop_me")))
   }
 
+  test("throttle_size admit-only: a dropped record's bytes do not consume budget") {
+    import graft.ops.ThrottleSize
+    // sizes 50, 30, 5 with cap 60: 50 admitted, 30 dropped (80 > 60),
+    // 5 still admitted (55 <= 60). A cumulative sum would drop the 5 too.
+    val df = Seq((1L, 10L, 50), (2L, 20L, 30), (3L, 30L, 5))
+      .toDF("id", "ts_sec", "sz")
+    val out = ThrottleSize(df, Seq(lit("k")), col("ts_sec"), Seq(col("id")),
+      col("sz"), paneSeconds = 3600L, maxBytes = 60L)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(1L, 3L))
+  }
+
+  test("csv line: NULL keeps its delimiter slot; embedded quotes escape") {
+    import graft.sinks.Formats
+    val df = Seq(("a", null: String, "c"), ("x\"y", "p,q", "z"))
+      .toDF("f1", "f2", "f3")
+    val out = df.select(Formats.csvLine(Seq(col("f1"), col("f2"), col("f3")))
+      .as("line")).collect().map(_.getString(0))
+    assert(out(0) == "a,,c")
+    assert(out(1) == "\"x\"\"y\",\"p,q\",z")
+  }
+
+  test("conditions: empty rule list passes; in with a scalar value is a config error") {
+    import graft.ops.Conditions
+    val df = Seq(("a", 1)).toDF("k", "v")
+    assert(df.filter(Conditions.combine(Nil)).count() == 1)
+    val bad = Conditions.Rule(col("k"), Conditions.In, "not-a-list")
+    val e = intercept[IllegalArgumentException](Conditions.compile(bad))
+    assert(e.getMessage.contains("needs a list value"))
+  }
+
   test("rewrite_tag re-injection: chained rules converge within the hop bound") {
     import graft.ops.RewriteTag
     val df = Seq((1L, "app.error"), (2L, "app.info"), (3L, "svc.error"))
