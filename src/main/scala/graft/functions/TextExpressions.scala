@@ -56,8 +56,170 @@ object WordShingles {
   }
 }
 
+/** `escaped_utf8` parser decoder as a native expression — single-pass
+  * scanner faithful to `src/flb_unescape.c:186` flb_unescape_string_utf8:
+  * simple escapes (\" \' \\ \/ \n \b \t \f \r, plus v/a via the escape
+  * reader), octal (≤3 digits), \xHH (≤2), \uXXXX with surrogate pairing
+  * (lone surrogates ⇒ U+FFFD), \UXXXXXXXX. A chain of regexp_replace
+  * calls cannot express this (replacement order corrupts `\\n`, and
+  * \uXXXX needs codepoint math).
+  */
+case class UnescapeUtf8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    UnescapeUtf8.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.UnescapeUtf8.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "unescape_utf8"
+}
+
+object UnescapeUtf8 {
+  private def hex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+  private def octal(c: Char): Boolean = c >= '0' && c <= '7'
+
+  /** Static entry shared by eval and generated code. */
+  def compute(s: UTF8String): UTF8String = {
+    val in = s.toString
+    val sb = new java.lang.StringBuilder(in.length)
+    var i = 0
+    while (i < in.length) {
+      val c = in.charAt(i)
+      if (c == '\\' && i + 1 < in.length) {
+        val n = in.charAt(i + 1)
+        n match {
+          case '"' | '\'' | '\\' | '/' => sb.append(n); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 'v' => sb.append(0x0B.toChar); i += 2
+          case 'a' => sb.append(0x07.toChar); i += 2
+          case 'x' =>
+            var j = i + 2; var v = 0; var d = 0
+            while (j < in.length && hex(in.charAt(j)) && d < 2) {
+              v = v * 16 + Character.digit(in.charAt(j), 16); j += 1; d += 1
+            }
+            if (d > 0) sb.appendCodePoint(v) else sb.append('x')
+            i = if (d > 0) j else i + 2
+          case 'u' =>
+            var j = i + 2; var v = 0; var d = 0
+            while (j < in.length && hex(in.charAt(j)) && d < 4) {
+              v = v * 16 + Character.digit(in.charAt(j), 16); j += 1; d += 1
+            }
+            if (d != 4) { sb.appendCodePoint(if (d > 0) 0xFFFD else 'u'); i = j }
+            else if (Character.isLowSurrogate(v.toChar)) { sb.appendCodePoint(0xFFFD); i = j }
+            else if (Character.isHighSurrogate(v.toChar)) {
+              // surrogate pair: expect \uXXXX low half next
+              if (j + 1 < in.length && in.charAt(j) == '\\' && in.charAt(j + 1) == 'u') {
+                var k = j + 2; var lo = 0; var dl = 0
+                while (k < in.length && hex(in.charAt(k)) && dl < 4) {
+                  lo = lo * 16 + Character.digit(in.charAt(k), 16); k += 1; dl += 1
+                }
+                if (dl == 4 && Character.isLowSurrogate(lo.toChar)) {
+                  sb.appendCodePoint(Character.toCodePoint(v.toChar, lo.toChar)); i = k
+                } else { sb.appendCodePoint(0xFFFD); i = k }
+              } else { sb.appendCodePoint(0xFFFD); i = j }
+            }
+            else { sb.appendCodePoint(v); i = j }
+          case 'U' =>
+            var j = i + 2; var v = 0; var d = 0
+            while (j < in.length && hex(in.charAt(j)) && d < 8) {
+              v = v * 16 + Character.digit(in.charAt(j), 16); j += 1; d += 1
+            }
+            if (d > 0 && v <= 0x10FFFF) sb.appendCodePoint(v)
+            else if (d > 0) sb.appendCodePoint(0xFFFD)
+            else sb.append('U')
+            i = if (d > 0) j else i + 2
+          case o if octal(o) =>
+            var j = i + 1; var v = 0; var d = 0
+            while (j < in.length && octal(in.charAt(j)) && d < 3) {
+              v = v * 8 + Character.digit(in.charAt(j), 8); j += 1; d += 1
+            }
+            sb.appendCodePoint(v); i = j
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** `mysql_quoted` parser decoder as a native expression — faithful to
+  * `src/flb_parser_decoder.c:114` decode_mysql_quoted +
+  * `src/flb_unescape.c` flb_mysql_unquote_string: strip a matching pair
+  * of surrounding single or double quotes, then unescape MySQL
+  * sequences (\n \r \t \\ \' \" \0 \Z); unknown escapes keep the
+  * backslash verbatim (which is why a regexp_replace chain can't model
+  * it — '\\n' must stay backslash-n, not newline).
+  */
+case class MysqlUnquote(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    MysqlUnquote.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MysqlUnquote.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "mysql_unquote"
+}
+
+object MysqlUnquote {
+  /** Static entry shared by eval and generated code. */
+  def compute(s: UTF8String): UTF8String = {
+    val raw = s.toString
+    if (raw.length < 2) return s
+    val quoted = (raw.charAt(0) == '\'' && raw.charAt(raw.length - 1) == '\'') ||
+      (raw.charAt(0) == '"' && raw.charAt(raw.length - 1) == '"')
+    if (!quoted) return s
+    val in = raw.substring(1, raw.length - 1)
+    val sb = new java.lang.StringBuilder(in.length)
+    var i = 0
+    while (i < in.length) {
+      val c = in.charAt(i)
+      if (c != '\\' || i + 1 >= in.length) { sb.append(c); i += 1 }
+      else {
+        in.charAt(i + 1) match {
+          case 'n' => sb.append('\n')
+          case 'r' => sb.append('\r')
+          case 't' => sb.append('\t')
+          case '\\' => sb.append('\\')
+          case '\'' => sb.append('\'')
+          case '"' => sb.append('"')
+          case '0' => sb.append(0x00.toChar)
+          case 'Z' => sb.append(0x1A.toChar)
+          case other => sb.append('\\').append(other)
+        }
+        i += 2
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
 object TextFunctions {
   /** All word n-grams of `text` (split on single spaces). */
   def wordShingles(text: Column, n: Int): Column =
     shim.column(WordShingles(shim.expression(text), n))
+
+  /** escaped_utf8 decoder (flb_parser_decoder.c:392-468). */
+  def unescapeUtf8(s: Column): Column =
+    shim.column(UnescapeUtf8(shim.expression(s)))
+
+  /** mysql_quoted decoder (flb_parser_decoder.c:114). */
+  def mysqlUnquote(s: Column): Column =
+    shim.column(MysqlUnquote(shim.expression(s)))
 }

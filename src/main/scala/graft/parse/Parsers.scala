@@ -177,4 +177,25 @@ object Parsers {
   def decodeJson(source: Column): Column =
     from_json(source, org.apache.spark.sql.types.MapType(
       org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+
+  /** `escaped_utf8` decoder (flb_parser_decoder.c:392-468 →
+    * flb_unescape_string_utf8): full escape grammar incl. \uXXXX with
+    * surrogate pairs — a codegen'd single-pass expression.
+    */
+  def decodeEscapedUtf8(source: Column): Column =
+    graft.functions.TextFunctions.unescapeUtf8(source)
+
+  /** `mysql_quoted` decoder (flb_parser_decoder.c:114): strip matching
+    * surrounding quotes, unescape MySQL sequences.
+    */
+  def decodeMysqlQuoted(source: Column): Column =
+    graft.functions.TextFunctions.mysqlUnquote(source)
+
+  /** Decoder chain — the `decode_field_as <backend> <field> do_next`
+    * rule list (flb_parser_decoder.c:677-690): each `as` step replaces
+    * the field value in place and `do_next` hands the result to the next
+    * rule, i.e. left-to-right composition.
+    */
+  def decodeChain(source: Column, decoders: Seq[Column => Column]): Column =
+    decoders.foldLeft(source)((c, d) => d(c))
 }

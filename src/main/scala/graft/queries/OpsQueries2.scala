@@ -236,6 +236,25 @@ object OpsQueries2 {
              FROM events""")
     ),
 
+    // flb_ra_translate template with ${ENV} interpolation + $TAG[n] +
+    // missing-key-renders-empty (ra.l/ra.y; record_accessor.c
+    // cb_translate). Env expands at plan time, exactly like the
+    // reference resolves ${...} when the accessor is created — the
+    // oracle bakes in the same value.
+    GraftQuery(
+      "ra_env_template",
+      (s, dir) => {
+        val le = Tables.logEvents(s, dir)
+        le.select(col("event_id"),
+          graft.route.RecordAccessor.translate(le,
+            "svc=${SERVICE}/$TAG[1] ev=$event_type#$event_id none=[$missing]",
+            env = Map("SERVICE" -> "graft").get).as("line"))
+      },
+      Some("""SELECT event_id,
+             'svc=graft/' || event_type || ' ev=' || event_type || '#' ||
+             CAST(event_id AS VARCHAR) || ' none=[]' AS line FROM events""")
+    ),
+
     // out_file formats json/csv/ltsv/template (file.c:472-580,987-1020).
     GraftQuery(
       "sink_file_formats",
@@ -337,6 +356,82 @@ object OpsQueries2 {
                     string_agg(chunk, '' ORDER BY event_id) AS message,
                     CAST(max(CASE WHEN flag = 'F' THEN 1 ELSE 0 END) AS BIGINT)
                       AS complete
+             FROM g GROUP BY user_id, grp""")
+    ),
+
+    // Docker multiline mode (flb_ml_parser_docker.c): JSON log lines;
+    // a `log` value ending in \n completes the record (ENDSWITH rule),
+    // partials concatenate; grouped by (key, stream) — stream is the
+    // reference's key_group.
+    GraftQuery(
+      "f_multiline_docker",
+      (s, dir) => {
+        val lines = Tables.events(s, dir).select(
+          col("user_id"), col("event_id"),
+          concat(lit("{\"log\": \""), substring(col("event_type"), 1, 3),
+            when(col("event_id") % 3 === 2, lit("\\n")).otherwise(lit("")),
+            lit("\", \"stream\": \""),
+            when(col("event_id") % 2 === 0, lit("stdout")).otherwise(lit("stderr")),
+            lit("\"}")).as("jline"))
+        graft.streaming.Multiline.assembleDockerBatch(
+          lines, Seq("user_id"), "event_id", "jline")
+      },
+      Some("""WITH lines AS (
+               SELECT user_id, event_id,
+                      '{"log": "' || substr(event_type, 1, 3) ||
+                      CASE WHEN event_id % 3 = 2 THEN '\n' ELSE '' END ||
+                      '", "stream": "' ||
+                      CASE WHEN event_id % 2 = 0 THEN 'stdout' ELSE 'stderr' END ||
+                      '"}' AS jline
+               FROM events),
+             parsed AS (
+               SELECT user_id, event_id,
+                      json_extract_string(jline, '$.log') AS log,
+                      json_extract_string(jline, '$.stream') AS stream,
+                      CASE WHEN json_extract_string(jline, '$.log')
+                           LIKE '%' || chr(10) THEN 1 ELSE 0 END AS fin
+               FROM lines),
+             g AS (
+               SELECT *, coalesce(sum(fin) OVER (
+                 PARTITION BY user_id, stream ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS grp
+               FROM parsed)
+             SELECT user_id, stream, min(event_id) AS first_event_id,
+                    count(*) AS n_parts,
+                    string_agg(log, '' ORDER BY event_id) AS message,
+                    CAST(max(fin) AS BIGINT) AS complete
+             FROM g GROUP BY user_id, stream, grp""")
+    ),
+
+    // Ruby multiline mode (flb_ml_parser_ruby.c rules): `  from
+    // path:NN:in ...` frames continue the exception line above them.
+    GraftQuery(
+      "f_multiline_ruby",
+      (s, dir) => {
+        val lines = Tables.events(s, dir).select(
+          col("user_id"), col("event_id"),
+          when(col("value") > 100,
+            concat(lit("app.rb:"), col("event_id"), lit(":in `handle'")))
+            .otherwise(concat(lit("  from lib/job.rb:"), col("event_id"),
+              lit(":in `call'"))).as("line"))
+        graft.streaming.Multiline.assembleBatch(
+          lines, Seq("user_id"), "event_id", "line",
+          graft.streaming.Multiline.Modes.ruby)
+      },
+      Some("""WITH lines AS (
+               SELECT user_id, event_id,
+                      CASE WHEN value > 100
+                           THEN 'app.rb:' || CAST(event_id AS VARCHAR) || ':in `handle'''
+                           ELSE '  from lib/job.rb:' || CAST(event_id AS VARCHAR) || ':in `call''' END AS line
+               FROM events),
+             g AS (
+               SELECT *, sum(CASE WHEN NOT regexp_matches(line,
+                                    '^\s+from\s+.*:\d+:in\s+')
+                                  THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY event_id) AS grp
+               FROM lines)
+             SELECT user_id, min(event_id) AS first_event_id, count(*) AS n_lines,
+                    string_agg(line, chr(10) ORDER BY event_id) AS message
              FROM g GROUP BY user_id, grp""")
     ),
 

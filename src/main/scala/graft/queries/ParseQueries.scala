@@ -187,6 +187,42 @@ object ParseQueries {
              SELECT doc_id, length(replace(esc, '\n', chr(10))) AS decoded_len,
                     length(esc) AS escaped_len
              FROM raw""")
+    ),
+
+    // Decoder chain (flb_parser_decoder.c:677-690 do_next/as rules):
+    // mysql_quoted strips the surrounding quotes and MySQL escapes
+    // (leaving the unknown \uXXXX untouched), then escaped_utf8 decodes
+    // the unicode escape — two `decode_field_as ... do_next` rules
+    // composing left-to-right. The oracle mirrors the FIXTURE's specific
+    // escapes with chained replaces (safe here because the fixture has
+    // no overlapping sequences); the Spark decoders themselves are
+    // general single-pass scanners.
+    GraftQuery(
+      "parse_decoder_chain",
+      (s, dir) => {
+        // data value per row: 'id <k> said \"hi\"\tto A end'
+        // (outer single quotes included; \u built by concat so the
+        // Scala lexer does not pre-decode it)
+        val raw = Tables.part(s, dir).select(col("p_partkey"),
+          concat(lit("'id "), col("p_partkey").cast("string"),
+            lit(" said \\\"hi\\\"\\tto " + "\\" + "u0041 end'")).as("q"))
+        raw.select(col("p_partkey"),
+          Parsers.decodeChain(col("q"),
+            Seq(Parsers.decodeMysqlQuoted _, Parsers.decodeEscapedUtf8 _))
+            .as("decoded"))
+      },
+      Some {
+        val u = "\\" + "u0041"
+        s"""WITH raw AS (
+             SELECT p_partkey,
+                    '''id ' || CAST(p_partkey AS VARCHAR) ||
+                    ' said \"hi\"\tto $u end''' AS q
+             FROM part)
+           SELECT p_partkey,
+                  replace(replace(replace(substr(q, 2, length(q) - 2),
+                    '\"', '"'), '\t', chr(9)), '$u', 'A') AS decoded
+           FROM raw"""
+      }
     )
   )
 }

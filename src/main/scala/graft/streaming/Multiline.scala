@@ -50,6 +50,13 @@ object Multiline {
       Rule(Set("start"), "^panic:", "cont"),
       Rule(Set("cont"), "^(goroutine |\\s+|\\S+\\.go:)", "cont")
     )
+    /** ruby exception traces (flb_ml_parser_ruby.c rules re-expressed):
+      * `path:NN:in method` opens a trace; `  from path:NN:in ...` frames
+      * continue it.
+      */
+    val ruby: Seq[Rule] = Seq(
+      Rule(Set("cont"), "^\\s+from\\s+.*:\\d+:in\\s+", "cont")
+    )
     /** CRI partial lines: `P` tag means continuation follows; `F` is the
       * final chunk (flb_ml_parser_cri.c concept).
       */
@@ -113,6 +120,38 @@ object Multiline {
           array_sort(collect_list(struct(col(orderCol), col(contentCol)))),
           s => s.getField(contentCol))).as("message"),
         max(when(col(flagCol) === "F", 1L).otherwise(0L)).as("complete"))
+      .drop("__grp")
+  }
+
+  /** Docker JSON-log partial assembly (flb_ml_parser_docker.c): each
+    * line is `{"log": "...", "stream": "stdout", ...}`; by the Docker
+    * log spec a `log` value ending in `\n` completes a record, anything
+    * else is a 16KB-split partial to be concatenated with what follows
+    * (ENDSWITH rule in the reference). Groups by (keyCols..., stream) —
+    * `stream` is the reference's key_group — and concatenates raw `log`
+    * contents without separators.
+    */
+  def assembleDockerBatch(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                          jsonCol: String): DataFrame = {
+    val parsed = df
+      .withColumn("__log", get_json_object(col(jsonCol), "$.log"))
+      .withColumn("stream", get_json_object(col(jsonCol), "$.stream"))
+      .withColumn("__fin",
+        when(coalesce(col("__log"), lit("")).endsWith("\n"), 1L).otherwise(0L))
+    val groupKeys = keyCols :+ "stream"
+    val w = Window.partitionBy(groupKeys.map(col): _*).orderBy(col(orderCol))
+    val grouped = parsed.withColumn("__grp",
+      coalesce(sum(col("__fin")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    grouped
+      .groupBy((groupKeys.map(col) :+ col("__grp")): _*)
+      .agg(
+        min(col(orderCol)).as("first_" + orderCol),
+        count(lit(1)).as("n_parts"),
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col(orderCol), col("__log")))),
+          s => s.getField("__log"))).as("message"),
+        max(col("__fin")).as("complete"))
       .drop("__grp")
   }
 

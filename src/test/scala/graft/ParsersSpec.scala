@@ -59,4 +59,27 @@ class ParsersSpec extends AnyFunSuite {
     val out = df.select(Parsers.decodeEscaped(col("s"))).as[String].head()
     assert(out == "line1\nline2\ttabbed\"q\"")
   }
+
+  test("escaped_utf8 decoder: unicode escapes, surrogate pairs, octal/hex") {
+    val u = "\\" + "u0041"                 // A -> A
+    val pair = "\\" + "uD83D" + "\\" + "uDE00" // surrogate pair -> U+1F600
+    val lone = "\\" + "uDC00"              // lone low surrogate -> U+FFFD
+    val df = Seq(s"$u \\x41 \\101 $pair $lone \\n \\q").toDF("s")
+    val out = df.select(Parsers.decodeEscapedUtf8(col("s"))).as[String].head()
+    assert(out == s"A A A ${new String(Character.toChars(0x1F600))} � \n q")
+  }
+
+  test("mysql_quoted decoder: quote stripping, mysql escapes, unknowns kept") {
+    val df = Seq(
+      "'He said \\\"hi\\\"\\tand left\\Z'",
+      "\"double\\nquoted\"",
+      "unquoted stays",
+      "'keep \\q unknown'"
+    ).toDF("s")
+    val out = df.select(Parsers.decodeMysqlQuoted(col("s"))).as[String].collect()
+    assert(out(0) == "He said \"hi\"\tand left" + 0x1A.toChar) // SUB from the Z escape
+    assert(out(1) == "double\nquoted")
+    assert(out(2) == "unquoted stays")
+    assert(out(3) == "keep \\q unknown") // unknown escape keeps the backslash
+  }
 }
