@@ -48,4 +48,35 @@ object Sources {
       case Some(c) => df.withColumn("tag", concat(lit(base + "."), col(c)))
       case None => df.withColumn("tag", lit(base))
     }
+
+  // ------------------------------------------------------- network push
+
+  /** in_tcp (plugins/in_tcp): a LISTENING newline-framed TCP source —
+    * peers connect and push; rows are (value, ts). See
+    * [[TcpServerSource]] for the delivery semantics.
+    */
+  def tcpLines(spark: SparkSession, port: Int,
+               host: String = "127.0.0.1"): DataFrame =
+    spark.readStream.format("graft.sources.TcpServerSource")
+      .option("port", port).option("host", host).load()
+
+  /** RFC5424 pattern shared with the parse_syslog5424 oracle query
+    * (reference conf/parsers.conf `syslog-rfc5424`).
+    */
+  val Rfc5424Pattern: String =
+    "^<(?<pri>[0-9]{1,5})>1 (?<time>[^ ]+) (?<host>[^ ]+) (?<ident>[^ ]+) " +
+      "(?<pid>[-0-9]+) (?<msgid>[^ ]+) (?<extradata>(\\[.*?\\]|-)) (?<message>.+)$"
+
+  /** in_syslog, tcp transport (plugins/in_syslog/syslog_conf.c shape):
+    * listening socket + RFC5424 parse + `syslog.<ident>` tagging — the
+    * full push path, ready for [[graft.streaming.Streams.routeToSinks]].
+    */
+  def syslogTcp(spark: SparkSession, port: Int,
+                host: String = "127.0.0.1"): DataFrame = {
+    val raw = tcpLines(spark, port, host)
+    graft.parse.Parsers.regex(raw, col("value"), Rfc5424Pattern,
+      types = Map("pri" -> "int", "pid" -> "long"))
+      .withColumn("tag", concat(lit("syslog."),
+        coalesce(col("ident"), lit("unparsed"))))
+  }
 }

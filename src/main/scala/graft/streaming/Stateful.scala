@@ -19,27 +19,38 @@ object Stateful {
   /** CREATE SNAPSHOT / FLUSH SNAPSHOT (flb_sp.c:403-432): per-tag ring
     * buffer bounded by `maxRecords` and `seconds`; when `flushWhen`
     * matches an incoming record, the buffered records are re-emitted.
+    * Ring CONTENT is bounded, but tag cardinality is not — a dead tag's
+    * state evicts after `idleTimeoutMs` of processing-time silence
+    * (round-2 review: NoTimeout kept dead-tag state forever).
     */
   def snapshotFlush(spark: SparkSession, recs: Dataset[Rec],
                     maxRecords: Int, seconds: Long,
-                    flushWhen: Rec => Boolean): Dataset[Rec] = {
+                    flushWhen: Rec => Boolean,
+                    idleTimeoutMs: Long = 60000): Dataset[Rec] = {
     import spark.implicits._
     recs.groupByKey(_.tag)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
         (_: String, it: Iterator[Rec], state: GroupState[SnapshotState]) => {
-          var buf = state.getOption.map(_.buffer).getOrElse(Nil)
-          val out = scala.collection.mutable.ArrayBuffer[Rec]()
-          it.toSeq.sortBy(_.tsSec).foreach { r =>
-            if (flushWhen(r)) {
-              out ++= buf.reverse
-              buf = Nil
+          if (state.hasTimedOut) {
+            // dead tag: discard the ring (a snapshot only emits on FLUSH)
+            state.remove()
+            Iterator.empty
+          } else {
+            var buf = state.getOption.map(_.buffer).getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer[Rec]()
+            it.toSeq.sortBy(_.tsSec).foreach { r =>
+              if (flushWhen(r)) {
+                out ++= buf.reverse
+                buf = Nil
+              }
+              buf = (r :: buf)
+                .filter(_.tsSec > r.tsSec - seconds)
+                .take(maxRecords)
             }
-            buf = (r :: buf)
-              .filter(_.tsSec > r.tsSec - seconds)
-              .take(maxRecords)
+            state.update(SnapshotState(buf))
+            state.setTimeoutDuration(idleTimeoutMs)
+            out.iterator
           }
-          state.update(SnapshotState(buf))
-          out.iterator
         })
   }
 
@@ -50,25 +61,36 @@ object Stateful {
   /** filter_throttle streaming twin (throttle.c:190): token bucket per
     * key — at most `rate` records per `paneSeconds`, decided on
     * event-time; excess records drop (the reference drops, not delays).
+    * Per-key state is one (pane, counter) pair, but key cardinality is
+    * unbounded — idle keys evict after `idleTimeoutMs` (an evicted key
+    * restarts with a fresh pane, which only ever ADMITS records the old
+    * counter might have dropped; matches the reference pruning stale
+    * panes from its window table, window.c:58-105).
     */
   def throttle(spark: SparkSession, recs: Dataset[Rec], rate: Long,
-               paneSeconds: Long): Dataset[Rec] = {
+               paneSeconds: Long, idleTimeoutMs: Long = 60000): Dataset[Rec] = {
     import spark.implicits._
     recs.groupByKey(_.tag)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
         (_: String, it: Iterator[Rec], state: GroupState[BucketState]) => {
-          var st = state.getOption.getOrElse(BucketState(Long.MinValue, 0))
-          val out = scala.collection.mutable.ArrayBuffer[Rec]()
-          it.toSeq.sortBy(_.tsSec).foreach { r =>
-            val pane = r.tsSec - (r.tsSec % paneSeconds)
-            if (pane != st.paneStart) st = BucketState(pane, 0)
-            if (st.emitted < rate) {
-              out += r
-              st = st.copy(emitted = st.emitted + 1)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(BucketState(Long.MinValue, 0))
+            val out = scala.collection.mutable.ArrayBuffer[Rec]()
+            it.toSeq.sortBy(_.tsSec).foreach { r =>
+              val pane = r.tsSec - (r.tsSec % paneSeconds)
+              if (pane != st.paneStart) st = BucketState(pane, 0)
+              if (st.emitted < rate) {
+                out += r
+                st = st.copy(emitted = st.emitted + 1)
+              }
             }
+            state.update(st)
+            state.setTimeoutDuration(idleTimeoutMs)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
         })
   }
 

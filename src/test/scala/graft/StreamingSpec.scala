@@ -88,7 +88,7 @@ class StreamingSpec extends AnyFunSuite {
     try {
       in.addData((1 to 6).map(i => Rec("k1", 100L + i % 5, s"r$i")): _*)
       in.addData(Rec("k1", 115L, "next_pane"), Rec("k2", 100L, "other_key"))
-      q.processAllAvailable() // NoTimeout state: safe
+      awaitRows("thr_out", 4) // timeout-registered state: poll, never processAllAvailable
     } finally q.stop()
     val got = spark.table("thr_out").as[Rec].collect()
     assert(got.count(r => r.tag == "k1" && r.tsSec < 110) == 2) // capped
@@ -104,12 +104,45 @@ class StreamingSpec extends AnyFunSuite {
     val q = startToMemory(out, "snap_out")
     try {
       in.addData(Rec("t", 1, "a"), Rec("t", 2, "b"))
-      q.processAllAvailable()
       in.addData(Rec("t", 3, "ALERT now"))
-      q.processAllAvailable() // NoTimeout state: safe
+      awaitRows("snap_out", 2) // timeout-registered state: poll
     } finally q.stop()
     val got = spark.table("snap_out").as[Rec].collect().map(_.body).toSet
     assert(got == Set("a", "b")) // buffered history re-emitted on flush
+  }
+
+  test("snapshot dead-tag state evicts on idle timeout: later flush finds nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Rec]
+    val out = Stateful.snapshotFlush(spark, in.toDS(), maxRecords = 10,
+      seconds = 100, flushWhen = _.body.contains("ALERT"), idleTimeoutMs = 300)
+    val q = startToMemory(out, "snap_evict")
+    try {
+      in.addData(Rec("t", 1, "a"), Rec("t", 2, "b"))
+      Thread.sleep(2000) // > idleTimeoutMs: the ring for tag t evicts
+      in.addData(Rec("t", 3, "ALERT now"))
+      Thread.sleep(1500) // give the flush batch time to run
+      assert(spark.table("snap_evict").count() == 0,
+        "evicted ring must not re-emit buffered history")
+    } finally q.stop()
+  }
+
+  test("throttle idle key evicts: the pane counter resets after timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Rec]
+    // one giant pane: without eviction the second record could never pass
+    val out = Stateful.throttle(spark, in.toDS(), rate = 1,
+      paneSeconds = 1000000L, idleTimeoutMs = 300)
+    val q = startToMemory(out, "thr_evict")
+    try {
+      in.addData(Rec("k", 10, "first"))
+      awaitRows("thr_evict", 1)
+      Thread.sleep(2000) // > idleTimeoutMs: bucket state evicts
+      in.addData(Rec("k", 20, "after_evict"))
+      awaitRows("thr_evict", 2) // fresh bucket admits it again
+    } finally q.stop()
+    val got = spark.table("thr_evict").as[Rec].collect().map(_.body).toSet
+    assert(got == Set("first", "after_evict"))
   }
 
   test("tail sampling keeps error traces, drops clean ones") {
@@ -129,6 +162,41 @@ class StreamingSpec extends AnyFunSuite {
     val got = spark.table("tail_out").as[Span].collect()
     assert(got.map(_.traceId).toSet == Set("trace_err"))
     assert(got.length == 2) // whole trace, all spans
+  }
+
+  test("tcp push source e2e: raw RFC5424 lines in, parsed tag-routed rows out") {
+    import org.apache.spark.sql.functions._
+    // find a free port (bind ephemeral, note it, release)
+    val probe = new java.net.ServerSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+
+    val parsed = graft.sources.Sources.syslogTcp(spark, port)
+    // tag-route like routeToSinks would: only the app1 ident reaches this sink
+    val routed = parsed.filter(graft.route.Router.tagMatch(col("tag"), "syslog.app1"))
+      .select("pri", "host", "ident", "message", "tag")
+    val q = routed.writeStream.format("memory").queryName("tcp_syslog")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      // the server socket binds when the stream starts; wait for it
+      var sock: java.net.Socket = null
+      val deadline = System.currentTimeMillis + 30000
+      while (sock == null && System.currentTimeMillis < deadline) {
+        try sock = new java.net.Socket("127.0.0.1", port)
+        catch { case _: java.net.ConnectException => Thread.sleep(100) }
+      }
+      assert(sock != null, s"could not connect to tcp source on $port")
+      val w = new java.io.PrintWriter(sock.getOutputStream, true)
+      w.println("<14>1 2024-01-01T00:00:00Z h1 app1 101 - [k=1] hello from app1")
+      w.println("<13>1 2024-01-01T00:00:01Z h2 app2 102 - - other ident, routed away")
+      w.println("<15>1 2024-01-01T00:00:02Z h3 app1 103 - - second app1 line")
+      w.flush()
+      awaitRows("tcp_syslog", 2)
+      sock.close()
+    } finally q.stop()
+    val got = spark.table("tcp_syslog")
+      .select("pri", "host", "message").as[(Int, String, String)].collect().toSet
+    assert(got == Set((14, "h1", "hello from app1"), (15, "h3", "second app1 line")))
   }
 
   test("FluentQL WINDOW TUMBLING on a streaming source compiles to event-time window") {
