@@ -125,14 +125,11 @@ object ExtQueries {
       }
     ),
 
-    // SimHash banded-hamming near-dup pairs (4×4-bit bands over the
-    // portable 16-bit signature; pigeonhole guarantees hamming≤3 pairs
+    // SimHash banded-hamming near-dup pairs (2×8-bit bands over the
+    // portable 16-bit signature; pigeonhole guarantees hamming≤1 pairs
     // share a band, so candidates are an equi-join, never all-pairs).
     GraftQuery(
       "x_dedup_simhash_pairs",
-      // maxHamming=1 for the gated run: the 16-bit signature space makes
-      // h<=3 pairs plentiful on correlated corpora (42k rows at sf0.01);
-      // h<=1 still exercises band join + hamming verify at bounded size.
       (s, dir) =>
         Dedup.simhashPairs16(
           Dedup.simhash16(Tables.documents(s, dir), col("doc_id"), col("text")),
@@ -152,13 +149,14 @@ object ExtQueries {
            sg AS (SELECT doc_id, $bits AS simhash16 FROM v),
            bands AS (
              SELECT doc_id, simhash16, t.b,
-                    substr(simhash16, CAST(t.b * 4 + 1 AS INT), 4) AS bsig
-             FROM sg, (SELECT unnest(range(0, 4)) AS b) t),
+                    substr(simhash16, CAST(t.b * 8 + 1 AS INT), 8) AS bsig
+             FROM sg, (SELECT unnest(range(0, 2)) AS b) t),
            cand AS (
-             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                     a.simhash16 AS ha, b.simhash16 AS hb
              FROM bands a JOIN bands b
-               ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+               ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+             WHERE a.b = 0 OR substr(a.simhash16, 1, 8) <> substr(b.simhash16, 1, 8))
            SELECT doc_a, doc_b, hamming FROM (
              SELECT doc_a, doc_b, $ham AS hamming FROM cand)
            WHERE hamming <= 1"""
