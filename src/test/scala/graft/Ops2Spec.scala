@@ -34,6 +34,24 @@ class Ops2Spec extends AnyFunSuite {
     assert(!out.exists(_.body.get("k").contains("drop_me")))
   }
 
+  test("avro sink golden: container files round-trip typed records per partition") {
+    import graft.sinks.AvroSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro").toString
+    val df = Seq(
+      (1L, "app.a", 1.5, true, "hello"),
+      (2L, "app.b", -0.25, false, null: String)
+    ).toDF("id", "tag", "score", "ok", "msg").repartition(2)
+    AvroSink.write(df, dir)
+    val got = AvroSink.readAll(dir).map(m => m("id") -> m).toMap
+    assert(got.size == 2)
+    assert(got(1L)("tag") == "app.a" && got(1L)("score") == 1.5 && got(1L)("ok") == true)
+    assert(got(2L)("msg") == null) // nullable column -> avro null union
+    // schema is faithful: long/double/boolean/string + null unions
+    val s = AvroSink.avroSchema(df.schema)
+    assert(s.getField("id").schema().toString.contains("long"))
+    assert(s.getField("msg").schema().getTypes.size() == 2)
+  }
+
   test("throttle_size admit-only: a dropped record's bytes do not consume budget") {
     import graft.ops.ThrottleSize
     // sizes 50, 30, 5 with cap 60: 50 admitted, 30 dropped (80 > 60),
