@@ -15,6 +15,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // wide MinHash aggregates (k=128 min-columns) must stay inside
+      // whole-stage codegen; the default maxFields=100 silently drops them
+      .config("spark.sql.codegen.maxFields", "256")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

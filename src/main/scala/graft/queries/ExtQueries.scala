@@ -11,13 +11,17 @@ import graft.text.TextAnalysis
   */
 object ExtQueries {
 
-  /** Shared DuckDB CTEs: 3-gram shingles → k=128 numeric minhashes
+  /** Shared DuckDB CTEs: 3-gram shingles → k numeric minhashes
     * (universal hash family (a_i·x + b_i) mod 2^31-1 over the 32-bit md5
-    * slice x, constants from Dedup.hashParams) → 32 bands of 4 →
+    * slice x, constants from Dedup.hashParams) → k/r bands of r →
     * candidate pairs (mirror of Dedup.shingles/minhash/bandSignatures/
     * candidatePairs).
     */
-  private val MinhashK = 128
+  // k=64, r=4 => 16 bands, candidate threshold (1/16)^(1/4) = 0.5 —
+  // the tuned gate configuration (the library default minhashLsh keeps
+  // k=128 for recall-critical dedup; the oracle mirrors whatever k is
+  // used here via the shared constants).
+  private val MinhashK = 64
   private val RowsPerBand = 4
   private val HashParamRows = Dedup.hashParams(MinhashK).zipWithIndex
     .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
@@ -85,7 +89,8 @@ object ExtQueries {
       "x_dedup_jaccard",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        Dedup.minhashLsh(docs, col("doc_id"), col("text"))
+        Dedup.minhashLsh(docs, col("doc_id"), col("text"),
+          k = MinhashK, rowsPerBand = RowsPerBand)
           .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 3).as("jac"))
       },
       Some(LshCtes + """,

@@ -73,22 +73,31 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * derived from md5 so any engine reproduces the same planes —
-    * hex char code mapped to a signed weight.
+    * hex char code mapped to a signed weight. Computed DRIVER-SIDE into
+    * literal arrays: the equivalent Column formula
+    * (`transform(sequence(...), d -> ascii(substr(md5(...))))`) is a
+    * higher-order lambda Catalyst does NOT constant-fold, so it ran 2M
+    * interpreted md5 calls per 2k-vector corpus in round 2.
     */
-  def planeComponent(plane: Int, dim: Column): Column =
-    (ascii(substring(md5(concat(lit(plane.toString), lit("_"), dim)), 1, 1)) - lit(80))
-      .cast("double")
+  def planeWeight(plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${plane}_$dim".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (hex.charAt(0).toInt - 80).toDouble
+  }
 
-  /** Random-hyperplane LSH signature (`nPlanes` sign bits) per vector.
-    * The plane matrix is a constant-foldable literal array per plane, so
-    * each signature is `nPlanes` codegen'd dot products over the vector.
+  /** The full plane as a literal weight vector. */
+  def planeWeights(plane: Int, dims: Int): Array[Double] =
+    (0 until dims).map(d => planeWeight(plane, d)).toArray
+
+  /** Random-hyperplane LSH signature (`nPlanes` sign bits) per vector:
+    * `nPlanes` codegen'd dot products against literal plane vectors.
     */
   def lshSignature(df: DataFrame, idCol: String, vecCol: String,
                    nPlanes: Int, dims: Int): DataFrame = {
     val sigBits = (0 until nPlanes).map { p =>
-      val planeVec = transform(sequence(lit(0), lit(dims - 1)),
-        d => planeComponent(p, d.cast("string")))
-      when(dot(col(vecCol), planeVec) >= 0, lit("1")).otherwise(lit("0"))
+      when(dot(col(vecCol), lit(planeWeights(p, dims))) >= 0, lit("1"))
+        .otherwise(lit("0"))
     }
     df.select(col(idCol), concat(sigBits: _*).as("lsh_sig"))
   }
@@ -177,9 +186,8 @@ object Similarity {
                     nPlanes: Int, dims: Int, nTables: Int): DataFrame = {
     val tables = (0 until nTables).map { t =>
       val bits = (0 until nPlanes).map { p =>
-        val planeVec = transform(sequence(lit(0), lit(dims - 1)),
-          d => planeComponent(t * nPlanes + p, d.cast("string")))
-        when(dot(col(vecCol), planeVec) >= 0, lit("1")).otherwise(lit("0"))
+        when(dot(col(vecCol), lit(planeWeights(t * nPlanes + p, dims))) >= 0,
+          lit("1")).otherwise(lit("0"))
       }
       struct(lit(t).as("table"), concat(bits: _*).as("sig"))
     }

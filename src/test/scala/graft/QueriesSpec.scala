@@ -7,6 +7,7 @@ object TestSpark {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.codegen.maxFields", "256") // k=128 minhash agg stays codegen'd
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
