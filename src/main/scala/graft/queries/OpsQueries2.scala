@@ -220,6 +220,46 @@ object OpsQueries2 {
              WHERE rnk <= 5""")
     ),
 
+    // filter_sysinfo (sysinfo.c:175) / filter_aws (aws.c:956): append a
+    // static host/environment snapshot as constant columns (the IMDS
+    // fetch happens once at startup in the reference; here the snapshot
+    // is plan-time literals — constant-folded, zero per-row cost).
+    GraftQuery(
+      "f_sysinfo",
+      (s, dir) =>
+        Enrich.staticFields(Tables.events(s, dir), Seq(
+          "hostname" -> lit("graft-node-1"),
+          "os_name" -> lit("linux"),
+          "az" -> lit("us-east-1a"),
+          "instance_id" -> lit("i-0abc123")))
+          .select(col("event_id"), col("hostname"), col("os_name"),
+            col("az"), col("instance_id")),
+      Some("""SELECT event_id, 'graft-node-1' AS hostname, 'linux' AS os_name,
+             'us-east-1a' AS az, 'i-0abc123' AS instance_id FROM events""")
+    ),
+
+    // filter_ecs (ecs.c:1447): per-record task/container metadata join —
+    // broadcast dim keyed by the container hash, fact side never
+    // shuffles (same plan shape PlanSpec pins for kubernetes).
+    GraftQuery(
+      "f_ecs_metadata",
+      (s, dir) => {
+        val dim = Tables.nation(s, dir).select(
+          col("n_nationkey").as("container_group"),
+          concat(lit("cluster-"), col("n_name")).as("ecs_cluster"),
+          concat(lit("arn:task/"), col("n_name")).as("ecs_task_arn"))
+        Enrich.metadataJoin(
+          Tables.events(s, dir).withColumn("container_group", col("user_id") % 25),
+          dim, Seq("container_group"),
+          select = Seq("ecs_cluster" -> "cluster", "ecs_task_arn" -> "task_arn"))
+          .select(col("event_id"), col("cluster"), col("task_arn"))
+      },
+      Some("""SELECT e.event_id,
+             'cluster-' || n.n_name AS cluster,
+             'arn:task/' || n.n_name AS task_arn
+             FROM events e LEFT JOIN nation n ON e.user_id % 25 = n.n_nationkey""")
+    ),
+
     // Record accessor $TAG / $TAG[n] (ra.y; tag part split at
     // record_accessor.c patterns): dot-separated tag parts.
     GraftQuery(

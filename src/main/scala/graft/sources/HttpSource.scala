@@ -1,0 +1,167 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader, OutputStreamWriter}
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.{StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTTP push source — the analogue of the reference's `plugins/in_http`
+  * (and the HEC/bulk-style cousins): clients POST newline-delimited
+  * records; each body line becomes a row (value, path, ts) and the
+  * server answers `201 Created` like in_http's default success code.
+  * The request path is surfaced so callers can tag from the URI
+  * (in_http's tag_from_uri behavior).
+  *
+  * Same micro-batch design (and the same at-most-once, ingest-edge
+  * delivery contract) as [[TcpServerSource]].
+  */
+class HttpServerSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    HttpServerSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val port = Option(properties.get("port")).map(_.toInt).getOrElse(
+      throw new IllegalArgumentException("http source requires option 'port'"))
+    val host = Option(properties.get("host")).getOrElse("127.0.0.1")
+    new HttpTable(host, port)
+  }
+}
+
+object HttpServerSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("value", StringType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("ts", TimestampType, nullable = false)))
+}
+
+private[sources] class HttpTable(host: String, port: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"http://$host:$port"
+  override def schema(): StructType = HttpServerSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = HttpServerSource.Schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new HttpMicroBatchStream(host, port)
+      }
+    }
+}
+
+private[sources] class HttpMicroBatchStream(host: String, port: Int)
+    extends MicroBatchStream {
+
+  private val buf = new scala.collection.mutable.ArrayBuffer[(String, String, Long)]
+  @volatile private var stopped = false
+  private val server = new ServerSocket()
+  server.bind(new InetSocketAddress(host, port))
+
+  private val acceptThread = new Thread(() => {
+    while (!stopped) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => handle(sock), "graft-http-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case _: Throwable if stopped =>
+        case e: Throwable => if (!stopped) e.printStackTrace()
+      }
+    }
+  }, s"graft-http-accept-$port")
+  acceptThread.setDaemon(true)
+  acceptThread.start()
+
+  /** Minimal HTTP/1.1: request line + headers, Content-Length body,
+    * NDJSON lines → records, reply 201 (in_http's success status).
+    */
+  private def handle(sock: Socket): Unit = {
+    try {
+      val in = new BufferedReader(
+        new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+      val out = new OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8)
+      var requestLine = in.readLine()
+      while (requestLine != null && requestLine.nonEmpty) {
+        val parts = requestLine.split(" ")
+        val (method, path) =
+          (parts.lift(0).getOrElse(""), parts.lift(1).getOrElse("/"))
+        var contentLength = 0
+        var h = in.readLine()
+        while (h != null && h.nonEmpty) {
+          val i = h.indexOf(':')
+          if (i > 0 && h.substring(0, i).equalsIgnoreCase("content-length"))
+            contentLength = h.substring(i + 1).trim.toInt
+          h = in.readLine()
+        }
+        val body = new Array[Char](contentLength)
+        var read = 0
+        while (read < contentLength) {
+          val n = in.read(body, read, contentLength - read)
+          if (n < 0) throw new java.io.EOFException
+          read += n
+        }
+        if (method == "POST" && contentLength > 0) {
+          val now = System.currentTimeMillis()
+          val lines = new String(body).split("\n").filter(_.nonEmpty)
+          buf.synchronized { lines.foreach(l => buf += ((l, path, now))) }
+          out.write("HTTP/1.1 201 Created\r\nContent-Length: 0\r\n\r\n")
+        } else {
+          out.write("HTTP/1.1 400 Bad Request\r\nContent-Length: 0\r\n\r\n")
+        }
+        out.flush()
+        requestLine = in.readLine() // keep-alive: next request or null
+      }
+    } catch { case _: Throwable => /* peer went away */ }
+    finally sock.close()
+  }
+
+  override def initialOffset(): Offset = TcpOffset(0)
+  override def latestOffset(): Offset = TcpOffset(buf.synchronized(buf.size.toLong))
+  override def deserializeOffset(json: String): Offset = TcpOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[TcpOffset].n.toInt
+    val e = end.asInstanceOf[TcpOffset].n.toInt
+    Array(HttpPartition(buf.synchronized(buf.slice(s, e).toArray)))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = HttpReaderFactory
+
+  override def commit(end: Offset): Unit = {}
+
+  override def stop(): Unit = {
+    stopped = true
+    try server.close() catch { case _: Throwable => }
+  }
+}
+
+private[sources] case class HttpPartition(rows: Array[(String, String, Long)])
+    extends InputPartition
+
+private[sources] object HttpReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val rows = partition.asInstanceOf[HttpPartition].rows
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = {
+        val (v, p, tsMs) = rows(i)
+        InternalRow(UTF8String.fromString(v), UTF8String.fromString(p), tsMs * 1000L)
+      }
+      override def close(): Unit = {}
+    }
+  }
+}

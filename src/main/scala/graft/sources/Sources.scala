@@ -67,6 +67,17 @@ object Sources {
     "^<(?<pri>[0-9]{1,5})>1 (?<time>[^ ]+) (?<host>[^ ]+) (?<ident>[^ ]+) " +
       "(?<pid>[-0-9]+) (?<msgid>[^ ]+) (?<extradata>(\\[.*?\\]|-)) (?<message>.+)$"
 
+  /** in_http (plugins/in_http): listening HTTP source; POSTed NDJSON
+    * lines become rows (value, path, ts); tag from the URI path like
+    * in_http's tag_from_uri (leading '/' stripped, '/' → '.').
+    */
+  def httpLines(spark: SparkSession, port: Int,
+                host: String = "127.0.0.1"): DataFrame =
+    spark.readStream.format("graft.sources.HttpServerSource")
+      .option("port", port).option("host", host).load()
+      .withColumn("tag",
+        regexp_replace(regexp_replace(col("path"), "^/", ""), "/", "."))
+
   /** in_syslog, tcp transport (plugins/in_syslog/syslog_conf.c shape):
     * listening socket + RFC5424 parse + `syslog.<ident>` tagging — the
     * full push path, ready for [[graft.streaming.Streams.routeToSinks]].

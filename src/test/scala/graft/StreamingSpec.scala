@@ -199,6 +199,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((14, "h1", "hello from app1"), (15, "h3", "second app1 line")))
   }
 
+  test("http push source e2e: POSTed NDJSON in, tagged parsed rows out") {
+    import org.apache.spark.sql.functions._
+    val probe = new java.net.ServerSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+
+    val src = graft.sources.Sources.httpLines(spark, port)
+    val parsed = src.withColumn("rec", from_json(col("value"),
+      org.apache.spark.sql.types.StructType.fromDDL("level STRING, msg STRING")))
+      .select(col("tag"), col("rec.level").as("level"), col("rec.msg").as("msg"))
+    val q = parsed.writeStream.format("memory").queryName("http_in")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      val deadline = System.currentTimeMillis + 30000
+      var code = -1
+      while (code != 201 && System.currentTimeMillis < deadline) {
+        try {
+          val url = java.net.URI.create(s"http://127.0.0.1:$port/logs/app").toURL
+          val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+          conn.setRequestMethod("POST")
+          conn.setDoOutput(true)
+          val body = "{\"level\":\"info\",\"msg\":\"hello\"}\n{\"level\":\"error\",\"msg\":\"boom\"}\n"
+          conn.getOutputStream.write(body.getBytes("UTF-8"))
+          code = conn.getResponseCode
+          conn.disconnect()
+        } catch { case _: java.net.ConnectException => Thread.sleep(100) }
+      }
+      assert(code == 201, s"POST not accepted (last code $code)")
+      awaitRows("http_in", 2)
+    } finally q.stop()
+    val got = spark.table("http_in").as[(String, String, String)].collect().toSet
+    assert(got == Set(("logs.app", "info", "hello"), ("logs.app", "error", "boom")))
+  }
+
   test("FluentQL WINDOW TUMBLING on a streaming source compiles to event-time window") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
