@@ -95,6 +95,20 @@ class FluentQLSpec extends AnyFunSuite {
     assert(t.getAs[Long]("mx") == 8L) // id=10 (bool=true) filtered by IS NOT NULL
   }
 
+  test("<> inequality with numeric coercion (select_not_equal_2)") {
+    // bytes <> 10: every record whose bytes parses and differs from 10 —
+    // all 11 rows here (none equals exactly 10; '10.30'/'10.29' differ).
+    val out = run("SELECT id FROM STREAM:FLB WHERE bytes <> 10;")
+    assert(out.count() == 11)
+  }
+
+  test("TAG:'no-matches' selects nothing (select_from_tag_error)") {
+    val none = run("SELECT id FROM TAG:'no-matches' WHERE bytes > 10;")
+    assert(none.count() == 0)
+    val some = run("SELECT id FROM TAG:'samples' WHERE bytes > 10;")
+    assert(some.count() > 0)
+  }
+
   test("@record.contains() key-existence predicate") {
     val ids = run("SELECT id FROM TAG:'sam*' WHERE @record.contains(word2);")
       .as[Long].collect().toSet
