@@ -64,6 +64,21 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("bucketed tables join with no exchange on either side") {
+    val docs = Registry.queries("x_dedup_exact")(spark, sf) // any keyed frame
+      .select("keep_id", "n_dups")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    graft.model.Layout.writeBucketed(docs, "docs_a", s"$dir/a", "keep_id", 4)
+    graft.model.Layout.writeBucketed(
+      docs.withColumnRenamed("n_dups", "n2"), "docs_b", s"$dir/b", "keep_id", 4)
+    val j = spark.table("docs_a").join(spark.table("docs_b"), "keep_id")
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "co-located bucketed join must not shuffle:\n" + plan.take(2500))
+    spark.sql("DROP TABLE docs_a"); spark.sql("DROP TABLE docs_b")
+  }
+
   test("throttle partitions by (key, pane), never globally") {
     val df = Registry.queries("f_throttle")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
