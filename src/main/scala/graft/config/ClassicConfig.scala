@@ -1,0 +1,231 @@
+package graft.config
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Modify, ParserFilter, RewriteTag}
+import graft.route.Router
+import graft.sinks.Formats
+import graft.sql.Planner
+
+/** Classic-mode configuration frontend — the reference's ini-style
+  * `[SECTION]` + indented `key value` files (`conf/fluent-bit.conf`,
+  * parsed by `src/flb_config.c` / `src/flb_cf_fluentbit.c`): the way
+  * fluent-bit users actually declare pipelines. A config assembles into
+  * tag-routed DataFrames: inputs → ordered filters (each gated by its
+  * `Match` pattern) → stream-processor tasks → formatted outputs.
+  *
+  * Batch-shaped for determinism (the same operator objects run
+  * streaming; swap the input frames for readStream sources). Supported
+  * sections/plugins cover the core path: INPUT tail/dummy/injected,
+  * FILTER grep / modify / record_modifier / parser / rewrite_tag,
+  * PARSER format regex, STREAM_TASK (FluentQL), OUTPUT file
+  * (json/plain/csv/ltsv) / stdout / null.
+  */
+object ClassicConfig {
+
+  final case class Section(name: String, props: Seq[(String, String)]) {
+    def get(k: String): Option[String] =
+      props.collectFirst { case (kk, v) if kk.equalsIgnoreCase(k) => v }
+    def all(k: String): Seq[String] =
+      props.collect { case (kk, v) if kk.equalsIgnoreCase(k) => v }
+    def required(k: String): String = get(k).getOrElse(
+      throw new IllegalArgumentException(s"[$name] missing '$k'"))
+  }
+
+  /** Parse the classic format: `[NAME]` headers, indented `key value`
+    * entries (first token = key, remainder = value), `#` comments.
+    * Repeated keys are kept in order (grep rules, modify ops).
+    */
+  def parse(text: String): Seq[Section] = {
+    val out = scala.collection.mutable.ArrayBuffer[Section]()
+    var cur: Option[(String, scala.collection.mutable.ArrayBuffer[(String, String)])] = None
+    text.linesIterator.foreach { raw =>
+      val line = raw.replaceAll("#.*$", "").trim
+      if (line.nonEmpty) {
+        if (line.startsWith("[") && line.endsWith("]")) {
+          cur.foreach { case (n, ps) => out += Section(n, ps.toSeq) }
+          cur = Some((line.substring(1, line.length - 1).toUpperCase,
+            scala.collection.mutable.ArrayBuffer()))
+        } else cur match {
+          case Some((_, ps)) =>
+            val i = line.indexWhere(_.isWhitespace)
+            if (i < 0) ps += ((line, "")) else
+              ps += ((line.substring(0, i), line.substring(i).trim))
+          case None => throw new IllegalArgumentException(
+            s"entry before any [SECTION]: $line")
+        }
+      }
+    }
+    cur.foreach { case (n, ps) => out += Section(n, ps.toSeq) }
+    out.toSeq
+  }
+
+  /** Assemble a config into its outputs: map from output id
+    * (`plugin:match`, or `stream_task:name`) to the routed, formatted
+    * DataFrame. `streams` injects input frames by tag — the library-mode
+    * `flb_lib_push` analogue used by tests and by callers that already
+    * hold (streaming) sources.
+    */
+  def assemble(spark: SparkSession, confText: String,
+               streams: Map[String, DataFrame] = Map.empty): Map[String, DataFrame] = {
+    val sections = parse(confText)
+    val parsers = sections.filter(_.name == "PARSER")
+      .map(s => s.required("name") -> s).toMap
+
+    // ---------------------------------------------------------- inputs
+    val inputs = sections.filter(_.name == "INPUT").map { s =>
+      val tag = s.get("tag").getOrElse(s.required("name"))
+      streams.get(tag) match {
+        case Some(df) =>
+          if (df.columns.contains("tag")) df else df.withColumn("tag", lit(tag))
+        case None => s.required("name").toLowerCase match {
+          case "tail" =>
+            spark.read.text(s.required("path")).withColumn("tag", lit(tag))
+          case "dummy" =>
+            spark.range(1).select(
+              lit(s.get("dummy").getOrElse("{\"message\":\"dummy\"}")).as("value"),
+              lit(tag).as("tag"))
+          case other => throw new IllegalArgumentException(
+            s"[INPUT] $other needs an injected stream for tag '$tag'")
+        }
+      }
+    }
+    require(inputs.nonEmpty, "config has no [INPUT]")
+    val source = inputs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+    // --------------------------------------------------------- filters
+    val filtered = sections.filter(_.name == "FILTER").foldLeft(source) {
+      (df, s) => applyFilter(df, s, parsers)
+    }
+
+    // ---------------------------------------------------- stream tasks
+    val taskOutputs = sections.filter(_.name == "STREAM_TASK").map { s =>
+      val cat = Planner.Catalog(
+        streams = Map("CONF" -> filtered), defaultStream = Some("CONF"))
+      s"stream_task:${s.required("name")}" -> Planner.plan(s.required("exec"), cat)
+    }
+
+    // --------------------------------------------------------- outputs
+    val sinkOutputs = sections.filter(_.name == "OUTPUT").map { s =>
+      val name = s.required("name").toLowerCase
+      val pat = s.get("match").getOrElse("*")
+      val routed = Router.route(filtered, "tag", pat)
+      val formatted = name match {
+        case "null" => routed.limit(0)
+        case "stdout" | "file" =>
+          s.get("format").map(_.toLowerCase).getOrElse("json") match {
+            case "json" => routed.select(col("tag"), Formats.jsonLine(
+              routed.columns.filterNot(_ == "tag").toSeq.map(c => c -> col(c))).as("line"))
+            case "plain" => routed.select(col("tag"),
+              Formats.plainLine(col(routed.columns.filterNot(_ == "tag").head)).as("line"))
+            case "csv" => routed.select(col("tag"), Formats.csvLine(
+              routed.columns.filterNot(_ == "tag").toSeq.map(col)).as("line"))
+            case "ltsv" => routed.select(col("tag"), Formats.ltsvLine(
+              routed.columns.filterNot(_ == "tag").toSeq.map(c => c -> col(c))).as("line"))
+            case other => throw new IllegalArgumentException(s"format $other")
+          }
+        case other => throw new IllegalArgumentException(s"[OUTPUT] $other unsupported")
+      }
+      s"$name:$pat" -> formatted
+    }
+
+    (taskOutputs ++ sinkOutputs).toMap
+  }
+
+  /** One [FILTER] section: records whose tag matches `Match` go through
+    * the operator; everything else passes untouched (split-apply-union,
+    * exactly the per-chunk gating of flb_filter.c).
+    */
+  private def applyFilter(df: DataFrame, s: Section,
+                          parsers: Map[String, Section]): DataFrame = {
+    val pat = s.get("match").getOrElse("*")
+    val cond = Router.tagMatch(col("tag"), pat)
+    val matched = df.filter(cond)
+    val rest = df.filter(!cond)
+    def rejoin(out: DataFrame): DataFrame =
+      if (pat == "*") out else out.unionByName(rest, allowMissingColumns = true)
+
+    s.required("name").toLowerCase match {
+      case "grep" =>
+        // keep when every `regex` matches and no `exclude` matches
+        // (logical_op AND — grep.c:220-236 default)
+        val keeps = s.all("regex").map(splitRule).map { case (k, p) =>
+          coalesce(col(k).rlike(p), lit(false)) }
+        val drops = s.all("exclude").map(splitRule).map { case (k, p) =>
+          !coalesce(col(k).rlike(p), lit(false)) }
+        val rule = (keeps ++ drops).reduceOption(_ && _).getOrElse(lit(true))
+        rejoin(matched.filter(rule))
+
+      case "modify" =>
+        val ops: Seq[Modify.Rule] = s.props.flatMap {
+          case (k, v) if k.equalsIgnoreCase("add") =>
+            val (a, b) = split2(v); Some(Modify.Add(a, lit(b)))
+          case (k, v) if k.equalsIgnoreCase("set") =>
+            val (a, b) = split2(v); Some(Modify.Set(a, lit(b)))
+          case (k, v) if k.equalsIgnoreCase("rename") =>
+            val (a, b) = split2(v); Some(Modify.Rename(a, b))
+          case (k, v) if k.equalsIgnoreCase("hard_rename") =>
+            val (a, b) = split2(v); Some(Modify.Rename(a, b, hard = true))
+          case (k, v) if k.equalsIgnoreCase("copy") =>
+            val (a, b) = split2(v); Some(Modify.Copy(a, b))
+          case (k, v) if k.equalsIgnoreCase("remove") => Some(Modify.Remove(v))
+          case (k, v) if k.equalsIgnoreCase("remove_wildcard") =>
+            Some(Modify.RemoveWildcard(v))
+          case _ => None
+        }
+        rejoin(Modify(matched, ops))
+
+      case "record_modifier" =>
+        val removed = s.all("remove_key").foldLeft(matched)(_ drop _)
+        val allow = s.all("allowlist_key") ++ s.all("whitelist_key")
+        val kept =
+          if (allow.isEmpty) removed
+          else removed.select(("tag" +: allow).distinct.map(col): _*)
+        val appended = s.all("record").foldLeft(kept) { (d, kv) =>
+          val (k, v) = split2(kv); d.withColumn(k, lit(v))
+        }
+        rejoin(appended)
+
+      case "parser" =>
+        val p = parsers.getOrElse(s.required("parser"),
+          throw new IllegalArgumentException(s"unknown parser ${s.required("parser")}"))
+        require(p.required("format").equalsIgnoreCase("regex"),
+          "config frontend supports [PARSER] format regex")
+        val out = ParserFilter.regex(matched, s.required("key_name"),
+          p.required("regex"),
+          reserveData = s.get("reserve_data").exists(_.equalsIgnoreCase("on")),
+          preserveKey = s.get("preserve_key").exists(_.equalsIgnoreCase("on")))
+        rejoin(if (out.columns.contains("tag")) out
+          else out.withColumn("tag", lit(s.get("match").getOrElse("*"))))
+
+      case "rewrite_tag" =>
+        val rules = s.all("rule").map { r =>
+          val parts = r.trim.split("\\s+")
+          require(parts.length >= 3, s"rewrite_tag rule needs '$$key regex tag [keep]': $r")
+          val key = parts(0).stripPrefix("$")
+          val regex = parts(1)
+          val tagTemplate: Column =
+            if (parts(2).contains("$1"))
+              concat(parts(2).split("\\$1", -1).toSeq.map(lit(_))
+                .flatMap(l => Seq(l, RewriteTag.capture(col(key), regex, 1)))
+                .dropRight(1): _*)
+            else lit(parts(2))
+          RewriteTag.Rule(col(key), regex,
+            tagTemplate, keep = parts.lift(3).exists(_.equalsIgnoreCase("true")))
+        }
+        // rewrite_tag's emitter re-injects into the whole flow, so the
+        // loop runs over the full frame (rules carry their own match)
+        RewriteTag.reinjectLoop(df, "tag", rules)
+
+      case other => throw new IllegalArgumentException(s"[FILTER] $other unsupported")
+    }
+  }
+
+  private def splitRule(v: String): (String, String) = split2(v)
+  private def split2(v: String): (String, String) = {
+    val i = v.indexWhere(_.isWhitespace)
+    require(i > 0, s"expected 'key value', got '$v'")
+    (v.substring(0, i), v.substring(i).trim)
+  }
+}

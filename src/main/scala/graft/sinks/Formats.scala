@@ -33,6 +33,9 @@ object Formats {
         .otherwise(s)
     }: _*)
 
+  /** out_file `Format plain` (file.c): the bare value, no framing. */
+  def plainLine(value: Column): Column = value.cast("string")
+
   /** out_file `Format ltsv` (file.c:530): `key:value` pairs joined by tabs. */
   def ltsvLine(fields: Seq[(String, Column)]): Column =
     concat_ws("\t", fields.map { case (n, c) =>

@@ -133,9 +133,14 @@ object Multiline {
     */
   def assembleDockerBatch(df: DataFrame, keyCols: Seq[String], orderCol: String,
                           jsonCol: String): DataFrame = {
+    // one JSON parse per line (two get_json_object calls would parse the
+    // document twice per row)
     val parsed = df
-      .withColumn("__log", get_json_object(col(jsonCol), "$.log"))
-      .withColumn("stream", get_json_object(col(jsonCol), "$.stream"))
+      .withColumn("__j", from_json(col(jsonCol),
+        org.apache.spark.sql.types.StructType.fromDDL("log STRING, stream STRING")))
+      .withColumn("__log", col("__j.log"))
+      .withColumn("stream", col("__j.stream"))
+      .drop("__j")
       .withColumn("__fin",
         when(coalesce(col("__log"), lit("")).endsWith("\n"), 1L).otherwise(0L))
     val groupKeys = keyCols :+ "stream"

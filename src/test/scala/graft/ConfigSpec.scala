@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.config.ClassicConfig
+
+/** Classic-mode config frontend: the reference's ini-style pipeline files
+  * assemble into tag-routed frames (inputs → match-gated filters →
+  * stream task → formatted outputs) — the "switch without rewriting your
+  * config" path.
+  */
+class ConfigSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("parse: sections, repeated keys, comments, key-only entries") {
+    val s = ClassicConfig.parse(
+      """# pipeline
+        |[FILTER]
+        |    name  grep   # trailing comment
+        |    regex log a
+        |    regex log b
+        |[OUTPUT]
+        |    name null
+        |""".stripMargin)
+    assert(s.map(_.name) == Seq("FILTER", "OUTPUT"))
+    assert(s.head.all("regex") == Seq("log a", "log b"))
+    assert(s.head.get("name").contains("grep"))
+  }
+
+  test("full conf: parser + grep + modify + stream task + routed outputs") {
+    val web = Seq(
+      "GET /index 200 1043",
+      "GET /admin 500 12",
+      "POST /login 200 88"
+    ).toDF("log").withColumn("tag", lit("app.web"))
+    val audit = Seq("login ok").toDF("log").withColumn("tag", lit("audit"))
+
+    val conf =
+      """[INPUT]
+        |    name lib
+        |    tag  app.web
+        |[INPUT]
+        |    name lib
+        |    tag  audit
+        |[PARSER]
+        |    name   access
+        |    format regex
+        |    regex  ^(?<method>[A-Z]+) (?<uri>\S+) (?<status>\d+) (?<bytes>\d+)$
+        |[FILTER]
+        |    name         parser
+        |    match        app.*
+        |    key_name     log
+        |    parser       access
+        |    reserve_data on
+        |[FILTER]
+        |    name    grep
+        |    match   app.*
+        |    exclude method ^POST$
+        |[FILTER]
+        |    name  modify
+        |    match *
+        |    add   host graft-1
+        |[STREAM_TASK]
+        |    name errors
+        |    exec SELECT COUNT(*) AS n FROM TAG:'app.*' WHERE status = '500';
+        |[OUTPUT]
+        |    name   file
+        |    match  app.*
+        |    format json
+        |[OUTPUT]
+        |    name  null
+        |    match audit
+        |""".stripMargin
+
+    val outs = ClassicConfig.assemble(spark, conf,
+      streams = Map("app.web" -> web, "audit" -> audit))
+
+    // the SP task runs on the post-filter flow (flb_input_chunk.c:3355
+    // taps the SP after the filter chain) — POST row already dropped
+    val n = outs("stream_task:errors").collect().head.getAs[Long]("n")
+    assert(n == 1L)
+
+    val fileLines = outs("file:app.*").select("line").as[String].collect()
+    assert(fileLines.length == 2) // POST excluded, audit routed away
+    assert(fileLines.forall(_.contains("\"host\":\"graft-1\"")))
+    assert(fileLines.exists(l => l.contains("\"status\":\"500\"") &&
+      l.contains("\"uri\":\"/admin\"")))
+
+    assert(outs("null:audit").count() == 0)
+  }
+
+  test("rewrite_tag rule with $1 capture re-tags through the config") {
+    val in = Seq(("error", 1L), ("info", 2L)).toDF("level", "id")
+      .withColumn("tag", lit("app.log"))
+    val conf =
+      """[INPUT]
+        |    name lib
+        |    tag  app.log
+        |[FILTER]
+        |    name  rewrite_tag
+        |    match app.*
+        |    rule  $level ^(err)or$ alert.$1 false
+        |[OUTPUT]
+        |    name   file
+        |    match  alert.*
+        |    format json
+        |""".stripMargin
+    val outs = ClassicConfig.assemble(spark, conf, streams = Map("app.log" -> in))
+    val lines = outs("file:alert.*").select("tag").as[String].collect()
+    assert(lines.toSeq == Seq("alert.err"))
+  }
+}
