@@ -90,6 +90,45 @@ class ConfigSpec extends AnyFunSuite {
     assert(outs("null:audit").count() == 0)
   }
 
+  test("the same conf assembles a STREAMING pipeline from a streaming input") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val streamingInput = in.toDF().toDF("level", "log")
+      .withColumn("tag", lit("app.web"))
+    val conf =
+      """[INPUT]
+        |    name lib
+        |    tag  app.web
+        |[FILTER]
+        |    name  grep
+        |    match app.*
+        |    regex level ^error$
+        |[FILTER]
+        |    name  modify
+        |    match *
+        |    add   host graft-1
+        |[OUTPUT]
+        |    name   file
+        |    match  app.*
+        |    format json
+        |""".stripMargin
+    val outs = ClassicConfig.assemble(spark, conf,
+      streams = Map("app.web" -> streamingInput))
+    val out = outs("file:app.*")
+    assert(out.isStreaming, "config over a streaming input must stay streaming")
+    val q = out.writeStream.format("memory").queryName("conf_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(("error", "boom"), ("info", "fine"), ("error", "again"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val lines = spark.table("conf_stream").select("line").as[String].collect()
+    assert(lines.length == 2)
+    assert(lines.forall(l => l.contains("\"level\":\"error\"") &&
+      l.contains("\"host\":\"graft-1\"")))
+  }
+
   test("rewrite_tag rule with $1 capture re-tags through the config") {
     val in = Seq(("error", 1L), ("info", 2L)).toDF("level", "id")
       .withColumn("tag", lit("app.log"))
