@@ -34,14 +34,17 @@ object ClassicConfig {
   }
 
   /** Parse the classic format: `[NAME]` headers, indented `key value`
-    * entries (first token = key, remainder = value), `#` comments.
-    * Repeated keys are kept in order (grep rules, modify ops).
+    * entries (first token = key, remainder = value). Comments are
+    * FULL lines starting with `#` — an inline `#` is part of the value
+    * (a grep pattern like `ERROR#\d+` must survive), matching
+    * flb_cf_fluentbit's line-level comment handling. Repeated keys are
+    * kept in order (grep rules, modify ops).
     */
   def parse(text: String): Seq[Section] = {
     val out = scala.collection.mutable.ArrayBuffer[Section]()
     var cur: Option[(String, scala.collection.mutable.ArrayBuffer[(String, String)])] = None
     text.linesIterator.foreach { raw =>
-      val line = raw.replaceAll("#.*$", "").trim
+      val line = if (raw.trim.startsWith("#")) "" else raw.trim
       if (line.nonEmpty) {
         if (line.startsWith("[") && line.endsWith("]")) {
           cur.foreach { case (n, ps) => out += Section(n, ps.toSeq) }
@@ -107,6 +110,10 @@ object ClassicConfig {
     }
 
     // --------------------------------------------------------- outputs
+    // ids disambiguate duplicate (plugin, match) pairs — two `file`
+    // outputs with the same Match are legal in the reference (different
+    // paths/formats) and must both survive the map.
+    val seenIds = scala.collection.mutable.Map[String, Int]()
     val sinkOutputs = sections.filter(_.name == "OUTPUT").map { s =>
       val name = s.required("name").toLowerCase
       val pat = s.get("match").getOrElse("*")
@@ -127,7 +134,10 @@ object ClassicConfig {
           }
         case other => throw new IllegalArgumentException(s"[OUTPUT] $other unsupported")
       }
-      s"$name:$pat" -> formatted
+      val base = s"$name:$pat"
+      val n = seenIds.getOrElse(base, 0)
+      seenIds(base) = n + 1
+      (if (n == 0) base else s"$base#$n") -> formatted
     }
 
     (taskOutputs ++ sinkOutputs).toMap
@@ -192,12 +202,22 @@ object ClassicConfig {
           throw new IllegalArgumentException(s"unknown parser ${s.required("parser")}"))
         require(p.required("format").equalsIgnoreCase("regex"),
           "config frontend supports [PARSER] format regex")
-        val out = ParserFilter.regex(matched, s.required("key_name"),
-          p.required("regex"),
-          reserveData = s.get("reserve_data").exists(_.equalsIgnoreCase("on")),
-          preserveKey = s.get("preserve_key").exists(_.equalsIgnoreCase("on")))
-        rejoin(if (out.columns.contains("tag")) out
-          else out.withColumn("tag", lit(s.get("match").getOrElse("*"))))
+        val keyName = s.required("key_name")
+        val reserve = s.get("reserve_data").exists(_.equalsIgnoreCase("on"))
+        val preserve = s.get("preserve_key").exists(_.equalsIgnoreCase("on"))
+        // parse with reserve on, then project reserve_data semantics
+        // OURSELVES keeping the routing tag — parsing never changes a
+        // record's tag in the reference.
+        val parsed = ParserFilter.regex(matched, keyName, p.required("regex"),
+          reserveData = true, preserveKey = true)
+        val groupCols = graft.parse.Parsers.groupNames(p.required("regex"))
+        val out =
+          if (reserve) { if (preserve) parsed else parsed.drop(keyName) }
+          else {
+            val keep = ("tag" +: groupCols) ++ (if (preserve) Seq(keyName) else Nil)
+            parsed.select(keep.distinct.map(col): _*)
+          }
+        rejoin(out)
 
       case "rewrite_tag" =>
         val rules = s.all("rule").map { r =>
@@ -211,11 +231,14 @@ object ClassicConfig {
                 .flatMap(l => Seq(l, RewriteTag.capture(col(key), regex, 1)))
                 .dropRight(1): _*)
             else lit(parts(2))
-          RewriteTag.Rule(col(key), regex,
-            tagTemplate, keep = parts.lift(3).exists(_.equalsIgnoreCase("true")))
+          RewriteTag.Rule(col(key), regex, tagTemplate,
+            keep = parts.lift(3).exists(_.equalsIgnoreCase("true")),
+            gate = cond) // the filter's Match pattern gates every rule
         }
         // rewrite_tag's emitter re-injects into the whole flow, so the
-        // loop runs over the full frame (rules carry their own match)
+        // loop runs over the full frame; each rule's gate restricts it
+        // to tags matching this filter instance (and stops re-matching
+        // once a record is re-tagged out of the pattern).
         RewriteTag.reinjectLoop(df, "tag", rules)
 
       case other => throw new IllegalArgumentException(s"[FILTER] $other unsupported")

@@ -193,6 +193,8 @@ object Dedup {
     * Verification is a codegen'd popcount of the XOR.
     */
   def simhashPairs64(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4 bands guarantee detection only for hamming <= 3, got $maxHamming (pairs beyond that can straddle every band and would be silently lost)")
     val bands = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bsig"))
@@ -230,6 +232,8 @@ object Dedup {
     * self-joins on correlated corpora (35 s at sf0.1 vs ~2 s now).
     */
   def simhashPairs16(sig: DataFrame, maxHamming: Int = 1): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 1,
+      s"2 bands guarantee detection only for hamming <= 1, got $maxHamming (pairs beyond that can straddle both bands and would be silently lost)")
     val bands = (0 until 2).map { b =>
       struct(lit(b).as("band"), substring(col("simhash16"), b * 8 + 1, 8).as("bsig"))
     }

@@ -24,8 +24,11 @@ object ThrottleSize {
             maxBytes: Long): DataFrame = {
     val withCols = df
       .withColumn("__size", coalesce(sizeCol.cast("long"), lit(0L)))
+      // NULL keys form their own group (concat_ws would silently SKIP a
+      // null component, merging distinct groups), so coalesce each key
+      // to a sentinel no real cast-string produces
       .withColumn("__gkey", concat_ws("\u0001",
-        (keyCols.map(_.cast("string")) :+
+        (keyCols.map(c => coalesce(c.cast("string"), lit("\u0002NULL"))) :+
           (tsSecCol / paneSeconds).cast("long").cast("string")): _*))
     val parted = withCols
       .repartition(col("__gkey"))

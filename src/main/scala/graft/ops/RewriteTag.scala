@@ -15,13 +15,21 @@ import org.apache.spark.sql.functions._
   */
 object RewriteTag {
 
-  final case class Rule(field: Column, pattern: String, newTagTemplate: Column, keep: Boolean)
+  /** One rule: `$key regex new_tag keep`. `gate` restricts which records
+    * the rule may match at all — the filter instance's Match pattern on
+    * the record's tag (a rule in a `Match app.*` filter never touches a
+    * `db.*` record, and a record it re-tags out of the pattern is not
+    * re-matched on later passes).
+    */
+  final case class Rule(field: Column, pattern: String, newTagTemplate: Column,
+                        keep: Boolean, gate: Column = lit(true))
 
   /** Apply one rule. Returns the full routed DataFrame: rewritten records
     * (new tag) plus originals (all if keep, else only non-matching).
     */
   def apply(df: DataFrame, tagCol: String, rule: Rule): DataFrame = {
-    val matches = coalesce(rule.field.rlike(rule.pattern), lit(false))
+    val matches =
+      coalesce(rule.gate, lit(false)) && coalesce(rule.field.rlike(rule.pattern), lit(false))
     val rewritten = df.filter(matches).withColumn(tagCol, rule.newTagTemplate)
     val kept = if (rule.keep) df else df.filter(!matches)
     kept.unionByName(rewritten)
@@ -51,7 +59,8 @@ object RewriteTag {
   def reinjectLoop(df: DataFrame, tagCol: String, rules: Seq[Rule],
                    maxHops: Int = 4): DataFrame = {
     require(rules.nonEmpty, "reinjectLoop needs at least one rule")
-    val matches = rules.map(r => coalesce(r.field.rlike(r.pattern), lit(false)))
+    val matches = rules.map(r =>
+      coalesce(r.gate, lit(false)) && coalesce(r.field.rlike(r.pattern), lit(false)))
     val anyMatch = matches.reduce(_ || _)
     // First-match-wins when-chains: rule i applies iff no earlier matched.
     val newTag = rules.zip(matches).foldRight(col(tagCol)) {

@@ -37,7 +37,9 @@ object RecordAccessor {
   private val Name = "[A-Za-z_][A-Za-z0-9_]*"
   private val Token = java.util.regex.Pattern.compile(
     "\\$\\{(" + Name + ")\\}" +                // 1: ${ENV}
-      "|\\$TAG(?:\\[(\\d+)\\])?" +             // 2: $TAG[n]
+      // $TAG only when not a longer identifier ($TAGS is a key ref) —
+      // regex alternation is leftmost-first, not longest-match
+      "|\\$TAG(?![A-Za-z0-9_])(?:\\[(\\d+)\\])?" + // 2: $TAG[n]
       "|\\$(" + Name + ")((?:\\[[^\\]]+\\])*)" // 3,4: $key['a'][0]
   )
   private val SubPat = java.util.regex.Pattern.compile(
@@ -131,7 +133,9 @@ object RecordAccessor {
       case Seq(KeyRef(base, subs)) if df.columns.contains(base) =>
         df.schema(base).dataType match {
           case _: StructType if subs.forall(_.isInstanceOf[SubKey]) =>
-            val path = subs.collect { case SubKey(k) => k }.mkString(".")
+            // backtick-quote each segment: withField parses dots as
+            // nesting, but a key like "fluentbit.io/tag" is ONE field
+            val path = subs.collect { case SubKey(k) => s"`$k`" }.mkString(".")
             df.withColumn(base, col(base).withField(path, value))
           case _: MapType =>
             subs match {

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedReader, InputStreamReader, OutputStreamWriter}
+import java.io.OutputStreamWriter
 import java.net.{InetSocketAddress, ServerSocket, Socket}
 import java.nio.charset.StandardCharsets
 import java.util
@@ -85,28 +85,38 @@ private[sources] class HttpMicroBatchStream(host: String, port: Int)
   acceptThread.setDaemon(true)
   acceptThread.start()
 
+  /** Read one header line (bytes up to LF, CR stripped) — headers are
+    * ASCII; the BODY must be read as Content-Length BYTES (a Reader
+    * would count chars and hang on multi-byte UTF-8).
+    */
+  private def readLine(in: java.io.InputStream): String = {
+    val sb = new java.lang.StringBuilder
+    var b = in.read()
+    while (b >= 0 && b != '\n') { if (b != '\r') sb.append(b.toChar); b = in.read() }
+    if (b < 0 && sb.length() == 0) null else sb.toString
+  }
+
   /** Minimal HTTP/1.1: request line + headers, Content-Length body,
     * NDJSON lines → records, reply 201 (in_http's success status).
     */
   private def handle(sock: Socket): Unit = {
     try {
-      val in = new BufferedReader(
-        new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+      val in = new java.io.BufferedInputStream(sock.getInputStream)
       val out = new OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8)
-      var requestLine = in.readLine()
+      var requestLine = readLine(in)
       while (requestLine != null && requestLine.nonEmpty) {
         val parts = requestLine.split(" ")
         val (method, path) =
           (parts.lift(0).getOrElse(""), parts.lift(1).getOrElse("/"))
         var contentLength = 0
-        var h = in.readLine()
+        var h = readLine(in)
         while (h != null && h.nonEmpty) {
           val i = h.indexOf(':')
           if (i > 0 && h.substring(0, i).equalsIgnoreCase("content-length"))
             contentLength = h.substring(i + 1).trim.toInt
-          h = in.readLine()
+          h = readLine(in)
         }
-        val body = new Array[Char](contentLength)
+        val body = new Array[Byte](contentLength)
         var read = 0
         while (read < contentLength) {
           val n = in.read(body, read, contentLength - read)
@@ -115,32 +125,44 @@ private[sources] class HttpMicroBatchStream(host: String, port: Int)
         }
         if (method == "POST" && contentLength > 0) {
           val now = System.currentTimeMillis()
-          val lines = new String(body).split("\n").filter(_.nonEmpty)
+          val lines = new String(body, StandardCharsets.UTF_8)
+            .split("\n").filter(_.nonEmpty)
           buf.synchronized { lines.foreach(l => buf += ((l, path, now))) }
           out.write("HTTP/1.1 201 Created\r\nContent-Length: 0\r\n\r\n")
         } else {
           out.write("HTTP/1.1 400 Bad Request\r\nContent-Length: 0\r\n\r\n")
         }
         out.flush()
-        requestLine = in.readLine() // keep-alive: next request or null
+        requestLine = readLine(in) // keep-alive: next request or null
       }
     } catch { case _: Throwable => /* peer went away */ }
     finally sock.close()
   }
 
+  /** Absolute offset of buf(0) — committed entries are trimmed away. */
+  private var base = 0L
+
   override def initialOffset(): Offset = TcpOffset(0)
-  override def latestOffset(): Offset = TcpOffset(buf.synchronized(buf.size.toLong))
+  override def latestOffset(): Offset =
+    TcpOffset(buf.synchronized(base + buf.size))
   override def deserializeOffset(json: String): Offset = TcpOffset(json.toLong)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[TcpOffset].n.toInt
-    val e = end.asInstanceOf[TcpOffset].n.toInt
-    Array(HttpPartition(buf.synchronized(buf.slice(s, e).toArray)))
+    val s = start.asInstanceOf[TcpOffset].n
+    val e = end.asInstanceOf[TcpOffset].n
+    Array(HttpPartition(buf.synchronized {
+      buf.slice((s - base).toInt.max(0), (e - base).toInt.max(0)).toArray
+    }))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = HttpReaderFactory
 
-  override def commit(end: Offset): Unit = {}
+  override def commit(end: Offset): Unit = buf.synchronized {
+    // drop delivered entries so the receive buffer stays bounded by the
+    // uncommitted window, not the stream's lifetime
+    val drop = ((end.asInstanceOf[TcpOffset].n - base).toInt).min(buf.size).max(0)
+    if (drop > 0) { buf.remove(0, drop); base += drop }
+  }
 
   override def stop(): Unit = {
     stopped = true

@@ -108,20 +108,31 @@ private[sources] class TcpMicroBatchStream(host: String, port: Int)
     finally sock.close()
   }
 
+  /** Absolute offset of buf(0) — committed entries are trimmed away. */
+  private var base = 0L
+
   override def initialOffset(): Offset = TcpOffset(0)
-  override def latestOffset(): Offset = TcpOffset(buf.synchronized(buf.size.toLong))
+  override def latestOffset(): Offset =
+    TcpOffset(buf.synchronized(base + buf.size))
   override def deserializeOffset(json: String): Offset = TcpOffset(json.toLong)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[TcpOffset].n.toInt
-    val e = end.asInstanceOf[TcpOffset].n.toInt
-    val rows = buf.synchronized { buf.slice(s, e).toArray }
+    val s = start.asInstanceOf[TcpOffset].n
+    val e = end.asInstanceOf[TcpOffset].n
+    val rows = buf.synchronized {
+      buf.slice((s - base).toInt.max(0), (e - base).toInt.max(0)).toArray
+    }
     Array(TcpPartition(rows))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = TcpReaderFactory
 
-  override def commit(end: Offset): Unit = {} // offsets are absolute indexes
+  override def commit(end: Offset): Unit = buf.synchronized {
+    // drop delivered entries so the receive buffer stays bounded by the
+    // uncommitted window, not the stream's lifetime
+    val drop = ((end.asInstanceOf[TcpOffset].n - base).toInt).min(buf.size).max(0)
+    if (drop > 0) { buf.remove(0, drop); base += drop }
+  }
 
   override def stop(): Unit = {
     stopped = true

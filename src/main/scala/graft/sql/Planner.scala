@@ -72,8 +72,8 @@ object Planner {
       props.get("seconds") match {
         case Some(secs) =>
           // Lazy scalar join — no Spark job at plan-build time. The max
-          // is a 1-row broadcast folded into the same DAG, so planning
-          // stays a pure declaration and the source is read once.
+          // is a 1-row broadcast folded into the same DAG (the source
+          // subtree appears twice; exchange reuse typically dedupes it).
           val maxTs = base.agg(max(col(catalog.tsSecCol)).as("__max_ts"))
           base.crossJoin(broadcast(maxTs))
             .filter(col(catalog.tsSecCol) > col("__max_ts") - secs.toLong)

@@ -15,16 +15,18 @@ class ConfigSpec extends AnyFunSuite {
 
   test("parse: sections, repeated keys, comments, key-only entries") {
     val s = ClassicConfig.parse(
-      """# pipeline
+      """# pipeline (full-line comment)
         |[FILTER]
-        |    name  grep   # trailing comment
+        |    name  grep
+        |    # rules follow
         |    regex log a
-        |    regex log b
+        |    regex log ERROR#\d+
         |[OUTPUT]
         |    name null
         |""".stripMargin)
     assert(s.map(_.name) == Seq("FILTER", "OUTPUT"))
-    assert(s.head.all("regex") == Seq("log a", "log b"))
+    // inline '#' is part of the value (only full lines are comments)
+    assert(s.head.all("regex") == Seq("log a", "log ERROR#\\d+"))
     assert(s.head.get("name").contains("grep"))
   }
 
@@ -148,5 +150,47 @@ class ConfigSpec extends AnyFunSuite {
     val outs = ClassicConfig.assemble(spark, conf, streams = Map("app.log" -> in))
     val lines = outs("file:alert.*").select("tag").as[String].collect()
     assert(lines.toSeq == Seq("alert.err"))
+  }
+
+  test("rewrite_tag Match pattern gates the rules: other tags pass untouched") {
+    val in = Seq(("error", "app.log", 1L), ("error", "db.log", 2L))
+      .toDF("level", "tag", "id")
+    val conf =
+      """[INPUT]
+        |    name lib
+        |    tag  app.log
+        |[FILTER]
+        |    name  rewrite_tag
+        |    match app.*
+        |    rule  $level ^error$ alert false
+        |[OUTPUT]
+        |    name   file
+        |    match  *
+        |    format json
+        |""".stripMargin
+    val outs = ClassicConfig.assemble(spark, conf, streams = Map("app.log" -> in))
+    val tags = outs("file:*").select("tag").as[String].collect().sorted.toSeq
+    // app.log (level=error) re-tagged; db.log untouched despite matching
+    // the field regex — the filter's Match never admitted it
+    assert(tags == Seq("alert", "db.log"))
+  }
+
+  test("duplicate outputs with the same plugin and match both survive") {
+    val in = Seq(("x", 1L)).toDF("v", "id").withColumn("tag", lit("t"))
+    val conf =
+      """[INPUT]
+        |    name lib
+        |    tag  t
+        |[OUTPUT]
+        |    name   file
+        |    match  *
+        |    format json
+        |[OUTPUT]
+        |    name   file
+        |    match  *
+        |    format plain
+        |""".stripMargin
+    val outs = ClassicConfig.assemble(spark, conf, streams = Map("t" -> in))
+    assert(outs.keySet == Set("file:*", "file:*#1"))
   }
 }

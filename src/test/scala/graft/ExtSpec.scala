@@ -96,9 +96,15 @@ class ExtSpec extends AnyFunSuite {
       s"exact dup pair missing: ${pairs64.toSeq}")
     assert(!pairs64.exists(p => p._2 == 4L), s"unrelated doc paired: ${pairs64.toSeq}")
     val pairs16 = Dedup.simhashPairs16(
-      Dedup.simhash16(docs, col("doc_id"), col("text")), maxHamming = 3)
+      Dedup.simhash16(docs, col("doc_id"), col("text")), maxHamming = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs16.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 0))
+    // thresholds beyond the banding guarantee are a config error, not a
+    // silent recall loss
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs16(
+        Dedup.simhash16(docs, col("doc_id"), col("text")), maxHamming = 3)
+    }
   }
 
   test("lsh signature buckets similar vectors together") {

@@ -26,6 +26,8 @@ class RecordAccessorSpec extends AnyFunSuite {
     assert(parse("$matrix[1][2]") == Seq(KeyRef("matrix", Seq(SubIndex(1), SubIndex(2)))))
     assert(parse("$TAG[0]-${SVC}-$id") == Seq(TagRef(Some(0)), Literal("-"),
       EnvRef("SVC"), Literal("-"), KeyRef("id", Nil)))
+    // $TAGS is a key named TAGS, not $TAG + literal "S"
+    assert(parse("$TAGS") == Seq(KeyRef("TAGS", Nil)))
   }
 
   test("translate: the reference cb_translate format (env, nested, missing)") {
@@ -66,5 +68,9 @@ class RecordAccessorSpec extends AnyFunSuite {
     // append: a leaf that did not exist
     val app = updateKv(df, "$nest['z']", lit("new"))
     assert(app.select(col("nest.z")).as[String].head() == "new")
+    // a field name containing dots is ONE field, not nesting
+    val dotted = updateKv(df, "$nest['fluentbit.io/tag']", lit("t"))
+    assert(dotted.select(col("nest").getField("fluentbit.io/tag"))
+      .as[String].head() == "t")
   }
 }
