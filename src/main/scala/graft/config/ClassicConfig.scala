@@ -158,13 +158,16 @@ object ClassicConfig {
 
     s.required("name").toLowerCase match {
       case "grep" =>
-        // keep when every `regex` matches and no `exclude` matches
-        // (logical_op AND — grep.c:220-236 default)
+        // keep when every `regex` matches and no `exclude` matches;
+        // `logical_op or` folds with OR instead (grep.c:220-236)
         val keeps = s.all("regex").map(splitRule).map { case (k, p) =>
           coalesce(col(k).rlike(p), lit(false)) }
         val drops = s.all("exclude").map(splitRule).map { case (k, p) =>
           !coalesce(col(k).rlike(p), lit(false)) }
-        val rule = (keeps ++ drops).reduceOption(_ && _).getOrElse(lit(true))
+        val fold: (Column, Column) => Column =
+          if (s.get("logical_op").exists(_.equalsIgnoreCase("or"))) _ || _
+          else _ && _
+        val rule = (keeps ++ drops).reduceOption(fold).getOrElse(lit(true))
         rejoin(matched.filter(rule))
 
       case "modify" =>
@@ -184,7 +187,19 @@ object ClassicConfig {
             Some(Modify.RemoveWildcard(v))
           case _ => None
         }
-        rejoin(Modify(matched, ops))
+        // modify.h:42-53 condition gating: ALL conditions must hold for
+        // the value-writing rules to apply to a record
+        val conds: Seq[Modify.Condition] = s.all("condition").map { c =>
+          val parts = c.trim.split("\\s+", 3)
+          parts(0).toLowerCase match {
+            case "key_exists" => Modify.KeyExists(parts(1))
+            case "key_value_equals" => Modify.KeyValueEquals(parts(1), parts(2))
+            case "key_value_matches" => Modify.KeyValueMatches(parts(1), parts(2))
+            case other => throw new IllegalArgumentException(
+              s"modify condition $other unsupported")
+          }
+        }
+        rejoin(Modify(matched, ops, conds))
 
       case "record_modifier" =>
         val removed = s.all("remove_key").foldLeft(matched)(_ drop _)

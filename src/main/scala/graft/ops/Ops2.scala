@@ -169,6 +169,49 @@ object TailSampling {
   /** status_code policy (sampling_cond_status_code.c). */
   def statusPolicy(statusCol: Column, codes: Seq[Int]): Column =
     statusCol.isin(codes.map(_.asInstanceOf[Any]): _*)
+
+  /** string_attribute policy (sampling_cond_string_attribute.c):
+    * match_type strict (value ∈ list) / exists / regex (any pattern).
+    */
+  def stringAttributePolicy(attr: Column, values: Seq[String],
+                            matchType: String = "strict"): Column =
+    matchType.toLowerCase match {
+      case "strict" => attr.isin(values: _*)
+      case "exists" => attr.isNotNull
+      case "regex" => values.map(v => coalesce(attr.rlike(v), lit(false)))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      case other => throw new IllegalArgumentException(s"match_type $other")
+    }
+
+  /** numeric_attribute policy (sampling_cond_numeric_attribute.c):
+    * min_value <= attr <= max_value.
+    */
+  def numericAttributePolicy(attr: Column, minValue: Long, maxValue: Long): Column =
+    attr >= minValue && attr <= maxValue
+
+  /** boolean_attribute policy (sampling_cond_boolean_attribute.c). */
+  def booleanAttributePolicy(attr: Column, expected: Boolean): Column =
+    attr === expected
+
+  /** trace_state policy (sampling_cond_trace_state.c): any configured
+    * value appears in the W3C tracestate list.
+    */
+  def traceStatePolicy(traceState: Column, values: Seq[String]): Column =
+    values.map(v => coalesce(traceState.contains(v), lit(false))).reduce(_ || _)
+
+  /** span_count policy (sampling_cond_span_count.c): keep whole traces
+    * whose span count lies in [minSpans, maxSpans] — a per-trace
+    * aggregate, so it composes as a semi-join rather than a span-level
+    * predicate.
+    */
+  def keepTracesBySpanCount(df: DataFrame, traceId: Column,
+                            minSpans: Long, maxSpans: Long): DataFrame = {
+    val keep = df.groupBy(traceId.as("__keep_tid"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minSpans && col("__n") <= maxSpans)
+      .select("__keep_tid")
+    df.join(broadcast(keep), traceId === col("__keep_tid"), "left_semi")
+  }
 }
 
 /** processor_opentelemetry_envelope (reference

@@ -101,15 +101,23 @@ object Stateful {
   final case class TraceState(spans: List[Span], firstSeen: Long)
 
   /** Tail-sampling policy — the pluggable conditions of
-    * processor_sampling (sampling_cond_*.c): keep a whole trace if any
-    * span breaches latency/status thresholds.
+    * processor_sampling (sampling_cond_*.c): keep a whole trace if ANY
+    * condition matches (latency/status thresholds, span-count range,
+    * span body attribute).
     */
   final case class TailPolicy(maxLatencyMs: Long = Long.MaxValue,
                               errorStatusMin: Int = 500,
-                              keepErrorTraces: Boolean = true) {
+                              keepErrorTraces: Boolean = true,
+                              /** sampling_cond_span_count.c [min,max] */
+                              spanCountRange: Option[(Int, Int)] = None,
+                              /** string-attribute condition over body */
+                              bodyMatches: Option[String => Boolean] = None) {
     def keep(spans: Seq[Span]): Boolean =
       spans.exists(_.durationMs >= maxLatencyMs) ||
-        (keepErrorTraces && spans.exists(_.statusCode >= errorStatusMin))
+        (keepErrorTraces && spans.exists(_.statusCode >= errorStatusMin)) ||
+        spanCountRange.exists { case (lo, hi) =>
+          spans.size >= lo && spans.size <= hi } ||
+        bodyMatches.exists(f => spans.exists(s => f(s.body)))
   }
 
   /** processor_sampling tail mode (sampling.h:27-31): buffer whole traces

@@ -99,6 +99,35 @@ class Ops2Spec extends AnyFunSuite {
     assert(out.size == 3)           // keep=false: no duplicates
   }
 
+  test("tail sampling conditions: attribute match types and span-count range") {
+    import graft.ops.TailSampling
+    val spans = Seq(
+      ("t1", "s1", "db", 10L, true),   // t1: 1 span
+      ("t2", "s2", "web", 900L, false),
+      ("t2", "s3", "web", 5L, false),
+      ("t2", "s4", "cache", 5L, false) // t2: 3 spans
+    ).toDF("trace_id", "span_id", "service", "latency", "sampled_flag")
+    // string attribute: strict / exists / regex
+    assert(spans.filter(TailSampling.stringAttributePolicy(
+      col("service"), Seq("db", "queue"))).count() == 1)
+    assert(spans.filter(TailSampling.stringAttributePolicy(
+      col("service"), Nil, "exists")).count() == 4)
+    assert(spans.filter(TailSampling.stringAttributePolicy(
+      col("service"), Seq("^w.b$"), "regex")).count() == 2)
+    // numeric range and boolean
+    assert(spans.filter(TailSampling.numericAttributePolicy(
+      col("latency"), 100L, 1000L)).count() == 1)
+    assert(spans.filter(TailSampling.booleanAttributePolicy(
+      col("sampled_flag"), expected = true)).count() == 1)
+    // span_count: whole traces with 2..5 spans
+    val kept = TailSampling.keepTracesBySpanCount(spans, col("trace_id"), 2L, 5L)
+    assert(kept.select("trace_id").distinct().as[String].collect().toSeq == Seq("t2"))
+    // trace_state substring
+    val ts = Seq(("vendor=x,sampled=1"), ("other=y")).toDF("trace_state")
+    assert(ts.filter(TailSampling.traceStatePolicy(
+      col("trace_state"), Seq("sampled=1"))).count() == 1)
+  }
+
   test("modify MOVE_TO_START reorders matching keys to the front") {
     import graft.ops.Modify
     val df = Seq((1, "x", "y")).toDF("id", "meta_a", "val")
