@@ -1,0 +1,194 @@
+package graft.sources
+
+/** Minimal msgpack decoder — just the subset the fluentd Forward
+  * protocol puts on the wire (reference `plugins/in_forward`; spec:
+  * github.com/msgpack/msgpack, fluent forward protocol v1): nil, bool,
+  * all int widths, float32/64, str/bin, array, map, and the EventTime
+  * ext type (fixext8/ext8 type 0 = 4-byte seconds + 4-byte nanos).
+  * Hand-rolled because the sandbox ships no msgpack library; ~the same
+  * scope as the reference's own decoder usage.
+  */
+object Msgpack {
+
+  sealed trait V
+  case object MNil extends V
+  final case class MBool(b: Boolean) extends V
+  final case class MInt(v: Long) extends V
+  final case class MFloat(v: Double) extends V
+  final case class MStr(s: String) extends V
+  final case class MBin(b: Array[Byte]) extends V
+  final case class MArr(items: Vector[V]) extends V
+  final case class MMap(entries: Vector[(V, V)]) extends V
+  final case class MExt(typ: Byte, data: Array[Byte]) extends V
+
+  /** Raised when the buffer ends mid-object — the streaming reader
+    * waits for more bytes and retries.
+    */
+  final class Incomplete extends Exception
+
+  private def need(b: Array[Byte], off: Int, n: Int): Unit =
+    if (off + n > b.length) throw new Incomplete
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  private def u16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def u32(b: Array[Byte], i: Int): Long =
+    (u16(b, i).toLong << 16) | u16(b, i + 2)
+  private def i64(b: Array[Byte], i: Int): Long =
+    (u32(b, i) << 32) | u32(b, i + 4)
+
+  private def str(b: Array[Byte], off: Int, n: Int): (V, Int) = {
+    need(b, off, n)
+    (MStr(new String(b, off, n, "UTF-8")), off + n)
+  }
+  private def bin(b: Array[Byte], off: Int, n: Int): (V, Int) = {
+    need(b, off, n)
+    (MBin(java.util.Arrays.copyOfRange(b, off, off + n)), off + n)
+  }
+  private def arr(b: Array[Byte], off: Int, n: Int): (V, Int) = {
+    var o = off
+    val items = Vector.newBuilder[V]
+    var i = 0
+    while (i < n) { val (v, o2) = decode(b, o); items += v; o = o2; i += 1 }
+    (MArr(items.result()), o)
+  }
+  private def mp(b: Array[Byte], off: Int, n: Int): (V, Int) = {
+    var o = off
+    val entries = Vector.newBuilder[(V, V)]
+    var i = 0
+    while (i < n) {
+      val (k, o2) = decode(b, o); val (v, o3) = decode(b, o2)
+      entries += ((k, v)); o = o3; i += 1
+    }
+    (MMap(entries.result()), o)
+  }
+  private def ext(b: Array[Byte], off: Int, n: Int): (V, Int) = {
+    need(b, off, 1 + n)
+    (MExt(b(off), java.util.Arrays.copyOfRange(b, off + 1, off + 1 + n)), off + 1 + n)
+  }
+
+  /** Decode one object at `off`; returns (value, next offset). Throws
+    * [[Incomplete]] when the buffer ends inside the object.
+    */
+  def decode(b: Array[Byte], off: Int): (V, Int) = {
+    need(b, off, 1)
+    val t = u8(b, off)
+    val o = off + 1
+    t match {
+      case x if x <= 0x7f => (MInt(x.toLong), o)
+      case x if x >= 0xe0 => (MInt(x.toByte.toLong), o)
+      case x if (x & 0xf0) == 0x80 => mp(b, o, x & 0x0f)
+      case x if (x & 0xf0) == 0x90 => arr(b, o, x & 0x0f)
+      case x if (x & 0xe0) == 0xa0 => str(b, o, x & 0x1f)
+      case 0xc0 => (MNil, o)
+      case 0xc2 => (MBool(false), o)
+      case 0xc3 => (MBool(true), o)
+      case 0xc4 => need(b, o, 1); bin(b, o + 1, u8(b, o))
+      case 0xc5 => need(b, o, 2); bin(b, o + 2, u16(b, o))
+      case 0xc6 => need(b, o, 4); bin(b, o + 4, u32(b, o).toInt)
+      case 0xc7 => need(b, o, 1); ext(b, o + 1, u8(b, o))
+      case 0xc8 => need(b, o, 2); ext(b, o + 2, u16(b, o))
+      case 0xc9 => need(b, o, 4); ext(b, o + 4, u32(b, o).toInt)
+      case 0xca => need(b, o, 4)
+        (MFloat(java.lang.Float.intBitsToFloat(u32(b, o).toInt).toDouble), o + 4)
+      case 0xcb => need(b, o, 8)
+        (MFloat(java.lang.Double.longBitsToDouble(i64(b, o))), o + 8)
+      case 0xcc => need(b, o, 1); (MInt(u8(b, o).toLong), o + 1)
+      case 0xcd => need(b, o, 2); (MInt(u16(b, o).toLong), o + 2)
+      case 0xce => need(b, o, 4); (MInt(u32(b, o)), o + 4)
+      case 0xcf => need(b, o, 8); (MInt(i64(b, o)), o + 8) // uint64 as signed
+      case 0xd0 => need(b, o, 1); (MInt(b(o).toLong), o + 1)
+      case 0xd1 => need(b, o, 2); (MInt(u16(b, o).toShort.toLong), o + 2)
+      case 0xd2 => need(b, o, 4); (MInt(u32(b, o).toInt.toLong), o + 4)
+      case 0xd3 => need(b, o, 8); (MInt(i64(b, o)), o + 8)
+      case 0xd4 => ext(b, o, 1)
+      case 0xd5 => ext(b, o, 2)
+      case 0xd6 => ext(b, o, 4)
+      case 0xd7 => ext(b, o, 8)
+      case 0xd8 => ext(b, o, 16)
+      case 0xd9 => need(b, o, 1); str(b, o + 1, u8(b, o))
+      case 0xda => need(b, o, 2); str(b, o + 2, u16(b, o))
+      case 0xdb => need(b, o, 4); str(b, o + 4, u32(b, o).toInt)
+      case 0xdc => need(b, o, 2); arr(b, o + 2, u16(b, o))
+      case 0xdd => need(b, o, 4); arr(b, o + 4, u32(b, o).toInt)
+      case 0xde => need(b, o, 2); mp(b, o + 2, u16(b, o))
+      case 0xdf => need(b, o, 4); mp(b, o + 4, u32(b, o).toInt)
+      case other => throw new IllegalArgumentException(
+        f"unsupported msgpack type 0x$other%02x at $off")
+    }
+  }
+
+  /** Render a value as the string form used for the schemaless body map
+    * (nested structures render as compact JSON).
+    */
+  def render(v: V): String = v match {
+    case MNil => "null"
+    case MBool(x) => x.toString
+    case MInt(x) => x.toString
+    case MFloat(x) => if (x == x.floor && !x.isInfinite) x.toLong.toString else x.toString
+    case MStr(s) => s
+    case MBin(b) => java.util.Base64.getEncoder.encodeToString(b)
+    case MArr(items) => items.map(renderJson).mkString("[", ",", "]")
+    case MMap(es) => es.map { case (k, vv) =>
+      "\"" + render(k) + "\":" + renderJson(vv) }.mkString("{", ",", "}")
+    case MExt(t, d) => s"ext($t,${d.length})"
+  }
+  private def renderJson(v: V): String = v match {
+    case MStr(s) => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case other => render(other)
+  }
+
+  /** Event time of a Forward `time` element: plain integer epoch seconds
+    * or the EventTime ext (type 0: 4-byte sec, 4-byte nanos).
+    */
+  def eventTime(v: V): (Long, Long) = v match {
+    case MInt(sec) => (sec, 0L)
+    case MFloat(sec) => (sec.toLong, ((sec - sec.toLong) * 1e9).toLong)
+    case MExt(0, d) if d.length == 8 =>
+      ((u32(d, 0)), (u32(d, 4)))
+    case other => throw new IllegalArgumentException(s"bad event time $other")
+  }
+
+  /** One decoded Forward event. */
+  final case class Event(tag: String, sec: Long, nsec: Long,
+                         record: Map[String, String])
+
+  /** Parse one top-level Forward entry (fluent forward protocol v1):
+    * `[tag, time, record]` (Message mode), `[tag, [[time, record]...]]`
+    * (Forward mode), or `[tag, bin]` (PackedForward — the bin payload is
+    * a stream of [time, record] entries). A trailing option map is
+    * ignored.
+    */
+  def forwardEvents(v: V): Seq[Event] = v match {
+    case MArr(MStr(tag) +: rest) => rest match {
+      case (entries: MArr) +: _ =>
+        entries.items.map {
+          case MArr(Vector(t, rec)) => event(tag, t, rec)
+          case other => throw new IllegalArgumentException(s"bad entry $other")
+        }
+      case MBin(packed) +: _ =>
+        var o = 0
+        val out = Seq.newBuilder[Event]
+        while (o < packed.length) {
+          val (e, o2) = decode(packed, o)
+          e match {
+            case MArr(Vector(t, rec)) => out += event(tag, t, rec)
+            case other => throw new IllegalArgumentException(s"bad packed $other")
+          }
+          o = o2
+        }
+        out.result()
+      case t +: rec +: _ => Seq(event(tag, t, rec))
+      case other => throw new IllegalArgumentException(s"bad forward array $other")
+    }
+    case other => throw new IllegalArgumentException(s"bad forward message $other")
+  }
+
+  private def event(tag: String, t: V, rec: V): Event = {
+    val (sec, nsec) = eventTime(t)
+    val m = rec match {
+      case MMap(es) => es.map { case (k, v) => render(k) -> render(v) }.toMap
+      case other => Map("message" -> render(other))
+    }
+    Event(tag, sec, nsec, m)
+  }
+}

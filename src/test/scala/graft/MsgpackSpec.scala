@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Msgpack
+import graft.sources.Msgpack._
+
+/** Msgpack decoder + Forward-protocol event parsing, against hand-built
+  * wire bytes (fluent forward protocol v1 shapes the reference's
+  * in_forward accepts).
+  */
+class MsgpackSpec extends AnyFunSuite {
+
+  // ------------------------------------------------- tiny test encoder
+  private def bs(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+  private def fixstr(s: String): Array[Byte] = {
+    val b = s.getBytes("UTF-8"); require(b.length < 32); bs(0xa0 | b.length) ++ b
+  }
+  private def str8(s: String): Array[Byte] = {
+    val b = s.getBytes("UTF-8"); bs(0xd9, b.length) ++ b
+  }
+  private def fixarr(items: Array[Byte]*): Array[Byte] =
+    bs(0x90 | items.length) ++ items.flatten
+  private def fixmap(entries: (Array[Byte], Array[Byte])*): Array[Byte] =
+    bs(0x80 | entries.length) ++ entries.flatMap { case (k, v) => k ++ v }
+  private def u32(v: Long): Array[Byte] =
+    bs(((v >> 24) & 0xFF).toInt, ((v >> 16) & 0xFF).toInt,
+      ((v >> 8) & 0xFF).toInt, (v & 0xFF).toInt)
+  private def eventTime(sec: Long, ns: Long): Array[Byte] =
+    bs(0xd7, 0x00) ++ u32(sec) ++ u32(ns)
+  private def bin8(b: Array[Byte]): Array[Byte] = bs(0xc4, b.length) ++ b
+
+  test("scalar forms: fixint, negative, uint16, float64, str8, bool, nil") {
+    assert(decode(bs(0x07), 0)._1 == MInt(7))
+    assert(decode(bs(0xff), 0)._1 == MInt(-1))
+    assert(decode(bs(0xcd, 0x01, 0x00), 0)._1 == MInt(256))
+    assert(decode(bs(0xd0, 0x80), 0)._1 == MInt(-128))
+    val pi = java.lang.Double.doubleToLongBits(3.25)
+    val piB = (7 to 0 by -1).map(i => ((pi >> (8 * i)) & 0xFF).toInt)
+    assert(decode(bs(0xcb +: piB: _*), 0)._1 == MFloat(3.25))
+    assert(decode(str8("hello"), 0)._1 == MStr("hello"))
+    assert(decode(bs(0xc3), 0)._1 == MBool(true))
+    assert(decode(bs(0xc0), 0)._1 == MNil)
+  }
+
+  test("containers and event-time ext decode; truncation raises Incomplete") {
+    val m = fixmap(fixstr("k") -> fixstr("v"), fixstr("n") -> bs(0x2a))
+    assert(decode(m, 0)._1 ==
+      MMap(Vector(MStr("k") -> MStr("v"), MStr("n") -> MInt(42))))
+    val (et, _) = decode(eventTime(1704067200L, 500), 0)
+    assert(Msgpack.eventTime(et) == (1704067200L, 500L))
+    intercept[Msgpack.Incomplete] { decode(m.dropRight(1), 0) }
+    intercept[Msgpack.Incomplete] { decode(fixstr("hello").dropRight(2), 0) }
+  }
+
+  test("forward modes: Message, Forward, PackedForward") {
+    val rec = fixmap(fixstr("log") -> fixstr("boom"))
+    // Message mode: [tag, time, record]
+    val msg = fixarr(fixstr("app.x"), bs(0x05), rec)
+    assert(forwardEvents(decode(msg, 0)._1) ==
+      Seq(Event("app.x", 5L, 0L, Map("log" -> "boom"))))
+    // Forward mode: [tag, [[time, record], [time, record]]]
+    val fwd = fixarr(fixstr("app.y"),
+      fixarr(fixarr(bs(0x01), rec), fixarr(eventTime(2, 9), rec)))
+    val evs = forwardEvents(decode(fwd, 0)._1)
+    assert(evs.map(e => (e.tag, e.sec, e.nsec)) ==
+      Seq(("app.y", 1L, 0L), ("app.y", 2L, 9L)))
+    // PackedForward: [tag, bin of concatenated [time, record] entries]
+    val packed = fixarr(bs(0x03), rec) ++ fixarr(bs(0x04), rec)
+    val pf = fixarr(fixstr("app.z"), bin8(packed))
+    assert(forwardEvents(decode(pf, 0)._1).map(_.sec) == Seq(3L, 4L))
+  }
+
+  test("non-map record and nested values render into the string body") {
+    val msg = fixarr(fixstr("t"), bs(0x01), fixstr("bare line"))
+    assert(forwardEvents(decode(msg, 0)._1).head.record ==
+      Map("message" -> "bare line"))
+    val nested = fixmap(fixstr("a") -> fixarr(bs(0x01), bs(0x02)))
+    val msg2 = fixarr(fixstr("t"), bs(0x01), nested)
+    assert(forwardEvents(decode(msg2, 0)._1).head.record == Map("a" -> "[1,2]"))
+  }
+}

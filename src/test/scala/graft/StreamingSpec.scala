@@ -199,6 +199,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((14, "h1", "hello from app1"), (15, "h3", "second app1 line")))
   }
 
+  test("forward push source e2e: fluentd msgpack frames in, schemaless rows out") {
+    import org.apache.spark.sql.functions._
+    val probe = new java.net.ServerSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+
+    val src = spark.readStream.format("graft.sources.ForwardServerSource")
+      .option("port", port).load()
+      .select(col("tag"), col("ts"),
+        element_at(col("record"), "log").as("log"),
+        element_at(col("record"), "level").as("level"))
+    val q = src.writeStream.format("memory").queryName("fwd_in")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      // hand-encode a Forward-mode frame:
+      // ["app.fw", [[1704067200, {"log":"boom","level":"error"}],
+      //             [EventTime(1704067201, 5), {"log":"ok","level":"info"}]]]
+      def bs(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+      def fstr(s: String) = bs(0xa0 | s.length) ++ s.getBytes("UTF-8")
+      def farr(items: Array[Byte]*) = bs(0x90 | items.length) ++ items.flatten
+      def fmap(es: (Array[Byte], Array[Byte])*) =
+        bs(0x80 | es.length) ++ es.flatMap { case (k, v) => k ++ v }
+      def u32(v: Long) = bs(((v >> 24) & 0xFF).toInt, ((v >> 16) & 0xFF).toInt,
+        ((v >> 8) & 0xFF).toInt, (v & 0xFF).toInt)
+      val t0 = 1704067200L
+      val rec1 = fmap(fstr("log") -> fstr("boom"), fstr("level") -> fstr("error"))
+      val rec2 = fmap(fstr("log") -> fstr("ok"), fstr("level") -> fstr("info"))
+      val frame = farr(fstr("app.fw"), farr(
+        farr(bs(0xce) ++ u32(t0), rec1),
+        farr(bs(0xd7, 0x00) ++ u32(t0 + 1) ++ u32(5), rec2)))
+
+      var sock: java.net.Socket = null
+      val deadline = System.currentTimeMillis + 30000
+      while (sock == null && System.currentTimeMillis < deadline) {
+        try sock = new java.net.Socket("127.0.0.1", port)
+        catch { case _: java.net.ConnectException => Thread.sleep(100) }
+      }
+      assert(sock != null)
+      // write in two chunks split MID-OBJECT to exercise reassembly
+      val out = sock.getOutputStream
+      out.write(frame, 0, 10); out.flush()
+      Thread.sleep(200)
+      out.write(frame, 10, frame.length - 10); out.flush()
+      awaitRows("fwd_in", 2)
+      sock.close()
+    } finally q.stop()
+    val got = spark.table("fwd_in")
+      .select(col("tag"), col("ts").cast("long"), col("log"), col("level"))
+      .as[(String, Long, String, String)].collect().toSet
+    assert(got == Set(
+      ("app.fw", 1704067200L, "boom", "error"),
+      ("app.fw", 1704067201L, "ok", "info")))
+  }
+
   test("http push source e2e: POSTed NDJSON in, tagged parsed rows out") {
     import org.apache.spark.sql.functions._
     val probe = new java.net.ServerSocket(0)
