@@ -191,4 +191,39 @@ object Msgpack {
     }
     Event(tag, sec, nsec, m)
   }
+
+  // -------------------------------------------------------------- encoder
+
+  /** Encode the Forward-mode frame `[tag, [[EventTime, record]...]]` —
+    * the out_forward side (reference `plugins/out_forward`): what this
+    * engine writes, a fluentd/fluent-bit in_forward can ingest.
+    */
+  def encodeForward(tag: String, events: Seq[(Long, Long, Map[String, String])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def wArrHeader(n: Int): Unit =
+      if (n < 16) out.write(0x90 | n)
+      else { out.write(0xdc); out.write(n >> 8); out.write(n & 0xFF) }
+    def wStr(s: String): Unit = {
+      val b = s.getBytes("UTF-8")
+      if (b.length < 32) out.write(0xa0 | b.length)
+      else if (b.length < 256) { out.write(0xd9); out.write(b.length) }
+      else { out.write(0xda); out.write(b.length >> 8); out.write(b.length & 0xFF) }
+      out.write(b)
+    }
+    def wU32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)
+      out.write(((v >> 8) & 0xFF).toInt); out.write((v & 0xFF).toInt)
+    }
+    wArrHeader(2)
+    wStr(tag)
+    wArrHeader(events.size)
+    events.foreach { case (sec, nsec, record) =>
+      wArrHeader(2)
+      out.write(0xd7); out.write(0x00); wU32(sec); wU32(nsec) // EventTime ext
+      if (record.size < 16) out.write(0x80 | record.size)
+      else { out.write(0xde); out.write(record.size >> 8); out.write(record.size & 0xFF) }
+      record.foreach { case (k, v) => wStr(k); wStr(v) }
+    }
+    out.toByteArray
+  }
 }

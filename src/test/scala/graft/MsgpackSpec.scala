@@ -70,6 +70,17 @@ class MsgpackSpec extends AnyFunSuite {
     assert(forwardEvents(decode(pf, 0)._1).map(_.sec) == Seq(3L, 4L))
   }
 
+  test("out_forward encoder round-trips through the decoder") {
+    val events = Seq(
+      (1704067200L, 0L, Map("log" -> "a", "level" -> "info")),
+      (1704067201L, 42L, Map("log" -> ("x" * 100)))) // str8 path
+    val frame = Msgpack.encodeForward("app.rt", events)
+    val decoded = forwardEvents(decode(frame, 0)._1)
+    assert(decoded == Seq(
+      Event("app.rt", 1704067200L, 0L, Map("log" -> "a", "level" -> "info")),
+      Event("app.rt", 1704067201L, 42L, Map("log" -> ("x" * 100)))))
+  }
+
   test("non-map record and nested values render into the string body") {
     val msg = fixarr(fixstr("t"), bs(0x01), fixstr("bare line"))
     assert(forwardEvents(decode(msg, 0)._1).head.record ==
