@@ -3,7 +3,7 @@ package graft.config
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Modify, ParserFilter, RewriteTag}
+import graft.ops.{Grep, Modify, ParserFilter, RewriteTag}
 import graft.route.Router
 import graft.sinks.Formats
 import graft.sql.Planner
@@ -103,6 +103,9 @@ object ClassicConfig {
     }
 
     // ---------------------------------------------------- stream tasks
+    val taskNames = sections.filter(_.name == "STREAM_TASK").map(_.required("name"))
+    require(taskNames.distinct.size == taskNames.size,
+      s"duplicate [STREAM_TASK] names: ${taskNames.diff(taskNames.distinct).distinct.mkString(", ")}")
     val taskOutputs = sections.filter(_.name == "STREAM_TASK").map { s =>
       val cat = Planner.Catalog(
         streams = Map("CONF" -> filtered), defaultStream = Some("CONF"))
@@ -158,17 +161,27 @@ object ClassicConfig {
 
     s.required("name").toLowerCase match {
       case "grep" =>
-        // keep when every `regex` matches and no `exclude` matches;
-        // `logical_op or` folds with OR instead (grep.c:220-236)
-        val keeps = s.all("regex").map(splitRule).map { case (k, p) =>
-          coalesce(col(k).rlike(p), lit(false)) }
-        val drops = s.all("exclude").map(splitRule).map { case (k, p) =>
-          !coalesce(col(k).rlike(p), lit(false)) }
-        val fold: (Column, Column) => Column =
-          if (s.get("logical_op").exists(_.equalsIgnoreCase("or"))) _ || _
-          else _ && _
-        val rule = (keeps ++ drops).reduceOption(fold).getOrElse(lit(true))
-        rejoin(matched.filter(rule))
+        // delegate to ops.Grep — one implementation of the rule
+        // semantics. logical_op legacy (default) ORs regexes then ANDs
+        // excludes; AND/OR reject mixed regex+exclude rule sets exactly
+        // like grep.c:220-236 errors at startup.
+        val rules =
+          s.all("regex").map(splitRule).map { case (k, p) =>
+            Grep.Rule(col(k), p) } ++
+            s.all("exclude").map(splitRule).map { case (k, p) =>
+              Grep.Rule(col(k), p, exclude = true) }
+        val op = s.get("logical_op").map(_.toLowerCase) match {
+          case Some("or") => Grep.Or
+          case Some("and") => Grep.And
+          case Some("legacy") | None => Grep.Legacy
+          case Some(other) => throw new IllegalArgumentException(
+            s"grep logical_op $other")
+        }
+        if (op != Grep.Legacy &&
+          rules.exists(_.exclude) && rules.exists(!_.exclude))
+          throw new IllegalArgumentException(
+            "grep: Regex and Exclude cannot be combined with logical_op and/or (grep.c rejects this config)")
+        rejoin(if (rules.isEmpty) matched else Grep(matched, rules, op))
 
       case "modify" =>
         val ops: Seq[Modify.Rule] = s.props.flatMap {
@@ -220,19 +233,22 @@ object ClassicConfig {
         val keyName = s.required("key_name")
         val reserve = s.get("reserve_data").exists(_.equalsIgnoreCase("on"))
         val preserve = s.get("preserve_key").exists(_.equalsIgnoreCase("on"))
-        // parse with reserve on, then project reserve_data semantics
-        // OURSELVES keeping the routing tag — parsing never changes a
-        // record's tag in the reference.
-        val parsed = ParserFilter.regex(matched, keyName, p.required("regex"),
+        val pattern = p.required("regex")
+        // records whose field fails the parse pass through UNTOUCHED
+        // (filter_parser returns FLB_FILTER_NOTOUCH on failure); only
+        // successful parses get the reserve/preserve projection. The
+        // routing tag is always kept — parsing never re-tags.
+        val ok = coalesce(col(keyName).rlike(pattern), lit(false))
+        val parsed = ParserFilter.regex(matched.filter(ok), keyName, pattern,
           reserveData = true, preserveKey = true)
-        val groupCols = graft.parse.Parsers.groupNames(p.required("regex"))
-        val out =
+        val groupCols = graft.parse.Parsers.groupNames(pattern)
+        val projected =
           if (reserve) { if (preserve) parsed else parsed.drop(keyName) }
           else {
             val keep = ("tag" +: groupCols) ++ (if (preserve) Seq(keyName) else Nil)
             parsed.select(keep.distinct.map(col): _*)
           }
-        rejoin(out)
+        rejoin(projected.unionByName(matched.filter(!ok), allowMissingColumns = true))
 
       case "rewrite_tag" =>
         val rules = s.all("rule").map { r =>

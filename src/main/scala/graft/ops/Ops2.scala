@@ -197,7 +197,8 @@ object TailSampling {
     * value appears in the W3C tracestate list.
     */
   def traceStatePolicy(traceState: Column, values: Seq[String]): Column =
-    values.map(v => coalesce(traceState.contains(v), lit(false))).reduce(_ || _)
+    values.map(v => coalesce(traceState.contains(v), lit(false)))
+      .reduceOption(_ || _).getOrElse(lit(false))
 
   /** span_count policy (sampling_cond_span_count.c): keep whole traces
     * whose span count lies in [minSpans, maxSpans] — a per-trace

@@ -20,9 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * each event becomes a row (tag, ts, record MAP<STRING,STRING>) in the
   * two-tier schemaless model of SURVEY §1.4.
   *
-  * Same micro-batch design and at-most-once edge contract as
-  * [[TcpServerSource]]; ack/chunk options are not requested, which the
-  * protocol permits (sender treats the write as fire-and-forget).
+  * Same micro-batch design as [[TcpServerSource]]. When the sender
+  * requests acknowledgement (the `chunk` option), the server replies
+  * `{"ack": id}` after buffering the events, so at-least-once senders
+  * (Require_ack_response) do not retransmit; without the option the
+  * edge contract is the usual at-most-once push.
   */
 class ForwardServerSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -86,11 +88,18 @@ private[sources] class ForwardMicroBatchStream(host: String, port: Int)
   acceptThread.start()
 
   /** Incremental frame assembly: msgpack is self-delimiting, so decode
-    * objects as bytes arrive; an [[Msgpack.Incomplete]] mid-object means
-    * wait for the next read.
+    * objects as bytes arrive. ONLY an [[Msgpack.Incomplete]] from the
+    * outer `decode` means "wait for more bytes" — anything thrown while
+    * interpreting a COMPLETE outer object (bad entry shape, truncated
+    * PackedForward payload) is a malformed frame and closes the
+    * connection; retrying it would stall the stream and grow `pending`
+    * forever. When the sender requests an ack (`chunk` option), the
+    * protocol's `{"ack": id}` reply is written back (at-least-once
+    * senders with Require_ack_response retransmit without it).
     */
   private def handle(sock: Socket): Unit = {
     val in = sock.getInputStream
+    val outStream = sock.getOutputStream
     var pending = Array.emptyByteArray
     val chunk = new Array[Byte](64 * 1024)
     try {
@@ -103,21 +112,27 @@ private[sources] class ForwardMicroBatchStream(host: String, port: Int)
           var off = 0
           var more = true
           while (more) {
-            try {
-              val (v, next) = Msgpack.decode(merged, off)
-              val events = Msgpack.forwardEvents(v)
-              buf.synchronized { buf ++= events }
-              off = next
-              if (off >= merged.length) more = false
-            } catch {
-              case _: Msgpack.Incomplete => more = false
+            val decoded =
+              try Some(Msgpack.decode(merged, off))
+              catch { case _: Msgpack.Incomplete => None }
+            decoded match {
+              case Some((v, next)) =>
+                // errors from HERE on are malformed frames → propagate
+                val events = Msgpack.forwardEvents(v)
+                buf.synchronized { buf ++= events }
+                Msgpack.forwardChunkId(v).foreach { id =>
+                  outStream.write(Msgpack.encodeAck(id)); outStream.flush()
+                }
+                off = next
+                if (off >= merged.length) more = false
+              case None => more = false
             }
           }
           pending = java.util.Arrays.copyOfRange(merged, off, merged.length)
         }
         n = in.read(chunk)
       }
-    } catch { case _: Throwable => /* peer went away / bad frame */ }
+    } catch { case _: Throwable => /* peer went away / malformed frame */ }
     finally sock.close()
   }
 

@@ -29,6 +29,13 @@ object Msgpack {
   private def need(b: Array[Byte], off: Int, n: Int): Unit =
     if (off + n > b.length) throw new Incomplete
 
+  /** Reject negative / overflowed 32-bit lengths as PROTOCOL errors —
+    * a silently-empty container would desync the rest of the stream.
+    */
+  private def len(n: Int): Int =
+    if (n < 0) throw new IllegalArgumentException(s"negative msgpack length $n")
+    else n
+
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
   private def u16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
   private def u32(b: Array[Byte], i: Int): Long =
@@ -84,10 +91,10 @@ object Msgpack {
       case 0xc3 => (MBool(true), o)
       case 0xc4 => need(b, o, 1); bin(b, o + 1, u8(b, o))
       case 0xc5 => need(b, o, 2); bin(b, o + 2, u16(b, o))
-      case 0xc6 => need(b, o, 4); bin(b, o + 4, u32(b, o).toInt)
+      case 0xc6 => need(b, o, 4); bin(b, o + 4, len(u32(b, o).toInt))
       case 0xc7 => need(b, o, 1); ext(b, o + 1, u8(b, o))
       case 0xc8 => need(b, o, 2); ext(b, o + 2, u16(b, o))
-      case 0xc9 => need(b, o, 4); ext(b, o + 4, u32(b, o).toInt)
+      case 0xc9 => need(b, o, 4); ext(b, o + 4, len(u32(b, o).toInt))
       case 0xca => need(b, o, 4)
         (MFloat(java.lang.Float.intBitsToFloat(u32(b, o).toInt).toDouble), o + 4)
       case 0xcb => need(b, o, 8)
@@ -107,11 +114,11 @@ object Msgpack {
       case 0xd8 => ext(b, o, 16)
       case 0xd9 => need(b, o, 1); str(b, o + 1, u8(b, o))
       case 0xda => need(b, o, 2); str(b, o + 2, u16(b, o))
-      case 0xdb => need(b, o, 4); str(b, o + 4, u32(b, o).toInt)
+      case 0xdb => need(b, o, 4); str(b, o + 4, len(u32(b, o).toInt))
       case 0xdc => need(b, o, 2); arr(b, o + 2, u16(b, o))
-      case 0xdd => need(b, o, 4); arr(b, o + 4, u32(b, o).toInt)
+      case 0xdd => need(b, o, 4); arr(b, o + 4, len(u32(b, o).toInt))
       case 0xde => need(b, o, 2); mp(b, o + 2, u16(b, o))
-      case 0xdf => need(b, o, 4); mp(b, o + 4, u32(b, o).toInt)
+      case 0xdf => need(b, o, 4); mp(b, o + 4, len(u32(b, o).toInt))
       case other => throw new IllegalArgumentException(
         f"unsupported msgpack type 0x$other%02x at $off")
     }
@@ -129,7 +136,7 @@ object Msgpack {
     case MBin(b) => java.util.Base64.getEncoder.encodeToString(b)
     case MArr(items) => items.map(renderJson).mkString("[", ",", "]")
     case MMap(es) => es.map { case (k, vv) =>
-      "\"" + render(k) + "\":" + renderJson(vv) }.mkString("{", ",", "}")
+      renderJson(MStr(render(k))) + ":" + renderJson(vv) }.mkString("{", ",", "}")
     case MExt(t, d) => s"ext($t,${d.length})"
   }
   private def renderJson(v: V): String = v match {
@@ -196,23 +203,33 @@ object Msgpack {
 
   /** Encode the Forward-mode frame `[tag, [[EventTime, record]...]]` —
     * the out_forward side (reference `plugins/out_forward`): what this
-    * engine writes, a fluentd/fluent-bit in_forward can ingest.
+    * engine writes, a fluentd/fluent-bit in_forward can ingest. Every
+    * length tier up to 32 bits is handled (a missing str32 tier would
+    * emit a corrupt header for a ≥64 KiB log line and desync the
+    * receiver).
     */
   def encodeForward(tag: String, events: Seq[(Long, Long, Map[String, String])]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
+    def wU16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    def wU32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)
+      out.write(((v >> 8) & 0xFF).toInt); out.write((v & 0xFF).toInt)
+    }
     def wArrHeader(n: Int): Unit =
       if (n < 16) out.write(0x90 | n)
-      else { out.write(0xdc); out.write(n >> 8); out.write(n & 0xFF) }
+      else if (n < 65536) { out.write(0xdc); wU16(n) }
+      else { out.write(0xdd); wU32(n.toLong) }
+    def wMapHeader(n: Int): Unit =
+      if (n < 16) out.write(0x80 | n)
+      else if (n < 65536) { out.write(0xde); wU16(n) }
+      else { out.write(0xdf); wU32(n.toLong) }
     def wStr(s: String): Unit = {
       val b = s.getBytes("UTF-8")
       if (b.length < 32) out.write(0xa0 | b.length)
       else if (b.length < 256) { out.write(0xd9); out.write(b.length) }
-      else { out.write(0xda); out.write(b.length >> 8); out.write(b.length & 0xFF) }
+      else if (b.length < 65536) { out.write(0xda); wU16(b.length) }
+      else { out.write(0xdb); wU32(b.length.toLong) }
       out.write(b)
-    }
-    def wU32(v: Long): Unit = {
-      out.write(((v >> 24) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)
-      out.write(((v >> 8) & 0xFF).toInt); out.write((v & 0xFF).toInt)
     }
     wArrHeader(2)
     wStr(tag)
@@ -220,10 +237,46 @@ object Msgpack {
     events.foreach { case (sec, nsec, record) =>
       wArrHeader(2)
       out.write(0xd7); out.write(0x00); wU32(sec); wU32(nsec) // EventTime ext
-      if (record.size < 16) out.write(0x80 | record.size)
-      else { out.write(0xde); out.write(record.size >> 8); out.write(record.size & 0xFF) }
+      wMapHeader(record.size)
       record.foreach { case (k, v) => wStr(k); wStr(v) }
     }
+    out.toByteArray
+  }
+
+  /** The sender's `chunk` ack request from a Forward entry's trailing
+    * option map — when present the server must reply `{"ack": id}`
+    * (forward protocol at-least-once handshake).
+    */
+  def forwardChunkId(v: V): Option[String] = {
+    def chunkOf(opt: V): Option[String] = opt match {
+      case MMap(es) => es.collectFirst {
+        case (MStr("chunk"), MStr(id)) => id
+        case (MStr("chunk"), MBin(b)) => new String(b, "UTF-8")
+      }
+      case _ => None
+    }
+    v match {
+      case MArr(items) if items.size >= 3 => items.last match {
+        case m: MMap if (items(1) match { // option map only in 3rd+ slot
+          case _: MArr | _: MBin => items.size >= 3 // Forward/Packed: [tag, entries, opt]
+          case _ => items.size >= 4                 // Message: [tag, t, rec, opt]
+        }) => chunkOf(m)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Encode the ack reply `{"ack": id}`. */
+  def encodeAck(chunkId: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0x81) // fixmap(1)
+    val k = "ack".getBytes("UTF-8")
+    out.write(0xa0 | k.length); out.write(k)
+    val v = chunkId.getBytes("UTF-8")
+    if (v.length < 32) out.write(0xa0 | v.length)
+    else { out.write(0xd9); out.write(v.length) }
+    out.write(v)
     out.toByteArray
   }
 }

@@ -152,6 +152,35 @@ class ConfigSpec extends AnyFunSuite {
     assert(lines.toSeq == Seq("alert.err"))
   }
 
+  test("parser filter leaves unparseable records untouched (FLB_FILTER_NOTOUCH)") {
+    val in = Seq("GET /a 200 10", "not an access line").toDF("log")
+      .withColumn("tag", lit("app.web"))
+    val conf =
+      """[INPUT]
+        |    name lib
+        |    tag  app.web
+        |[PARSER]
+        |    name   access
+        |    format regex
+        |    regex  ^(?<method>[A-Z]+) (?<uri>\S+) (?<status>\d+) (?<bytes>\d+)$
+        |[FILTER]
+        |    name     parser
+        |    match    app.*
+        |    key_name log
+        |    parser   access
+        |[OUTPUT]
+        |    name   file
+        |    match  *
+        |    format json
+        |""".stripMargin
+    val outs = ClassicConfig.assemble(spark, conf, streams = Map("app.web" -> in))
+    val lines = outs("file:*").select("line").as[String].collect().toSet
+    // parsed record: groups only (reserve_data off); unparsed record:
+    // original log field intact, no fabricated group values
+    assert(lines.exists(l => l.contains("\"method\":\"GET\"") && !l.contains("not an")))
+    assert(lines.exists(l => l.contains("\"log\":\"not an access line\"")))
+  }
+
   test("rewrite_tag Match pattern gates the rules: other tags pass untouched") {
     val in = Seq(("error", "app.log", 1L), ("error", "db.log", 2L))
       .toDF("level", "tag", "id")

@@ -81,6 +81,34 @@ class MsgpackSpec extends AnyFunSuite {
       Event("app.rt", 1704067201L, 42L, Map("log" -> ("x" * 100)))))
   }
 
+  test("chunk option parses per mode; ack frame encodes; negative length rejected") {
+    val rec = fixmap(fixstr("log") -> fixstr("x"))
+    val opt = fixmap(fixstr("chunk") -> fixstr("abc123=="))
+    // Forward mode with options: [tag, entries, opt]
+    val fwd = fixarr(fixstr("t"), fixarr(fixarr(bs(0x01), rec)), opt)
+    assert(forwardChunkId(decode(fwd, 0)._1).contains("abc123=="))
+    // Message mode with options: [tag, time, record, opt]
+    val msg = fixarr(fixstr("t"), bs(0x01), rec, opt)
+    assert(forwardChunkId(decode(msg, 0)._1).contains("abc123=="))
+    // Message mode WITHOUT options: the record map is not an option map
+    val noOpt = fixarr(fixstr("t"), bs(0x01), rec)
+    assert(forwardChunkId(decode(noOpt, 0)._1).isEmpty)
+    // ack round-trips
+    assert(decode(encodeAck("abc123=="), 0)._1 ==
+      MMap(Vector(MStr("ack") -> MStr("abc123=="))))
+    // a negative array32 count is a protocol error, not an empty array
+    intercept[IllegalArgumentException] {
+      decode(bs(0xdd, 0xFF, 0xFF, 0xFF, 0xFF), 0)
+    }
+  }
+
+  test("encoder length tiers: str16/str32 headers survive the decoder") {
+    val big = "y" * 70000 // needs str32
+    val frame = Msgpack.encodeForward("t", Seq((1L, 0L, Map("log" -> big))))
+    val evs = forwardEvents(decode(frame, 0)._1)
+    assert(evs.head.record("log").length == 70000)
+  }
+
   test("non-map record and nested values render into the string body") {
     val msg = fixarr(fixstr("t"), bs(0x01), fixstr("bare line"))
     assert(forwardEvents(decode(msg, 0)._1).head.record ==
