@@ -165,11 +165,15 @@ object ClassicConfig {
         // semantics. logical_op legacy (default) ORs regexes then ANDs
         // excludes; AND/OR reject mixed regex+exclude rule sets exactly
         // like grep.c:220-236 errors at startup.
-        val rules =
-          s.all("regex").map(splitRule).map { case (k, p) =>
-            Grep.Rule(col(k), p) } ++
-            s.all("exclude").map(splitRule).map { case (k, p) =>
-              Grep.Rule(col(k), p, exclude = true) }
+        // rules in CONFIG-FILE order — legacy evaluation is sequential,
+        // so interleaving of regex/exclude entries is semantic
+        val rules = s.props.flatMap {
+          case (k, v) if k.equalsIgnoreCase("regex") =>
+            val (a, b) = split2(v); Some(Grep.Rule(col(a), b))
+          case (k, v) if k.equalsIgnoreCase("exclude") =>
+            val (a, b) = split2(v); Some(Grep.Rule(col(a), b, exclude = true))
+          case _ => None
+        }
         val op = s.get("logical_op").map(_.toLowerCase) match {
           case Some("or") => Grep.Or
           case Some("and") => Grep.And

@@ -26,17 +26,28 @@ object Grep {
   sealed trait LogicalOp
   case object And extends LogicalOp
   case object Or extends LogicalOp
-  /** fluent-bit `legacy` mode: excludes are ANDed after ORed regexes. */
+  /** fluent-bit `legacy` mode (grep.c grep_filter_data): SEQUENTIAL
+    * first-decision in rule order — an Exclude rule drops on match and
+    * passes on otherwise; the FIRST Regex rule decides keep/drop
+    * outright (rules after it are unreachable); no rules ⇒ keep. Rule
+    * ORDER therefore matters, exactly as in the reference.
+    */
   case object Legacy extends LogicalOp
 
   def predicate(rules: Seq[Rule], op: LogicalOp): Column = op match {
     case And => rules.map(_.satisfied).reduce(_ && _)
     case Or => rules.map(_.satisfied).reduce(_ || _)
     case Legacy =>
-      val (ex, re) = rules.partition(_.exclude)
-      val keep = if (re.isEmpty) lit(true) else re.map(_.satisfied).reduce(_ || _)
-      val drop = if (ex.isEmpty) lit(true) else ex.map(_.satisfied).reduce(_ && _)
-      keep && drop
+      def chain(rs: List[Rule]): Column = rs match {
+        case Nil => lit(true)
+        case r :: rest if r.exclude =>
+          // exclude: drop on match, otherwise evaluate the next rule
+          when(!r.satisfied, lit(false)).otherwise(chain(rest))
+        case r :: _ =>
+          // first regex rule decides either way; later rules unreachable
+          r.satisfied
+      }
+      chain(rules.toList)
   }
 
   def apply(df: DataFrame, rules: Seq[Rule], op: LogicalOp = Legacy): DataFrame =

@@ -14,11 +14,13 @@ object OpsQueries {
     GraftQuery(
       "f_grep",
       (s, dir) =>
+        // legacy evaluation is sequential, so the exclude must precede
+        // the regex (a regex rule decides outright and ends the chain)
         Grep(
           Tables.documents(s, dir),
           Seq(
-            Grep.Rule(col("text"), "spark", exclude = false),
-            Grep.Rule(col("text"), "slow", exclude = true)
+            Grep.Rule(col("text"), "slow", exclude = true),
+            Grep.Rule(col("text"), "spark", exclude = false)
           )
         ).select(col("doc_id"), col("lang")),
       Some("""SELECT doc_id, lang FROM documents

@@ -267,7 +267,11 @@ object Msgpack {
     }
   }
 
-  /** Encode the ack reply `{"ack": id}`. */
+  /** Encode the ack reply `{"ack": id}`. The id is SENDER-controlled,
+    * so every string tier is needed (a truncated str8 length for a
+    * ≥256-byte id would corrupt the ack and make the sender retransmit
+    * forever).
+    */
   def encodeAck(chunkId: String): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(0x81) // fixmap(1)
@@ -275,7 +279,14 @@ object Msgpack {
     out.write(0xa0 | k.length); out.write(k)
     val v = chunkId.getBytes("UTF-8")
     if (v.length < 32) out.write(0xa0 | v.length)
-    else { out.write(0xd9); out.write(v.length) }
+    else if (v.length < 256) { out.write(0xd9); out.write(v.length) }
+    else if (v.length < 65536) {
+      out.write(0xda); out.write((v.length >> 8) & 0xFF); out.write(v.length & 0xFF)
+    } else {
+      out.write(0xdb)
+      out.write((v.length >> 24) & 0xFF); out.write((v.length >> 16) & 0xFF)
+      out.write((v.length >> 8) & 0xFF); out.write(v.length & 0xFF)
+    }
     out.write(v)
     out.toByteArray
   }

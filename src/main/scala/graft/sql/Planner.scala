@@ -45,6 +45,15 @@ object Planner {
       streams.getOrElse(name, throw new ParseException(s"unknown stream $name"))
     def all: DataFrame = defaultStream.map(stream).getOrElse(
       streams.values.reduce(_ unionByName _))
+
+    /** Expose every catalog stream as a temp view (in each frame's own
+      * session) so full Spark SQL — JOIN, ORDER BY, HAVING, subqueries,
+      * set ops: the dialect gaps SURVEY §2.1 lists for the reference
+      * grammar — runs over the same streams as native extensions:
+      * `spark.sql("SELECT ... FROM s1 JOIN s2 ...")`.
+      */
+    def registerViews(): Unit =
+      streams.foreach { case (name, df) => df.createOrReplaceTempView(name) }
   }
 
   /** Epoch base for forecast regression math — keeps x² sums inside

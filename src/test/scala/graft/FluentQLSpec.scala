@@ -195,6 +195,19 @@ class FluentQLSpec extends AnyFunSuite {
       Seq(Some("50"), Some("60"), None))
   }
 
+  test("catalog views open the full Spark SQL surface beyond the reference dialect") {
+    // the reference grammar has no JOIN / ORDER BY / HAVING (SURVEY
+    // §2.1 dialect gaps) — registered views provide them as extensions
+    cat.registerViews()
+    val joined = spark.sql(
+      """SELECT a.id, a.word1, b.usage FROM FLB a
+        |JOIN FLB b ON a.id = b.id
+        |WHERE a.bool GROUP BY a.id, a.word1, b.usage
+        |HAVING sum(b.usage) > 20 ORDER BY a.id DESC LIMIT 3""".stripMargin)
+    val ids = joined.select("id").as[Long].collect().toSeq
+    assert(ids == ids.sorted.reverse && ids.nonEmpty && ids.length <= 3)
+  }
+
   test("invalid queries are rejected (sp_invalid_queries.h)") {
     assertThrows[ParseException](run("SELECT *, COUNT(id) FROM STREAM:FLB;"))
     assertThrows[ParseException](run("SELECT id FROM STREAM:FLB WHERE bool = NULL;"))

@@ -14,9 +14,11 @@ class OpsSpec extends AnyFunSuite {
       ("2", Some("warning only")),
       ("3", None)
     ).toDF("id", "msg")
+    // legacy mode is sequential: the exclude runs first, then the regex
+    // decides (a regex rule ends the chain either way)
     val out = Grep(df, Seq(
-      Grep.Rule(col("msg"), "error|warning"),
-      Grep.Rule(col("msg"), "only", exclude = true)
+      Grep.Rule(col("msg"), "only", exclude = true),
+      Grep.Rule(col("msg"), "error|warning")
     )).select("id").as[String].collect().toSet
     assert(out == Set("1"))
   }
