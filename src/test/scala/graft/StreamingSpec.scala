@@ -253,6 +253,40 @@ class StreamingSpec extends AnyFunSuite {
       ("app.fw", 1704067201L, "ok", "info")))
   }
 
+  test("engine-to-engine relay: out_forward sink into our own in_forward source") {
+    import org.apache.spark.sql.functions._
+    val probe = new java.net.ServerSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+
+    // receiving engine: Forward source → memory sink
+    val received = spark.readStream.format("graft.sources.ForwardServerSource")
+      .option("port", port).load()
+      .select(col("tag"), element_at(col("record"), "msg").as("msg"))
+    val q = received.writeStream.format("memory").queryName("relay_in")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      // wait for the server socket to bind
+      val deadline = System.currentTimeMillis + 30000
+      var up = false
+      while (!up && System.currentTimeMillis < deadline) {
+        try { new java.net.Socket("127.0.0.1", port).close(); up = true }
+        catch { case _: java.net.ConnectException => Thread.sleep(100) }
+      }
+      assert(up)
+      // sending engine: a batch frame shipped via the out_forward sink
+      val outDf = Seq(
+        ("app.a", 1704067200L, Map("msg" -> "one")),
+        ("app.a", 1704067201L, Map("msg" -> "two")),
+        ("app.b", 1704067202L, Map("msg" -> "three"))
+      ).toDF("tag", "ts_sec", "record")
+      graft.sinks.ForwardSink.write(outDf, "127.0.0.1", port)
+      awaitRows("relay_in", 3)
+    } finally q.stop()
+    val got = spark.table("relay_in").as[(String, String)].collect().toSet
+    assert(got == Set(("app.a", "one"), ("app.a", "two"), ("app.b", "three")))
+  }
+
   test("http push source e2e: POSTed NDJSON in, tagged parsed rows out") {
     import org.apache.spark.sql.functions._
     val probe = new java.net.ServerSocket(0)
