@@ -28,28 +28,23 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Per-group top-k without a global window sort: a deterministic
-    * 64-way hash salt splits each group so no single reducer sorts a
-    * whole group (low-cardinality query ids would otherwise skew), then
-    * the ≤ k×64-element salted winners merge per group. A
-    * nondeterministic salt (spark_partition_id) would force Catalyst to
-    * materialize an extra exchange — the salt must be deterministic.
-    * Orders by (orderAsc..) ascending; emits rank 1..k.
+  /** Per-group top-k with bounded executor state: `row_number()` over
+    * (group, orderAsc..) + `rank <= k`. Catalyst's InferWindowGroupLimit
+    * rewrites this to WindowGroupLimit in BOTH partial (pre-shuffle) and
+    * final mode, so every partition keeps at most k rows per group in a
+    * size-k heap — unlike a `collect_list`-based top-k, whose partial
+    * aggregation buffers EVERY candidate of a hot group in executor
+    * memory before slicing (the round-3 scale defect). Orders by
+    * (orderAsc..) ascending; emits rank 1..k.
     */
   private def topKPerGroup(scored: DataFrame, groupCol: String, k: Int,
                            payload: Seq[String], orderAsc: Seq[Column]): DataFrame = {
-    val item = struct(orderAsc ++ payload.map(col): _*)
-    val salt = pmod(xxhash64(col(payload.head)), lit(64)).as("__salt")
-    val partial = scored
-      .groupBy(col(groupCol), salt)
-      .agg(slice(array_sort(collect_list(item)), 1, k).as("__top"))
-    partial
-      .groupBy(col(groupCol))
-      .agg(slice(array_sort(flatten(collect_list(col("__top")))), 1, k).as("__top"))
-      .select(col(groupCol), posexplode(col("__top")).as(Seq("__pos", "__item")))
-      .select(
-        (col(groupCol) +: payload.map(p => col(s"__item.$p")) :+
-          (col("__pos") + 1).as("rank")): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(orderAsc: _*)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select((col(groupCol) +: payload.map(col)) :+ col("rank"): _*)
   }
 
   /** Brute-force top-k cosine neighbors of each query vector.

@@ -64,6 +64,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("top-k selection is WindowGroupLimit, not unbounded aggregation buffers") {
+    for (q <- Seq("x_sim_cosine_topk", "x_ann_ivf_search", "x_dedup_embed")) {
+      val plan = planOf(q)
+      assert(plan.contains("WindowGroupLimit"),
+        s"$q top-k must keep per-partition state at k rows:\n" + plan.take(3000))
+      assert(!plan.contains("ObjectHashAggregate"),
+        s"$q must not buffer whole groups in collect_list")
+    }
+  }
+
   test("bucketed tables join with no exchange on either side") {
     val docs = Registry.queries("x_dedup_exact")(spark, sf) // any keyed frame
       .select("keep_id", "n_dups")
