@@ -321,6 +321,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set(("logs.app", "info", "hello"), ("logs.app", "error", "boom")))
   }
 
+  test("otlp http ingest e2e: POSTed OTLP JSON logs in, flat events out") {
+    import org.apache.spark.sql.functions._
+    val probe = new java.net.ServerSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+
+    val src = graft.sources.Sources.httpLines(spark, port)
+    val flat = graft.parse.Otlp.decodeLogs(src.select("tag", "value"), col("value"))
+      .select(col("tag"), element_at(col("resource_attributes"), "service.name"),
+        col("ts_unix_nano"), col("severity_number"), col("severity_text"),
+        col("body"), col("trace_id"))
+    val q = flat.writeStream.format("memory").queryName("otlp_in")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      // one body, two records: the second omits timeUnixNano (falls back
+      // to observed) and carries an out-of-range severity (dropped)
+      val body =
+        """{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"checkout"}}]},""" +
+        """"scopeLogs":[{"scope":{"name":"app","version":"1"},"logRecords":[""" +
+        """{"timeUnixNano":"1704067200000000000","severityNumber":17,"severityText":"ERROR","body":{"stringValue":"boom"},"traceId":"0af7651916cd43dd8448eb211c80319c"},""" +
+        """{"observedTimeUnixNano":"1704067201000000000","severityNumber":99,"body":{"stringValue":"fine"}}]}]}]}"""
+      val deadline = System.currentTimeMillis + 30000
+      var code = -1
+      while (code != 201 && System.currentTimeMillis < deadline) {
+        try {
+          val url = java.net.URI.create(s"http://127.0.0.1:$port/v1/logs").toURL
+          val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+          conn.setRequestMethod("POST")
+          conn.setDoOutput(true)
+          conn.getOutputStream.write(body.getBytes("UTF-8"))
+          code = conn.getResponseCode
+          conn.disconnect()
+        } catch { case _: java.net.ConnectException => Thread.sleep(100) }
+      }
+      assert(code == 201, s"POST not accepted (last code $code)")
+      awaitRows("otlp_in", 2)
+    } finally q.stop()
+    val got = spark.table("otlp_in")
+      .as[(String, String, Long, Option[Int], Option[String], String, Option[String])]
+      .collect().toSet
+    assert(got == Set(
+      ("v1.logs", "checkout", 1704067200000000000L, Some(17), Some("ERROR"),
+        "boom", Some("0af7651916cd43dd8448eb211c80319c")),
+      ("v1.logs", "checkout", 1704067201000000000L, None, None, "fine", None)))
+  }
+
   test("FluentQL WINDOW TUMBLING on a streaming source compiles to event-time window") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
