@@ -1,0 +1,117 @@
+package graft.sinks
+
+import java.io.IOException
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Generic HTTP-push sink — the delivery half of the reference's
+  * out_http / out_es / out_splunk / out_loki family: pre-serialized
+  * record lines POST in bounded batches, failures retry with the
+  * full-jitter capped exponential backoff of the reference scheduler
+  * (`src/flb_scheduler.c:253-316` — wait = uniform(base, min(cap,
+  * base·2^n))).
+  *
+  * Distribution shape (same as [[ForwardSink]]): each PARTITION runs its
+  * own HTTP client — no driver collect, no single-writer funnel; at
+  * 1000 executors that is 1000 concurrent bulk writers, which is how the
+  * reference's worker threads scale out. Batch form below; in streaming,
+  * call from `foreachBatch`.
+  *
+  * Retry policy mirrors the reference engine's task retry rules: network
+  * errors, 429 and 5xx are retryable (out_http `http.c` FLB_RETRY
+  * paths); other 4xx are permanent errors and fail immediately (a
+  * malformed payload never heals by resending).
+  */
+object HttpSink {
+
+  /** Full-jitter wait before retry attempt `n` (0-based):
+    * uniform(base, min(cap, base·2^n)) — flb_scheduler.c:259-265.
+    */
+  def backoffMs(baseMs: Int, capMs: Int, attempt: Int,
+                rnd: java.util.Random): Long = {
+    val exp = math.min(capMs.toLong, baseMs.toLong << math.min(attempt, 30))
+    val hi = math.max(exp, baseMs.toLong)
+    baseMs + (if (hi == baseMs) 0L else math.abs(rnd.nextLong()) % (hi - baseMs + 1))
+  }
+
+  /** POST `body` once; returns the status code, or throws IOException on
+    * a transport failure.
+    */
+  private def postOnce(url: String, body: Array[Byte], contentType: String,
+                       headers: Seq[(String, String)]): Int = {
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(30000)
+      conn.setRequestProperty("Content-Type", contentType)
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      conn.getOutputStream.write(body)
+      conn.getResponseCode
+    } finally conn.disconnect()
+  }
+
+  /** POST with retries: success on 2xx; retry transport errors, 429 and
+    * 5xx up to `maxRetries` times with full-jitter backoff; fail fast on
+    * any other 4xx. Returns the number of attempts made.
+    */
+  def postWithRetry(url: String, body: Array[Byte],
+                    contentType: String = "application/x-ndjson",
+                    headers: Seq[(String, String)] = Nil,
+                    maxRetries: Int = 3, baseMs: Int = 100,
+                    capMs: Int = 5000,
+                    rnd: java.util.Random = new java.util.Random()): Int = {
+    var attempt = 0
+    while (true) {
+      val status =
+        try postOnce(url, body, contentType, headers)
+        catch { case e: IOException => if (attempt >= maxRetries) throw e; -1 }
+      if (status >= 200 && status < 300) return attempt + 1
+      if (status >= 400 && status < 500 && status != 429)
+        throw new IOException(s"permanent HTTP error $status from $url")
+      if (attempt >= maxRetries)
+        throw new IOException(s"HTTP $status from $url after ${attempt + 1} attempts")
+      Thread.sleep(backoffMs(baseMs, capMs, attempt, rnd))
+      attempt += 1
+    }
+    0 // unreachable
+  }
+
+  /** Ship a one-string-column DataFrame as NDJSON POSTs of at most
+    * `batchLines` lines, one client per partition. `lineCol` rows are
+    * already-serialized record lines ([[Formats.jsonLine]] output).
+    */
+  def write(df: DataFrame, url: String, lineCol: String = "value",
+            batchLines: Int = 1000, maxRetries: Int = 3,
+            baseMs: Int = 100, capMs: Int = 5000,
+            headers: Seq[(String, String)] = Nil): Unit = {
+    val lines = df.select(col(lineCol).cast("string").as("line"))
+    lines.foreachPartition { (rows: Iterator[Row]) =>
+      val rnd = new java.util.Random()
+      rows.map(_.getAs[String]("line")).grouped(batchLines).foreach { batch =>
+        val body = (batch.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
+        postWithRetry(url, body, "application/x-ndjson", headers,
+          maxRetries, baseMs, capMs, rnd)
+      }
+    }
+  }
+
+  /** Elasticsearch `_bulk` body shape (out_es `plugins/out_es/es.c`):
+    * each record line is preceded by an `{"index":{"_index":…}}` action
+    * line; POST to `<url>/_bulk` with x-ndjson content type.
+    */
+  def writeEsBulk(df: DataFrame, url: String, index: String,
+                  lineCol: String = "value", batchLines: Int = 1000,
+                  maxRetries: Int = 3, baseMs: Int = 100,
+                  capMs: Int = 5000): Unit = {
+    val action = s"""{"index":{"_index":"$index"}}"""
+    val lines = df.select(
+      concat(lit(action + "\n"), col(lineCol).cast("string")).as("value"))
+    write(lines, url.stripSuffix("/") + "/_bulk", "value",
+      batchLines, maxRetries, baseMs, capMs)
+  }
+}
