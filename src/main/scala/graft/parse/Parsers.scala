@@ -198,4 +198,37 @@ object Parsers {
     */
   def decodeChain(source: Column, decoders: Seq[Column => Column]): Column =
     decoders.foldLeft(source)((c, d) => d(c))
+
+  // ------------------------------------------------- prometheus scrape
+
+  /** One Prometheus text-exposition sample line:
+    * `name{k1="v1",...} value [timestamp_ms]` (the inverse of
+    * [[graft.sinks.Formats.promLine]]).
+    */
+  val PromLinePattern: String =
+    "^([a-zA-Z_:][a-zA-Z0-9_:]*)(?:\\{(.*)\\})? ([^ ]+)(?: ([0-9]+))?\\s*$"
+
+  /** Prometheus scrape-body parser — the ingest side of the reference's
+    * `plugins/in_prometheus_scrape/prom_scrape.c` (cmetrics text
+    * decoder): each exposition line becomes (name, labels
+    * map, value, ts_ms). `# HELP`/`# TYPE`/blank lines parse to a NULL
+    * name — filter with `name IS NOT NULL`. Label values unescape
+    * through the codegen'd single-pass [[graft.functions.UnescapeUtf8]]
+    * (the exposition format escapes \\ \" \n).
+    */
+  def promText(df: DataFrame, source: Column): DataFrame = {
+    val kv = "([a-zA-Z_][a-zA-Z0-9_]*)=\"((?:[^\"\\\\]|\\\\.)*)\""
+    val matched = source.rlike(PromLinePattern) && !source.startsWith("#")
+    val blob = regexp_extract(source, PromLinePattern, 2)
+    val keys = regexp_extract_all(blob, lit(kv), lit(1))
+    val vals = transform(regexp_extract_all(blob, lit(kv), lit(2)),
+      v => graft.functions.TextFunctions.unescapeUtf8(v))
+    df
+      .withColumn("name", when(matched, regexp_extract(source, PromLinePattern, 1)))
+      .withColumn("labels", when(matched, map_from_arrays(keys, vals)))
+      .withColumn("value",
+        when(matched, regexp_extract(source, PromLinePattern, 3).try_cast("double")))
+      .withColumn("ts_ms", when(matched,
+        nullif(regexp_extract(source, PromLinePattern, 4), lit("")).try_cast("long")))
+  }
 }

@@ -79,6 +79,119 @@ object IngestQueries {
              event_id, user_id,
              md5(CAST(event_id AS VARCHAR)) AS trace_id
              FROM events""")
+    ),
+
+    // RFC3164 legacy BSD syslog (conf/parsers.conf `syslog-rfc3164`,
+    // in_syslog/syslog_prot.c): `<pri>Mmm dd hh:mm:ss host ident[pid]:
+    // message` — space-padded day, no year, optional [pid]. The oracle
+    // recomputes every field (including the PRI facility/severity split
+    // and the year-pinned strptime) straight from the base table, so the
+    // generate→parse round trip is gated, not parse-vs-parse. Year is
+    // pinned to 1972 (leap year) since 3164 timestamps carry none.
+    GraftQuery(
+      "parse_syslog3164",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val pri = (col("user_id") % 24) * 8 + col("event_id") % 8
+        val tstr = concat(date_format(col("ts"), "MMM"), lit(" "),
+          lpad(date_format(col("ts"), "d"), 2, " "), lit(" "),
+          date_format(col("ts"), "HH:mm:ss"))
+        val line = concat(lit("<"), pri.cast("string"), lit(">"), tstr,
+          lit(" h"), (col("user_id") % 5).cast("string"), lit(" app-"),
+          col("event_type"),
+          when(col("event_id") % 7 =!= 0,
+            concat(lit("["), col("event_id").cast("string"), lit("]")))
+            .otherwise(lit("")),
+          lit(": "), col("event_type"), lit(" happened #"),
+          col("event_id").cast("string"))
+        graft.parse.Parsers.regex(ev.select(line.as("line")), col("line"),
+            graft.sources.Sources.Rfc3164Pattern,
+            types = Map("pri" -> "int", "pid" -> "long"))
+          .select(
+            col("pri"),
+            col("time"),
+            unix_timestamp(
+              to_timestamp(concat(lit("1972 "), regexp_replace(col("time"), " +", " ")),
+                "yyyy MMM d HH:mm:ss")).as("parsed_epoch"),
+            col("host"), col("ident"), col("pid"),
+            expr("pri div 8").cast("int").as("facility"),
+            (col("pri") % 8).cast("int").as("severity"),
+            col("message"))
+      },
+      Some("""SELECT CAST((user_id % 24) * 8 + event_id % 8 AS INT) AS pri,
+             strftime(ts, '%b') || ' ' ||
+               lpad(CAST(EXTRACT(day FROM ts) AS VARCHAR), 2, ' ') || ' ' ||
+               strftime(ts, '%H:%M:%S') AS time,
+             CAST(floor(epoch(make_timestamp(1972,
+               CAST(EXTRACT(month FROM ts) AS BIGINT),
+               CAST(EXTRACT(day FROM ts) AS BIGINT),
+               CAST(EXTRACT(hour FROM ts) AS BIGINT),
+               CAST(EXTRACT(minute FROM ts) AS BIGINT),
+               CAST(EXTRACT(second FROM ts) AS DOUBLE)))) AS BIGINT)
+               AS parsed_epoch,
+             'h' || CAST(user_id % 5 AS VARCHAR) AS host,
+             'app-' || event_type AS ident,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_id END AS pid,
+             CAST(user_id % 24 AS INT) AS facility,
+             CAST(event_id % 8 AS INT) AS severity,
+             event_type || ' happened #' || CAST(event_id AS VARCHAR) AS message
+             FROM events""")
+    ),
+
+    // Prometheus scrape ingest (in_prometheus_scrape/prom_scrape.c):
+    // expose a counter + a 2-label timestamped gauge through
+    // Formats.promLine, mix in HELP/TYPE/blank lines, parse the scrape
+    // body back with Parsers.promText, and emit the long-format metrics
+    // frame. The oracle recomputes the frame straight from `events`, so
+    // the expose→scrape round trip is gated end-to-end.
+    GraftQuery(
+      "parse_prom_scrape",
+      (s, dir) => {
+        import graft.sinks.Formats
+        val ev = Tables.events(s, dir)
+        val counters = ev.filter(col("value") > 100.0)
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+          .select(Formats.promLine("high_value_events",
+            Seq("type" -> col("event_type")), col("n")).as("line"))
+        val gauges = ev
+          .groupBy(col("event_type"),
+            concat(lit("h"), (col("user_id") % 3).cast("string")).as("host"))
+          .agg(max(col("value")).as("mx"),
+            expr("max(ts_ns) div 1000000").as("tsms"))
+          .select(Formats.promLine("event_value_max",
+            Seq("type" -> col("event_type"), "host" -> col("host")),
+            col("mx"), Some(col("tsms"))).as("line"))
+        val comments = s.range(1).select(
+          explode(array(
+            lit("# HELP high_value_events events above the value threshold"),
+            lit("# TYPE high_value_events counter"),
+            lit(""))).as("line"))
+        val body = counters.unionAll(gauges).unionAll(comments)
+        graft.parse.Parsers.promText(body, col("line"))
+          .filter(col("name").isNotNull)
+          .select(col("name"), posexplode(array_sort(map_entries(col("labels"))))
+            .as(Seq("__p", "kv")), col("value"), col("ts_ms"))
+          .select(col("name"), col("kv.key").as("label_key"),
+            col("kv.value").as("label_value"), col("value"), col("ts_ms"))
+      },
+      Some("""WITH c AS (
+               SELECT event_type, count(*) AS n
+               FROM events WHERE value > 100.0 GROUP BY event_type),
+             g AS (
+               SELECT event_type, 'h' || CAST(user_id % 3 AS VARCHAR) AS host,
+                      max(value) AS mx,
+                      epoch_ns(max(ts)) // 1000000 AS tsms
+               FROM events GROUP BY 1, 2)
+             SELECT name, label_key, label_value, value, ts_ms FROM (
+               SELECT 'high_value_events' AS name, 'type' AS label_key,
+                      event_type AS label_value, CAST(n AS DOUBLE) AS value,
+                      CAST(NULL AS BIGINT) AS ts_ms FROM c
+               UNION ALL
+               SELECT 'event_value_max', 'type', event_type, mx,
+                      CAST(tsms AS BIGINT) FROM g
+               UNION ALL
+               SELECT 'event_value_max', 'host', host, mx,
+                      CAST(tsms AS BIGINT) FROM g)""")
     )
   )
 }

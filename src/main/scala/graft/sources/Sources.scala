@@ -90,4 +90,38 @@ object Sources {
       .withColumn("tag", concat(lit("syslog."),
         coalesce(col("ident"), lit("unparsed"))))
   }
+
+  /** RFC3164 (legacy BSD syslog) pattern — reference conf/parsers.conf
+    * `syslog-rfc3164`: `<pri>Mmm dd hh:mm:ss host ident[pid]: message`,
+    * timestamp without a year, day space-padded. The `(?:[^:]*:)?` tail
+    * swallows the ident/pid echo up to the colon like the reference
+    * pattern does.
+    */
+  val Rfc3164Pattern: String =
+    "^<(?<pri>[0-9]+)>(?<time>[^ ]* {1,2}[^ ]* [^ ]*) (?<host>[^ ]*) " +
+      "(?<ident>[a-zA-Z0-9_/.\\-]*)(?:\\[(?<pid>[0-9]+)\\])?(?:[^:]*:)? *(?<message>.*)$"
+
+  /** in_udp (plugins/in_udp/udp.c): LISTENING datagram source; rows are
+    * (value, peer, ts) — `peer` per in_udp's source_address_key.
+    */
+  def udpLines(spark: SparkSession, port: Int,
+               host: String = "127.0.0.1"): DataFrame =
+    spark.readStream.format("graft.sources.UdpServerSource")
+      .option("port", port).option("host", host).load()
+
+  /** in_syslog, udp transport with the RFC3164 parser — the legacy BSD
+    * framing routers/appliances still emit. Adds the PRI decomposition
+    * (facility = pri >> 3, severity = pri & 7) and `syslog.<ident>`
+    * tagging like [[syslogTcp]].
+    */
+  def syslogUdp(spark: SparkSession, port: Int,
+                host: String = "127.0.0.1"): DataFrame = {
+    val raw = udpLines(spark, port, host)
+    graft.parse.Parsers.regex(raw, col("value"), Rfc3164Pattern,
+      types = Map("pri" -> "int", "pid" -> "long"))
+      .withColumn("facility", expr("pri div 8").cast("int"))
+      .withColumn("severity", (col("pri") % 8).cast("int"))
+      .withColumn("tag", concat(lit("syslog."),
+        coalesce(col("ident"), lit("unparsed"))))
+  }
 }

@@ -69,6 +69,25 @@ class ParsersSpec extends AnyFunSuite {
     assert(out == s"A A A ${new String(Character.toChars(0x1F600))} � \n q")
   }
 
+  test("prometheus scrape parser: samples, escapes, comments, timestamps") {
+    val df = Seq(
+      """http_requests_total{method="GET",path="/api\"v1\""} 1027 1712345678901""",
+      """node_load1 0.5""",
+      """up{job="a b"} 1""",
+      """# TYPE http_requests_total counter""",
+      """# HELP node_load1 system load""",
+      """"""
+    ).toDF("line")
+    val out = Parsers.promText(df, col("line")).filter(col("name").isNotNull)
+      .select("name", "labels", "value", "ts_ms")
+      .as[(String, Map[String, String], Double, Option[Long])].collect().toSet
+    assert(out == Set(
+      ("http_requests_total", Map("method" -> "GET", "path" -> "/api\"v1\""),
+        1027.0, Some(1712345678901L)),
+      ("node_load1", Map.empty[String, String], 0.5, None),
+      ("up", Map("job" -> "a b"), 1.0, None)))
+  }
+
   test("mysql_quoted decoder: quote stripping, mysql escapes, unknowns kept") {
     val df = Seq(
       "'He said \\\"hi\\\"\\tand left\\Z'",

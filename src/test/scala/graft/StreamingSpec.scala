@@ -367,6 +367,40 @@ class StreamingSpec extends AnyFunSuite {
       ("v1.logs", "checkout", 1704067201000000000L, None, None, "fine", None)))
   }
 
+  test("udp syslog e2e: RFC3164 datagrams in, parsed+tagged rows out") {
+    val probe = new java.net.DatagramSocket(null)
+    probe.bind(new java.net.InetSocketAddress("127.0.0.1", 0))
+    val port = probe.getLocalPort
+    probe.close()
+
+    val parsed = graft.sources.Sources.syslogUdp(spark, port)
+      .select("tag", "pri", "facility", "severity", "host", "ident", "pid", "message")
+    val q = parsed.writeStream.format("memory").queryName("udp_in")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      val sock = new java.net.DatagramSocket()
+      val addr = new java.net.InetSocketAddress("127.0.0.1", port)
+      def send(s: String): Unit = {
+        val b = s.getBytes("UTF-8")
+        sock.send(new java.net.DatagramPacket(b, b.length, addr))
+      }
+      // datagrams may race the receiver thread's bind — resend until seen
+      val deadline = System.currentTimeMillis + 30000
+      while (spark.table("udp_in").count() < 2 && System.currentTimeMillis < deadline) {
+        send("<34>Jan  5 10:00:00 edge01 sshd[4242]: accepted key for root")
+        send("<13>Jan 15 23:59:59 edge02 cron: job done") // no pid
+        Thread.sleep(300)
+      }
+      awaitRows("udp_in", 2)
+    } finally q.stop()
+    val got = spark.table("udp_in")
+      .as[(String, Int, Int, Int, String, String, Option[Long], String)]
+      .collect().toSet
+    assert(got.contains(("syslog.sshd", 34, 4, 2, "edge01", "sshd", Some(4242L),
+      "accepted key for root")))
+    assert(got.contains(("syslog.cron", 13, 1, 5, "edge02", "cron", None, "job done")))
+  }
+
   test("FluentQL WINDOW TUMBLING on a streaming source compiles to event-time window") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
