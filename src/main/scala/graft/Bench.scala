@@ -5,6 +5,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // suite variance is ±15% single-shot; report the median of N runs
+    // per query so round-over-round regressions are detectable
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
+    // comma-separated name prefixes to bench a subset (iteration loop)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,24 +19,31 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith))
+    }
     // Warm the JVM (codegen, parquet reader, shuffle paths) on the
     // smallest scale factor so the measured numbers reflect steady-state
     // engine throughput rather than first-query class loading.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
-      SparkEntry.queries.values.foreach { fn =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to runs).map(_ => timeOnce(fn)).sorted
+      name -> times(times.size / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
