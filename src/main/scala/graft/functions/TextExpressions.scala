@@ -210,6 +210,87 @@ object MysqlUnquote {
   }
 }
 
+/** Split a buffer of concatenated top-level JSON values into the
+  * individual value strings — the shape Splunk HEC senders emit
+  * (`{..}{..}` with no delimiter between events) and the reference
+  * handles by converting the whole payload and iterating
+  * msgpack_unpack_next over it (`plugins/in_splunk/splunk_prot.c:
+  * 368-430`). A top-level JSON *array* contributes its elements, one
+  * record each (the MSGPACK_OBJECT_ARRAY branch at splunk_prot.c:388).
+  * The scanner is string-aware: braces/brackets/commas inside quoted
+  * strings (including escaped quotes) don't count. `split()`/regexp
+  * cannot express this — brace depth is not a regular language.
+  */
+case class SplitJsonValues(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    SplitJsonValues.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SplitJsonValues.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "split_json_values"
+}
+
+object SplitJsonValues {
+  /** Static entry shared by eval and generated code. */
+  def compute(s: UTF8String): ArrayData = {
+    val in = s.toString
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var i = 0
+    while (i < in.length) {
+      // skip inter-value whitespace (HEC also tolerates newlines)
+      while (i < in.length && Character.isWhitespace(in.charAt(i))) i += 1
+      if (i < in.length) {
+        val start = i
+        val isArray = in.charAt(i) == '['
+        var depth = 0
+        var inStr = false
+        var done = false
+        var elemStart = if (isArray) i + 1 else start
+        while (i < in.length && !done) {
+          val c = in.charAt(i)
+          if (inStr) {
+            if (c == '\\') i += 1
+            else if (c == '"') inStr = false
+          } else c match {
+            case '"' => inStr = true
+            case '{' | '[' => depth += 1
+            case '}' | ']' =>
+              depth -= 1
+              if (depth == 0) {
+                if (isArray) {
+                  val e = in.substring(elemStart, i).trim
+                  if (e.nonEmpty) out += UTF8String.fromString(e)
+                } else out += UTF8String.fromString(in.substring(start, i + 1))
+                done = true
+              }
+            case ',' if isArray && depth == 1 =>
+              val e = in.substring(elemStart, i).trim
+              if (e.nonEmpty) out += UTF8String.fromString(e)
+              elemStart = i + 1
+            case _ =>
+          }
+          i += 1
+        }
+        if (!done) {
+          // unterminated trailing value: keep the fragment verbatim so the
+          // downstream from_json surfaces it as a NULL record, like the
+          // reference's FLB_ERR_JSON_PART skip (splunk_prot.c:458-461)
+          val frag = in.substring(start).trim
+          if (frag.nonEmpty) out += UTF8String.fromString(frag)
+        }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 object TextFunctions {
   /** All word n-grams of `text` (split on single spaces). */
   def wordShingles(text: Column, n: Int): Column =
@@ -222,4 +303,10 @@ object TextFunctions {
   /** mysql_quoted decoder (flb_parser_decoder.c:114). */
   def mysqlUnquote(s: Column): Column =
     shim.column(MysqlUnquote(shim.expression(s)))
+
+  /** Concatenated/array JSON payload → individual value strings
+    * (splunk_prot.c:368-430 ingest shape).
+    */
+  def splitJsonValues(s: Column): Column =
+    shim.column(SplitJsonValues(shim.expression(s)))
 }

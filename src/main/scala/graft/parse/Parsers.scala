@@ -199,6 +199,148 @@ object Parsers {
   def decodeChain(source: Column, decoders: Seq[Column => Column]): Column =
     decoders.foldLeft(source)((c, d) => d(c))
 
+  // --------------------------------------------------------------- statsd
+
+  /** strtod/atof semantics as a column: longest leading float prefix,
+    * empty or non-numeric ⇒ 0.0 (what `strtod(m->value, NULL)` yields in
+    * statsd.c:103/117/130).
+    */
+  private def strtod(c: Column): Column = {
+    val FloatPrefix = "^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?"
+    coalesce(nullif(regexp_extract(c, FloatPrefix, 0), lit("")).try_cast("double"),
+      lit(0.0))
+  }
+
+  /** statsd line parser (`plugins/in_statsd/statsd.c:155-202`
+    * statsd_process_line): `bucket:value|type[|@sample_rate]`. Bucket is
+    * everything before the first ':', value up to the first '|', the type
+    * from the first byte(s) after it (get_statsd_type, statsd.c:59-74:
+    * g→gauge, s→set, c→counter, ms→timer, anything else counter). Fields
+    * per type mirror statsd_process_message (statsd.c:80-146): counters
+    * and timers carry a double value and the sample rate (`|@` absent or
+    * `|@0` ⇒ 1.0, statsd.c:193-200); gauges carry the double value plus
+    * `incremental` (value prefixed +/-, is_incremental statsd.c:76-79);
+    * sets keep the raw string value. (statsd.c's timer case is missing a
+    * `break` and falls through into the set case, double-appending set
+    * fields — we implement the evident intent, not the artifact.)
+    * Lines without ':' or '|' parse to all-NULL fields (the reference
+    * logs and drops them, statsd.c:164-181).
+    */
+  def statsd(df: DataFrame, source: Column): DataFrame = {
+    val pat = "^([^:]*):([^|]*)\\|(.*)$"
+    val matched = source.rlike(pat)
+    val rawVal = regexp_extract(source, pat, 2)
+    val rest = regexp_extract(source, pat, 3) // "type" or "type|@rate..."
+    val mtype = when(rest.startsWith("g"), "gauge")
+      .when(rest.startsWith("s"), "set")
+      .when(rest.startsWith("ms"), "timer")
+      .otherwise("counter")
+    val rateRaw = strtod(regexp_extract(rest, "\\|@([^|]*)", 1))
+    val sampleRate = when(rateRaw === 0.0, 1.0).otherwise(rateRaw)
+    // one select, not a withColumn chain: every output references the
+    // ORIGINAL source expression, so a raw input column named "value"
+    // (the push sources' line column) is safely replaced, not read back
+    val outNames = Set("bucket", "mtype", "value", "sample_rate",
+      "incremental", "set_value")
+    val keep = df.columns.filterNot(outNames).map(col)
+    df.select(keep ++ Seq(
+      when(matched, regexp_extract(source, pat, 1)).as("bucket"),
+      when(matched, mtype).as("mtype"),
+      when(matched && mtype =!= "set", strtod(rawVal)).as("value"),
+      when(matched && (mtype === "counter" || mtype === "timer"), sampleRate)
+        .as("sample_rate"),
+      when(matched && mtype === "gauge",
+        (rawVal.startsWith("+") || rawVal.startsWith("-")).cast("long"))
+        .as("incremental"),
+      when(matched && mtype === "set", rawVal).as("set_value")): _*)
+  }
+
+  // ----------------------------------------------- elasticsearch bulk
+
+  /** Elasticsearch Bulk-API ingest — the decode side of the reference's
+    * `plugins/in_elasticsearch` (`in_elasticsearch_bulk_prot.c:137-340`
+    * process_ndjson_payload): NDJSON lines alternate action and document;
+    * `delete` actions stand alone (the idx+=1 adjustment at :228), and
+    * only `index`/`create` documents become records — `update` and
+    * `delete` produce bulk statuses but no ingested event (error_op
+    * gating at :190-246). Each record carries the action map under the
+    * `@meta` key (meta_key default, in_elasticsearch.c:195) next to the
+    * document fields.
+    *
+    * The per-request line pairing is inherently sequential (what the
+    * reference's msgpack_unpack_next loop does), so it runs as an
+    * `aggregate` fold over the request's own lines — requests themselves
+    * stay embarrassingly parallel, which is the axis that matters at
+    * scale (one POST body is one task's worth of work by construction).
+    *
+    * Output: one row per ingested record with `write_op`, `meta` (the
+    * raw action-line JSON) and `doc` (the raw document-line JSON);
+    * callers project typed fields with from_json/get_json_object.
+    * Divergence: an unknown action makes the reference abort the whole
+    * request with a 400 status (:233-246); we skip the line and keep
+    * decoding.
+    */
+  def esBulk(df: DataFrame, body: Column): DataFrame = {
+    val keep = df.columns.map(col)
+    val lines = filter(split(body, "\n"), l => length(l) > lit(0))
+    val emptyAcc = from_json(lit("[]"),
+      org.apache.spark.sql.types.DataType.fromDDL(
+        "array<struct<write_op string, meta string, doc string>>"))
+    val zero = struct(lit("").as("op"), lit("").as("meta"), emptyAcc.as("acc"))
+    val folded = aggregate(lines, zero, (st, l) => {
+      val pending = st.getField("op")
+      val actionOp = when(get_json_object(l, "$.index").isNotNull, "index")
+        .when(get_json_object(l, "$.create").isNotNull, "create")
+        .when(get_json_object(l, "$.update").isNotNull, "update")
+        .when(get_json_object(l, "$.delete").isNotNull, "delete")
+      when(pending === "",
+        // action line: delete stands alone (no doc follows); unknown
+        // shapes are skipped
+        when(actionOp.isin("index", "create", "update"),
+          struct(actionOp.as("op"), l.as("meta"), st.getField("acc").as("acc")))
+          .otherwise(st))
+        .otherwise(
+          // document line: only index/create ingest it
+          struct(lit("").as("op"), lit("").as("meta"),
+            when(pending.isin("index", "create"),
+              concat(st.getField("acc"), array(struct(
+                pending.as("write_op"), st.getField("meta").as("meta"),
+                l.as("doc")))))
+              .otherwise(st.getField("acc")).as("acc")))
+    }, st => st.getField("acc"))
+    df.select(keep :+ explode(folded).as("__rec"): _*)
+      .select(keep ++ Seq(col("__rec.write_op").as("write_op"),
+        col("__rec.meta").as("meta"), col("__rec.doc").as("doc")): _*)
+  }
+
+  // ------------------------------------------------------- splunk HEC
+
+  /** Splunk HEC `/services/collector/event` ingest — the decode side of
+    * the reference's `plugins/in_splunk` (`splunk_prot.c:347-433`
+    * process_json_payload_pack): the POST body is one JSON event map, a
+    * stream of concatenated maps, or an array of maps; every map becomes
+    * one record whose body is the map kept VERBATIM — the reference does
+    * not lift `time`/`event`/`fields` out (process_flb_log_append,
+    * splunk_prot.c:269-293 copies the map entries as-is and stamps
+    * arrival time). Output: pass-through columns + `record` (the raw
+    * event JSON string); callers project with from_json.
+    */
+  def splunkHecEvents(df: DataFrame, body: Column): DataFrame = {
+    val keep = df.columns.map(col)
+    df.select(keep :+ explode(
+      graft.functions.TextFunctions.splitJsonValues(body)).as("record"): _*)
+  }
+
+  /** Splunk HEC `/services/collector/raw` ingest (splunk_prot.c:151-230
+    * process_raw_payload_pack): the body splits on newlines and each
+    * chunk becomes `{log: <line>}`.
+    */
+  def splunkHecRaw(df: DataFrame, body: Column): DataFrame = {
+    val keep = df.columns.map(col)
+    df.select(keep :+ explode(filter(split(body, "\n"),
+        l => length(l) > lit(0))).as("log"): _*)
+  }
+
   // ------------------------------------------------- prometheus scrape
 
   /** One Prometheus text-exposition sample line:

@@ -192,6 +192,150 @@ object IngestQueries {
                UNION ALL
                SELECT 'event_value_max', 'host', host, mx,
                       CAST(tsms AS BIGINT) FROM g)""")
+    ),
+
+    // statsd ingest (in_statsd/statsd.c:155-202): build one datagram
+    // line per event across all four metric types — counters/timers with
+    // and without |@sample_rate, gauges with +/- incremental prefixes,
+    // sets with string values — parse through Parsers.statsd, and gate
+    // against an oracle that recomputes every typed field straight from
+    // `events`. Values are integers so the line round trip never
+    // stringifies a double.
+    GraftQuery(
+      "parse_statsd",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val m4 = col("event_id") % 4
+        val v = (col("event_id") % 997).cast("string")
+        val bucket = concat(lit("svc."), col("event_type"), lit("."),
+          element_at(array(lit("count"), lit("level"), lit("timing"),
+            lit("set")), (m4 + 1).cast("int")))
+        val line =
+          when(m4 === 0, concat(bucket, lit(":"), v, lit("|c"),
+            when(col("user_id") % 2 === 0, lit("|@0.5")).otherwise(lit(""))))
+          .when(m4 === 1, concat(bucket, lit(":"),
+            element_at(array(lit("+"), lit("-"), lit("")),
+              ((col("user_id") % 3) + 1).cast("int")), v, lit("|g")))
+          .when(m4 === 2, concat(bucket, lit(":"), v, lit("|ms"),
+            when(col("user_id") % 2 === 1, lit("|@0.25")).otherwise(lit(""))))
+          .otherwise(concat(bucket, lit(":u"), col("user_id").cast("string"),
+            lit("|s")))
+        graft.parse.Parsers.statsd(ev.select(line.as("line")), col("line"))
+          .select(col("bucket"), col("mtype"), col("value"),
+            col("sample_rate"), col("incremental"), col("set_value"))
+      },
+      Some("""SELECT
+             'svc.' || event_type || '.' ||
+               CASE event_id % 4 WHEN 0 THEN 'count' WHEN 1 THEN 'level'
+                    WHEN 2 THEN 'timing' ELSE 'set' END AS bucket,
+             CASE event_id % 4 WHEN 0 THEN 'counter' WHEN 1 THEN 'gauge'
+                  WHEN 2 THEN 'timer' ELSE 'set' END AS mtype,
+             CASE WHEN event_id % 4 = 3 THEN NULL
+                  WHEN event_id % 4 = 1 AND user_id % 3 = 1
+                    THEN -CAST(event_id % 997 AS DOUBLE)
+                  ELSE CAST(event_id % 997 AS DOUBLE) END AS value,
+             CASE WHEN event_id % 4 = 0 THEN
+                    CAST(CASE WHEN user_id % 2 = 0 THEN 0.5 ELSE 1.0 END AS DOUBLE)
+                  WHEN event_id % 4 = 2 THEN
+                    CAST(CASE WHEN user_id % 2 = 1 THEN 0.25 ELSE 1.0 END AS DOUBLE)
+                  END AS sample_rate,
+             CASE WHEN event_id % 4 = 1 THEN
+                    CAST(CASE WHEN user_id % 3 IN (0, 1) THEN 1 ELSE 0 END AS BIGINT)
+                  END AS incremental,
+             CASE WHEN event_id % 4 = 3 THEN 'u' || CAST(user_id AS VARCHAR)
+                  END AS set_value
+             FROM events""")
+    ),
+
+    // Elasticsearch Bulk-API ingest (in_elasticsearch_bulk_prot.c:
+    // 137-340): build real _bulk NDJSON bodies from `events` — index and
+    // create pairs, update pairs (acknowledged by ES but skipped by the
+    // reference's error_op gating), standalone deletes — group them into
+    // one POST body per event_type, decode through Parsers.esBulk, and
+    // project the @meta action fields next to the parsed document. The
+    // oracle keeps exactly the index/create documents.
+    GraftQuery(
+      "f_es_bulk_ingest",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val m4 = col("event_id") % 4
+        val opName = element_at(array(lit("index"), lit("create"),
+          lit("update"), lit("delete")), (m4 + 1).cast("int"))
+        val action = concat(lit("{\""), opName, lit("\":{\"_index\":\"logs-"),
+          col("event_type"), lit("\",\"_id\":\""), col("event_id").cast("string"),
+          lit("\"}}"))
+        val doc = to_json(struct(col("event_id"), col("user_id"), col("props")))
+        val frag =
+          when(m4 <= 1, concat(action, lit("\n"), doc))
+          .when(m4 === 2, concat(action, lit("\n"), lit("{\"doc\":"), doc, lit("}")))
+          .otherwise(action)
+        // requests are size-capped like real bulk posts (the reference's
+        // http buffer_max_size): ~256 actions per body, many bodies in
+        // parallel — the axis the decoder is designed to scale on
+        val bodies = ev.groupBy(col("event_type"), expr("event_id div 256"))
+          .agg(concat_ws("\n", collect_list(frag)).as("body"))
+          .select(col("body"))
+        graft.parse.Parsers.esBulk(bodies, col("body"))
+          .select(col("write_op"),
+            coalesce(get_json_object(col("meta"), "$.index._index"),
+              get_json_object(col("meta"), "$.create._index")).as("index_name"),
+            coalesce(get_json_object(col("meta"), "$.index._id"),
+              get_json_object(col("meta"), "$.create._id"))
+              .cast("long").as("doc_id"),
+            from_json(col("doc"),
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "event_id bigint, user_id bigint, props string")).as("__d"))
+          .select(col("write_op"), col("index_name"), col("doc_id"),
+            col("__d.event_id").as("event_id"), col("__d.user_id").as("user_id"),
+            col("__d.props").as("props"))
+      },
+      Some("""SELECT CASE WHEN event_id % 4 = 0 THEN 'index' ELSE 'create' END
+               AS write_op,
+             'logs-' || event_type AS index_name,
+             event_id AS doc_id, event_id, user_id, props
+             FROM events WHERE event_id % 4 IN (0, 1)""")
+    ),
+
+    // Splunk HEC ingest (splunk_prot.c:347-433): build the concatenated
+    // `{..}{..}` event-map stream HEC senders emit (one body per
+    // sender batch), split it with the string-aware SplitJsonValues
+    // scanner, and keep each map verbatim as the record body — the
+    // reference does not lift time/event/fields out
+    // (process_flb_log_append, splunk_prot.c:269-293). The oracle
+    // recomputes the projected fields straight from `events`.
+    GraftQuery(
+      "f_splunk_hec_ingest",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val rec = to_json(struct(
+          col("ts_sec").as("time"),
+          concat(lit("h"), (col("user_id") % 7).cast("string")).as("host"),
+          concat(lit("graft:"), col("event_type")).as("sourcetype"),
+          struct(col("event_id"), col("user_id"), col("props")).as("event"),
+          struct(lit("prod").as("env")).as("fields")))
+        // size-capped posts (HEC senders batch a few hundred events per
+        // request), many bodies in parallel
+        val bodies = ev.groupBy(col("event_type"), expr("event_id div 256"))
+          .agg(array_join(collect_list(rec), "").as("body"))
+          .select(col("body"))
+        graft.parse.Parsers.splunkHecEvents(bodies, col("body"))
+          .select(from_json(col("record"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              """time bigint, host string, sourcetype string,
+                 event struct<event_id: bigint, user_id: bigint, props: string>,
+                 fields map<string, string>""")).as("__r"))
+          .select(col("__r.time").as("time"), col("__r.host").as("host"),
+            col("__r.sourcetype").as("sourcetype"),
+            col("__r.event.event_id").as("event_id"),
+            col("__r.event.user_id").as("user_id"),
+            col("__r.event.props").as("props"),
+            element_at(col("__r.fields"), "env").as("env"))
+      },
+      Some("""SELECT epoch_ns(ts) // 1000000000 AS time,
+             'h' || CAST(user_id % 7 AS VARCHAR) AS host,
+             'graft:' || event_type AS sourcetype,
+             event_id, user_id, props, 'prod' AS env
+             FROM events""")
     )
   )
 }

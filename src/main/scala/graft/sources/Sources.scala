@@ -124,4 +124,20 @@ object Sources {
       .withColumn("tag", concat(lit("syslog."),
         coalesce(col("ident"), lit("unparsed"))))
   }
+
+  /** in_statsd (plugins/in_statsd/statsd.c): statsd datagrams — one or
+    * more `bucket:value|type[|@rate]` lines per packet (the UDP source
+    * already splits packets on newlines) — parsed into typed metric rows.
+    */
+  def statsdUdp(spark: SparkSession, port: Int,
+                host: String = "127.0.0.1"): DataFrame =
+    graft.parse.Parsers.statsd(udpLines(spark, port, host), col("value"))
+
+  /** in_unix_socket (plugins/in_unix_socket/unix_socket.c), stream mode:
+    * newline-framed records over a unix domain socket, same row shape as
+    * [[tcpLines]].
+    */
+  def unixLines(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.format("graft.sources.UnixServerSource")
+      .option("path", path).load()
 }

@@ -88,6 +88,77 @@ class ParsersSpec extends AnyFunSuite {
       ("up", Map("job" -> "a b"), 1.0, None)))
   }
 
+  test("statsd parser: type dispatch, sample rates, incremental, bad lines") {
+    val df = Seq(
+      "api.req:12|c",            // counter, default rate
+      "api.req:3|c|@0.1",        // counter with rate
+      "cpu.load:+5|g",           // incremental gauge
+      "cpu.load:-2.5|g",         // negative incremental gauge
+      "cpu.load:7|g",            // absolute gauge
+      "db.query:250|ms|@0",      // timer; |@0 falls back to 1.0 (statsd.c:196)
+      "uniq.users:alice|s",      // set keeps the raw string
+      "weird:1|m",               // 'm' without 's' → counter (get_statsd_type)
+      "nocolon|c",               // no bucket → dropped (all NULL)
+      "nobar:5"                  // no type → dropped
+    ).toDF("line")
+    val out = Parsers.statsd(df, col("line"))
+      .select("bucket", "mtype", "value", "sample_rate", "incremental", "set_value")
+      .as[(Option[String], Option[String], Option[Double], Option[Double],
+        Option[Long], Option[String])].collect()
+    assert(out(0) == ((Some("api.req"), Some("counter"), Some(12.0), Some(1.0), None, None)))
+    assert(out(1) == ((Some("api.req"), Some("counter"), Some(3.0), Some(0.1), None, None)))
+    assert(out(2) == ((Some("cpu.load"), Some("gauge"), Some(5.0), None, Some(1L), None)))
+    assert(out(3) == ((Some("cpu.load"), Some("gauge"), Some(-2.5), None, Some(1L), None)))
+    assert(out(4) == ((Some("cpu.load"), Some("gauge"), Some(7.0), None, Some(0L), None)))
+    assert(out(5) == ((Some("db.query"), Some("timer"), Some(250.0), Some(1.0), None, None)))
+    assert(out(6) == ((Some("uniq.users"), Some("set"), None, None, None, Some("alice"))))
+    assert(out(7) == ((Some("weird"), Some("counter"), Some(1.0), Some(1.0), None, None)))
+    assert(out(8) == ((None, None, None, None, None, None)))
+    assert(out(9) == ((None, None, None, None, None, None)))
+  }
+
+  test("split_json_values: concatenated maps, arrays, quoted braces, fragments") {
+    val df = Seq(
+      """{"a":1}{"b":"}{"}  {"c":[1,2]}""",   // embedded brace inside a string
+      """[{"x":1}, {"y":2}]""",               // top-level array → elements
+      """{"ok":1}{"part":""",                 // trailing fragment kept verbatim
+      ""
+    ).toDF("body")
+    val out = df.select(
+      graft.functions.TextFunctions.splitJsonValues(col("body")).as("vs"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("""{"a":1}""", """{"b":"}{"}""", """{"c":[1,2]}"""))
+    assert(out(1) == Seq("""{"x":1}""", """{"y":2}"""))
+    assert(out(2) == Seq("""{"ok":1}""", """{"part":"""))
+    assert(out(3) == Seq.empty)
+  }
+
+  test("es bulk decode: pairing, standalone delete, update/unknown skipped") {
+    val body = Seq(
+      """{"index":{"_index":"a","_id":"1"}}""", """{"f":1}""",
+      """{"delete":{"_index":"a","_id":"9"}}""",          // stands alone
+      """{"create":{"_index":"b","_id":"2"}}""", """{"f":2}""",
+      """{"update":{"_index":"a","_id":"1"}}""", """{"doc":{"f":3}}""", // skipped
+      """{"nonsense":{}}""",                               // unknown op skipped
+      """{"index":{"_index":"c","_id":"4"}}""", """{"f":4}"""
+    ).mkString("\n")
+    val out = Parsers.esBulk(Seq(body).toDF("body"), col("body"))
+      .select(col("write_op"),
+        coalesce(get_json_object(col("meta"), "$.index._index"),
+          get_json_object(col("meta"), "$.create._index")).as("idx"),
+        get_json_object(col("doc"), "$.f").as("f"))
+      .as[(String, String, String)].collect().toSeq
+    assert(out == Seq(("index", "a", "1"), ("create", "b", "2"),
+      ("index", "c", "4")))
+  }
+
+  test("splunk HEC raw decode: newline split, empty chunks dropped") {
+    val out = Parsers.splunkHecRaw(
+      Seq("line one\n\nline two\n").toDF("body"), col("body"))
+      .select("log").as[String].collect().toSeq
+    assert(out == Seq("line one", "line two"))
+  }
+
   test("mysql_quoted decoder: quote stripping, mysql escapes, unknowns kept") {
     val df = Seq(
       "'He said \\\"hi\\\"\\tand left\\Z'",

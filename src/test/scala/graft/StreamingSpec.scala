@@ -401,6 +401,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains(("syslog.cron", 13, 1, 5, "edge02", "cron", None, "job done")))
   }
 
+  test("udp statsd e2e: multi-line datagram in, typed metric rows out") {
+    val probe = new java.net.DatagramSocket(null)
+    probe.bind(new java.net.InetSocketAddress("127.0.0.1", 0))
+    val port = probe.getLocalPort
+    probe.close()
+
+    val parsed = graft.sources.Sources.statsdUdp(spark, port)
+      .select("bucket", "mtype", "value", "sample_rate", "incremental", "set_value")
+    val q = parsed.writeStream.format("memory").queryName("statsd_in")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      val sock = new java.net.DatagramSocket()
+      val addr = new java.net.InetSocketAddress("127.0.0.1", port)
+      // one packet, three lines — the in_statsd receive shape
+      val payload = "api.req:1|c|@0.5\ncpu:+3|g\nusers:bob|s"
+      val deadline = System.currentTimeMillis + 30000
+      while (spark.table("statsd_in").count() < 3 && System.currentTimeMillis < deadline) {
+        val b = payload.getBytes("UTF-8")
+        sock.send(new java.net.DatagramPacket(b, b.length, addr))
+        Thread.sleep(300)
+      }
+      awaitRows("statsd_in", 3)
+    } finally q.stop()
+    val got = spark.table("statsd_in")
+      .as[(String, String, Option[Double], Option[Double], Option[Long], Option[String])]
+      .collect().toSet
+    assert(got.contains(("api.req", "counter", Some(1.0), Some(0.5), None, None)))
+    assert(got.contains(("cpu", "gauge", Some(3.0), None, Some(1L), None)))
+    assert(got.contains(("users", "set", None, None, None, Some("bob"))))
+  }
+
+  test("unix socket e2e: local stream peers in, framed rows out") {
+    val path = java.nio.file.Files.createTempDirectory("graft-unix")
+      .resolve("in.sock").toString
+    val lines = graft.sources.Sources.unixLines(spark, path).select("value")
+    val q = lines.writeStream.format("memory").queryName("unix_in")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      // wait for the stream's server to bind the socket path
+      val deadline = System.currentTimeMillis + 30000
+      while (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)) &&
+        System.currentTimeMillis < deadline) Thread.sleep(50)
+      val chan = java.nio.channels.SocketChannel.open(
+        java.net.UnixDomainSocketAddress.of(path))
+      chan.write(java.nio.ByteBuffer.wrap(
+        "first record\nsecond record\n".getBytes("UTF-8")))
+      chan.close()
+      awaitRows("unix_in", 2)
+    } finally q.stop()
+    val got = spark.table("unix_in").as[String].collect().toSet
+    assert(got == Set("first record", "second record"))
+  }
+
   test("FluentQL WINDOW TUMBLING on a streaming source compiles to event-time window") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
