@@ -87,4 +87,42 @@ object Formats {
     val base = concat(lit(name), labelStr, lit(" "), value.cast("string"))
     tsMs.map(t => concat(base, lit(" "), t.cast("string"))).getOrElse(base)
   }
+
+  /** One Loki push `values` entry — `["<ts unix nanos>", "<line>"]`
+    * (out_loki `plugins/out_loki/loki.c:1656-1680` payload comment;
+    * timestamps are nanosecond strings).
+    */
+  def lokiValue(tsNs: Column, line: Column): Column =
+    to_json(array(tsNs.cast("string"), line))
+
+  /** The Loki push API body (loki.c:1656-1795 pack_payload):
+    * `{"streams":[{"stream":{labels},"values":[entries...]}]}` — one
+    * stream of pre-built [[lokiValue]] entries under a label map.
+    */
+  def lokiPush(streamLabels: Seq[(String, Column)], entries: Column): Column =
+    concat(lit("{\"streams\":[{\"stream\":"),
+      to_json(struct(streamLabels.map { case (n, c) => c.as(n) }: _*)),
+      lit(",\"values\":["), array_join(entries, ","), lit("]}]}"))
+
+  /** Splunk HEC sender event (out_splunk `plugins/out_splunk/splunk.c`
+    * event_key/sourcetype packing): `{"time":…,"host":…,"source":…,
+    * "sourcetype":…,"event":{…}}` — the wire twin of the ingest side's
+    * [[graft.parse.Parsers.splunkHecEvents]].
+    */
+  def splunkHecEvent(timeSec: Column, host: Column, source: Column,
+                     sourcetype: Column, event: Column): Column =
+    to_json(struct(timeSec.as("time"), host.as("host"), source.as("source"),
+      sourcetype.as("sourcetype"), event.as("event")))
+
+  /** Datadog log-intake record (out_datadog `plugins/out_datadog/
+    * datadog.c:221-340` datadog_format; key names datadog.h:28-35):
+    * `{"timestamp":<ms>,"ddsource":…,"service":…,"hostname":…,
+    * "ddtags":"k:v,…","message":…}`. The API body is a JSON array of
+    * these — `array_join(collect_list(...))` in the sink batch.
+    */
+  def datadogEvent(timestampMs: Column, source: Column, service: Column,
+                   hostname: Column, tags: Column, message: Column): Column =
+    to_json(struct(timestampMs.as("timestamp"), source.as("ddsource"),
+      service.as("service"), hostname.as("hostname"), tags.as("ddtags"),
+      message.as("message")))
 }

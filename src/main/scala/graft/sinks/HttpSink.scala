@@ -114,4 +114,55 @@ object HttpSink {
     write(lines, url.stripSuffix("/") + "/_bulk", "value",
       batchLines, maxRetries, baseMs, capMs)
   }
+
+  /** Ship pre-built whole request bodies (one per row — e.g.
+    * [[Formats.lokiPush]] payloads), one POST per body, one client per
+    * partition. The per-stream batching already happened upstream in the
+    * payload aggregation, so a body is never re-split here.
+    */
+  def writeBodies(df: DataFrame, url: String, bodyCol: String = "value",
+                  contentType: String = "application/json",
+                  headers: Seq[(String, String)] = Nil, maxRetries: Int = 3,
+                  baseMs: Int = 100, capMs: Int = 5000): Unit = {
+    val bodies = df.select(col(bodyCol).cast("string").as("body"))
+    bodies.foreachPartition { (rows: Iterator[Row]) =>
+      val rnd = new java.util.Random()
+      rows.foreach { r =>
+        postWithRetry(url, r.getAs[String]("body").getBytes(StandardCharsets.UTF_8),
+          contentType, headers, maxRetries, baseMs, capMs, rnd)
+      }
+    }
+  }
+
+  /** Splunk HEC sender (out_splunk `plugins/out_splunk/splunk.c`): lines
+    * are [[Formats.splunkHecEvent]] payloads, batched newline-joined to
+    * `/services/collector/event` with the `Splunk <token>` auth header —
+    * the exact stream our own HEC ingest decodes back.
+    */
+  def writeSplunkHec(df: DataFrame, url: String, token: String,
+                     lineCol: String = "value", batchLines: Int = 1000,
+                     maxRetries: Int = 3, baseMs: Int = 100,
+                     capMs: Int = 5000): Unit =
+    write(df, url.stripSuffix("/") + "/services/collector/event", lineCol,
+      batchLines, maxRetries, baseMs, capMs,
+      headers = Seq("Authorization" -> s"Splunk $token"))
+
+  /** Datadog log intake (out_datadog `plugins/out_datadog/datadog.c:425`
+    * headers, :221-340 body): batches of [[Formats.datadogEvent]] records
+    * wrapped into one JSON array body per POST, `DD-API-KEY` header.
+    */
+  def writeDatadog(df: DataFrame, url: String, apiKey: String,
+                   lineCol: String = "value", batchLines: Int = 1000,
+                   maxRetries: Int = 3, baseMs: Int = 100,
+                   capMs: Int = 5000): Unit = {
+    val lines = df.select(col(lineCol).cast("string").as("line"))
+    lines.foreachPartition { (rows: Iterator[Row]) =>
+      val rnd = new java.util.Random()
+      rows.map(_.getAs[String]("line")).grouped(batchLines).foreach { batch =>
+        val body = batch.mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8)
+        postWithRetry(url, body, "application/json",
+          Seq("DD-API-KEY" -> apiKey), maxRetries, baseMs, capMs, rnd)
+      }
+    }
+  }
 }
