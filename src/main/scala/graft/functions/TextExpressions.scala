@@ -246,7 +246,29 @@ object SplitJsonValues {
     while (i < in.length) {
       // skip inter-value whitespace (HEC also tolerates newlines)
       while (i < in.length && Character.isWhitespace(in.charAt(i))) i += 1
-      if (i < in.length) {
+      if (i < in.length && in.charAt(i) != '{' && in.charAt(i) != '[') {
+        // top-level scalar (bare string/number/true): the reference
+        // rejects non-map/array top-level values (splunk_prot.c:420-427).
+        // Skip — string-aware, so a quoted scalar containing '{' doesn't
+        // derail — to the next '{'/'[' (or end) and emit the skipped text
+        // as its own fragment; downstream from_json surfaces it as a NULL
+        // record while the following valid maps survive.
+        val start = i
+        var inStr = false
+        var stop = false
+        while (i < in.length && !stop) {
+          val c = in.charAt(i)
+          if (inStr) {
+            if (c == '\\') i += 1
+            else if (c == '"') inStr = false
+            i += 1
+          } else if (c == '"') { inStr = true; i += 1 }
+          else if (c == '{' || c == '[') stop = true
+          else i += 1
+        }
+        val frag = in.substring(start, i).trim
+        if (frag.nonEmpty) out += UTF8String.fromString(frag)
+      } else if (i < in.length) {
         val start = i
         val isArray = in.charAt(i) == '['
         var depth = 0

@@ -331,14 +331,15 @@ object Parsers {
       graft.functions.TextFunctions.splitJsonValues(body)).as("record"): _*)
   }
 
-  /** Splunk HEC `/services/collector/raw` ingest (splunk_prot.c:151-230
-    * process_raw_payload_pack): the body splits on newlines and each
-    * chunk becomes `{log: <line>}`.
+  /** Splunk HEC `/services/collector/raw` ingest (splunk_prot.c:154-230
+    * process_raw_payload_pack): the ENTIRE POST body becomes one
+    * `{log: <buffer>}` record — the reference performs no line split on
+    * this endpoint (line-breaking is the Splunk indexer's job, not the
+    * collector's).
     */
   def splunkHecRaw(df: DataFrame, body: Column): DataFrame = {
     val keep = df.columns.map(col)
-    df.select(keep :+ explode(filter(split(body, "\n"),
-        l => length(l) > lit(0))).as("log"): _*)
+    df.select(keep :+ body.as("log"): _*)
   }
 
   // ------------------------------------------------- prometheus scrape

@@ -89,7 +89,9 @@ object HttpSink {
             batchLines: Int = 1000, maxRetries: Int = 3,
             baseMs: Int = 100, capMs: Int = 5000,
             headers: Seq[(String, String)] = Nil): Unit = {
+    // a NULL line would serialize as the literal string "null" — drop it
     val lines = df.select(col(lineCol).cast("string").as("line"))
+      .filter(col("line").isNotNull)
     lines.foreachPartition { (rows: Iterator[Row]) =>
       val rnd = new java.util.Random()
       rows.map(_.getAs[String]("line")).grouped(batchLines).foreach { batch =>
@@ -125,6 +127,7 @@ object HttpSink {
                   headers: Seq[(String, String)] = Nil, maxRetries: Int = 3,
                   baseMs: Int = 100, capMs: Int = 5000): Unit = {
     val bodies = df.select(col(bodyCol).cast("string").as("body"))
+      .filter(col("body").isNotNull)
     bodies.foreachPartition { (rows: Iterator[Row]) =>
       val rnd = new java.util.Random()
       rows.foreach { r =>
@@ -156,6 +159,7 @@ object HttpSink {
                    maxRetries: Int = 3, baseMs: Int = 100,
                    capMs: Int = 5000): Unit = {
     val lines = df.select(col(lineCol).cast("string").as("line"))
+      .filter(col("line").isNotNull)
     lines.foreachPartition { (rows: Iterator[Row]) =>
       val rnd = new java.util.Random()
       rows.map(_.getAs[String]("line")).grouped(batchLines).foreach { batch =>

@@ -61,20 +61,33 @@ private[sources] class UnixMicroBatchStream(path: String)
 
   private val buf = new scala.collection.mutable.ArrayBuffer[(String, Long)]
   @volatile private var stopped = false
-  Files.deleteIfExists(Paths.get(path)) // stale socket from a dead server
+  // Stale-socket check before unlink (the reference probes the path the
+  // same way): if a connect succeeds, a live server owns this path —
+  // unlinking would silently steal its subsequent connections.
+  if (Files.exists(Paths.get(path))) {
+    val probe =
+      try {
+        val c = SocketChannel.open(UnixDomainSocketAddress.of(path))
+        c.close(); true
+      } catch { case _: Throwable => false }
+    if (probe)
+      throw new IllegalStateException(
+        s"unix source: a live server is already bound at $path")
+    Files.deleteIfExists(Paths.get(path)) // stale socket from a dead server
+  }
   private val server = ServerSocketChannel.open(StandardProtocolFamily.UNIX)
   server.bind(UnixDomainSocketAddress.of(path))
 
   private val acceptThread = new Thread(() => {
-    while (!stopped) {
+    while (!stopped && server.isOpen) {
       try {
         val chan = server.accept()
         val t = new Thread(() => handle(chan), "graft-unix-conn")
         t.setDaemon(true)
         t.start()
       } catch {
-        case _: Throwable if stopped => // closed during shutdown
-        case e: Throwable => if (!stopped) e.printStackTrace()
+        case _: Throwable if stopped || !server.isOpen => // closed: loop exits
+        case e: Throwable => e.printStackTrace()
       }
     }
   }, s"graft-unix-accept")

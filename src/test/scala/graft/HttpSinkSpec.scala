@@ -139,4 +139,97 @@ class HttpSinkSpec extends AnyFunSuite {
       assert(got == want)
     } finally q.stop()
   }
+
+  /** Start the engine's own HTTP source on a free port, run `body`
+    * against it, and return the received `value` rows.
+    */
+  private def loopback(queryName: String, expectRows: Int)
+                      (body: (Int) => Unit): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    val probe = new ServerSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+    val src = graft.sources.Sources.httpLines(spark, port)
+    val q = src.select(col("value")).writeStream.format("memory")
+      .queryName(queryName).outputMode("append")
+      .trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      val deadline = System.currentTimeMillis + 30000
+      var up = false
+      while (!up && System.currentTimeMillis < deadline) {
+        try { new java.net.Socket("127.0.0.1", port).close(); up = true }
+        catch { case _: java.net.ConnectException => Thread.sleep(100) }
+      }
+      assert(up)
+      body(port)
+      val dl2 = System.currentTimeMillis + 30000
+      while (spark.table(queryName).count() < expectRows &&
+             System.currentTimeMillis < dl2)
+        Thread.sleep(100)
+      spark.table(queryName).as[String].collect().toSeq
+    } finally q.stop()
+  }
+
+  test("loopback e2e: writeDatadog round-trips datadogEvent, NULLs dropped") {
+    import org.apache.spark.sql.functions._
+    import graft.sinks.Formats
+    val ev = Seq(
+      (1000L, "h1", "msg one"),
+      (2000L, "h2", "msg two"),
+      (3000L, "h3", null)            // NULL message ⇒ whole line NULL below
+    ).toDF("ts_ms", "host", "msg")
+    val lines = ev.select(
+      // to_json never returns NULL, so make the line itself NULL for the
+      // null-message row to exercise the sink's NULL filter
+      when(col("msg").isNotNull,
+        Formats.datadogEvent(col("ts_ms"), lit("app"), lit("svc"),
+          col("host"), lit("env:prod"), col("msg"))).as("value"))
+    val got = loopback("dd_loop", 1) { port =>
+      HttpSink.writeDatadog(lines.coalesce(1),
+        s"http://127.0.0.1:$port/v2/logs", apiKey = "k", batchLines = 10)
+    }
+    // one POST body = one JSON array line; NULL row must not appear as
+    // the literal "null"
+    assert(got.size == 1)
+    assert(!got.head.contains("null"))
+    val parsed = Seq(got.head).toDF("body").select(explode(from_json(col("body"),
+      org.apache.spark.sql.types.DataType.fromDDL(
+        """array<struct<timestamp bigint, ddsource string, service string,
+           hostname string, ddtags string, message string>>"""))).as("r"))
+      .select(col("r.timestamp"), col("r.hostname"), col("r.message"))
+      .as[(Long, String, String)].collect().toSet
+    assert(parsed == Set((1000L, "h1", "msg one"), (2000L, "h2", "msg two")))
+  }
+
+  test("loopback e2e: writeBodies ships a lokiPush payload intact") {
+    import org.apache.spark.sql.functions._
+    import graft.sinks.Formats
+    val ev = Seq((1L, "line a"), (2L, "line b")).toDF("ns", "line")
+    val payload = ev.agg(collect_list(
+        Formats.lokiValue(col("ns"), col("line"))).as("entries"))
+      .select(Formats.lokiPush(
+        Seq("job" -> lit("graft"), "host" -> lit("h1")),
+        col("entries")).as("value"))
+      // a NULL body row must be dropped, not POSTed as "null"
+      .unionAll(Seq(1).toDF("x").select(lit(null).cast("string").as("value")))
+    val got = loopback("loki_loop", 1) { port =>
+      HttpSink.writeBodies(payload.coalesce(1),
+        s"http://127.0.0.1:$port/loki/api/v1/push")
+    }
+    assert(got.size == 1)
+    val body = got.head
+    val labels = Seq(body).toDF("b")
+      .select(from_json(get_json_object(col("b"), "$.streams[0].stream"),
+        org.apache.spark.sql.types.DataType.fromDDL(
+          "struct<job string, host string>")).as("s"))
+      .select(col("s.job"), col("s.host")).as[(String, String)].head()
+    assert(labels == ("graft", "h1"))
+    val entries = Seq(body).toDF("b").select(explode(from_json(
+        get_json_object(col("b"), "$.streams[0].values"),
+        org.apache.spark.sql.types.DataType.fromDDL(
+          "array<array<string>>"))).as("v"))
+      .select(element_at(col("v"), 1), element_at(col("v"), 2))
+      .as[(String, String)].collect().toSet
+    assert(entries == Set(("1", "line a"), ("2", "line b")))
+  }
 }

@@ -133,6 +133,24 @@ class ParsersSpec extends AnyFunSuite {
     assert(out(3) == Seq.empty)
   }
 
+  test("split_json_values: top-level scalar is isolated, next map survives") {
+    // splunk_prot.c:420-427 rejects non-map/array top-level values; the
+    // scalar must not merge with the following valid map
+    val df = Seq(
+      """{"a":1}"x"{"b":2}""",         // bare string between maps
+      """42 {"c":3}""",                // bare number then map
+      """"quoted { brace"{"d":4}""",   // scalar containing '{' in quotes
+      """true"""                        // scalar only
+    ).toDF("body")
+    val out = df.select(
+      graft.functions.TextFunctions.splitJsonValues(col("body")).as("vs"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("""{"a":1}""", "\"x\"", """{"b":2}"""))
+    assert(out(1) == Seq("42", """{"c":3}"""))
+    assert(out(2) == Seq("\"quoted { brace\"", """{"d":4}"""))
+    assert(out(3) == Seq("true"))
+  }
+
   test("es bulk decode: pairing, standalone delete, update/unknown skipped") {
     val body = Seq(
       """{"index":{"_index":"a","_id":"1"}}""", """{"f":1}""",
@@ -152,11 +170,13 @@ class ParsersSpec extends AnyFunSuite {
       ("index", "c", "4")))
   }
 
-  test("splunk HEC raw decode: newline split, empty chunks dropped") {
+  test("splunk HEC raw decode: whole body is one {log: buffer} record") {
+    // splunk_prot.c:154-230 packs the entire POST body as one record —
+    // no newline split on the raw endpoint
     val out = Parsers.splunkHecRaw(
       Seq("line one\n\nline two\n").toDF("body"), col("body"))
       .select("log").as[String].collect().toSeq
-    assert(out == Seq("line one", "line two"))
+    assert(out == Seq("line one\n\nline two\n"))
   }
 
   test("mysql_quoted decoder: quote stripping, mysql escapes, unknowns kept") {
