@@ -105,4 +105,264 @@ object Otlp {
         coalesce(col("__lr.flags"), lit(0)).bitwiseAND(255).as("trace_flags"),
         col("__lr.eventName").as("event_name")): _*)
   }
+
+  // ---------------------------------------------------------------------
+  // Logs encode (out_opentelemetry) — plugins/out_opentelemetry/
+  // opentelemetry_logs.c
+  // ---------------------------------------------------------------------
+
+  /** map<string,string> → proto3-JSON KeyValue list, sorted by key so a
+    * resource's identity is stable (the reference groups records under a
+    * resource by an order-insensitive identity hash of its attributes,
+    * opentelemetry_logs.c:267-281; sorting gives the same equivalence
+    * with plain byte-equality).
+    */
+  private def mapToKv(m: Column): Column =
+    transform(array_sort(map_entries(m)), e => struct(
+      e.getField("key").as("key"),
+      struct(e.getField("value").as("stringValue")).as("value")))
+
+  /** Encode a flat log frame into OTLP/HTTP `ExportLogsServiceRequest`
+    * JSON bodies — the delivery shape of the reference's
+    * `out_opentelemetry` logs path: records sharing a resource identity
+    * (attribute set) and scope are grouped under one
+    * `resourceLogs[].scopeLogs[]` entry (opentelemetry_logs.c:267-300),
+    * one JSON body per resource.
+    *
+    * Inverse of [[decodeLogs]]; `sink_otlp_logs` gates the round trip.
+    * Null columns are dropped from the JSON by the writer, matching
+    * proto3-JSON absence semantics.
+    *
+    * Scale shape: one shuffle on the resource identity (the same
+    * grouping any per-destination batching needs); record payloads
+    * travel once. Body counts stay bounded because a resource's records
+    * land in one aggregation buffer only per micro-batch/partition
+    * group, mirroring the HTTP sink's batch-per-POST contract.
+    */
+  def encodeLogs(df: DataFrame,
+                 resourceAttrs: Column,
+                 scopeName: Column,
+                 scopeVersion: Column,
+                 tsUnixNano: Column,
+                 severityNumber: Column,
+                 severityText: Column,
+                 body: Column,
+                 attributes: Column,
+                 traceId: Column): DataFrame = {
+    val rec = struct(
+      tsUnixNano.cast("string").as("timeUnixNano"),
+      severityNumber.cast("int").as("severityNumber"),
+      severityText.as("severityText"),
+      struct(body.as("stringValue")).as("body"),
+      mapToKv(attributes).as("attributes"),
+      traceId.as("traceId"))
+    df.groupBy(mapToKv(resourceAttrs).as("__rattrs"),
+        scopeName.as("__sname"), scopeVersion.as("__sver"))
+      .agg(collect_list(rec).as("__recs"))
+      .select(to_json(struct(array(struct(
+        struct(col("__rattrs").as("attributes")).as("resource"),
+        array(struct(
+          struct(col("__sname").as("name"), col("__sver").as("version"))
+            .as("scope"),
+          col("__recs").as("logRecords"))).as("scopeLogs")
+      )).as("resourceLogs"))).as("body"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Metrics (/v1/metrics) — flb_opentelemetry_metrics.c
+  // ---------------------------------------------------------------------
+
+  /** proto3-JSON NumberDataPoint: int64 values arrive as JSON strings
+    * ("asInt"), doubles as numbers ("asDouble")
+    * (flb_opentelemetry_metrics.c:721-727).
+    */
+  private val NumberDpDdl =
+    s"""struct<attributes $KvListDdl, startTimeUnixNano string,
+          timeUnixNano string, asDouble double, asInt string>"""
+
+  private val HistDpDdl =
+    s"""struct<attributes $KvListDdl, startTimeUnixNano string,
+          timeUnixNano string, count string, sum double,
+          bucketCounts array<string>, explicitBounds array<double>,
+          min double, max double>"""
+
+  private val SummDpDdl =
+    s"""struct<attributes $KvListDdl, startTimeUnixNano string,
+          timeUnixNano string, count string, sum double,
+          quantileValues array<struct<quantile double, value double>>>"""
+
+  /** ExportMetricsServiceRequest (metrics.proto JSON mapping): the four
+    * point kinds the reference decodes (gauge / sum / histogram /
+    * summary, flb_opentelemetry_metrics.c:3161-3384; exponential
+    * histogram is rejected there too — :3384 only errors on it).
+    */
+  val MetricsSchema: StructType = DataType.fromDDL(
+    s"""resourceMetrics array<struct<
+          resource struct<attributes $KvListDdl>,
+          scopeMetrics array<struct<
+            scope struct<name string, version string>,
+            metrics array<struct<
+              name string, description string, unit string,
+              gauge struct<dataPoints array<$NumberDpDdl>>,
+              sum struct<dataPoints array<$NumberDpDdl>,
+                aggregationTemporality int, isMonotonic boolean>,
+              histogram struct<dataPoints array<$HistDpDdl>,
+                aggregationTemporality int>,
+              summary struct<dataPoints array<$SummDpDdl>>>>>>>>"""
+  ).asInstanceOf[StructType]
+
+  /** Decode OTLP/HTTP metrics JSON bodies into the engine's long-format
+    * metrics frame: one row per data point, `metric_type` in
+    * {gauge, sum, histogram, summary} (the reference's type table at
+    * flb_opentelemetry_metrics.c:328-334), scalar `value` for
+    * gauge/sum (asDouble wins over asInt like the decode order at
+    * :721-727), and count/sum/buckets/bounds/quantiles for the
+    * distribution kinds.
+    *
+    * Scale shape: from_json + three explodes + one normalizing
+    * transform per metric kind — map-only and codegen-friendly; no
+    * shuffle until the caller aggregates.
+    */
+  def decodeMetrics(df: DataFrame, jsonCol: Column): DataFrame = {
+    val keep = df.columns.map(col)
+    // normalize each kind's dataPoints into one common struct so a
+    // single explode covers all four metric shapes
+    def num(kind: String, dps: Column) = transform(dps, p => struct(
+      lit(kind).as("metric_type"),
+      p.getField("attributes").as("attributes"),
+      p.getField("startTimeUnixNano").cast("long").as("start_unix_nano"),
+      p.getField("timeUnixNano").cast("long").as("ts_unix_nano"),
+      coalesce(p.getField("asDouble"), p.getField("asInt").cast("double"))
+        .as("value"),
+      lit(null).cast("long").as("count"),
+      lit(null).cast("double").as("sum"),
+      lit(null).cast("array<long>").as("bucket_counts"),
+      lit(null).cast("array<double>").as("explicit_bounds"),
+      lit(null).cast("array<struct<quantile double, value double>>")
+        .as("quantiles")))
+    def dist(kind: String, dps: Column) = transform(dps, p => struct(
+      lit(kind).as("metric_type"),
+      p.getField("attributes").as("attributes"),
+      p.getField("startTimeUnixNano").cast("long").as("start_unix_nano"),
+      p.getField("timeUnixNano").cast("long").as("ts_unix_nano"),
+      lit(null).cast("double").as("value"),
+      p.getField("count").cast("long").as("count"),
+      p.getField("sum").as("sum"),
+      (if (kind == "histogram")
+         transform(p.getField("bucketCounts"), c => c.cast("long"))
+       else lit(null).cast("array<long>")).as("bucket_counts"),
+      (if (kind == "histogram") p.getField("explicitBounds")
+       else lit(null).cast("array<double>")).as("explicit_bounds"),
+      (if (kind == "summary") p.getField("quantileValues")
+       else lit(null).cast("array<struct<quantile double, value double>>"))
+        .as("quantiles")))
+    val m = col("__m")
+    df.withColumn("__req", from_json(jsonCol, MetricsSchema))
+      .select(keep :+ explode(col("__req.resourceMetrics")).as("__rm"): _*)
+      .select(keep ++ Seq(col("__rm.resource.attributes").as("__rattrs"),
+        explode(col("__rm.scopeMetrics")).as("__sm")): _*)
+      .select(keep ++ Seq(col("__rattrs"), col("__sm.scope").as("__scope"),
+        explode(col("__sm.metrics")).as("__m")): _*)
+      .select(keep ++ Seq(col("__rattrs"), col("__scope"), col("__m"),
+        explode(concat(
+          coalesce(num("gauge", m.getField("gauge").getField("dataPoints")),
+            array()),
+          coalesce(num("sum", m.getField("sum").getField("dataPoints")),
+            array()),
+          coalesce(dist("histogram",
+            m.getField("histogram").getField("dataPoints")), array()),
+          coalesce(dist("summary",
+            m.getField("summary").getField("dataPoints")), array())))
+          .as("__dp")): _*)
+      .select(keep ++ Seq(
+        kvToMap(col("__rattrs")).as("resource_attributes"),
+        col("__scope.name").as("scope_name"),
+        col("__m.name").as("name"),
+        col("__m.description").as("description"),
+        col("__m.unit").as("unit"),
+        col("__dp.metric_type").as("metric_type"),
+        // temporality/monotonic only exist on sum/histogram
+        // (flb_opentelemetry_metrics.c:3233-3306)
+        when(col("__dp.metric_type") === "sum",
+          col("__m.sum.aggregationTemporality"))
+          .when(col("__dp.metric_type") === "histogram",
+            col("__m.histogram.aggregationTemporality"))
+          .as("temporality"),
+        when(col("__dp.metric_type") === "sum", col("__m.sum.isMonotonic"))
+          .as("is_monotonic"),
+        kvToMap(col("__dp.attributes")).as("labels"),
+        col("__dp.start_unix_nano").as("start_unix_nano"),
+        col("__dp.ts_unix_nano").as("ts_unix_nano"),
+        col("__dp.value").as("value"),
+        col("__dp.count").as("count"),
+        col("__dp.sum").as("sum"),
+        col("__dp.bucket_counts").as("bucket_counts"),
+        col("__dp.explicit_bounds").as("explicit_bounds"),
+        col("__dp.quantiles").as("quantiles")): _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // Traces (/v1/traces) — flb_opentelemetry_traces.c
+  // ---------------------------------------------------------------------
+
+  /** ExportTraceServiceRequest (trace.proto JSON mapping): the span
+    * fields the reference extracts at flb_opentelemetry_traces.c:
+    * 762-897 (traceState, parentSpanId, start/end nanos, kind, events,
+    * links, status). Ids are hex strings per the OTLP JSON mapping.
+    */
+  val TracesSchema: StructType = DataType.fromDDL(
+    s"""resourceSpans array<struct<
+          resource struct<attributes $KvListDdl>,
+          scopeSpans array<struct<
+            scope struct<name string, version string>,
+            spans array<struct<
+              traceId string, spanId string, traceState string,
+              parentSpanId string, flags int, name string, kind int,
+              startTimeUnixNano string, endTimeUnixNano string,
+              attributes $KvListDdl,
+              droppedAttributesCount int,
+              events array<struct<timeUnixNano string, name string,
+                attributes $KvListDdl>>,
+              droppedEventsCount int,
+              links array<struct<traceId string, spanId string,
+                traceState string>>,
+              status struct<message string, code int>>>>>>>"""
+  ).asInstanceOf[StructType]
+
+  /** Decode OTLP/HTTP traces JSON bodies into the engine's span frame
+    * (SURVEY §1.1: trace_id, span_id, parent_id, name, start, end,
+    * attrs, status) — one row per span, span events kept as a nested
+    * array. Feeds the tail-sampling processor directly.
+    */
+  def decodeTraces(df: DataFrame, jsonCol: Column): DataFrame = {
+    val keep = df.columns.map(col)
+    df.withColumn("__req", from_json(jsonCol, TracesSchema))
+      .select(keep :+ explode(col("__req.resourceSpans")).as("__rs"): _*)
+      .select(keep ++ Seq(col("__rs.resource.attributes").as("__rattrs"),
+        explode(col("__rs.scopeSpans")).as("__ss")): _*)
+      .select(keep ++ Seq(col("__rattrs"), col("__ss.scope").as("__scope"),
+        explode(col("__ss.spans")).as("__sp")): _*)
+      .select(keep ++ Seq(
+        kvToMap(col("__rattrs")).as("resource_attributes"),
+        col("__scope.name").as("scope_name"),
+        col("__sp.traceId").as("trace_id"),
+        col("__sp.spanId").as("span_id"),
+        // absent parent ⇒ root span; keep NULL (the reference packs an
+        // empty string only for protobuf's zero-bytes case)
+        col("__sp.parentSpanId").as("parent_span_id"),
+        col("__sp.traceState").as("trace_state"),
+        col("__sp.name").as("name"),
+        coalesce(col("__sp.kind"), lit(0)).as("kind"),
+        col("__sp.startTimeUnixNano").cast("long").as("start_unix_nano"),
+        col("__sp.endTimeUnixNano").cast("long").as("end_unix_nano"),
+        kvToMap(col("__sp.attributes")).as("attributes"),
+        transform(col("__sp.events"), e => struct(
+            e.getField("timeUnixNano").cast("long").as("ts_unix_nano"),
+            e.getField("name").as("name"),
+            kvToMap(e.getField("attributes")).as("attributes")))
+          .as("events"),
+        coalesce(size(col("__sp.links")), lit(0)).as("link_count"),
+        coalesce(col("__sp.status.code"), lit(0)).as("status_code"),
+        col("__sp.status.message").as("status_message")): _*)
+  }
 }

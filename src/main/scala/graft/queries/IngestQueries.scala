@@ -336,6 +336,283 @@ object IngestQueries {
              'graft:' || event_type AS sourcetype,
              event_id, user_id, props, 'prod' AS env
              FROM events""")
+    ),
+
+    // OTLP/HTTP metrics path (flb_opentelemetry_metrics.c:3161-3384):
+    // build ExportMetricsServiceRequest bodies from `events` covering all
+    // four decoded point kinds — a monotonic cumulative sum and a gauge
+    // (NumberDataPoints per host label), a fixed-bound histogram, and a
+    // summary whose quantiles are the exact 0/1 extremes — then decode
+    // through Otlp.decodeMetrics into the long-format metrics frame. The
+    // oracle recomputes every point straight from the table, gating the
+    // encode→decode round trip.
+    GraftQuery(
+      "f_otlp_metrics_ingest",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val tns = col("ts_ns") - col("ts_ns") % 1000
+        // write-side DDLs pin one struct type across all four metric
+        // elements so `array()` unifies (to_json drops the null branches)
+        val anyD = "struct<stringValue string>"
+        val kvD = s"array<struct<key string, value $anyD>>"
+        val numD = s"array<struct<attributes $kvD, timeUnixNano string, asDouble double, asInt string>>"
+        val histD = "array<struct<timeUnixNano string, count string, sum double, bucketCounts array<string>, explicitBounds array<double>>>"
+        val summD = "array<struct<timeUnixNano string, count string, sum double, quantileValues array<struct<quantile double, value double>>>>"
+        val g = ev.groupBy(col("event_type"),
+            concat(lit("h"), (col("user_id") % 3).cast("string")).as("host"))
+          .agg(count(lit(1)).as("cnt"), max(col("value")).as("mx"),
+            max(tns).as("tsns"))
+        val hostAttrs = array(struct(lit("host").as("key"),
+          struct(col("host").as("stringValue")).as("value")))
+        val series = g.groupBy(col("event_type")).agg(
+          collect_list(struct(hostAttrs.as("attributes"),
+            col("tsns").cast("string").as("timeUnixNano"),
+            lit(null).cast("double").as("asDouble"),
+            col("cnt").cast("string").as("asInt"))).as("sumdps"),
+          collect_list(struct(hostAttrs.as("attributes"),
+            col("tsns").cast("string").as("timeUnixNano"),
+            col("mx").as("asDouble"),
+            lit(null).cast("string").as("asInt"))).as("gaugedps"))
+        val h = ev.groupBy(col("event_type")).agg(
+          count(lit(1)).as("h_cnt"),
+          sum(col("value").cast("decimal(28,6)")).cast("double").as("sm"),
+          min(col("value")).as("mn"), max(col("value")).as("h_mx"),
+          sum(when(col("value") <= 50, 1L).otherwise(0L)).as("b1"),
+          sum(when(col("value") > 50 && col("value") <= 100, 1L).otherwise(0L)).as("b2"),
+          sum(when(col("value") > 100 && col("value") <= 250, 1L).otherwise(0L)).as("b3"),
+          sum(when(col("value") > 250, 1L).otherwise(0L)).as("b4"),
+          max(tns).as("h_tsns"))
+        import org.apache.spark.sql.Column
+        def metric(name: String, gauge: Column, sumc: Column,
+                   hist: Column, summ: Column) = struct(
+          lit(name).as("name"),
+          gauge.cast(s"struct<dataPoints $numD>").as("gauge"),
+          sumc.cast(s"struct<dataPoints $numD, aggregationTemporality int, isMonotonic boolean>").as("sum"),
+          hist.cast(s"struct<dataPoints $histD, aggregationTemporality int>").as("histogram"),
+          summ.cast(s"struct<dataPoints $summD>").as("summary"))
+        val histdps = array(struct(
+          col("h_tsns").cast("string").as("timeUnixNano"),
+          col("h_cnt").cast("string").as("count"), col("sm").as("sum"),
+          array(col("b1").cast("string"), col("b2").cast("string"),
+            col("b3").cast("string"), col("b4").cast("string")).as("bucketCounts"),
+          array(lit(50.0), lit(100.0), lit(250.0)).as("explicitBounds")))
+        val summdps = array(struct(
+          col("h_tsns").cast("string").as("timeUnixNano"),
+          col("h_cnt").cast("string").as("count"), col("sm").as("sum"),
+          array(struct(lit(0.0).as("quantile"), col("mn").as("value")),
+            struct(lit(1.0).as("quantile"), col("h_mx").as("value")))
+            .as("quantileValues")))
+        val nul = lit(null)
+        val bodies = series.join(h, "event_type").select(to_json(struct(
+          array(struct(
+            struct(array(struct(lit("service.name").as("key"),
+              struct(col("event_type").as("stringValue")).as("value")))
+              .as("attributes")).as("resource"),
+            array(struct(
+              struct(lit("graft.metrics").as("name"), lit("1.0").as("version"))
+                .as("scope"),
+              array(
+                metric("events_total", nul,
+                  struct(col("sumdps").as("dataPoints"),
+                    lit(2).as("aggregationTemporality"),
+                    lit(true).as("isMonotonic")), nul, nul),
+                metric("event_value_max",
+                  struct(col("gaugedps").as("dataPoints")), nul, nul, nul),
+                metric("event_value_hist", nul, nul,
+                  struct(histdps.as("dataPoints"),
+                    lit(2).as("aggregationTemporality")), nul),
+                metric("event_value_summary", nul, nul, nul,
+                  struct(summdps.as("dataPoints")))).as("metrics")))
+              .as("scopeMetrics"))).as("resourceMetrics"))).as("__body"))
+        graft.parse.Otlp.decodeMetrics(bodies, col("__body"))
+          .select(
+            element_at(col("resource_attributes"), "service.name").as("service"),
+            col("name"), col("metric_type"), col("temporality"),
+            col("is_monotonic"),
+            element_at(col("labels"), "host").as("host"),
+            col("ts_unix_nano"),
+            col("value").as("point_value"),
+            col("count").as("point_count"),
+            col("sum").as("point_sum"),
+            element_at(col("bucket_counts"), 1).as("b1"),
+            element_at(col("bucket_counts"), 2).as("b2"),
+            element_at(col("bucket_counts"), 3).as("b3"),
+            element_at(col("bucket_counts"), 4).as("b4"),
+            element_at(col("explicit_bounds"), 3).as("bound_hi"),
+            element_at(col("quantiles"), 1).getField("value").as("q_min"),
+            element_at(col("quantiles"), 2).getField("value").as("q_max"))
+      },
+      Some("""WITH g AS (
+               SELECT event_type, 'h' || CAST(user_id % 3 AS VARCHAR) AS host,
+                      count(*) AS cnt, max(value) AS mx,
+                      max(epoch_ns(ts)) AS tsns
+               FROM events GROUP BY 1, 2),
+             h AS (
+               SELECT event_type, count(*) AS cnt,
+                      CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sm,
+                      min(value) AS mn, max(value) AS mx,
+                      CAST(sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+                      CAST(sum(CASE WHEN value > 50 AND value <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+                      CAST(sum(CASE WHEN value > 100 AND value <= 250 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+                      CAST(sum(CASE WHEN value > 250 THEN 1 ELSE 0 END) AS BIGINT) AS b4,
+                      max(epoch_ns(ts)) AS tsns
+               FROM events GROUP BY 1)
+             SELECT event_type AS service, 'events_total' AS name,
+                    'sum' AS metric_type, CAST(2 AS INT) AS temporality,
+                    TRUE AS is_monotonic, host, tsns AS ts_unix_nano,
+                    CAST(cnt AS DOUBLE) AS point_value,
+                    CAST(NULL AS BIGINT) AS point_count,
+                    CAST(NULL AS DOUBLE) AS point_sum,
+                    CAST(NULL AS BIGINT) AS b1, CAST(NULL AS BIGINT) AS b2,
+                    CAST(NULL AS BIGINT) AS b3, CAST(NULL AS BIGINT) AS b4,
+                    CAST(NULL AS DOUBLE) AS bound_hi,
+                    CAST(NULL AS DOUBLE) AS q_min, CAST(NULL AS DOUBLE) AS q_max
+             FROM g
+             UNION ALL
+             SELECT event_type, 'event_value_max', 'gauge',
+                    CAST(NULL AS INT), CAST(NULL AS BOOLEAN), host, tsns,
+                    mx, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+             FROM g
+             UNION ALL
+             SELECT event_type, 'event_value_hist', 'histogram',
+                    CAST(2 AS INT), CAST(NULL AS BOOLEAN),
+                    CAST(NULL AS VARCHAR), tsns, CAST(NULL AS DOUBLE),
+                    cnt, sm, b1, b2, b3, b4, CAST(250.0 AS DOUBLE),
+                    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+             FROM h
+             UNION ALL
+             SELECT event_type, 'event_value_summary', 'summary',
+                    CAST(NULL AS INT), CAST(NULL AS BOOLEAN),
+                    CAST(NULL AS VARCHAR), tsns, CAST(NULL AS DOUBLE),
+                    cnt, sm, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                    CAST(NULL AS DOUBLE), mn, mx
+             FROM h""")
+    ),
+
+    // OTLP/HTTP traces path (flb_opentelemetry_traces.c:762-897): build
+    // ExportTraceServiceRequest bodies from `events` (one span per
+    // event, resource per event_type; parent/traceState/events/links/
+    // status branches exercised on modular slices), decode through
+    // Otlp.decodeTraces into the span frame. The oracle recomputes every
+    // span field straight from the table.
+    GraftQuery(
+      "f_otlp_traces_ingest",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val tns = col("ts_ns") - col("ts_ns") % 1000
+        val span = struct(
+          md5(col("user_id").cast("string")).as("traceId"),
+          substring(md5(col("event_id").cast("string")), 1, 16).as("spanId"),
+          when(col("event_id") % 2 === 0, lit("sampled=1")).as("traceState"),
+          when(col("event_id") % 3 =!= 0,
+            substring(md5(concat(lit("p"), col("user_id").cast("string"))), 1, 16))
+            .as("parentSpanId"),
+          col("event_type").as("name"),
+          (col("event_id") % 5 + 1).cast("int").as("kind"),
+          tns.cast("string").as("startTimeUnixNano"),
+          (tns + (col("event_id") % 1000 + 1) * 1000000L).cast("string")
+            .as("endTimeUnixNano"),
+          array(
+            struct(lit("event_id").as("key"),
+              struct(col("event_id").cast("string").as("stringValue")).as("value")),
+            struct(lit("user_id").as("key"),
+              struct(col("user_id").cast("string").as("stringValue")).as("value")))
+            .as("attributes"),
+          when(col("event_id") % 4 === 0, array(struct(
+            (tns + 500000L).cast("string").as("timeUnixNano"),
+            lit("retry").as("name")))).as("events"),
+          when(col("event_id") % 6 === 0, array(struct(
+            md5(concat(lit("l"), col("user_id").cast("string"))).as("traceId"),
+            substring(md5(concat(lit("ls"), col("event_id").cast("string"))), 1, 16)
+              .as("spanId")))).as("links"),
+          struct(
+            when(col("event_id") % 3 === 2, lit("boom")).as("message"),
+            (col("event_id") % 3).cast("int").as("code")).as("status"))
+        val bodies = ev.groupBy(col("event_type"))
+          .agg(collect_list(span).as("sp"))
+          .select(to_json(struct(array(struct(
+            struct(array(struct(lit("service.name").as("key"),
+              struct(col("event_type").as("stringValue")).as("value")))
+              .as("attributes")).as("resource"),
+            array(struct(
+              struct(lit("graft.traces").as("name"), lit("1.0").as("version"))
+                .as("scope"),
+              col("sp").as("spans"))).as("scopeSpans")
+          )).as("resourceSpans"))).as("value"))
+        graft.parse.Otlp.decodeTraces(bodies, col("value"))
+          .select(
+            element_at(col("resource_attributes"), "service.name").as("service"),
+            col("scope_name"), col("trace_id"), col("span_id"),
+            col("parent_span_id"), col("trace_state"), col("name"),
+            col("kind"), col("start_unix_nano"), col("end_unix_nano"),
+            element_at(col("attributes"), "event_id").cast("long").as("event_id"),
+            coalesce(size(col("events")), lit(0)).as("event_count"),
+            col("link_count"), col("status_code"), col("status_message"))
+      },
+      Some("""SELECT event_type AS service,
+             'graft.traces' AS scope_name,
+             md5(CAST(user_id AS VARCHAR)) AS trace_id,
+             substr(md5(CAST(event_id AS VARCHAR)), 1, 16) AS span_id,
+             CASE WHEN event_id % 3 <> 0
+                  THEN substr(md5('p' || CAST(user_id AS VARCHAR)), 1, 16)
+             END AS parent_span_id,
+             CASE WHEN event_id % 2 = 0 THEN 'sampled=1' END AS trace_state,
+             event_type AS name,
+             CAST(event_id % 5 + 1 AS INT) AS kind,
+             epoch_ns(ts) AS start_unix_nano,
+             epoch_ns(ts) + (event_id % 1000 + 1) * 1000000 AS end_unix_nano,
+             event_id,
+             CAST(CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END AS INT) AS event_count,
+             CAST(CASE WHEN event_id % 6 = 0 THEN 1 ELSE 0 END AS INT) AS link_count,
+             CAST(event_id % 3 AS INT) AS status_code,
+             CASE WHEN event_id % 3 = 2 THEN 'boom' END AS status_message
+             FROM events""")
+    ),
+
+    // out_opentelemetry logs delivery shape
+    // (plugins/out_opentelemetry/opentelemetry_logs.c:267-300): flat
+    // events encode into ExportLogsServiceRequest bodies grouped by
+    // resource identity (service.name × host), then decode back through
+    // Otlp.decodeLogs — the oracle recomputes the flat rows from the
+    // table, gating encode→decode as a true inverse pair.
+    GraftQuery(
+      "sink_otlp_logs",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val tns = col("ts_ns") - col("ts_ns") % 1000
+        val bodies = Otlp.encodeLogs(
+          ev,
+          resourceAttrs = map(
+            lit("service.name"), col("event_type"),
+            lit("host"), concat(lit("h"), (col("user_id") % 5).cast("string"))),
+          scopeName = lit("graft.out"),
+          scopeVersion = lit("2.0"),
+          tsUnixNano = tns,
+          severityNumber = (col("event_id") % 24 + 1).cast("int"),
+          severityText = lit("S"),
+          body = col("props"),
+          attributes = map(lit("event_id"), col("event_id").cast("string")),
+          traceId = md5(concat(lit("t"), col("event_id").cast("string"))))
+          .withColumnRenamed("body", "__body")
+        Otlp.decodeLogs(bodies, col("__body"))
+          .select(
+            element_at(col("resource_attributes"), "service.name").as("service"),
+            element_at(col("resource_attributes"), "host").as("host"),
+            col("scope_name"), col("scope_version"),
+            col("ts_unix_nano"), col("severity_number"),
+            element_at(col("attributes"), "event_id").cast("long").as("event_id"),
+            col("body").as("payload"),
+            col("trace_id"))
+      },
+      Some("""SELECT event_type AS service,
+             'h' || CAST(user_id % 5 AS VARCHAR) AS host,
+             'graft.out' AS scope_name, '2.0' AS scope_version,
+             epoch_ns(ts) AS ts_unix_nano,
+             CAST(event_id % 24 + 1 AS INT) AS severity_number,
+             event_id, props AS payload,
+             md5('t' || CAST(event_id AS VARCHAR)) AS trace_id
+             FROM events""")
     )
   )
 }
