@@ -419,6 +419,106 @@ object ExtQueries {
              octet_length(encode(text)) AS size_bytes,
              sha256(text) AS payload_sha
              FROM documents""")
+    ),
+
+    // Dedup clustering: SimHash near-dup pairs → connected components
+    // (alternating large-star/small-star) → one cluster id + canonical
+    // flag per document. The oracle recomputes the same pairs and closes
+    // them transitively with a recursive CTE, so the whole
+    // pairs→components→canonical pipeline is gated, not just the pair
+    // stage. Cluster id = min doc_id of the component (deterministic in
+    // both engines).
+    GraftQuery(
+      "x_dedup_cc",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.simhashPairs16(
+          Dedup.simhash16(docs, col("doc_id"), col("text")), maxHamming = 1)
+        graft.dedup.Components.clusters(
+          docs, col("doc_id"), pairs, "doc_a", "doc_b")
+      },
+      Some {
+        val votes = (1 to 16).map(p =>
+          s"sum(CASE WHEN ascii(substr(md5(tok), $p, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v$p")
+          .mkString(", ")
+        val bits = (1 to 16).map(p =>
+          s"(CASE WHEN v$p >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+        val ham = (1 to 16).map(i =>
+          s"CASE WHEN substr(ha, $i, 1) <> substr(hb, $i, 1) THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH RECURSIVE toks AS (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+           v AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id),
+           sg AS (SELECT doc_id, $bits AS simhash16 FROM v),
+           bands AS (
+             SELECT doc_id, simhash16, t.b,
+                    substr(simhash16, CAST(t.b * 8 + 1 AS INT), 8) AS bsig
+             FROM sg, (SELECT unnest(range(0, 2)) AS b) t),
+           cand AS (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.simhash16 AS ha, b.simhash16 AS hb
+             FROM bands a JOIN bands b
+               ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+             WHERE a.b = 0 OR substr(a.simhash16, 1, 8) <> substr(b.simhash16, 1, 8)),
+           pairs AS (
+             SELECT doc_a, doc_b FROM (
+               SELECT doc_a, doc_b, $ham AS hamming FROM cand)
+             WHERE hamming <= 1),
+           edges AS (
+             SELECT doc_a AS src, doc_b AS dst FROM pairs
+             UNION
+             SELECT doc_b, doc_a FROM pairs),
+           reach AS (
+             SELECT doc_id AS id, doc_id AS comp FROM documents
+             UNION
+             SELECT e.dst AS id, reach.comp AS comp
+             FROM reach JOIN edges e ON e.src = reach.id),
+           comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+           SELECT id AS doc_id, component,
+                  CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+                    AS cluster_size,
+                  id = component AS is_canonical
+           FROM comp"""
+      }
+    ),
+
+    // Sessionization over the event stream (beyond the reference's
+    // tumbling/hopping windows — the standard event-analytics /
+    // training-data shape): Spark's native session_window with a
+    // 30-minute gap, one shuffle on (user, session). A new session
+    // starts when the inter-event gap is >= the timeout (Spark's
+    // session end bound is exclusive); the oracle mirrors that with a
+    // gaps-and-islands cumulative sum.
+    GraftQuery(
+      "x_sessionize",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        ev.groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(28,6)")).cast("double").as("value_sum"))
+          .select(col("user_id"),
+            unix_micros(col("sw.start")).as("session_start"),
+            unix_micros(col("sw.end")).as("session_end"),
+            col("n_events"), col("value_sum"))
+      },
+      Some("""WITH x AS (
+               SELECT user_id, ts, value,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                           THEN 1 ELSE 0 END AS new_s
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             y AS (
+               SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+               FROM x)
+             SELECT user_id,
+                    epoch_us(min(ts)) AS session_start,
+                    epoch_us(max(ts)) + 1800000000 AS session_end,
+                    CAST(count(*) AS BIGINT) AS n_events,
+                    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum
+             FROM y GROUP BY user_id, sid""")
     )
   )
 }

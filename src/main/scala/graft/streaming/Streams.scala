@@ -69,6 +69,19 @@ object Streams {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Event-time session windows with a gap timeout (beyond the
+    * reference's tumbling/hopping SP windows): state per (keys, open
+    * session) merges on arrival and closes — and emits, in append
+    * mode — once the watermark passes `gap` behind the last event.
+    * Batch twin gated by `x_sessionize`.
+    */
+  def sessionAgg(df: DataFrame, tsCol: String, watermark: String,
+                 gap: String, groupKeys: Seq[String],
+                 aggs: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy((session_window(col(tsCol), gap) +: groupKeys.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
   /** Tag-routed fan-out: one writeStream per sink pattern
     * (§2.8 routing; each sink gets its own checkpoint = independent
     * delivery progress, like per-output task queues).

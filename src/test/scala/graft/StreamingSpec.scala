@@ -486,6 +486,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((base + 10, 1L, 3L)), rows) // [00:00:10, 00:00:20)
   }
 
+  test("session windows merge within the gap and close past the watermark") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "tag", "value")
+    val agg = Streams.sessionAgg(df, "ts", "5 seconds", "10 seconds",
+      Seq("tag"), Seq(count(lit(1)).as("n"), sum("value").as("sv")))
+    val q = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // 00:05 and 00:12 are 7s apart (< 10s gap) → one session;
+      // 00:40 is its own session
+      in.addData(
+        (t("2024-01-01 00:00:05"), "a", 1.0),
+        (t("2024-01-01 00:00:12"), "a", 2.0),
+        (t("2024-01-01 00:00:40"), "a", 5.0))
+      q.processAllAvailable()
+      in.addData((t("2024-01-01 00:02:00"), "a", 0.0)) // advance watermark
+      q.processAllAvailable()
+      in.addData((t("2024-01-01 00:05:00"), "a", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sess_out")
+      .select(col("session_window.start").cast("string"),
+        col("session_window.end").cast("string"), col("n"), col("sv"))
+      .as[(String, String, Long, Double)].collect().toSet
+    // merged session: [00:05, 00:12+10s); singleton: [00:40, 00:50)
+    assert(rows.contains(("2024-01-01 00:00:05", "2024-01-01 00:00:22", 2L, 3.0)), rows)
+    assert(rows.contains(("2024-01-01 00:00:40", "2024-01-01 00:00:50", 1L, 5.0)), rows)
+  }
+
   test("windowed streaming aggregation with watermark emits closed windows") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
