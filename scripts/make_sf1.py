@@ -62,6 +62,21 @@ COPY (
 ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
 """)
 
-for t in ("documents", "embeddings"):
+# events: each replica keeps the per-user inter-arrival structure (the
+# thing sessionization depends on) but remaps users into a disjoint id
+# space — ten independent copies of the sf0.1 session workload. Nanos
+# stay micro-truncated like the source (epoch_ns parity with DuckDB).
+con.sql(f"""
+COPY (
+  SELECT event_id + r * 10000000 AS event_id,
+         CAST(ts AS TIMESTAMP_NS) AS ts,
+         user_id + r * 1000000 AS user_id,
+         event_type, value, props
+  FROM read_parquet('{src}/events.parquet'),
+       (SELECT unnest(range({replicas})) AS r)
+) TO '{out}/events.parquet' (FORMAT PARQUET)
+""")
+
+for t in ("documents", "embeddings", "events"):
     n = con.sql(f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')").fetchone()[0]
     print(f"{out}/{t}.parquet: {n} rows")

@@ -20,11 +20,18 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_sec", expr("ts_ns div 1000000000").cast("long"))
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) file
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts_sec", expr("ts_ns div 1000000000").cast("long"))
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => // plain micros timestamp (e.g. re-exported scale-up data);
+        // NTZ files (DuckDB export) re-anchor in the session zone (UTC)
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+          .withColumn("ts_sec", expr("ts_ns div 1000000000").cast("long"))
+    }
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =

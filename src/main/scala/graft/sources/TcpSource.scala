@@ -40,7 +40,11 @@ class TcpServerSource extends TableProvider {
     val port = Option(properties.get("port")).map(_.toInt).getOrElse(
       throw new IllegalArgumentException("tcp source requires option 'port'"))
     val host = Option(properties.get("host")).getOrElse("127.0.0.1")
-    new TcpTable(host, port)
+    // framing: "newline" (default) or "octet_counting"/"octet"
+    // (RFC 6587 `<len> SP <msg>`, in_syslog/syslog.c:250)
+    val octet = Option(properties.get("framing")).exists(f =>
+      f.equalsIgnoreCase("octet_counting") || f.equalsIgnoreCase("octet"))
+    new TcpTable(host, port, octet)
   }
 }
 
@@ -50,7 +54,8 @@ object TcpServerSource {
     StructField("ts", TimestampType, nullable = false)))
 }
 
-private[sources] class TcpTable(host: String, port: Int)
+private[sources] class TcpTable(host: String, port: Int,
+                                octet: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"tcp://$host:$port"
   override def schema(): StructType = TcpServerSource.Schema
@@ -62,7 +67,7 @@ private[sources] class TcpTable(host: String, port: Int)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = TcpServerSource.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new TcpMicroBatchStream(host, port)
+          new TcpMicroBatchStream(host, port, octet)
       }
     }
 }
@@ -71,7 +76,8 @@ private[sources] case class TcpOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-private[sources] class TcpMicroBatchStream(host: String, port: Int)
+private[sources] class TcpMicroBatchStream(host: String, port: Int,
+                                           octet: Boolean = false)
     extends MicroBatchStream {
 
   private val buf = new scala.collection.mutable.ArrayBuffer[(String, Long)]
@@ -95,7 +101,10 @@ private[sources] class TcpMicroBatchStream(host: String, port: Int)
   acceptThread.setDaemon(true)
   acceptThread.start()
 
-  private def handle(sock: Socket): Unit = {
+  private def handle(sock: Socket): Unit =
+    if (octet) handleOctet(sock) else handleNewline(sock)
+
+  private def handleNewline(sock: Socket): Unit = {
     val in = new BufferedReader(
       new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
     try {
@@ -103,6 +112,42 @@ private[sources] class TcpMicroBatchStream(host: String, port: Int)
       while (line != null && !stopped) {
         buf.synchronized { buf += ((line, System.currentTimeMillis())) }
         line = in.readLine()
+      }
+    } catch { case _: Throwable => /* peer went away */ }
+    finally sock.close()
+  }
+
+  /** RFC 6587 octet-counting framing, `<len> SP <msg>`
+    * (in_syslog/syslog_prot.c:236-266): digits then one space then
+    * exactly len bytes. Short reads block until the frame completes
+    * (the reference buffers partial frames across reads with
+    * frame_have_len/frame_expected_len); a non-digit/non-space where
+    * the length belongs is a protocol error and drops the connection,
+    * matching the reference's -1 return.
+    */
+  private def handleOctet(sock: Socket): Unit = {
+    val in = new java.io.BufferedInputStream(sock.getInputStream)
+    try {
+      var done = false
+      while (!done && !stopped) {
+        var c = in.read()
+        if (c == -1) done = true
+        else if (c < '0' || c > '9') done = true // invalid length start
+        else {
+          var n = 0L
+          while (c >= '0' && c <= '9' && n < Int.MaxValue) {
+            n = n * 10 + (c - '0'); c = in.read()
+          }
+          if (c != ' ' || n > (1 << 20)) done = true // bad frame / oversized
+          else {
+            val bytes = in.readNBytes(n.toInt)
+            if (bytes.length < n) done = true // EOF mid-frame: discard
+            else buf.synchronized {
+              buf += ((new String(bytes, StandardCharsets.UTF_8),
+                System.currentTimeMillis()))
+            }
+          }
+        }
       }
     } catch { case _: Throwable => /* peer went away */ }
     finally sock.close()

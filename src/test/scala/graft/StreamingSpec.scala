@@ -199,6 +199,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((14, "h1", "hello from app1"), (15, "h3", "second app1 line")))
   }
 
+  test("tcp octet-counting framing e2e: RFC6587 frames reassemble across writes") {
+    val probe = new java.net.ServerSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+
+    val src = spark.readStream.format("graft.sources.TcpServerSource")
+      .option("port", port).option("framing", "octet_counting").load()
+      .select("value")
+    val q = src.writeStream.format("memory").queryName("tcp_octet")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      var sock: java.net.Socket = null
+      val deadline = System.currentTimeMillis + 30000
+      while (sock == null && System.currentTimeMillis < deadline) {
+        try sock = new java.net.Socket("127.0.0.1", port)
+        catch { case _: java.net.ConnectException => Thread.sleep(100) }
+      }
+      assert(sock != null, s"could not connect to tcp source on $port")
+      val out = sock.getOutputStream
+      // frame 1 complete; frame 2 split mid-payload across two writes
+      // (syslog_prot.c buffers partial frames: frame_have_len path)
+      val m2 = "<13>Oct 11 22:14:15 h1 app m1"
+      val (m2a, m2b) = m2.splitAt(m2.length - 4)
+      out.write(s"11 hello world${m2.length} $m2a".getBytes("UTF-8"))
+      out.flush()
+      Thread.sleep(300) // force a short read between the two halves
+      out.write(m2b.getBytes("UTF-8"))
+      out.flush()
+      // a message containing newlines must survive intact (the point of
+      // octet framing over newline framing)
+      val multi = "line1\nline2"
+      out.write(s"${multi.length} $multi".getBytes("UTF-8"))
+      out.flush()
+      awaitRows("tcp_octet", 3)
+      sock.close()
+    } finally q.stop()
+    val got = spark.table("tcp_octet").as[String].collect().toSet
+    assert(got == Set("hello world", "<13>Oct 11 22:14:15 h1 app m1", "line1\nline2"))
+  }
+
   test("forward push source e2e: fluentd msgpack frames in, schemaless rows out") {
     import org.apache.spark.sql.functions._
     val probe = new java.net.ServerSocket(0)
