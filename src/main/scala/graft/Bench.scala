@@ -2,6 +2,20 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+  /** Queries reported individually in the one-line JSON. Everything else is
+    * rolled into per-family totals ("groups") — the driver captures only the
+    * last ~2000 chars of stdout, so the line must stay well under that
+    * (r3/r4 learned this the hard way: a per-query map over the full ~90-query
+    * registry made the line unparseable).
+    */
+  private val headline: Set[String] = Set(
+    "fql_where_coercion", "s10_groupby_agg", "s12_window_tumbling",
+    "f_throttle", "f_rewrite_tag", "f_multiline_batch", "f_otlp_ingest",
+    "p_labels", "parse_json", "sink_file_formats"
+  )
+  private def isHeadline(n: String): Boolean =
+    n.startsWith("x_") || headline(n)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -40,10 +54,23 @@ object Bench {
       val times = (1 to runs).map(_ => timeOnce(fn)).sorted
       name -> times(times.size / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def r3(v: Double): String = f"$v%.3f"
+    def jmap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+
+    // Full per-query medians for local diffing / judge inspection.
+    try {
+      val w = new java.io.PrintWriter("bench_full.json")
+      try w.println(jmap(results)) finally w.close()
+    } catch { case _: Throwable => () }
+
+    val qs = jmap(results.filter { case (n, _) => isHeadline(n) })
+    val family = results.filterNot { case (n, _) => isHeadline(n) }
+      .groupBy { case (n, _) => n.takeWhile(_ != '_') }
+      .map { case (p, xs) => (p + "_rest", xs.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"n_queries":${results.size},"queries":$qs,"groups":${jmap(family)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
