@@ -33,7 +33,8 @@ class HttpServerSource extends TableProvider {
     val port = Option(properties.get("port")).map(_.toInt).getOrElse(
       throw new IllegalArgumentException("http source requires option 'port'"))
     val host = Option(properties.get("host")).getOrElse("127.0.0.1")
-    new HttpTable(host, port)
+    val rawBody = Option(properties.get("body")).exists(_ == "raw")
+    new HttpTable(host, port, rawBody)
   }
 }
 
@@ -44,7 +45,7 @@ object HttpServerSource {
     StructField("ts", TimestampType, nullable = false)))
 }
 
-private[sources] class HttpTable(host: String, port: Int)
+private[sources] class HttpTable(host: String, port: Int, rawBody: Boolean)
     extends Table with SupportsRead {
   override def name(): String = s"http://$host:$port"
   override def schema(): StructType = HttpServerSource.Schema
@@ -56,12 +57,13 @@ private[sources] class HttpTable(host: String, port: Int)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = HttpServerSource.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new HttpMicroBatchStream(host, port)
+          new HttpMicroBatchStream(host, port, rawBody)
       }
     }
 }
 
-private[sources] class HttpMicroBatchStream(host: String, port: Int)
+private[sources] class HttpMicroBatchStream(host: String, port: Int,
+                                            rawBody: Boolean = false)
     extends MicroBatchStream {
 
   private val buf = new scala.collection.mutable.ArrayBuffer[(String, String, Long)]
@@ -125,8 +127,13 @@ private[sources] class HttpMicroBatchStream(host: String, port: Int)
         }
         if (method == "POST" && contentLength > 0) {
           val now = System.currentTimeMillis()
-          val lines = new String(body, StandardCharsets.UTF_8)
-            .split("\n").filter(_.nonEmpty)
+          // body=raw keeps the POST body intact as ONE base64 row — the
+          // ingest shape for binary payloads (prometheus remote-write
+          // WriteRequest protobufs are snappy blocks, not text lines)
+          val lines =
+            if (rawBody) Array(java.util.Base64.getEncoder.encodeToString(body))
+            else new String(body, StandardCharsets.UTF_8)
+              .split("\n").filter(_.nonEmpty)
           buf.synchronized { lines.foreach(l => buf += ((l, path, now))) }
           out.write("HTTP/1.1 201 Created\r\nContent-Length: 0\r\n\r\n")
         } else {

@@ -78,6 +78,20 @@ object Sources {
       .withColumn("tag",
         regexp_replace(regexp_replace(col("path"), "^/", ""), "/", "."))
 
+  /** in_prometheus_remote_write (plugins/in_prometheus_remote_write):
+    * listening HTTP endpoint; each POST body is a snappy-compressed
+    * protobuf `WriteRequest` decoded into one row per sample
+    * (name, labels, value, ts_ms) — same frame as the scrape-text
+    * parser, so push- and pull-ingested metrics share a schema.
+    */
+  def promRemoteWrite(spark: SparkSession, port: Int,
+                      host: String = "127.0.0.1"): DataFrame = {
+    val raw = spark.readStream.format("graft.sources.HttpServerSource")
+      .option("port", port).option("host", host)
+      .option("body", "raw").load()
+    graft.parse.PromRemoteWrite.decodeBodies(raw, unbase64(col("value")))
+  }
+
   /** in_syslog, tcp transport (plugins/in_syslog/syslog_conf.c shape):
     * listening socket + RFC5424 parse + `syslog.<ident>` tagging — the
     * full push path, ready for [[graft.streaming.Streams.routeToSinks]].

@@ -407,6 +407,50 @@ class StreamingSpec extends AnyFunSuite {
       ("v1.logs", "checkout", 1704067201000000000L, None, None, "fine", None)))
   }
 
+  test("prometheus remote-write e2e: snappy WriteRequest POST in, samples out") {
+    import graft.parse.PromRemoteWrite
+    import graft.parse.PromRemoteWrite.{RwLabel, RwSample, RwSeries}
+    import org.apache.spark.sql.functions._
+    val probe = new java.net.ServerSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+
+    val rows = graft.sources.Sources.promRemoteWrite(spark, port)
+      .select(col("name"), element_at(col("labels"), "job").as("job"),
+        col("value"), col("ts_ms"))
+    val q = rows.writeStream.format("memory").queryName("rw_in")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      val body = PromRemoteWrite.snappyCompress(PromRemoteWrite.encode(Seq(
+        RwSeries(Seq(RwLabel("__name__", "up"), RwLabel("job", "api")),
+          Seq(RwSample(1.0, 1704067200000L), RwSample(0.0, 1704067201000L))),
+        RwSeries(Seq(RwLabel("__name__", "cpu_seconds"), RwLabel("job", "db")),
+          Seq(RwSample(12.25, 1704067200000L))))))
+      val deadline = System.currentTimeMillis + 30000
+      var code = -1
+      while (code != 201 && System.currentTimeMillis < deadline) {
+        try {
+          val url = java.net.URI.create(s"http://127.0.0.1:$port/api/v1/write").toURL
+          val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+          conn.setRequestMethod("POST")
+          conn.setDoOutput(true)
+          conn.setRequestProperty("Content-Encoding", "snappy")
+          conn.getOutputStream.write(body)
+          code = conn.getResponseCode
+          conn.disconnect()
+        } catch { case _: java.net.ConnectException => Thread.sleep(100) }
+      }
+      assert(code == 201, s"POST not accepted (last code $code)")
+      awaitRows("rw_in", 3)
+    } finally q.stop()
+    val got = spark.table("rw_in").as[(String, String, Double, Long)]
+      .collect().toSet
+    assert(got == Set(
+      ("up", "api", 1.0, 1704067200000L),
+      ("up", "api", 0.0, 1704067201000L),
+      ("cpu_seconds", "db", 12.25, 1704067200000L)))
+  }
+
   test("udp syslog e2e: RFC3164 datagrams in, parsed+tagged rows out") {
     val probe = new java.net.DatagramSocket(null)
     probe.bind(new java.net.InetSocketAddress("127.0.0.1", 0))
