@@ -54,7 +54,10 @@ object Bench {
       val times = (1 to runs).map(_ => timeOnce(fn)).sorted
       name -> times(times.size / 2)
     }
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale-pinned: the default-locale f"%.3f" emits "1,234" under
+    // comma-decimal locales, which would make both JSON outputs unparseable.
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
 

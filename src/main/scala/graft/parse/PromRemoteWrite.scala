@@ -85,11 +85,19 @@ object PromRemoteWrite {
   def snappyCompress(raw: Array[Byte]): Array[Byte] = Snappy.compress(raw)
 
   // ----------------------------------------------------------------- read
+  /** Every read and skip is bounds-checked against `end` — nested
+    * sub-readers share the backing array, so an unchecked length in a
+    * truncated or hostile body (this decoder sits behind a listening
+    * HTTP source) would otherwise read sibling bytes or, worse, a
+    * negative wire-2 length would move `pos` backwards and loop forever.
+    * The reference decoder bounds-checks all lengths the same way.
+    */
   private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
     def hasMore: Boolean = pos < end
     def varint(): Long = {
       var shift = 0; var v = 0L
       while (shift < 64) {
+        if (pos >= end) throw new IllegalArgumentException("truncated varint")
         val b = buf(pos); pos += 1
         v |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return v
@@ -98,25 +106,35 @@ object PromRemoteWrite {
       throw new IllegalArgumentException("malformed varint")
     }
     def fixed64(): Long = {
+      if (pos + 8 > end) throw new IllegalArgumentException("truncated fixed64")
       var v = 0L; var i = 0
       while (i < 8) { v |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
       pos += 8; v
     }
-    def lenSlice(): Reader = {
+    private def boundedLen(): Int = {
       val n = varint().toInt
       if (n < 0 || pos + n > end) throw new IllegalArgumentException("bad length")
+      n
+    }
+    def lenSlice(): Reader = {
+      val n = boundedLen()
       val r = new Reader(buf, pos, pos + n); pos += n; r
     }
     def strField(): String = {
-      val n = varint().toInt
-      if (n < 0 || pos + n > end) throw new IllegalArgumentException("bad length")
+      val n = boundedLen()
       val s = new String(buf, pos, n, "UTF-8"); pos += n; s
     }
     def skip(wire: Int): Unit = wire match {
       case 0 => varint()
-      case 1 => pos += 8
-      case 2 => val n = varint().toInt; pos += n
-      case 5 => pos += 4
+      case 1 =>
+        if (pos + 8 > end) throw new IllegalArgumentException("truncated fixed64")
+        pos += 8
+      // two statements: `pos += boundedLen()` would read the old pos
+      // before boundedLen() advances it past the length varint
+      case 2 => val n = boundedLen(); pos += n
+      case 5 =>
+        if (pos + 4 > end) throw new IllegalArgumentException("truncated fixed32")
+        pos += 4
       case w => throw new IllegalArgumentException(s"wire type $w")
     }
   }
@@ -177,7 +195,12 @@ object PromRemoteWrite {
     */
   def maybeUncompress(body: Array[Byte]): Array[Byte] =
     try Snappy.uncompress(body)
-    catch { case _: java.io.IOException => body }
+    catch {
+      // snappy-java throws IOException for most corrupt inputs but
+      // SnappyError (an Error) for some; both mean "not snappy, pass raw".
+      case _: java.io.IOException          => body
+      case _: org.xerial.snappy.SnappyError => body
+    }
 
   // ---------------------------------------------------------- spark-facing
   /** One row per decoded sample: (name, labels, value, ts_ms) — the same
@@ -190,7 +213,15 @@ object PromRemoteWrite {
     df.select(body.cast("binary"))
       .as[Array[Byte]]
       .flatMap { b =>
-        decode(maybeUncompress(b)).flatMap { s =>
+        // A malformed body must not poison the batch: in streaming the
+        // bytes were already buffered (and 201-acked) by the HTTP layer,
+        // so a throw here would make Spark retry the same offsets forever.
+        // The reference answers 400 per-request and keeps serving
+        // (prom_rw_prot.c:74-76); dropping the one bad body is the
+        // batch-side equivalent.
+        val series =
+          scala.util.Try(decode(maybeUncompress(b))).getOrElse(Seq.empty)
+        series.flatMap { s =>
           val name = s.labels.collectFirst {
             case RwLabel("__name__", v) => v
           }.orNull

@@ -87,6 +87,38 @@ class PromRemoteWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("negative wire-2 skip length throws instead of looping") {
+    // field 9, wire 2, length = 5-byte varint 0xFFFFFFFA (-6 after toInt
+    // truncation) — an unchecked `pos += n` would move pos backwards onto
+    // the same tag and spin forever. Must throw promptly instead.
+    val evil = Array[Byte](0x4a.toByte,
+      0xfa.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0x0f)
+    intercept[IllegalArgumentException] { PromRemoteWrite.decode(evil) }
+  }
+
+  test("truncated varint / fixed64 / fixed32 skips throw, not misparse") {
+    // series slice ends mid-varint: WriteRequest field 1 len=1, body 0x80
+    intercept[IllegalArgumentException] {
+      PromRemoteWrite.decode(Array[Byte](0x0a, 1, 0x80.toByte))
+    }
+    // field 2 wire 1 (fixed64) with only 3 bytes left
+    intercept[IllegalArgumentException] {
+      PromRemoteWrite.decode(Array[Byte](0x11, 1, 2, 3))
+    }
+    // field 2 wire 5 (fixed32) with only 1 byte left
+    intercept[IllegalArgumentException] {
+      PromRemoteWrite.decode(Array[Byte](0x15, 1))
+    }
+  }
+
+  test("nested truncation cannot read sibling bytes") {
+    // Label slice claims len 3 but its value field runs past the slice end
+    // into the next sibling; bounded readers must throw.
+    val ts = Array[Byte](0x0a, 3, 0x0a, 9, 'x') // label len 3: name len 9 (overruns)
+    val req = Array[Byte](0x0a, ts.length.toByte) ++ ts
+    intercept[IllegalArgumentException] { PromRemoteWrite.decode(req) }
+  }
+
   test("reference golden payload decodes (wire compatibility)") {
     val p = java.nio.file.Paths.get(
       "/root/reference/lib/cmetrics/tests/prometheus_remote_write_payload.bin")
