@@ -169,6 +169,157 @@ object Otlp {
   }
 
   // ---------------------------------------------------------------------
+  // Metrics + traces encode (out_opentelemetry) — the reference exports
+  // all three signals (plugins/out_opentelemetry/opentelemetry.c:38-53
+  // pulls the cmetrics/ctraces encoders); these complete the triad next
+  // to [[encodeLogs]].
+  // ---------------------------------------------------------------------
+
+  /** Encode the engine's long-format metrics frame (the schema
+    * [[decodeMetrics]] emits) into `ExportMetricsServiceRequest` JSON
+    * bodies — one body per resource identity, metrics grouped under it,
+    * one dataPoint per input row. `metricType` selects which of the four
+    * point kinds (gauge/sum/histogram/summary) the row lands in, matching
+    * the reference's cmt_encode_opentelemetry type dispatch.
+    *
+    * Inverse of [[decodeMetrics]]; `sink_otlp_metrics` gates the round
+    * trip. Scale shape: two keyed aggregations (resource×metric → dps,
+    * resource → metrics) — the same grouping per-destination batching
+    * needs; point payloads travel once.
+    */
+  def encodeMetrics(df: DataFrame,
+                    resourceAttrs: Column,
+                    scopeName: Column,
+                    scopeVersion: Column,
+                    name: Column,
+                    metricType: Column,
+                    temporality: Column,
+                    isMonotonic: Column,
+                    labels: Column,
+                    tsUnixNano: Column,
+                    value: Column,
+                    count: Column,
+                    sum: Column,
+                    bucketCounts: Column,
+                    explicitBounds: Column,
+                    quantiles: Column): DataFrame = {
+    // one wide point per row; each metric kind projects its subset below
+    val dp = struct(
+      mapToKv(labels).as("attributes"),
+      tsUnixNano.cast("string").as("timeUnixNano"),
+      value.cast("double").as("asDouble"),
+      count.cast("string").as("count"),
+      sum.cast("double").as("sum"),
+      transform(bucketCounts, c => c.cast("string")).as("bucketCounts"),
+      explicitBounds.cast("array<double>").as("explicitBounds"),
+      quantiles.cast("array<struct<quantile double, value double>>")
+        .as("quantileValues"))
+    val perMetric = df
+      .groupBy(mapToKv(resourceAttrs).as("__rattrs"),
+        scopeName.as("__sname"), scopeVersion.as("__sver"),
+        name.as("__mname"), metricType.as("__mtype"),
+        temporality.cast("int").as("__temp"),
+        isMonotonic.cast("boolean").as("__mono"))
+      .agg(collect_list(dp).as("__dps"))
+    val numDps = transform(col("__dps"), p => struct(
+      p.getField("attributes").as("attributes"),
+      p.getField("timeUnixNano").as("timeUnixNano"),
+      p.getField("asDouble").as("asDouble")))
+    val histDps = transform(col("__dps"), p => struct(
+      p.getField("attributes").as("attributes"),
+      p.getField("timeUnixNano").as("timeUnixNano"),
+      p.getField("count").as("count"),
+      p.getField("sum").as("sum"),
+      p.getField("bucketCounts").as("bucketCounts"),
+      p.getField("explicitBounds").as("explicitBounds")))
+    val summDps = transform(col("__dps"), p => struct(
+      p.getField("attributes").as("attributes"),
+      p.getField("timeUnixNano").as("timeUnixNano"),
+      p.getField("count").as("count"),
+      p.getField("sum").as("sum"),
+      p.getField("quantileValues").as("quantileValues")))
+    // unchosen kinds stay NULL and to_json drops them (proto3-JSON
+    // absence), so each metric carries exactly one point-kind branch
+    val metric = struct(
+      col("__mname").as("name"),
+      when(col("__mtype") === "gauge", struct(numDps.as("dataPoints")))
+        .as("gauge"),
+      when(col("__mtype") === "sum", struct(numDps.as("dataPoints"),
+        col("__temp").as("aggregationTemporality"),
+        col("__mono").as("isMonotonic"))).as("sum"),
+      when(col("__mtype") === "histogram", struct(histDps.as("dataPoints"),
+        col("__temp").as("aggregationTemporality"))).as("histogram"),
+      when(col("__mtype") === "summary", struct(summDps.as("dataPoints")))
+        .as("summary"))
+    perMetric
+      .groupBy(col("__rattrs"), col("__sname"), col("__sver"))
+      .agg(collect_list(metric).as("__metrics"))
+      .select(to_json(struct(array(struct(
+        struct(col("__rattrs").as("attributes")).as("resource"),
+        array(struct(
+          struct(col("__sname").as("name"), col("__sver").as("version"))
+            .as("scope"),
+          col("__metrics").as("metrics"))).as("scopeMetrics")
+      )).as("resourceMetrics"))).as("body"))
+  }
+
+  /** Encode the engine's span frame (the schema [[decodeTraces]] emits)
+    * into `ExportTraceServiceRequest` JSON bodies — spans grouped under
+    * one resource identity per body, span events carried through as
+    * nested structs (`events` must be
+    * `array<struct<ts_unix_nano, name, attributes map>>` or NULL).
+    *
+    * Inverse of [[decodeTraces]]; `sink_otlp_traces` gates the round
+    * trip. One shuffle on the resource identity.
+    */
+  def encodeTraces(df: DataFrame,
+                   resourceAttrs: Column,
+                   scopeName: Column,
+                   scopeVersion: Column,
+                   traceId: Column,
+                   spanId: Column,
+                   parentSpanId: Column,
+                   traceState: Column,
+                   name: Column,
+                   kind: Column,
+                   startUnixNano: Column,
+                   endUnixNano: Column,
+                   attributes: Column,
+                   events: Column,
+                   statusCode: Column,
+                   statusMessage: Column): DataFrame = {
+    val span = struct(
+      traceId.as("traceId"),
+      spanId.as("spanId"),
+      traceState.as("traceState"),
+      parentSpanId.as("parentSpanId"),
+      name.as("name"),
+      kind.cast("int").as("kind"),
+      startUnixNano.cast("string").as("startTimeUnixNano"),
+      endUnixNano.cast("string").as("endTimeUnixNano"),
+      mapToKv(attributes).as("attributes"),
+      transform(
+        events.cast(
+          "array<struct<ts_unix_nano long, name string, attributes map<string,string>>>"),
+        e => struct(
+          e.getField("ts_unix_nano").cast("string").as("timeUnixNano"),
+          e.getField("name").as("name"),
+          mapToKv(e.getField("attributes")).as("attributes"))).as("events"),
+      struct(statusMessage.as("message"), statusCode.cast("int").as("code"))
+        .as("status"))
+    df.groupBy(mapToKv(resourceAttrs).as("__rattrs"),
+        scopeName.as("__sname"), scopeVersion.as("__sver"))
+      .agg(collect_list(span).as("__spans"))
+      .select(to_json(struct(array(struct(
+        struct(col("__rattrs").as("attributes")).as("resource"),
+        array(struct(
+          struct(col("__sname").as("name"), col("__sver").as("version"))
+            .as("scope"),
+          col("__spans").as("spans"))).as("scopeSpans")
+      )).as("resourceSpans"))).as("body"))
+  }
+
+  // ---------------------------------------------------------------------
   // Metrics (/v1/metrics) — flb_opentelemetry_metrics.c
   // ---------------------------------------------------------------------
 

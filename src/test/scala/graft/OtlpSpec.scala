@@ -92,4 +92,65 @@ class OtlpSpec extends AnyFunSuite {
     assert(r.getAs[Int]("status_code") == 2)
     assert(r.getAs[String]("status_message") == "boom")
   }
+
+  test("encodeMetrics: each metric carries exactly its own kind branch") {
+    val flat = Seq(
+      ("svc", "reqs", "sum", Some(2), Some(true), Map("h" -> "a"), 10L,
+        Some(3.0)),
+      ("svc", "temp", "gauge", None, None, Map("h" -> "a"), 11L, Some(21.5))
+    ).toDF("service", "name", "metric_type", "temporality", "is_monotonic",
+      "labels", "tsns", "value")
+    val nul = lit(null)
+    val body = Otlp.encodeMetrics(flat,
+      resourceAttrs = map(lit("service.name"), col("service")),
+      scopeName = lit("s"), scopeVersion = lit("1"), name = col("name"),
+      metricType = col("metric_type"), temporality = col("temporality"),
+      isMonotonic = col("is_monotonic"), labels = col("labels"),
+      tsUnixNano = col("tsns"), value = col("value"), count = nul,
+      sum = nul, bucketCounts = nul.cast("array<bigint>"),
+      explicitBounds = nul.cast("array<double>"),
+      quantiles = nul.cast("array<struct<quantile double, value double>>"))
+      .collect()(0).getString(0)
+    // one body for the shared resource; the sum metric must not leak a
+    // gauge/histogram/summary branch (proto3-JSON oneof absence) and
+    // vice versa
+    assert(body.contains(""""isMonotonic":true"""))
+    assert(body.contains(""""aggregationTemporality":2"""))
+    assert(!body.contains("histogram") && !body.contains("summary"))
+    assert(body.indexOf("resourceMetrics") == body.lastIndexOf("resourceMetrics"))
+    val back = Otlp.decodeMetrics(Seq(body).toDF("__b"), col("__b"))
+      .orderBy("name").collect()
+    assert(back.length == 2)
+    assert(back(0).getAs[String]("metric_type") == "sum"
+      || back(1).getAs[String]("metric_type") == "sum")
+    assert(back.exists(r => r.getAs[String]("metric_type") == "gauge"
+      && r.isNullAt(r.fieldIndex("temporality"))))
+  }
+
+  test("encodeTraces: span events nest and null events stay absent") {
+    val flat = Seq(
+      ("svc", "t1", "s1", Some(Seq(("5".toLong, "retry", Map("n" -> "2"))))),
+      ("svc", "t2", "s2", None)
+    ).toDF("service", "tid", "sid", "evs")
+      .withColumn("evs", col("evs").cast(
+        "array<struct<ts_unix_nano long, name string, attributes map<string,string>>>"))
+    val body = Otlp.encodeTraces(flat,
+      resourceAttrs = map(lit("service.name"), col("service")),
+      scopeName = lit("s"), scopeVersion = lit("1"), traceId = col("tid"),
+      spanId = col("sid"), parentSpanId = lit(null).cast("string"),
+      traceState = lit(null).cast("string"), name = lit("op"),
+      kind = lit(1), startUnixNano = lit(10L), endUnixNano = lit(20L),
+      attributes = map(), events = col("evs"), statusCode = lit(0),
+      statusMessage = lit(null).cast("string"))
+      .collect()(0).getString(0)
+    val back = Otlp.decodeTraces(Seq(body).toDF("__b"), col("__b"))
+      .orderBy("trace_id").collect()
+    assert(back.length == 2)
+    val withEv = back(0)
+    val evs = withEv.getAs[collection.Seq[org.apache.spark.sql.Row]]("events")
+    assert(evs.length == 1 && evs(0).getAs[String]("name") == "retry")
+    assert(evs(0).getAs[Long]("ts_unix_nano") == 5L)
+    assert(evs(0).getAs[Map[String, String]]("attributes") == Map("n" -> "2"))
+    assert(back(1).isNullAt(back(1).fieldIndex("events")))
+  }
 }

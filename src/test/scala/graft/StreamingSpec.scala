@@ -451,6 +451,45 @@ class StreamingSpec extends AnyFunSuite {
       ("cpu_seconds", "db", 12.25, 1704067200000L)))
   }
 
+  test("remote-write sink→source loopback: frame out, same frame back in") {
+    import org.apache.spark.sql.functions._
+    val probe = new java.net.ServerSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+
+    val rows = graft.sources.Sources.promRemoteWrite(spark, port)
+      .select(col("name"), element_at(col("labels"), "host").as("host"),
+        col("value"), col("ts_ms"))
+    val q = rows.writeStream.format("memory").queryName("rw_loop")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      val frame = Seq(
+        ("up", Map("host" -> "a"), 1.0, 1704067200000L),
+        ("up", Map("host" -> "b"), 0.0, 1704067201000L),
+        ("lag_seconds", Map("host" -> "a"), 2.5, 1704067202000L)
+      ).toDF("name", "labels", "value", "ts_ms")
+      // the source's HTTP listener comes up asynchronously with the
+      // first micro-batch; retry the sink until it lands
+      val deadline = System.currentTimeMillis + 30000
+      var sent = false
+      while (!sent && System.currentTimeMillis < deadline) {
+        try {
+          graft.sinks.RemoteWriteSink.write(frame,
+            s"http://127.0.0.1:$port/api/v1/write", maxRetries = 0)
+          sent = true
+        } catch { case _: java.io.IOException => Thread.sleep(200) }
+      }
+      assert(sent, "sink never reached the source listener")
+      awaitRows("rw_loop", 3)
+    } finally q.stop()
+    val got = spark.table("rw_loop").as[(String, String, Double, Long)]
+      .collect().toSet
+    assert(got == Set(
+      ("up", "a", 1.0, 1704067200000L),
+      ("up", "b", 0.0, 1704067201000L),
+      ("lag_seconds", "a", 2.5, 1704067202000L)))
+  }
+
   test("udp syslog e2e: RFC3164 datagrams in, parsed+tagged rows out") {
     val probe = new java.net.DatagramSocket(null)
     probe.bind(new java.net.InetSocketAddress("127.0.0.1", 0))
