@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.shim
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Word n-gram shingling as a native expression.
@@ -313,6 +313,113 @@ object SplitJsonValues {
   }
 }
 
+/** Elasticsearch `_bulk` body → `(write_op, meta, doc)` records in one
+  * pass — the scanner form of the reference's per-request decode loop
+  * (`plugins/in_elasticsearch/in_elasticsearch_bulk_prot.c:137-246`:
+  * action line, then document line, `delete` standalone, `update`
+  * acknowledged but not ingested, unknown actions skipped).
+  *
+  * The composable form (an `aggregate` HOF folding the body's lines)
+  * rebuilds its accumulator array per line — O(lines²) element copies
+  * per body — and runs interpreted with four `get_json_object` probes
+  * per action line. This expression walks the body once, reads the
+  * action's single top-level key directly, and stays inside whole-stage
+  * codegen. Divergence from the HOF form: the action key is taken from
+  * the object's first member (bulk action lines have exactly one), so a
+  * malformed tail after a valid first key no longer disqualifies the
+  * line.
+  */
+case class EsBulkScan(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("write_op", StringType, nullable = false),
+    StructField("meta", StringType, nullable = false),
+    StructField("doc", StringType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    EsBulkScan.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.EsBulkScan.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "es_bulk_scan"
+}
+
+object EsBulkScan {
+  /** First top-level key of a one-key JSON object, or null when the line
+    * doesn't start like an object (`{ "key" ...`).
+    */
+  private def firstKey(line: String): String = {
+    var i = 0
+    val n = line.length
+    while (i < n && Character.isWhitespace(line.charAt(i))) i += 1
+    if (i >= n || line.charAt(i) != '{') return null
+    i += 1
+    while (i < n && Character.isWhitespace(line.charAt(i))) i += 1
+    if (i >= n || line.charAt(i) != '"') return null
+    i += 1
+    val sb = new java.lang.StringBuilder(8)
+    while (i < n) {
+      val c = line.charAt(i)
+      if (c == '\\' && i + 1 < n) { sb.append(line.charAt(i + 1)); i += 2 }
+      else if (c == '"') return sb.toString
+      else { sb.append(c); i += 1 }
+    }
+    null
+  }
+
+  /** Static entry shared by eval and generated code. */
+  def compute(s: UTF8String): ArrayData = {
+    val body = s.toString
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var pendingOp: UTF8String = null
+    var pendingMeta: String = null
+    var start = 0
+    val n = body.length
+    while (start <= n) {
+      var stop = body.indexOf('\n', start)
+      if (stop < 0) stop = n
+      if (stop > start) { // empty lines are skipped, as in the HOF form
+        val line = body.substring(start, stop)
+        if (pendingOp != null) {
+          // document line for the pending index/create action
+          out += new GenericInternalRow(Array[Any](pendingOp,
+            UTF8String.fromString(pendingMeta), UTF8String.fromString(line)))
+          pendingOp = null; pendingMeta = null
+        } else {
+          firstKey(line) match {
+            case "index"  => pendingOp = OpIndex; pendingMeta = line
+            case "create" => pendingOp = OpCreate; pendingMeta = line
+            case "update" => pendingOp = OpUpdate; pendingMeta = line
+            case _        => () // delete stands alone; unknown lines skip
+          }
+          // update consumes its doc line but is not ingested
+          // (error-op gating, in_elasticsearch_bulk_prot.c:233-246)
+          if (pendingOp eq OpUpdate) {
+            var ds = stop + 1
+            var de = body.indexOf('\n', ds)
+            if (de < 0) de = n
+            // skip blank lines between action and doc, like the fold
+            while (ds < n && de == ds) { ds = de + 1; de = body.indexOf('\n', ds); if (de < 0) de = n }
+            stop = de
+            pendingOp = null; pendingMeta = null
+          }
+        }
+      }
+      start = stop + 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  private val OpIndex = UTF8String.fromString("index")
+  private val OpCreate = UTF8String.fromString("create")
+  private val OpUpdate = UTF8String.fromString("update")
+}
+
 object TextFunctions {
   /** All word n-grams of `text` (split on single spaces). */
   def wordShingles(text: Column, n: Int): Column =
@@ -331,4 +438,10 @@ object TextFunctions {
     */
   def splitJsonValues(s: Column): Column =
     shim.column(SplitJsonValues(shim.expression(s)))
+
+  /** ES `_bulk` body → array of (write_op, meta, doc) records
+    * (in_elasticsearch_bulk_prot.c:137-246 decode loop).
+    */
+  def esBulkScan(body: Column): Column =
+    shim.column(EsBulkScan(shim.expression(body)))
 }

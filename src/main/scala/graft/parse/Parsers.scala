@@ -268,10 +268,11 @@ object Parsers {
     * document fields.
     *
     * The per-request line pairing is inherently sequential (what the
-    * reference's msgpack_unpack_next loop does), so it runs as an
-    * `aggregate` fold over the request's own lines — requests themselves
-    * stay embarrassingly parallel, which is the axis that matters at
-    * scale (one POST body is one task's worth of work by construction).
+    * reference's msgpack_unpack_next loop does), so it runs as the
+    * single-pass [[graft.functions.EsBulkScan]] codegen expression over
+    * the request body — requests themselves stay embarrassingly
+    * parallel, which is the axis that matters at scale (one POST body is
+    * one task's worth of work by construction).
     *
     * Output: one row per ingested record with `write_op`, `meta` (the
     * raw action-line JSON) and `doc` (the raw document-line JSON);
@@ -282,33 +283,8 @@ object Parsers {
     */
   def esBulk(df: DataFrame, body: Column): DataFrame = {
     val keep = df.columns.map(col)
-    val lines = filter(split(body, "\n"), l => length(l) > lit(0))
-    val emptyAcc = from_json(lit("[]"),
-      org.apache.spark.sql.types.DataType.fromDDL(
-        "array<struct<write_op string, meta string, doc string>>"))
-    val zero = struct(lit("").as("op"), lit("").as("meta"), emptyAcc.as("acc"))
-    val folded = aggregate(lines, zero, (st, l) => {
-      val pending = st.getField("op")
-      val actionOp = when(get_json_object(l, "$.index").isNotNull, "index")
-        .when(get_json_object(l, "$.create").isNotNull, "create")
-        .when(get_json_object(l, "$.update").isNotNull, "update")
-        .when(get_json_object(l, "$.delete").isNotNull, "delete")
-      when(pending === "",
-        // action line: delete stands alone (no doc follows); unknown
-        // shapes are skipped
-        when(actionOp.isin("index", "create", "update"),
-          struct(actionOp.as("op"), l.as("meta"), st.getField("acc").as("acc")))
-          .otherwise(st))
-        .otherwise(
-          // document line: only index/create ingest it
-          struct(lit("").as("op"), lit("").as("meta"),
-            when(pending.isin("index", "create"),
-              concat(st.getField("acc"), array(struct(
-                pending.as("write_op"), st.getField("meta").as("meta"),
-                l.as("doc")))))
-              .otherwise(st.getField("acc")).as("acc")))
-    }, st => st.getField("acc"))
-    df.select(keep :+ explode(folded).as("__rec"): _*)
+    val recs = graft.functions.TextFunctions.esBulkScan(body)
+    df.select(keep :+ explode(recs).as("__rec"): _*)
       .select(keep ++ Seq(col("__rec.write_op").as("write_op"),
         col("__rec.meta").as("meta"), col("__rec.doc").as("doc")): _*)
   }

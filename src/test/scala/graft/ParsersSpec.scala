@@ -170,6 +170,27 @@ class ParsersSpec extends AnyFunSuite {
       ("index", "c", "4")))
   }
 
+  test("es bulk decode: blank lines, leading whitespace, dangling action") {
+    val body = Seq(
+      "",                                                  // leading blank
+      """  {"index":{"_index":"a","_id":"1"}}""",          // ws before '{'
+      """{"f":1}""",
+      "",                                                  // blank between pairs
+      """{"update":{"_index":"a","_id":"1"}}""",
+      "",                                                  // blank inside update pair
+      """{"doc":{"f":9}}""",                               // consumed, not ingested
+      """{"index":{"_index":"b","_id":"2"}}""", """{"f":2}""",
+      """{"create":{"_index":"z","_id":"3"}}"""            // dangling: no doc line
+    ).mkString("\n")
+    val out = Parsers.esBulk(Seq(body).toDF("body"), col("body"))
+      .select(col("write_op"),
+        coalesce(get_json_object(col("meta"), "$.index._index"),
+          get_json_object(col("meta"), "$.create._index")).as("idx"),
+        get_json_object(col("doc"), "$.f").as("f"))
+      .as[(String, String, String)].collect().toSeq
+    assert(out == Seq(("index", "a", "1"), ("index", "b", "2")))
+  }
+
   test("splunk HEC raw decode: whole body is one {log: buffer} record") {
     // splunk_prot.c:154-230 packs the entire POST body as one record —
     // no newline split on the raw endpoint
