@@ -7,10 +7,14 @@ import org.apache.spark.sql.functions._
   * image/audio/video as opaque `BINARY` columns with typed metadata.
   *
   * The Spark-side plumbing — schema, partitioning, per-partition batch
-  * decode loop — is real; the codec itself is STUBBED (this container has
-  * no image/audio libraries) behind `DecodeStub`, which produces
-  * deterministic fake features so the pipeline is testable end-to-end.
-  * Swapping in a real decoder changes one function, not the plan shape.
+  * decode loop — is real; container-header metadata (format, width,
+  * height) is REAL decoding via the magic-byte sniffer
+  * [[graft.functions.MediaHeader]] (PNG/JPEG/GIF/BMP, gated by
+  * `x_multimodal_headers`). Only the pixel/sample codec itself is
+  * STUBBED (this container has no image/audio libraries) behind
+  * `DecodeStub`, which produces deterministic fake features so the
+  * pipeline is testable end-to-end. Swapping in a real decoder changes
+  * one function, not the plan shape.
   */
 object Multimodal {
 

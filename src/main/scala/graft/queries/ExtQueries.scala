@@ -11,6 +11,40 @@ import graft.text.TextAnalysis
   */
 object ExtQueries {
 
+  /** DuckDB replay of [[graft.sim.Similarity.kmeansTrain]] (k-means,
+    * two Lloyd's iterations unrolled as chained CTEs) + the final
+    * assignment. Mirrors the Spark side exactly: id<k init,
+    * round(cos, 6) + cent_id tiebreak assignment, and per-dimension
+    * means as `CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE)/count` —
+    * the repo's exact-sum rule, so both engines round identically.
+    */
+  private def kmeansOracle(k: Int, dim: Int): String = {
+    def scoreCte(name: String, cents: String) =
+      s"""$name AS (SELECT v.vec_id, c.cent_id,
+            round(list_dot_product(v.ev, c.cv) /
+                  (sqrt(list_dot_product(v.ev, v.ev)) *
+                   sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos
+          FROM v, $cents c)"""
+    def assignCte(name: String, score: String) =
+      s"""$name AS (SELECT vec_id, cent_id AS cell, cos FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cos DESC, cent_id) AS rnk FROM $score)
+          WHERE rnk = 1)"""
+    def centCte(name: String, assign: String) = {
+      val means = (1 to dim).map(i =>
+        s"CAST(SUM(CAST(v.ev[$i] AS DECIMAL(38,12))) AS DOUBLE)/count(*)")
+      s"""$name AS (SELECT $assign.cell AS cent_id,
+            list_value(${means.mkString(", ")}) AS cv
+          FROM v JOIN $assign USING (vec_id) GROUP BY $assign.cell)"""
+    }
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       c0 AS (SELECT vec_id AS cent_id, ev AS cv FROM v WHERE vec_id < $k),
+       ${scoreCte("s1", "c0")}, ${assignCte("a1", "s1")}, ${centCte("c1", "a1")},
+       ${scoreCte("s2", "c1")}, ${assignCte("a2", "s2")}, ${centCte("c2", "a2")},
+       ${scoreCte("s3", "c2")}, ${assignCte("a3", "s3")}
+       SELECT vec_id, cell, cos FROM a3"""
+  }
+
   /** Shared DuckDB CTEs: 3-gram shingles → k numeric minhashes
     * (universal hash family (a_i·x + b_i) mod 2^31-1 over the 32-bit md5
     * slice x, constants from Dedup.hashParams) → k/r bands of r →
@@ -262,6 +296,34 @@ object ExtQueries {
              WHERE rnk <= 3""")
     ),
 
+    // IVF centroid training: two Lloyd's iterations (deterministic
+    // id<k init, rounded-cosine assignment, exact decimal-sum means),
+    // then the trained centroids feed ivfAssign for the final
+    // partitioning. The oracle replays BOTH iterations unrolled as
+    // chained CTEs — assignment flips on any centroid drift, and the
+    // emitted per-vector cosine pins the trained centroid values into
+    // the hash, so training is gated end-to-end, not just its shape.
+    GraftQuery(
+      "x_ann_kmeans",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val base = emb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("ev"))
+        val cents = Similarity.kmeansTrain(emb, "vec_id", "embedding",
+          k = 8, iters = 2, dim = 64)
+        val assigned = Similarity.ivfAssign(base,
+          cents.select(col("cent_id").as("vec_id"), col("cv").as("ev")),
+          "vec_id", "ev")
+        assigned
+          .join(base, "vec_id")
+          .join(broadcast(cents.select(col("cent_id").as("cell"),
+            col("cv"))), "cell")
+          .select(col("vec_id"), col("cell"),
+            round(Similarity.cosine(col("ev"), col("cv")), 6).as("cos"))
+      },
+      Some(kmeansOracle(k = 8, dim = 64))
+    ),
+
     // IVF coarse quantization (the inverted-file ANN scale path):
     // deterministic centroid subset, per-vector best-cell assignment.
     GraftQuery(
@@ -418,6 +480,66 @@ object ExtQueries {
       Some("""SELECT doc_id AS media_id, 'text/plain' AS kind,
              octet_length(encode(text)) AS size_bytes,
              sha256(text) AS payload_sha
+             FROM documents""")
+    ),
+
+    // Image header sniffing without codecs (MediaHeader codegen
+    // expression): real PNG/JPEG/GIF/BMP container headers are
+    // synthesized byte-exact from `documents` values (big/little-endian
+    // dimension fields per format spec, JPEG behind an APP0 segment the
+    // scanner must skip; every 17th payload is a non-container that must
+    // sniff NULL), then parsed back by magic bytes. The oracle
+    // recomputes format/width/height straight from the table, gating the
+    // build→sniff round trip.
+    GraftQuery(
+      "x_multimodal_headers",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val w = (col("doc_id") % 1920 + 16).cast("bigint")
+        val h = (col("doc_id") % 1080 + 16).cast("bigint")
+        def be32(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 8, "0"))
+        def be16(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 4, "0"))
+        def le16(c: org.apache.spark.sql.Column) = {
+          val x = lpad(hex(c), 4, "0")
+          unhex(concat(substring(x, 3, 2), substring(x, 1, 2)))
+        }
+        def le32(c: org.apache.spark.sql.Column) = {
+          val x = lpad(hex(c), 8, "0")
+          unhex(concat(substring(x, 7, 2), substring(x, 5, 2),
+            substring(x, 3, 2), substring(x, 1, 2)))
+        }
+        val junk = substring(col("text").cast("binary"), 1, 32)
+        val png = concat(unhex(lit("89504E470D0A1A0A")),
+          unhex(lit("0000000D49484452")), be32(w), be32(h),
+          unhex(lit("0806000000")), junk)
+        val jpeg = concat(unhex(lit("FFD8")),
+          unhex(lit("FFE00010")), unhex(repeat(lit("00"), 14)), // APP0 to skip
+          unhex(lit("FFC00011")), unhex(lit("08")), be16(h), be16(w), junk)
+        val gif = concat(lit("GIF89a").cast("binary"), le16(w), le16(h), junk)
+        val bmp = concat(lit("BM").cast("binary"),
+          unhex(repeat(lit("00"), 12)), unhex(lit("28000000")),
+          le32(w), le32(h), junk)
+        // NUL-prefixed so a text fragment can never alias a magic number
+        val payload = when(col("doc_id") % 17 === 0, concat(unhex(lit("00")), junk))
+          .when(col("doc_id") % 4 === 0, png)
+          .when(col("doc_id") % 4 === 1, jpeg)
+          .when(col("doc_id") % 4 === 2, gif)
+          .otherwise(bmp)
+        docs.select(col("doc_id").as("media_id"),
+            graft.functions.MediaFunctions.mediaHeader(payload).as("__m"))
+          .select(col("media_id"), col("__m.format").as("format"),
+            col("__m.width").as("width"), col("__m.height").as("height"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 17 = 0 THEN NULL
+                  WHEN doc_id % 4 = 0 THEN 'png'
+                  WHEN doc_id % 4 = 1 THEN 'jpeg'
+                  WHEN doc_id % 4 = 2 THEN 'gif'
+                  ELSE 'bmp' END AS format,
+             CASE WHEN doc_id % 17 = 0 THEN NULL
+                  ELSE CAST(doc_id % 1920 + 16 AS INT) END AS width,
+             CASE WHEN doc_id % 17 = 0 THEN NULL
+                  ELSE CAST(doc_id % 1080 + 16 AS INT) END AS height
              FROM documents""")
     ),
 

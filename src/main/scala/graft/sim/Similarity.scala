@@ -119,6 +119,49 @@ object Similarity {
       .select(col("vec_id"), col("cent_id").as("cell"))
   }
 
+  /** IVF centroid training: Lloyd's k-means iterations as DataFrame
+    * aggregations. Init is deterministic (the k vectors with id < k, in
+    * id order) so an external engine can replay training bit-for-bit;
+    * assignment reuses [[ivfAssign]]'s rounded-cosine + id tiebreak, and
+    * the centroid update computes each component as
+    * `CAST(decimal_sum AS DOUBLE) / count` (the repo's exact-sum
+    * determinism rule) — cosine assignment is scale-invariant, so the
+    * un-normalized mean gives the same cells spherical k-means would.
+    *
+    * Scale shape per iteration: one broadcast nested-loop assignment
+    * (map-only; centroids are k rows) + ONE shuffle — a HashAggregate on
+    * `cell` carrying `dim` decimal partial sums with map-side combine,
+    * the same wide-aggregate shape as MinHash k=128. Nothing lands on
+    * the driver; lineage grows by two narrow stages per iteration, which
+    * is fine for the single-digit iteration counts IVF training uses.
+    *
+    * Returns `(cent_id, cv array<double>)`; empty cells drop out, as in
+    * the reference Lloyd formulation.
+    */
+  def kmeansTrain(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+                  iters: Int, dim: Int): DataFrame = {
+    val base = vecs.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("ev"))
+    var cents = base.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("ev").as("cv"))
+    var it = 0
+    while (it < iters) {
+      val assigned = ivfAssign(base,
+        cents.select(col("cent_id").as("vec_id"), col("cv").as("ev")),
+        "vec_id", "ev")
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("ev"), i + 1).cast("decimal(38,12)")).as(s"__s$i"))
+      val agg = base.join(assigned, "vec_id")
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("__n"), sums: _*)
+      cents = agg.select(col("cell").as("cent_id"),
+        array((0 until dim).map(i =>
+          col(s"__s$i").cast("double") / col("__n")): _*).as("cv"))
+      it += 1
+    }
+    cents
+  }
+
   /** Per-query probe cells: the `nprobe` highest-cosine centroids of
     * each query vector (the standard IVF recall knob — nprobe=1 searches
     * only the home cell and misses neighbors that quantized across a
