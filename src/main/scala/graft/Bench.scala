@@ -45,6 +45,14 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     }
+    // Timing uses count() as the action. Caveat for reading deltas:
+    // Catalyst prunes columns a count() doesn't need, so projection-only
+    // queries (the sink_* formatters) measure scan+schedule overhead,
+    // not the formatting itself — their sub-0.3s numbers are
+    // noise-dominated and round-over-round swings there are not
+    // regressions (r5's sink_gelf/sink_file_formats "2x" was exactly
+    // this: neither the queries nor Formats.scala had changed since r4).
+    // Queries with joins/aggregates/explodes still do their real work.
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }

@@ -931,6 +931,30 @@ object IngestQueries {
                UNION ALL
                SELECT 'event_value_max', event_type, host, mx,
                       CAST(tsms AS BIGINT) FROM g)""")
+    ),
+
+    // out_s3 key templating (s3.c s3_key_format, flb_get_s3_key at
+    // src/aws/flb_aws_util.c:1065-1208): $TAG / $TAG[n] / strftime
+    // specifiers render per record as a codegen Column — the oracle
+    // recomputes every object key with strftime straight from `events`,
+    // gating the template engine the object-store sink partitions by.
+    GraftQuery(
+      "sink_s3_keys",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val tag = concat(lit("app."), col("event_type"))
+        ev.select(tag.as("tag"),
+          graft.sinks.ObjectStoreSink.renderKey(
+            "/graft-logs/$TAG/%Y/%m/%d/%H/$TAG[1]-%M%S.jsonl",
+            tag, col("ts")).as("object_key"),
+          col("event_id"))
+      },
+      Some("""SELECT 'app.' || event_type AS tag,
+             '/graft-logs/app.' || event_type || '/' ||
+               strftime(ts, '%Y/%m/%d/%H') || '/' || event_type || '-' ||
+               strftime(ts, '%M%S') || '.jsonl' AS object_key,
+             event_id
+             FROM events""")
     )
   )
 }
