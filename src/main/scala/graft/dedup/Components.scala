@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
   * chains (min-label propagation alone needs O(diameter)). Nothing is
   * ever collected to the driver; the per-round convergence check is a
   * count + hash-sum aggregate (one scalar action). Lineage is truncated
-  * with localCheckpoint every round so the plan does not grow with the
-  * iteration count — the standard Spark iterative-algorithm shape.
+  * every round so the plan does not grow with the iteration count — the
+  * standard Spark iterative-algorithm shape; `reliable = true` uses a
+  * durable checkpoint instead of executor-local blocks (see
+  * [[connectedComponents]]).
   */
 object Components {
 
@@ -58,15 +60,25 @@ object Components {
     * where `component` is the minimum node id of its component.
     * Singleton nodes never appear — callers left-join and coalesce to
     * their own id (see [[clusters]]).
+    *
+    * `reliable = true` swaps the per-round `localCheckpoint` (executor
+    * block storage — fast, but an executor loss mid-iteration kills the
+    * job) for a reliable `checkpoint` into
+    * `spark.sparkContext.getCheckpointDir` — the right choice for long
+    * CC runs on a real cluster, where losing an executor over an
+    * O(log n)-round job is routine. The caller must have set a
+    * checkpoint dir on durable storage first.
     */
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 25): DataFrame = {
-    var e = pairs
+                          maxIter: Int = 25,
+                          reliable: Boolean = false): DataFrame = {
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    var e = truncate(pairs
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     // convergence = edge set stable: (count, order-independent xor of
     // per-edge hashes — the rounds' distinct() makes it a set) — two
     // scalars per round, never edge data on the driver
@@ -79,7 +91,7 @@ object Components {
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = truncate(smallStar(largeStar(e)))
       val s = sig(next)
       converged = s == last
       last = s

@@ -36,6 +36,23 @@ class ComponentsSpec extends AnyFunSuite {
     assert(m(2L) == 1L && m(3L) == 1L)
   }
 
+  test("reliable checkpoint path converges to the same components") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    val prev = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val chain = (1L until 10L).map(i => (i, i + 1))
+      val m = Components.connectedComponents(
+        chain.toDF("src", "dst"), "src", "dst", reliable = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((2L to 10L).forall(m(_) == 1L))
+      // the durable checkpoint actually wrote RDD data under the dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .anyMatch(p => p.getFileName.toString.startsWith("part-"))
+      assert(wrote, "no checkpoint files written to the checkpoint dir")
+    } finally prev.foreach(spark.sparkContext.setCheckpointDir)
+  }
+
   test("clusters: singletons get their own id, canonical is the min member") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
