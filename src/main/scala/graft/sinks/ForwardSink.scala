@@ -25,9 +25,18 @@ object ForwardSink {
     * column (the schemaless body) — the shape ForwardServerSource and
     * Tables.logEvents produce.
     */
+  /** `sharedKey` enables the Forward security handshake (out_forward's
+    * `security` section): HELO/PING/PONG with SHA-512 shared-key digests
+    * before any event frame, mutual-auth verified — see
+    * [[graft.sources.SecureForward]]. `username`/`password` add the
+    * user-auth digest when the server requests it.
+    */
   def write(df: DataFrame, host: String, port: Int,
             tagCol: String = "tag", tsSecCol: String = "ts_sec",
-            recordCol: String = "record"): Unit = {
+            recordCol: String = "record",
+            sharedKey: Option[String] = None,
+            selfHostname: String = "graft-sink",
+            username: String = "", password: String = ""): Unit = {
     val prepared = df.select(
       col(tagCol).cast("string").as("tag"),
       col(tsSecCol).cast("long").as("sec"),
@@ -37,6 +46,12 @@ object ForwardSink {
         val sock = new Socket(host, port)
         try {
           val out = sock.getOutputStream
+          sharedKey.foreach { key =>
+            val ok = graft.sources.SecureForward.clientHandshake(
+              sock.getInputStream, out, key, selfHostname, username, password)
+            if (!ok) throw new java.io.IOException(
+              "forward security handshake rejected")
+          }
           // group consecutive rows by tag into one frame per run — the
           // protocol wants one [tag, entries] frame per tag batch
           val buffered = rows.buffered

@@ -35,7 +35,9 @@ class ForwardServerSource extends TableProvider {
     val port = Option(properties.get("port")).map(_.toInt).getOrElse(
       throw new IllegalArgumentException("forward source requires option 'port'"))
     val host = Option(properties.get("host")).getOrElse("127.0.0.1")
-    new ForwardTable(host, port)
+    val sharedKey = Option(properties.get("shared_key"))
+    val selfHostname = Option(properties.get("self_hostname")).getOrElse("graft")
+    new ForwardTable(host, port, sharedKey, selfHostname)
   }
 }
 
@@ -46,7 +48,9 @@ object ForwardServerSource {
     StructField("record", MapType(StringType, StringType), nullable = false)))
 }
 
-private[sources] class ForwardTable(host: String, port: Int)
+private[sources] class ForwardTable(host: String, port: Int,
+                                    sharedKey: Option[String],
+                                    selfHostname: String)
     extends Table with SupportsRead {
   override def name(): String = s"forward://$host:$port"
   override def schema(): StructType = ForwardServerSource.Schema
@@ -58,12 +62,13 @@ private[sources] class ForwardTable(host: String, port: Int)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = ForwardServerSource.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new ForwardMicroBatchStream(host, port)
+          new ForwardMicroBatchStream(host, port, sharedKey, selfHostname)
       }
     }
 }
 
-private[sources] class ForwardMicroBatchStream(host: String, port: Int)
+private[sources] class ForwardMicroBatchStream(host: String, port: Int,
+    sharedKey: Option[String] = None, selfHostname: String = "graft")
     extends MicroBatchStream {
 
   private val buf = new scala.collection.mutable.ArrayBuffer[Msgpack.Event]
@@ -100,6 +105,14 @@ private[sources] class ForwardMicroBatchStream(host: String, port: Int)
   private def handle(sock: Socket): Unit = {
     val in = sock.getInputStream
     val outStream = sock.getOutputStream
+    // shared-key auth first when configured (fw_prot.c handshake);
+    // an unauthenticated peer is notified via PONG(false) and dropped
+    sharedKey.foreach { key =>
+      val ok =
+        try SecureForward.serverHandshake(in, outStream, key, selfHostname)
+        catch { case _: Throwable => false }
+      if (!ok) { sock.close(); return }
+    }
     var pending = Array.emptyByteArray
     val chunk = new Array[Byte](64 * 1024)
     try {

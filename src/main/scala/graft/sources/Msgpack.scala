@@ -243,6 +243,64 @@ object Msgpack {
     out.toByteArray
   }
 
+  /** Generic single-object encoder (inverse of [[decode]]) — used by the
+    * secure-Forward handshake frames; record batches keep the
+    * specialized [[encodeForward]] writer.
+    */
+  def encode(v: V): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def wU16(x: Int): Unit = { out.write((x >> 8) & 0xFF); out.write(x & 0xFF) }
+    def wU32(x: Long): Unit = {
+      out.write(((x >> 24) & 0xFF).toInt); out.write(((x >> 16) & 0xFF).toInt)
+      out.write(((x >> 8) & 0xFF).toInt); out.write((x & 0xFF).toInt)
+    }
+    def go(v: V): Unit = v match {
+      case MNil => out.write(0xc0)
+      case MBool(b) => out.write(if (b) 0xc3 else 0xc2)
+      case MInt(x) =>
+        if (x >= 0 && x < 128) out.write(x.toInt)
+        else if (x < 0 && x >= -32) out.write(0xe0 | (x.toInt & 0x1f))
+        else { out.write(0xd3); wU32(x >>> 32); wU32(x & 0xFFFFFFFFL) }
+      case MFloat(d) =>
+        out.write(0xcb)
+        val bits = java.lang.Double.doubleToLongBits(d)
+        wU32(bits >>> 32); wU32(bits & 0xFFFFFFFFL)
+      case MStr(s) =>
+        val b = s.getBytes("UTF-8")
+        if (b.length < 32) out.write(0xa0 | b.length)
+        else if (b.length < 256) { out.write(0xd9); out.write(b.length) }
+        else if (b.length < 65536) { out.write(0xda); wU16(b.length) }
+        else { out.write(0xdb); wU32(b.length.toLong) }
+        out.write(b)
+      case MBin(b) =>
+        if (b.length < 256) { out.write(0xc4); out.write(b.length) }
+        else if (b.length < 65536) { out.write(0xc5); wU16(b.length) }
+        else { out.write(0xc6); wU32(b.length.toLong) }
+        out.write(b)
+      case MArr(items) =>
+        if (items.size < 16) out.write(0x90 | items.size)
+        else if (items.size < 65536) { out.write(0xdc); wU16(items.size) }
+        else { out.write(0xdd); wU32(items.size.toLong) }
+        items.foreach(go)
+      case MMap(entries) =>
+        if (entries.size < 16) out.write(0x80 | entries.size)
+        else if (entries.size < 65536) { out.write(0xde); wU16(entries.size) }
+        else { out.write(0xdf); wU32(entries.size.toLong) }
+        entries.foreach { case (k, v2) => go(k); go(v2) }
+      case MExt(t, data) =>
+        // only the fixext sizes the decoder round-trips are needed here
+        data.length match {
+          case 4 => out.write(0xd6)
+          case 8 => out.write(0xd7)
+          case 16 => out.write(0xd8)
+          case n => out.write(0xc7); out.write(n)
+        }
+        out.write(t.toInt); out.write(data)
+    }
+    go(v)
+    out.toByteArray
+  }
+
   /** The sender's `chunk` ack request from a Forward entry's trailing
     * option map — when present the server must reply `{"ack": id}`
     * (forward protocol at-least-once handshake).

@@ -117,4 +117,55 @@ class MsgpackSpec extends AnyFunSuite {
     val msg2 = fixarr(fixstr("t"), bs(0x01), nested)
     assert(forwardEvents(decode(msg2, 0)._1).head.record == Map("a" -> "[1,2]"))
   }
+
+  test("generic encode round-trips through decode") {
+    val opts = MMap(Vector(
+      MStr("nonce") -> MStr("0123456789abcdef"),
+      MStr("auth") -> MBin(Array[Byte](1, 2, 3)),
+      MStr("keepalive") -> MBool(true),
+      MStr("n") -> MInt(-7),
+      MStr("x") -> MFloat(2.5),
+      MStr("z") -> MNil))
+    val v = MArr(Vector(MStr("HELO"), opts, MStr("s" * 300))) // str16 tier
+    val (back, used) = decode(Msgpack.encode(v), 0)
+    assert(used == Msgpack.encode(v).length)
+    // MBin equality is reference-based; compare via render
+    assert(Msgpack.render(back) == Msgpack.render(v))
+  }
+
+  test("secure-forward digests match the reference hash layout") {
+    import graft.sources.SecureForward
+    // sha512("salt" + "host" + "nonce" + "key"), hex-lowercase —
+    // fw_prot.c:321-368 concatenation order
+    val md = java.security.MessageDigest.getInstance("SHA-512")
+    md.update("salthostnoncekey".getBytes("UTF-8"))
+    val want = md.digest().map(b => f"${b & 0xff}%02x").mkString
+    assert(SecureForward.sharedKeyDigest("salt", "host", "nonce", "key") == want)
+    assert(want.length == 128) // the reference's fixed 128-hex-char field
+    val md2 = java.security.MessageDigest.getInstance("SHA-512")
+    md2.update("saltuserpw".getBytes("UTF-8"))
+    val want2 = md2.digest().map(b => f"${b & 0xff}%02x").mkString
+    assert(SecureForward.passwordDigest("salt", "user", "pw") == want2)
+  }
+
+  test("secure-forward handshake over piped streams, both outcomes") {
+    import graft.sources.SecureForward
+    def run(serverKey: String, clientKey: String): (Boolean, Boolean) = {
+      val c2s = new java.io.PipedInputStream(16384)
+      val c2sOut = new java.io.PipedOutputStream(c2s)
+      val s2c = new java.io.PipedInputStream(16384)
+      val s2cOut = new java.io.PipedOutputStream(s2c)
+      var serverOk = false
+      val server = new Thread(() => {
+        serverOk = SecureForward.serverHandshake(c2s, s2cOut, serverKey, "srv")
+      })
+      server.start()
+      val clientOk =
+        SecureForward.clientHandshake(s2c, c2sOut, clientKey, "cli")
+      server.join(10000)
+      (serverOk, clientOk)
+    }
+    assert(run("k1", "k1") == (true, true))
+    assert(run("k1", "nope") == (false, false))
+  }
 }

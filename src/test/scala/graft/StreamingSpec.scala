@@ -327,6 +327,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set(("app.a", "one"), ("app.a", "two"), ("app.b", "three")))
   }
 
+  test("secure forward relay: shared-key handshake gates the event stream") {
+    import org.apache.spark.sql.functions._
+    val probe = new java.net.ServerSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+
+    val received = spark.readStream.format("graft.sources.ForwardServerSource")
+      .option("port", port).option("shared_key", "s3cret")
+      .option("self_hostname", "graft-src").load()
+      .select(col("tag"), element_at(col("record"), "msg").as("msg"))
+    val q = received.writeStream.format("memory").queryName("sec_relay_in")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      val deadline = System.currentTimeMillis + 30000
+      var up = false
+      while (!up && System.currentTimeMillis < deadline) {
+        try { new java.net.Socket("127.0.0.1", port).close(); up = true }
+        catch { case _: java.net.ConnectException => Thread.sleep(100) }
+      }
+      assert(up)
+      val outDf = Seq(("app.sec", 1704067200L, Map("msg" -> "authed")))
+        .toDF("tag", "ts_sec", "record")
+      // wrong key: the server answers PONG(false) and drops the events
+      intercept[org.apache.spark.SparkException] {
+        graft.sinks.ForwardSink.write(outDf, "127.0.0.1", port,
+          sharedKey = Some("wrong"))
+      }
+      // right key: handshake passes, events flow
+      graft.sinks.ForwardSink.write(outDf, "127.0.0.1", port,
+        sharedKey = Some("s3cret"))
+      awaitRows("sec_relay_in", 1)
+    } finally q.stop()
+    val got = spark.table("sec_relay_in").as[(String, String)].collect().toSet
+    assert(got == Set(("app.sec", "authed")))
+  }
+
   test("http push source e2e: POSTed NDJSON in, tagged parsed rows out") {
     import org.apache.spark.sql.functions._
     val probe = new java.net.ServerSocket(0)
