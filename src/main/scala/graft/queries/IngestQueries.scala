@@ -933,6 +933,47 @@ object IngestQueries {
                       CAST(tsms AS BIGINT) FROM g)""")
     ),
 
+    // out_datadog intake body (datadog.c:221-340 datadog_format, key
+    // names datadog.h:28-35): flat events render through
+    // Formats.datadogEvent, batch into the JSON-array body one POST
+    // carries, then parse back via from_json + explode — the oracle
+    // recomputes every field straight from `events`, gating the body
+    // builder end-to-end.
+    GraftQuery(
+      "sink_datadog",
+      (s, dir) => {
+        import graft.sinks.Formats
+        val ev = Tables.events(s, dir)
+        val rec = Formats.datadogEvent(
+          timestampMs = expr("ts_ns div 1000000"),
+          source = lit("graft"),
+          service = col("event_type"),
+          hostname = concat(lit("h"), (col("user_id") % 7).cast("string")),
+          tags = concat(lit("env:prod,team:"), col("event_type")),
+          message = col("props"))
+        val bodies = ev.groupBy(col("event_type"), expr("event_id div 256"))
+          .agg(concat(lit("["), array_join(collect_list(rec), ","), lit("]"))
+            .as("body"))
+          .select(col("body"))
+        val schema = org.apache.spark.sql.types.DataType.fromDDL(
+          """array<struct<timestamp bigint, ddsource string, service string,
+               hostname string, ddtags string, message string>>""")
+        bodies.select(explode(from_json(col("body"), schema)).as("__r"))
+          .select(col("__r.timestamp").as("ts_ms"),
+            col("__r.ddsource").as("ddsource"),
+            col("__r.service").as("service"),
+            col("__r.hostname").as("hostname"),
+            col("__r.ddtags").as("ddtags"),
+            col("__r.message").as("message"))
+      },
+      Some("""SELECT epoch_ns(ts) // 1000000 AS ts_ms,
+             'graft' AS ddsource, event_type AS service,
+             'h' || CAST(user_id % 7 AS VARCHAR) AS hostname,
+             'env:prod,team:' || event_type AS ddtags,
+             props AS message
+             FROM events""")
+    ),
+
     // out_s3 key templating (s3.c s3_key_format, flb_get_s3_key at
     // src/aws/flb_aws_util.c:1065-1208): $TAG / $TAG[n] / strftime
     // specifiers render per record as a codegen Column — the oracle

@@ -55,6 +55,37 @@ object TextAnalysis {
       size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
         .as("bpe_tokens"))
 
+  /** Corpus-wide top-k word n-grams — the vocabulary/boilerplate census
+    * every training-data pipeline runs before filtering. Shingling runs
+    * through the codegen [[graft.functions.WordShingles]] expression;
+    * counting is one HashAggregate with map-side combine; top-k compiles
+    * to TakeOrderedAndProject (per-partition partial top-k, k-row merge)
+    * — no single node ever sorts the full vocabulary, so the plan holds
+    * at any corpus size. Total-ordered (count desc, ngram asc) for
+    * reproducibility.
+    */
+  def topNgrams(df: DataFrame, text: Column, n: Int, k: Int): DataFrame =
+    df.select(explode(
+        graft.functions.TextFunctions.wordShingles(text, n)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(k)
+
+  /** Deterministic train/val/test assignment by stable content-free
+    * hash — the split must survive reshuffles, retries and growing
+    * corpora, so it hashes the document id, never position. Bucket =
+    * first 32 md5 bits mod 10 (the same portable slice the MinHash
+    * family uses): 0-7 train, 8 val, 9 test. Map-only, no shuffle.
+    */
+  def hashSplit(df: DataFrame, idCol: Column): DataFrame = {
+    val h = (conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 10).cast("int")
+    df.select(idCol.as("doc_id"), h.as("bucket"),
+      when(h <= 7, "train").when(h === 8, "val").otherwise("test")
+        .as("split"))
+  }
+
   /** Document fingerprint: position-weighted rolling hash over tokens.
     * Token hash = two md5 hex chars (portable, exact int64 math); weight
     * cycles with position so near-identical docs with swapped words get

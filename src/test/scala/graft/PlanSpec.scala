@@ -96,4 +96,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("rangepartitioning"),
       "pane ranking must not trigger a global sort")
   }
+
+  test("kmeans assignment broadcasts centroids, never shuffles the corpus") {
+    val plan = planOf("x_ann_kmeans")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"),
+      "k×n scoring must ride a broadcast, not a cartesian shuffle")
+    assert(!plan.contains("SortMergeJoin"),
+      "centroid joins must broadcast (k rows), not sort-merge")
+  }
+
+  test("ngram census top-k is TakeOrdered, not a global sort") {
+    val plan = planOf("x_text_ngrams")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(plan.contains("HashAggregate"),
+      "ngram counting must hash-aggregate with map-side combine")
+  }
+
+  test("hash split is map-only: no exchange anywhere") {
+    val plan = planOf("x_split_hash")
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  test("media sniffer runs map-only inside whole-stage codegen") {
+    // codegen'd operators print with the "*(stage)" star prefix
+    val plan = planOf("x_multimodal_headers")
+    assert(plan.contains("*(1) Project") || plan.contains("WholeStageCodegen"),
+      plan.take(1500))
+    assert(!plan.contains("Exchange"), "header sniffing must not shuffle")
+  }
+
+  test("es bulk decode is the single-pass scanner, not an aggregate fold") {
+    // the fixture body-building aggregate makes the plan AQE-staged, so
+    // assert the operator choice rather than the codegen span: the
+    // es_bulk_scan expression feeds the Generate, and no higher-order
+    // aggregate() fold remains in the decode path
+    val plan = planOf("f_es_bulk_ingest")
+    assert(plan.contains("es_bulk_scan"), plan.take(1500))
+    assert(!plan.contains("aggregate(filter(split("),
+      "the O(lines^2) HOF fold must be gone")
+  }
 }
