@@ -128,38 +128,69 @@ object Similarity {
     * determinism rule) — cosine assignment is scale-invariant, so the
     * un-normalized mean gives the same cells spherical k-means would.
     *
-    * Scale shape per iteration: one broadcast nested-loop assignment
-    * (map-only; centroids are k rows) + ONE shuffle — a HashAggregate on
-    * `cell` carrying `dim` decimal partial sums with map-side combine,
-    * the same wide-aggregate shape as MinHash k=128. Nothing lands on
-    * the driver; lineage grows by two narrow stages per iteration, which
-    * is fine for the single-digit iteration counts IVF training uses.
+    * Scale shape per iteration: ONE job — a map-only argmax against the
+    * k literal centroids fused into a HashAggregate on `cell` carrying
+    * `dim` decimal partial sums with map-side combine (the same
+    * wide-aggregate shape as MinHash k=128). Only the k×dim centroid
+    * matrix crosses the driver between rounds — model state, not record
+    * data, exactly like MLlib's KMeans.
     *
     * Returns `(cent_id, cv array<double>)`; empty cells drop out, as in
     * the reference Lloyd formulation.
     */
   def kmeansTrain(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
                   iters: Int, dim: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
     val base = vecs.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).cast("array<double>").as("ev"))
-    var cents = base.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cent_id"), col("ev").as("cv"))
+    // Centroids are k×dim MODEL STATE, not record data: they live on the
+    // driver between rounds (the canonical Lloyd shape — Spark MLlib's
+    // KMeans does the same collect per iteration). This keeps each
+    // iteration to ONE job: a map-only argmax against literal centroids
+    // fused with the mean-update HashAggregate — no window, no join, no
+    // broadcast exchange, no lineage growth.
+    var cents: Array[(Long, Array[Double])] =
+      base.filter(col("vec_id") < k).as[(Long, Seq[Double])]
+        .collect().sortBy(_._1).map { case (id, v) => (id, v.toArray) }
     var it = 0
     while (it < iters) {
-      val assigned = ivfAssign(base,
-        cents.select(col("cent_id").as("vec_id"), col("cv").as("ev")),
-        "vec_id", "ev")
+      // argmax over k literal centroids: array_max on struct(cos,
+      // -cent_id) replays ivfAssign's (round(cos,6) desc, cent_id asc)
+      // rank-1 exactly — struct ordering breaks cosine ties toward the
+      // larger negid = smaller cent_id
+      val scored = array(cents.map { case (id, cv) =>
+        val cn = math.sqrt(cv.map(x => x * x).sum)
+        struct(
+          round(dot(col("ev"), typedLit(cv)) / (col("__vn") * lit(cn)), 6)
+            .as("cos"),
+          lit(-id).as("negid"))
+      }: _*)
+      val cell = (-array_max(scored).getField("negid")).as("cell")
+      // Exact-sum determinism via fixed-point LONG accumulators (scale
+      // 1e9): decimal(38,12) sums are BigDecimal-backed and cost ~7× a
+      // primitive sum in the 64-wide aggregate; quantizing each
+      // component to 9 decimals first makes the sum exact integer math
+      // that any engine replays bit-for-bit, and keeps headroom for
+      // ~10^9-row cells before overflow.
       val sums = (0 until dim).map(i =>
-        sum(element_at(col("ev"), i + 1).cast("decimal(38,12)")).as(s"__s$i"))
-      val agg = base.join(assigned, "vec_id")
+        sum(round(element_at(col("ev"), i + 1) * 1e9).cast("long"))
+          .as(s"__s$i"))
+      val agg = base.withColumn("__vn", norm(col("ev")))
+        .select(cell, col("ev"))
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("__n"), sums: _*)
-      cents = agg.select(col("cell").as("cent_id"),
-        array((0 until dim).map(i =>
-          col(s"__s$i").cast("double") / col("__n")): _*).as("cv"))
+        .select(col("cell"), col("__n").as("__n"),
+          array((0 until dim).map(i => col(s"__s$i")): _*).as("__sums"))
+      cents = agg.as[(Long, Long, Seq[Long])].collect()
+        .sortBy(_._1)
+        .map { case (id, n, s) =>
+          (id, s.map(x => x.toDouble / 1e9 / n).toArray)
+        }
       it += 1
     }
-    cents
+    cents.toSeq.map { case (id, cv) => (id, cv.toSeq) }
+      .toDF("cent_id", "cv")
   }
 
   /** Per-query probe cells: the `nprobe` highest-cosine centroids of
