@@ -20,7 +20,8 @@ import graft.sql.Planner
   * sections/plugins cover the core path: INPUT tail/dummy/injected,
   * FILTER grep / modify / record_modifier / parser / rewrite_tag,
   * PARSER format regex, STREAM_TASK (FluentQL), OUTPUT file
-  * (json/plain/csv/ltsv) / stdout / null.
+  * (json/plain/csv/ltsv) / stdout / null / loki (label sets from static
+  * or record-accessor values) / datadog.
   */
 object ClassicConfig {
 
@@ -135,6 +136,51 @@ object ClassicConfig {
               routed.columns.filterNot(_ == "tag").toSeq.map(c => c -> col(c))).as("line"))
             case other => throw new IllegalArgumentException(s"format $other")
           }
+        case "loki" =>
+          // out_loki (loki.c): stream labels from the `labels` property
+          // (static k=v or record-accessor values, parse_labels at
+          // loki.c:909-1000), line_format=json; one push body per label
+          // set with [ts_ns, line] values
+          val labels = s.get("labels").getOrElse("job=fluent-bit")
+            .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { kv =>
+              val Array(k, v) = kv.split("=", 2)
+              k -> (if (v.startsWith("$"))
+                graft.route.RecordAccessor.column(routed, v)
+              else lit(v))
+            }
+          val dataCols = routed.columns
+            .filterNot(Set("tag", "ts_ns", "ts_sec")).toSeq
+          val line = Formats.jsonLine(dataCols.map(c => c -> col(c)))
+          val tsNs =
+            if (routed.columns.contains("ts_ns")) col("ts_ns")
+            else if (routed.columns.contains("ts_sec")) col("ts_sec") * 1000000000L
+            else lit(0L)
+          routed
+            .groupBy(labels.map { case (k, v) => v.as(k) }: _*)
+            .agg(collect_list(Formats.lokiValue(tsNs, line)).as("__entries"))
+            .select(Formats.lokiPush(
+              labels.map { case (k, _) => k -> col(k) }, col("__entries"))
+              .as("body"))
+        case "datadog" =>
+          // out_datadog (datadog.c:221-340): dd_source/dd_service/
+          // dd_tags from config, hostname + message from the record
+          val tsMs =
+            if (routed.columns.contains("ts_ns")) expr("ts_ns div 1000000")
+            else if (routed.columns.contains("ts_sec")) col("ts_sec") * 1000L
+            else lit(0L)
+          val msgKey = s.get("message_key").getOrElse("log")
+          val msg =
+            if (routed.columns.contains(msgKey)) col(msgKey)
+            else Formats.jsonLine(routed.columns
+              .filterNot(Set("tag", "ts_ns", "ts_sec")).toSeq
+              .map(c => c -> col(c)))
+          routed.select(col("tag"), Formats.datadogEvent(
+            timestampMs = tsMs,
+            source = lit(s.get("dd_source").getOrElse("fluent-bit")),
+            service = s.get("dd_service").map(lit(_)).getOrElse(col("tag")),
+            hostname = lit(s.get("hostname").getOrElse("unknown")),
+            tags = lit(s.get("dd_tags").getOrElse("")),
+            message = msg).as("line"))
         case other => throw new IllegalArgumentException(s"[OUTPUT] $other unsupported")
       }
       val base = s"$name:$pat"

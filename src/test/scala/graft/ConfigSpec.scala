@@ -222,4 +222,53 @@ class ConfigSpec extends AnyFunSuite {
     val outs = ClassicConfig.assemble(spark, conf, streams = Map("t" -> in))
     assert(outs.keySet == Set("file:*", "file:*#1"))
   }
+
+  test("loki output: label sets from static + record-accessor values") {
+    val in = Seq(
+      ("checkout", "boom", 10L, 1000000000L),
+      ("checkout", "ok", 11L, 2000000000L),
+      ("billing", "late", 12L, 3000000000L)
+    ).toDF("app", "log", "id", "ts_ns").withColumn("tag", lit("svc"))
+    val conf =
+      """[INPUT]
+        |    name lib
+        |    tag  svc
+        |[OUTPUT]
+        |    name   loki
+        |    match  *
+        |    labels job=graft,app=$app
+        |""".stripMargin
+    val outs = ClassicConfig.assemble(spark, conf, streams = Map("svc" -> in))
+    val bodies = outs("loki:*").select("body").as[String].collect()
+    assert(bodies.length == 2) // one push body per (job, app) label set
+    val checkout = bodies.find(_.contains("\"app\":\"checkout\"")).get
+    assert(checkout.contains("\"job\":\"graft\""))
+    assert(checkout.contains("[\"1000000000\",\"{\\\"app\\\":\\\"checkout\\\",\\\"log\\\":\\\"boom\\\",\\\"id\\\":10}\"]"))
+    assert(checkout.contains("\"2000000000\""))
+    assert(!checkout.contains("billing"))
+  }
+
+  test("datadog output: config-driven source/service/tags, record message") {
+    val in = Seq(("oops", 5L, 2000000000L))
+      .toDF("log", "id", "ts_ns").withColumn("tag", lit("app.web"))
+    val conf =
+      """[INPUT]
+        |    name lib
+        |    tag  app.web
+        |[OUTPUT]
+        |    name       datadog
+        |    match      *
+        |    dd_source  nginx
+        |    dd_tags    env:prod
+        |    hostname   h1
+        |""".stripMargin
+    val outs = ClassicConfig.assemble(spark, conf, streams = Map("app.web" -> in))
+    val line = outs("datadog:*").select("line").as[String].collect()(0)
+    assert(line.contains("\"timestamp\":2000"))
+    assert(line.contains("\"ddsource\":\"nginx\""))
+    assert(line.contains("\"service\":\"app.web\"")) // defaults to the tag
+    assert(line.contains("\"hostname\":\"h1\""))
+    assert(line.contains("\"ddtags\":\"env:prod\""))
+    assert(line.contains("\"message\":\"oops\""))
+  }
 }

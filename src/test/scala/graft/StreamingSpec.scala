@@ -487,6 +487,48 @@ class StreamingSpec extends AnyFunSuite {
       ("cpu_seconds", "db", 12.25, 1704067200000L)))
   }
 
+  test("otlp sink→source loopback: encoded logs POST into our own decoder") {
+    import org.apache.spark.sql.functions._
+    val probe = new java.net.ServerSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+
+    val src = graft.sources.Sources.httpLines(spark, port)
+    val flat = graft.parse.Otlp.decodeLogs(src.select("value"), col("value"))
+      .select(element_at(col("resource_attributes"), "service.name").as("svc"),
+        col("ts_unix_nano"), col("severity_number"), col("body"))
+    val q = flat.writeStream.format("memory").queryName("otlp_loop")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      val frame = Seq(
+        ("checkout", 1L, 9, "boom"),
+        ("checkout", 2L, 10, "fine"),
+        ("billing", 3L, 11, "late")
+      ).toDF("svc", "tsns", "sev", "msg")
+      val bodies = graft.parse.Otlp.encodeLogs(frame,
+        resourceAttrs = map(lit("service.name"), col("svc")),
+        scopeName = lit("s"), scopeVersion = lit("1"),
+        tsUnixNano = col("tsns"), severityNumber = col("sev"),
+        severityText = lit("S"), body = col("msg"),
+        attributes = map(), traceId = lit("ab"))
+      val deadline = System.currentTimeMillis + 30000
+      var sent = false
+      while (!sent && System.currentTimeMillis < deadline) {
+        try {
+          graft.sinks.HttpSink.writeBodies(bodies,
+            s"http://127.0.0.1:$port/v1/logs", "body", maxRetries = 0)
+          sent = true
+        } catch { case _: Throwable => Thread.sleep(200) }
+      }
+      assert(sent, "sink never reached the OTLP listener")
+      awaitRows("otlp_loop", 3)
+    } finally q.stop()
+    val got = spark.table("otlp_loop").as[(String, Long, Int, String)]
+      .collect().toSet
+    assert(got == Set(("checkout", 1L, 9, "boom"),
+      ("checkout", 2L, 10, "fine"), ("billing", 3L, 11, "late")))
+  }
+
   test("remote-write sink→source loopback: frame out, same frame back in") {
     import org.apache.spark.sql.functions._
     val probe = new java.net.ServerSocket(0)
