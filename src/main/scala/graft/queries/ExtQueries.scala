@@ -59,6 +59,49 @@ object ExtQueries {
   // used here via the shared constants).
   private val MinhashK = 64
   private val RowsPerBand = 4
+
+  /** Shared DuckDB replay of simhash16 → banded-hamming pairs →
+    * transitive closure (recursive CTE) ending in `comp(id, component)`
+    * — the oracle spine of `x_dedup_cc`, reused by `x_corpus_curate`.
+    */
+  private val CcCtes: String = {
+    val votes = (1 to 16).map(p =>
+      s"sum(CASE WHEN ascii(substr(md5(tok), $p, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v$p")
+      .mkString(", ")
+    val bits = (1 to 16).map(p =>
+      s"(CASE WHEN v$p >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+    val ham = (1 to 16).map(i =>
+      s"CASE WHEN substr(ha, $i, 1) <> substr(hb, $i, 1) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH RECURSIVE toks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       v AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id),
+       sg AS (SELECT doc_id, $bits AS simhash16 FROM v),
+       bands AS (
+         SELECT doc_id, simhash16, t.b,
+                substr(simhash16, CAST(t.b * 8 + 1 AS INT), 8) AS bsig
+         FROM sg, (SELECT unnest(range(0, 2)) AS b) t),
+       cand AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.simhash16 AS ha, b.simhash16 AS hb
+         FROM bands a JOIN bands b
+           ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+         WHERE a.b = 0 OR substr(a.simhash16, 1, 8) <> substr(b.simhash16, 1, 8)),
+       pairs AS (
+         SELECT doc_a, doc_b FROM (
+           SELECT doc_a, doc_b, $ham AS hamming FROM cand)
+         WHERE hamming <= 1),
+       edges AS (
+         SELECT doc_a AS src, doc_b AS dst FROM pairs
+         UNION
+         SELECT doc_b, doc_a FROM pairs),
+       reach AS (
+         SELECT doc_id AS id, doc_id AS comp FROM documents
+         UNION
+         SELECT e.dst AS id, reach.comp AS comp
+         FROM reach JOIN edges e ON e.src = reach.id),
+       comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)"""
+  }
   private val HashParamRows = Dedup.hashParams(MinhashK).zipWithIndex
     .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
   private val LshCtes = s"""
@@ -600,49 +643,74 @@ object ExtQueries {
         graft.dedup.Components.clusters(
           docs, col("doc_id"), pairs, "doc_a", "doc_b")
       },
-      Some {
-        val votes = (1 to 16).map(p =>
-          s"sum(CASE WHEN ascii(substr(md5(tok), $p, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v$p")
-          .mkString(", ")
-        val bits = (1 to 16).map(p =>
-          s"(CASE WHEN v$p >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
-        val ham = (1 to 16).map(i =>
-          s"CASE WHEN substr(ha, $i, 1) <> substr(hb, $i, 1) THEN 1 ELSE 0 END")
-          .mkString(" + ")
-        s"""WITH RECURSIVE toks AS (
-             SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-           v AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id),
-           sg AS (SELECT doc_id, $bits AS simhash16 FROM v),
-           bands AS (
-             SELECT doc_id, simhash16, t.b,
-                    substr(simhash16, CAST(t.b * 8 + 1 AS INT), 8) AS bsig
-             FROM sg, (SELECT unnest(range(0, 2)) AS b) t),
-           cand AS (
-             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                    a.simhash16 AS ha, b.simhash16 AS hb
-             FROM bands a JOIN bands b
-               ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id
-             WHERE a.b = 0 OR substr(a.simhash16, 1, 8) <> substr(b.simhash16, 1, 8)),
-           pairs AS (
-             SELECT doc_a, doc_b FROM (
-               SELECT doc_a, doc_b, $ham AS hamming FROM cand)
-             WHERE hamming <= 1),
-           edges AS (
-             SELECT doc_a AS src, doc_b AS dst FROM pairs
-             UNION
-             SELECT doc_b, doc_a FROM pairs),
-           reach AS (
-             SELECT doc_id AS id, doc_id AS comp FROM documents
-             UNION
-             SELECT e.dst AS id, reach.comp AS comp
-             FROM reach JOIN edges e ON e.src = reach.id),
-           comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+      Some(CcCtes + """
            SELECT id AS doc_id, component,
                   CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
                     AS cluster_size,
                   id = component AS is_canonical
-           FROM comp"""
-      }
+           FROM comp""")
+    ),
+
+    // Corpus curation — the composition every LLM training pipeline
+    // runs end-to-end: near-dup clustering (simhash → connected
+    // components) + language ID + quality score + deterministic split,
+    // keeping one canonical English document per cluster above the
+    // quality floor. The oracle composes the same four replays and
+    // re-derives the keep set independently, gating the whole
+    // curation pipeline, not its stages.
+    GraftQuery(
+      "x_corpus_curate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.simhashPairs16(
+          Dedup.simhash16(docs, col("doc_id"), col("text")), maxHamming = 1)
+        val clusters = graft.dedup.Components.clusters(
+          docs, col("doc_id"), pairs, "doc_a", "doc_b")
+        val qual = TextAnalysis.quality(docs, col("doc_id"), col("text"))
+          .select(col("doc_id"), col("quality_score"))
+        val lang = docs.select(col("doc_id"),
+          TextAnalysis.languageId(col("text")).as("pred_lang"))
+        val split = TextAnalysis.hashSplit(docs, col("doc_id"))
+          .select(col("doc_id"), col("split"))
+        clusters.join(qual, "doc_id").join(lang, "doc_id")
+          .join(split, "doc_id")
+          .filter(col("is_canonical") && col("pred_lang") === "en" &&
+            col("quality_score") >= 0.5)
+          .select(col("doc_id"), col("component"), col("cluster_size"),
+            col("quality_score"), col("split"))
+      },
+      Some(CcCtes + """,
+           cl AS (SELECT id AS doc_id, component,
+                  CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+                    AS cluster_size,
+                  id = component AS is_canonical
+                  FROM comp),
+           q AS (SELECT doc_id,
+                 round(least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE)
+                             / 50) * 0.5 +
+                       least(1.0, CAST(len(regexp_extract_all(text,
+                             '\b(the|a|of|and|to|in|is|it)\b')) AS DOUBLE)
+                             * 10 / len(string_split(text, ' '))) * 0.5,
+                       3) AS quality_score
+                 FROM documents),
+           l AS (SELECT doc_id,
+                 CASE WHEN len(regexp_extract_all(text,
+                   '\b(the|a|of|and|to|in|is|it)\b')) >= 2
+                   THEN 'en' ELSE 'other' END AS pred_lang
+                 FROM documents),
+           sp AS (SELECT doc_id,
+                  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                            % 10 <= 7 THEN 'train'
+                       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                            % 10 = 8 THEN 'val'
+                       ELSE 'test' END AS split
+                  FROM documents)
+           SELECT cl.doc_id, cl.component, cl.cluster_size,
+                  q.quality_score, sp.split
+           FROM cl JOIN q USING (doc_id) JOIN l USING (doc_id)
+                   JOIN sp USING (doc_id)
+           WHERE cl.is_canonical AND l.pred_lang = 'en'
+             AND q.quality_score >= 0.5""")
     ),
 
     // Sessionization over the event stream (beyond the reference's
