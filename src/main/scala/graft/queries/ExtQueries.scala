@@ -47,6 +47,31 @@ object ExtQueries {
        SELECT vec_id, cell, cos FROM a3"""
   }
 
+  /** DuckDB replay of [[graft.sim.Similarity.quantizedTopK]]: per-dim
+    * min/max CTE, identical quantization expression (same IEEE op
+    * order), exact integer dot-product scoring, total-ordered top-k.
+    */
+  private def quantizedOracle(dim: Int): String = {
+    val ranges = (1 to dim).map(i =>
+      s"min(ev[$i]) AS mn$i, max(ev[$i]) AS mx$i").mkString(", ")
+    val quants = (1 to dim).map(i =>
+      s"CASE WHEN r.mx$i = r.mn$i THEN 0.0 " +
+        s"ELSE round((ev[$i] - r.mn$i) * 255.0 / (r.mx$i - r.mn$i)) END")
+      .mkString(", ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       r AS (SELECT $ranges FROM v),
+       qv AS (SELECT vec_id, list_value($quants) AS q FROM v, r),
+       scored AS (
+         SELECT a.vec_id AS qid, b.vec_id AS cid,
+                CAST(list_dot_product(a.q, b.q) AS BIGINT) AS score
+         FROM qv a, qv b
+         WHERE a.vec_id < 3 AND b.vec_id <> a.vec_id)
+       SELECT qid, cid, score, rank FROM (
+         SELECT *, row_number() OVER (PARTITION BY qid
+                   ORDER BY score DESC, cid) AS rank FROM scored)
+       WHERE rank <= 5"""
+  }
+
   /** Shared DuckDB CTEs: 3-gram shingles → k numeric minhashes
     * (universal hash family (a_i·x + b_i) mod 2^31-1 over the 32-bit md5
     * slice x, constants from Dedup.hashParams) → k/r bands of r →
@@ -367,6 +392,20 @@ object ExtQueries {
             round(Similarity.cosine(col("ev"), col("cv")), 6).as("cos"))
       },
       Some(kmeansOracle(k = 8, dim = 64))
+    ),
+
+    // Scalar-quantized top-k search (the 8× memory-compressed ANN
+    // path): per-dim min/max ranges quantize to 0..255; scores are
+    // exact integer dot products, so the oracle replays them
+    // bit-for-bit with no rounding tolerance at all.
+    GraftQuery(
+      "x_ann_quantized",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 3),
+          "vec_id", "embedding", k = 5, dim = 64)
+      },
+      Some(quantizedOracle(dim = 64))
     ),
 
     // IVF coarse quantization (the inverted-file ANN scale path):

