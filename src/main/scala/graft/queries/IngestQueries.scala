@@ -974,6 +974,81 @@ object IngestQueries {
              FROM events""")
     ),
 
+    // out_influxdb line protocol (influxdb.c:120-260): measurement +
+    // escaped tag set + integer/quoted-string fields + ns timestamp.
+    // Tag values carry a space to exercise the backslash escaping; the
+    // oracle rebuilds every line with replace()-based escaping.
+    GraftQuery(
+      "sink_influx",
+      (s, dir) => {
+        import graft.sinks.Formats
+        val ev = Tables.events(s, dir)
+        val tns = col("ts_ns") - col("ts_ns") % 1000
+        ev.select(col("event_id"),
+          Formats.influxLine("events",
+            tags = Seq(
+              "type" -> col("event_type"),
+              // embedded space must escape: `h 0` → `h\ 0`
+              "host" -> concat(lit("h "), (col("user_id") % 3).cast("string"))),
+            intFields = Seq("event_id" -> col("event_id"),
+              "user_id" -> col("user_id")),
+            strFields = Seq("props" -> col("props")),
+            tsNs = tns).as("line"))
+      },
+      Some("""SELECT event_id,
+             'events,type=' || event_type ||
+             ',host=h\ ' || CAST(user_id % 3 AS VARCHAR) ||
+             ' event_id=' || CAST(event_id AS VARCHAR) || 'i' ||
+             ',user_id=' || CAST(user_id AS VARCHAR) || 'i' ||
+             ',props="' || replace(replace(props, '\', '\\'), '"', '\"') ||
+             '" ' || CAST(epoch_ns(ts) AS VARCHAR) AS line
+             FROM events""")
+    ),
+
+    // out_syslog RFC5424 render (syslog.c:229-370): `<pri>1 TIMESTAMP
+    // host app procid msgid - msg`, microsecond UTC timestamp, `-` NIL
+    // values on modular slices. Rendered lines then PARSE back through
+    // our own RFC5424 parser (the in_syslog side), gating the
+    // render→parse inverse pair; the oracle recomputes the flat fields.
+    GraftQuery(
+      "sink_syslog",
+      (s, dir) => {
+        import graft.sinks.Formats
+        val ev = Tables.events(s, dir)
+        val line = Formats.syslog5424Line(
+          facility = (col("user_id") % 24).cast("int"),
+          severity = (col("event_id") % 8).cast("int"),
+          ts = col("ts"),
+          host = concat(lit("h"), (col("user_id") % 5).cast("string")),
+          appname = concat(lit("app-"), col("event_type")),
+          procid = when(col("event_id") % 7 =!= 0,
+            col("event_id").cast("string")),
+          msgid = when(col("event_id") % 3 === 0, lit("EV")),
+          message = concat(col("event_type"), lit(" #"),
+            col("event_id").cast("string")))
+        graft.parse.Parsers.regex(ev.select(line.as("line")), col("line"),
+            graft.sources.Sources.Rfc5424Pattern,
+            types = Map("pri" -> "int", "pid" -> "long"))
+          .select(col("pri"),
+            expr("pri div 8").cast("int").as("facility"),
+            (col("pri") % 8).cast("int").as("severity"),
+            col("host"), col("ident").as("appname"),
+            col("pid").as("procid"),
+            // `-` is the RFC NILVALUE, not a literal msgid
+            when(col("msgid") =!= "-", col("msgid")).as("msgid"),
+            col("message"))
+      },
+      Some("""SELECT CAST((user_id % 24) * 8 + event_id % 8 AS INT) AS pri,
+             CAST(user_id % 24 AS INT) AS facility,
+             CAST(event_id % 8 AS INT) AS severity,
+             'h' || CAST(user_id % 5 AS VARCHAR) AS host,
+             'app-' || event_type AS appname,
+             CASE WHEN event_id % 7 <> 0 THEN event_id END AS procid,
+             CASE WHEN event_id % 3 = 0 THEN 'EV' END AS msgid,
+             event_type || ' #' || CAST(event_id AS VARCHAR) AS message
+             FROM events""")
+    ),
+
     // out_s3 key templating (s3.c s3_key_format, flb_get_s3_key at
     // src/aws/flb_aws_util.c:1065-1208): $TAG / $TAG[n] / strftime
     // specifiers render per record as a codegen Column — the oracle

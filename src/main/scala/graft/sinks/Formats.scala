@@ -114,6 +114,54 @@ object Formats {
     to_json(struct(timeSec.as("time"), host.as("host"), source.as("source"),
       sourcetype.as("sourcetype"), event.as("event")))
 
+  /** InfluxDB line protocol (out_influxdb `plugins/out_influxdb/
+    * influxdb.c:120-260`): `measurement,tag=v,... field=v,... <ts_ns>`.
+    * Tag keys/values escape comma/equals/space with a backslash
+    * (influxdb_escape); string field values are double-quoted with
+    * backslash/quote escaping, integer fields carry the `i` suffix —
+    * the deterministic value kinds (double rendering is
+    * engine-dependent, so callers gate integer/string fields).
+    */
+  private def influxEscape(c: Column): Column =
+    regexp_replace(c.cast("string"), "([,= ])", "\\\\$1")
+
+  def influxLine(measurement: String, tags: Seq[(String, Column)],
+                 intFields: Seq[(String, Column)],
+                 strFields: Seq[(String, Column)], tsNs: Column): Column = {
+    val tagStr = tags.map { case (k, v) =>
+      concat(lit("," + k + "="), influxEscape(v))
+    }
+    val rendered =
+      intFields.map { case (k, v) =>
+        k -> concat(v.cast("bigint").cast("string"), lit("i"))
+      } ++ strFields.map { case (k, v) =>
+        k -> concat(lit("\""),
+          regexp_replace(regexp_replace(v, "\\\\", "\\\\\\\\"),
+            "\"", "\\\\\""), lit("\""))
+      }
+    val fieldStr = rendered.zipWithIndex.map { case ((k, v), i) =>
+      concat(lit((if (i == 0) " " else ",") + k + "="), v)
+    }
+    concat(lit(measurement) +: (tagStr ++ fieldStr) :+
+      concat(lit(" "), tsNs.cast("string")): _*)
+  }
+
+  /** RFC 5424 syslog line (out_syslog `plugins/out_syslog/
+    * syslog.c:229-370` syslog_rfc5424): `<pri>1 TIMESTAMP host app
+    * procid msgid - msg` — microsecond UTC timestamp, `-` NIL values,
+    * pri = facility·8 + severity.
+    */
+  def syslog5424Line(facility: Column, severity: Column, ts: Column,
+                     host: Column, appname: Column, procid: Column,
+                     msgid: Column, message: Column): Column = {
+    def nil(c: Column): Column = coalesce(c.cast("string"), lit("-"))
+    concat(
+      lit("<"), (facility * 8 + severity).cast("string"), lit(">1 "),
+      date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"), lit(" "),
+      nil(host), lit(" "), nil(appname), lit(" "), nil(procid), lit(" "),
+      nil(msgid), lit(" - "), message)
+  }
+
   /** Datadog log-intake record (out_datadog `plugins/out_datadog/
     * datadog.c:221-340` datadog_format; key names datadog.h:28-35):
     * `{"timestamp":<ms>,"ddsource":…,"service":…,"hostname":…,
