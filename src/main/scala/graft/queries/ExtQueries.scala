@@ -15,10 +15,10 @@ object ExtQueries {
     * two Lloyd's iterations unrolled as chained CTEs) + the final
     * assignment. Mirrors the Spark side exactly: id<k init,
     * round(cos, 6) + cent_id tiebreak assignment, and per-dimension
-    * means over fixed-point long sums (`round(x*1e9)::BIGINT`, then
-    * `CAST(sum AS DOUBLE)/1e9/count`) — exact integer math both engines
-    * replay bit-for-bit, and ~7× faster than decimal accumulators on
-    * the Spark side.
+    * means over fixed-point long sums (`floor(x*1e9 + 0.5)::BIGINT`,
+    * then `CAST(sum AS DOUBLE)/1e9/count`) — exact integer math both
+    * engines replay bit-for-bit, ~7× faster than decimal accumulators,
+    * and floor (unlike round) stays primitive in Spark codegen.
     */
   private def kmeansOracle(k: Int, dim: Int): String = {
     def scoreCte(name: String, cents: String) =
@@ -34,7 +34,7 @@ object ExtQueries {
           WHERE rnk = 1)"""
     def centCte(name: String, assign: String) = {
       val means = (1 to dim).map(i =>
-        s"CAST(SUM(CAST(round(v.ev[$i] * 1000000000) AS BIGINT)) AS DOUBLE)/1000000000/count(*)")
+        s"CAST(SUM(CAST(floor(v.ev[$i] * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000000/count(*)")
       s"""$name AS (SELECT $assign.cell AS cent_id,
             list_value(${means.mkString(", ")}) AS cv
           FROM v JOIN $assign USING (vec_id) GROUP BY $assign.cell)"""
@@ -56,7 +56,7 @@ object ExtQueries {
       s"min(ev[$i]) AS mn$i, max(ev[$i]) AS mx$i").mkString(", ")
     val quants = (1 to dim).map(i =>
       s"CASE WHEN r.mx$i = r.mn$i THEN 0.0 " +
-        s"ELSE round((ev[$i] - r.mn$i) * 255.0 / (r.mx$i - r.mn$i)) END")
+        s"ELSE floor((ev[$i] - r.mn$i) * 255.0 / (r.mx$i - r.mn$i) + 0.5) END")
       .mkString(", ")
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
        r AS (SELECT $ranges FROM v),

@@ -173,9 +173,11 @@ object Similarity {
       // component to 9 decimals first makes the sum exact integer math
       // that any engine replays bit-for-bit, and keeps headroom for
       // ~10^9-row cells before overflow.
+      // floor(x·1e9 + 0.5): same fixed-point quantization, but floor
+      // stays primitive in codegen where round() detours through
+      // BigDecimal per value; the oracle uses the identical formula
       val sums = (0 until dim).map(i =>
-        sum(round(element_at(col("ev"), i + 1) * 1e9).cast("long"))
-          .as(s"__s$i"))
+        sum(floor(element_at(col("ev"), i + 1) * 1e9 + 0.5)).as(s"__s$i"))
       val agg = base.withColumn("__vn", norm(col("ev")))
         .select(cell, col("ev"))
         .groupBy(col("cell"))
@@ -219,7 +221,12 @@ object Similarity {
     def quant(v: Column) = array((0 until dim).map { i =>
       val mn = mins(i); val mx = maxs(i)
       if (mx == mn) lit(0.0) // constant dimension carries no signal
-      else round((element_at(v, i + 1) - lit(mn)) * lit(255.0) / lit(mx - mn))
+      // floor(x + 0.5), not round(): Spark's Round on doubles detours
+      // through BigDecimal per value (~1µs × dim × rows dominates the
+      // scan); floor stays primitive in codegen, and the oracle uses
+      // the identical formula so the tie direction is shared
+      else floor((element_at(v, i + 1) - lit(mn)) * lit(255.0) / lit(mx - mn)
+        + lit(0.5)).cast("double")
     }: _*)
     val qc = base.select(col("cid"), quant(col("cv")).as("cq"))
     val q = broadcast(queries
