@@ -86,8 +86,14 @@ object ObjectStoreSink {
       val pid = org.apache.spark.TaskContext.getPartitionId()
       final class Part(var out: BufferedOutputStream, var bytes: Long, var roll: Int)
       val open = scala.collection.mutable.HashMap.empty[String, Part]
+      val baseCanonical = new File(baseDir).getCanonicalPath
       def newStream(key: String, roll: Int): BufferedOutputStream = {
         val f = new File(baseDir, key.stripPrefix("/") + s"/part-$pid-$roll")
+        // tags are remote-controlled input and flow into the key via
+        // $TAG: a '..' segment must not escape the destination root
+        if (!f.getCanonicalPath.startsWith(baseCanonical + File.separator))
+          throw new IllegalArgumentException(
+            s"object key '$key' escapes the sink root")
         f.getParentFile.mkdirs()
         new BufferedOutputStream(new FileOutputStream(f))
       }

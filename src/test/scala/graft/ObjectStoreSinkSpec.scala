@@ -58,4 +58,17 @@ class ObjectStoreSinkSpec extends AnyFunSuite {
     val lines = parts.flatMap(p => Files.readAllLines(p).asScala)
     assert(lines.sorted == (0 until 100).map(i => f"line-$i%03d"))
   }
+
+  test("write: a tag with '..' cannot escape the sink root") {
+    val dir = Files.createTempDirectory("s3esc").toFile.getAbsolutePath
+    val df = Seq(("../../escaped", "x")).toDF("tag", "line")
+      .withColumn("ts", ts)
+    val err = intercept[org.apache.spark.SparkException] {
+      ObjectStoreSink.write(df, dir, "/logs/$TAG/records",
+        col("tag"), col("ts"), col("line"))
+    }
+    assert(err.getMessage.contains("escapes the sink root") ||
+      Option(err.getCause).exists(_.getMessage.contains("escapes the sink root")))
+    assert(!Files.exists(Paths.get(dir).getParent.resolve("escaped")))
+  }
 }
