@@ -37,7 +37,12 @@ class ForwardServerSource extends TableProvider {
     val host = Option(properties.get("host")).getOrElse("127.0.0.1")
     val sharedKey = Option(properties.get("shared_key"))
     val selfHostname = Option(properties.get("self_hostname")).getOrElse("graft")
-    new ForwardTable(host, port, sharedKey, selfHostname)
+    // fw_prot.c user auth: `users user1:pw1,user2:pw2` next to shared_key
+    val users = Option(properties.get("users")).map(_.split(",").toSeq
+      .map(_.trim).filter(_.nonEmpty).map { kv =>
+        val Array(u, pw) = kv.split(":", 2); u -> pw
+      }.toMap).getOrElse(Map.empty[String, String])
+    new ForwardTable(host, port, sharedKey, selfHostname, users)
   }
 }
 
@@ -50,7 +55,8 @@ object ForwardServerSource {
 
 private[sources] class ForwardTable(host: String, port: Int,
                                     sharedKey: Option[String],
-                                    selfHostname: String)
+                                    selfHostname: String,
+                                    users: Map[String, String])
     extends Table with SupportsRead {
   override def name(): String = s"forward://$host:$port"
   override def schema(): StructType = ForwardServerSource.Schema
@@ -62,13 +68,15 @@ private[sources] class ForwardTable(host: String, port: Int,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = ForwardServerSource.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new ForwardMicroBatchStream(host, port, sharedKey, selfHostname)
+          new ForwardMicroBatchStream(host, port, sharedKey, selfHostname,
+            users)
       }
     }
 }
 
 private[sources] class ForwardMicroBatchStream(host: String, port: Int,
-    sharedKey: Option[String] = None, selfHostname: String = "graft")
+    sharedKey: Option[String] = None, selfHostname: String = "graft",
+    users: Map[String, String] = Map.empty)
     extends MicroBatchStream {
 
   private val buf = new scala.collection.mutable.ArrayBuffer[Msgpack.Event]
@@ -109,7 +117,8 @@ private[sources] class ForwardMicroBatchStream(host: String, port: Int,
     // an unauthenticated peer is notified via PONG(false) and dropped
     sharedKey.foreach { key =>
       val ok =
-        try SecureForward.serverHandshake(in, outStream, key, selfHostname)
+        try SecureForward.serverHandshake(in, outStream, key, selfHostname,
+          users)
         catch { case _: Throwable => false }
       if (!ok) { sock.close(); return }
     }

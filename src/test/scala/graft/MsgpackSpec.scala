@@ -168,4 +168,27 @@ class MsgpackSpec extends AnyFunSuite {
     assert(run("k1", "k1") == (true, true))
     assert(run("k1", "nope") == (false, false))
   }
+
+  test("secure-forward user auth: right password passes, wrong fails") {
+    import graft.sources.SecureForward
+    def run(user: String, pw: String): (Boolean, Boolean) = {
+      val c2s = new java.io.PipedInputStream(16384)
+      val c2sOut = new java.io.PipedOutputStream(c2s)
+      val s2c = new java.io.PipedInputStream(16384)
+      val s2cOut = new java.io.PipedOutputStream(s2c)
+      var serverOk = false
+      val server = new Thread(() => {
+        serverOk = SecureForward.serverHandshake(c2s, s2cOut, "k", "srv",
+          users = Map("fluent" -> "hunter2"))
+      })
+      server.start()
+      val clientOk = SecureForward.clientHandshake(s2c, c2sOut, "k", "cli",
+        username = user, password = pw)
+      server.join(10000)
+      (serverOk, clientOk)
+    }
+    assert(run("fluent", "hunter2") == (true, true))
+    assert(run("fluent", "wrong") == (false, false))
+    assert(run("nobody", "hunter2") == (false, false))
+  }
 }
