@@ -143,7 +143,11 @@ object ClassicConfig {
           // set with [ts_ns, line] values
           val labels = s.get("labels").getOrElse("job=fluent-bit")
             .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { kv =>
-              val Array(k, v) = kv.split("=", 2)
+              val (k, v) = kv.split("=", 2) match {
+                case Array(k0, v0) => (k0, v0)
+                case _ => throw new IllegalArgumentException(
+                  s"loki labels: entry '$kv' is not key=value")
+              }
               k -> (if (v.startsWith("$"))
                 graft.route.RecordAccessor.column(routed, v)
               else lit(v))

@@ -155,9 +155,13 @@ object Formats {
                      host: Column, appname: Column, procid: Column,
                      msgid: Column, message: Column): Column = {
     def nil(c: Column): Column = coalesce(c.cast("string"), lit("-"))
+    // date_format renders in the session timezone; shift to UTC first so
+    // the literal 'Z' suffix is truthful in non-UTC sessions (the
+    // reference renders gmtime)
+    val utcTs = to_utc_timestamp(ts, expr("current_timezone()"))
     concat(
       lit("<"), (facility * 8 + severity).cast("string"), lit(">1 "),
-      date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"), lit(" "),
+      date_format(utcTs, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"), lit(" "),
       nil(host), lit(" "), nil(appname), lit(" "), nil(procid), lit(" "),
       nil(msgid), lit(" - "), message)
   }

@@ -40,7 +40,11 @@ class ForwardServerSource extends TableProvider {
     // fw_prot.c user auth: `users user1:pw1,user2:pw2` next to shared_key
     val users = Option(properties.get("users")).map(_.split(",").toSeq
       .map(_.trim).filter(_.nonEmpty).map { kv =>
-        val Array(u, pw) = kv.split(":", 2); u -> pw
+        kv.split(":", 2) match {
+          case Array(u, pw) => u -> pw
+          case _ => throw new IllegalArgumentException(
+            s"forward source option 'users': entry '$kv' is not user:password")
+        }
       }.toMap).getOrElse(Map.empty[String, String])
     new ForwardTable(host, port, sharedKey, selfHostname, users)
   }

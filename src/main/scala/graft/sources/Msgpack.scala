@@ -15,7 +15,18 @@ object Msgpack {
   final case class MBool(b: Boolean) extends V
   final case class MInt(v: Long) extends V
   final case class MFloat(v: Double) extends V
-  final case class MStr(s: String) extends V
+  /** `raw` (set only by the decoder; excluded from equality/matching)
+    * preserves the wire bytes when they may not be valid UTF-8: the C
+    * reference packs raw random nonce/salt bytes as msgpack str
+    * (fw_prot.c:205-208,287-293), and a lossy String re-encode would
+    * feed corrupted bytes into the handshake digests. `bytes` returns
+    * the original wire slice when present.
+    */
+  final case class MStr(s: String) extends V {
+    private[sources] var raw: Array[Byte] = null
+    def bytes: Array[Byte] =
+      if (raw != null) raw else s.getBytes("UTF-8")
+  }
   final case class MBin(b: Array[Byte]) extends V
   final case class MArr(items: Vector[V]) extends V
   final case class MMap(entries: Vector[(V, V)]) extends V
@@ -45,7 +56,9 @@ object Msgpack {
 
   private def str(b: Array[Byte], off: Int, n: Int): (V, Int) = {
     need(b, off, n)
-    (MStr(new String(b, off, n, "UTF-8")), off + n)
+    val v = MStr(new String(b, off, n, "UTF-8"))
+    v.raw = java.util.Arrays.copyOfRange(b, off, off + n)
+    (v, off + n)
   }
   private def bin(b: Array[Byte], off: Int, n: Int): (V, Int) = {
     need(b, off, n)
@@ -265,8 +278,8 @@ object Msgpack {
         out.write(0xcb)
         val bits = java.lang.Double.doubleToLongBits(d)
         wU32(bits >>> 32); wU32(bits & 0xFFFFFFFFL)
-      case MStr(s) =>
-        val b = s.getBytes("UTF-8")
+      case ms: MStr =>
+        val b = ms.bytes // wire bytes when decoded, so re-encode is lossless
         if (b.length < 32) out.write(0xa0 | b.length)
         else if (b.length < 256) { out.write(0xd9); out.write(b.length) }
         else if (b.length < 65536) { out.write(0xda); wU16(b.length) }
@@ -288,12 +301,13 @@ object Msgpack {
         else { out.write(0xdf); wU32(entries.size.toLong) }
         entries.foreach { case (k, v2) => go(k); go(v2) }
       case MExt(t, data) =>
-        // only the fixext sizes the decoder round-trips are needed here
         data.length match {
           case 4 => out.write(0xd6)
           case 8 => out.write(0xd7)
           case 16 => out.write(0xd8)
-          case n => out.write(0xc7); out.write(n)
+          case n if n < 256 => out.write(0xc7); out.write(n)
+          case n if n < 65536 => out.write(0xc8); wU16(n)
+          case n => out.write(0xc9); wU32(n.toLong)
         }
         out.write(t.toInt); out.write(data)
     }

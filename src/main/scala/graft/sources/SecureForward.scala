@@ -24,9 +24,9 @@ import Msgpack._
   *
   * Nonce/salt are generated as 16 ASCII hex chars (fluentd's in_forward
   * does the same via SecureRandom.hex; the C reference sends raw random
-  * bytes packed as msgpack str — we accept those too on byte-preserving
-  * transports, but generate ASCII so the str framing is always valid
-  * UTF-8).
+  * bytes packed as msgpack str — `MStr.bytes` preserves the undecoded
+  * wire slice, so digests are computed over the peer's exact bytes even
+  * when they are not valid UTF-8).
   */
 object SecureForward {
 
@@ -48,14 +48,35 @@ object SecureForward {
   /** hex(sha512(salt + hostname + nonce + shared_key)) — fw_prot.c:321. */
   def sharedKeyDigest(salt: String, hostname: String, nonce: String,
                       sharedKey: String): String =
-    sha512hex(Seq(salt, hostname, nonce, sharedKey)
-      .map(_.getBytes(StandardCharsets.UTF_8)))
+    sharedKeyDigest(salt.getBytes(StandardCharsets.UTF_8),
+      hostname.getBytes(StandardCharsets.UTF_8),
+      nonce.getBytes(StandardCharsets.UTF_8), sharedKey)
+
+  /** Byte-exact variant: salt/hostname/nonce are wire bytes from the
+    * peer (the C reference sends raw random bytes, fw_prot.c:205-208).
+    */
+  def sharedKeyDigest(salt: Array[Byte], hostname: Array[Byte],
+                      nonce: Array[Byte], sharedKey: String): String =
+    sha512hex(Seq(salt, hostname, nonce,
+      sharedKey.getBytes(StandardCharsets.UTF_8)))
 
   /** hex(sha512(auth_salt + username + password)) — fw_prot.c:414. */
   def passwordDigest(authSalt: String, username: String,
                      password: String): String =
-    sha512hex(Seq(authSalt, username, password)
-      .map(_.getBytes(StandardCharsets.UTF_8)))
+    passwordDigest(authSalt.getBytes(StandardCharsets.UTF_8), username,
+      password)
+
+  def passwordDigest(authSalt: Array[Byte], username: String,
+                     password: String): String =
+    sha512hex(Seq(authSalt, username.getBytes(StandardCharsets.UTF_8),
+      password.getBytes(StandardCharsets.UTF_8)))
+
+  /** Constant-time digest equality — authentication-path comparisons
+    * must not leak a timing signal on the first differing byte.
+    */
+  def digestEq(a: String, b: String): Boolean =
+    java.security.MessageDigest.isEqual(
+      a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
 
   /** Read exactly one msgpack object from the stream (handshake frames
     * are single small objects; 64 KiB cap guards a hostile peer).
@@ -87,6 +108,15 @@ object SecureForward {
     case other => throw new IllegalArgumentException(s"expected str, got $other")
   }
 
+  /** The exact wire bytes of a str/bin field — nonce/salt from the C
+    * reference are raw random bytes, so digests must see them undecoded.
+    */
+  private def asBytes(v: V): Array[Byte] = v match {
+    case ms: MStr => ms.bytes
+    case MBin(b) => b
+    case other => throw new IllegalArgumentException(s"expected str, got $other")
+  }
+
   /** Server side (in_forward): HELO out, PING in, PONG out. Returns true
     * when the client authenticated; on failure a PONG(false, reason) is
     * still sent (fw_prot.c:1357-1372 notifies then drops).
@@ -111,20 +141,23 @@ object SecureForward {
 
     readOne(in) match {
       case MArr(Vector(MStr("PING"), host, salt, digest, user, passDigest)) =>
-        val hostname = asStr(host)
-        val keySalt = asStr(salt)
-        val ok = asStr(digest) ==
-          sharedKeyDigest(keySalt, hostname, nonce, sharedKey)
+        val hostBytes = asBytes(host)
+        val saltBytes = asBytes(salt)
+        val nonceBytes = nonce.getBytes(StandardCharsets.UTF_8)
+        val ok = digestEq(asStr(digest),
+          sharedKeyDigest(saltBytes, hostBytes, nonceBytes, sharedKey))
         val userOk = ok && (users.isEmpty || {
           val u = asStr(user)
           users.get(u).exists(pw =>
-            asStr(passDigest) == passwordDigest(authSalt, u, pw))
+            digestEq(asStr(passDigest), passwordDigest(authSalt, u, pw)))
         })
         if (!ok) { pong(ok = false, "shared_key mismatch", ""); false }
         else if (!userOk) { pong(ok = false, "username/password mismatch", ""); false }
         else {
           pong(ok = true, "",
-            sharedKeyDigest(keySalt, selfHostname, nonce, sharedKey))
+            sharedKeyDigest(saltBytes,
+              selfHostname.getBytes(StandardCharsets.UTF_8), nonceBytes,
+              sharedKey))
           true
         }
       case _ =>
@@ -145,22 +178,26 @@ object SecureForward {
       case MArr(Vector(MStr("HELO"), m)) => m
       case other => throw new IllegalArgumentException(s"expected HELO, got $other")
     }
-    val nonce = mapGet(opts, "nonce").map(asStr).getOrElse("")
-    val authSalt = mapGet(opts, "auth").map(asStr).getOrElse("")
+    // raw wire bytes: a real reference server sends raw random bytes
+    // packed as msgpack str, which a UTF-8 String decode would corrupt
+    val nonce = mapGet(opts, "nonce").map(asBytes).getOrElse(Array.emptyByteArray)
+    val authSalt = mapGet(opts, "auth").map(asBytes).getOrElse(Array.emptyByteArray)
     val keySalt = newNonce()
     val passDigest =
       if (authSalt.nonEmpty) passwordDigest(authSalt, username, password)
       else ""
     out.write(Msgpack.encode(MArr(Vector(MStr("PING"), MStr(selfHostname),
       MStr(keySalt),
-      MStr(sharedKeyDigest(keySalt, selfHostname, nonce, sharedKey)),
+      MStr(sharedKeyDigest(keySalt.getBytes(StandardCharsets.UTF_8),
+        selfHostname.getBytes(StandardCharsets.UTF_8), nonce, sharedKey)),
       MStr(username), MStr(passDigest)))))
     out.flush()
 
     readOne(in) match {
       case MArr(Vector(MStr("PONG"), MBool(ok), _, serverHost, serverDigest)) =>
-        ok && asStr(serverDigest) ==
-          sharedKeyDigest(keySalt, asStr(serverHost), nonce, sharedKey)
+        ok && digestEq(asStr(serverDigest),
+          sharedKeyDigest(keySalt.getBytes(StandardCharsets.UTF_8),
+            asBytes(serverHost), nonce, sharedKey))
       case _ => false
     }
   }

@@ -191,4 +191,69 @@ class MsgpackSpec extends AnyFunSuite {
     assert(run("fluent", "wrong") == (false, false))
     assert(run("nobody", "hunter2") == (false, false))
   }
+
+  test("handshake against a reference-style server sending RAW nonce bytes") {
+    import graft.sources.SecureForward
+    // The C reference packs raw random bytes as msgpack str
+    // (fw_prot.c:205-208) — including sequences that are NOT valid
+    // UTF-8. The client must digest the exact wire bytes, not a lossy
+    // String re-encode.
+    val rawNonce = Array[Byte](0x80.toByte, 0xfe.toByte, 0x01, 0xc3.toByte,
+      0x9f.toByte, 0x00, 0x7f, 0xbb.toByte) // invalid UTF-8 on purpose
+    val sharedKey = "refkey"
+    def strRaw(b: Array[Byte]): Array[Byte] =
+      (0xa0 | b.length).toByte +: b // fixstr header over raw bytes
+    val helo = bs(0x92) ++ fixstr("HELO") ++ fixmap(
+      fixstr("nonce") -> strRaw(rawNonce),
+      fixstr("auth") -> fixstr(""))
+
+    val c2s = new java.io.PipedInputStream(16384)
+    val c2sOut = new java.io.PipedOutputStream(c2s)
+    val s2c = new java.io.PipedInputStream(16384)
+    val s2cOut = new java.io.PipedOutputStream(s2c)
+    @volatile var serverSawValidDigest = false
+    val server = new Thread(() => {
+      s2cOut.write(helo); s2cOut.flush()
+      SecureForward.readOne(c2s) match {
+        case MArr(Vector(MStr("PING"), MStr(host), MStr(salt), MStr(dig), _, _)) =>
+          // reference-side check: sha512(salt + host + RAW nonce + key)
+          val md = java.security.MessageDigest.getInstance("SHA-512")
+          md.update(salt.getBytes("UTF-8")); md.update(host.getBytes("UTF-8"))
+          md.update(rawNonce); md.update(sharedKey.getBytes("UTF-8"))
+          val want = md.digest().map(b => f"${b & 0xff}%02x").mkString
+          serverSawValidDigest = dig == want
+          s2cOut.write(Msgpack.encode(MArr(Vector(MStr("PONG"),
+            MBool(serverSawValidDigest), MStr(""), MStr("srv"),
+            MStr(SecureForward.sharedKeyDigest(
+              salt.getBytes("UTF-8"), "srv".getBytes("UTF-8"), rawNonce,
+              sharedKey))))))
+          s2cOut.flush()
+        case other => fail(s"unexpected PING $other")
+      }
+    })
+    server.start()
+    val clientOk = SecureForward.clientHandshake(s2c, c2sOut, sharedKey, "cli")
+    server.join(10000)
+    assert(serverSawValidDigest, "client must digest the raw nonce bytes")
+    assert(clientOk, "client must verify the server digest over raw nonce")
+  }
+
+  test("str raw bytes survive a decode→encode round trip losslessly") {
+    val raw = Array[Byte](0xc0.toByte, 0x80.toByte, 0xed.toByte, 0xa0.toByte)
+    val wire = (0xa0 | raw.length).toByte +: raw
+    val (v, _) = decode(wire, 0)
+    assert(java.util.Arrays.equals(Msgpack.encode(v), wire))
+  }
+
+  test("ext encoder tiers: ext8/ext16/ext32 round-trip without truncation") {
+    for (n <- Seq(5, 255, 256, 70000)) {
+      val data = Array.tabulate[Byte](n)(i => (i % 251).toByte)
+      val (back, used) = decode(Msgpack.encode(MExt(9, data)), 0)
+      assert(used == Msgpack.encode(MExt(9, data)).length)
+      back match {
+        case MExt(9, d) => assert(java.util.Arrays.equals(d, data), s"n=$n")
+        case other => fail(s"n=$n decoded to $other")
+      }
+    }
+  }
 }
