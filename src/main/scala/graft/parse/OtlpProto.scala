@@ -1,0 +1,852 @@
+package graft.parse
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+import Proto.{Reader, Writer}
+
+/** OTLP/HTTP **binary protobuf** ingest — the wire format every standard
+  * otel-collector/SDK exporter sends by default. The reference accepts
+  * `application/protobuf` / `application/x-protobuf` / gRPC framing next
+  * to proto3-JSON (`plugins/in_opentelemetry/opentelemetry_utils.c:
+  * 122-155`) and gzip Content-Encoding (`opentelemetry_prot.c:964-965`
+  * → `uncompress_gzip`, :144-160).
+  *
+  * Strategy: decode the binary `Export{Logs,Metrics,Trace}ServiceRequest`
+  * into the **proto3-JSON** shape of [[Otlp.LogsSchema]] /
+  * [[Otlp.MetricsSchema]] / [[Otlp.TracesSchema]], then flatten through
+  * the one existing decode path — both wire formats land in byte-exact
+  * identical rows, so the JSON-path oracles gate this decoder too. Field
+  * numbers follow the public opentelemetry-proto definitions (vendored
+  * by the reference at `lib/fluent-otel-proto/proto_c/opentelemetry/
+  * proto/…`, e.g. logs.pb-c.c LogRecord: time=1 fixed64, severity=2/3,
+  * body=5, attributes=6, flags=8 fixed32, trace/span id=9/10 bytes,
+  * observed=11 fixed64, event_name=12).
+  *
+  * All reads go through the bounds-checked [[Proto.Reader]] — this sits
+  * behind a listening HTTP source, so hostile lengths must never escape
+  * a body slice. Unknown fields are skipped by wire type, as protobuf
+  * requires (exponential histograms and exemplars fall out naturally —
+  * the reference rejects/ignores those too).
+  */
+object OtlpProto {
+
+  // ------------------------------------------------------------- json out
+  /** Append-only JSON writer with comma tracking — emits the exact
+    * proto3-JSON field names [[Otlp]]'s DDL schemas expect.
+    */
+  private final class J(sb: java.lang.StringBuilder) {
+    private var needComma = false
+    private def pre(): Unit = { if (needComma) sb.append(','); needComma = true }
+    def beginObj(): Unit = { pre(); sb.append('{'); needComma = false }
+    def beginObj(name: String): Unit = { key(name); sb.append('{'); needComma = false }
+    def endObj(): Unit = { sb.append('}'); needComma = true }
+    def beginArr(name: String): Unit = { key(name); sb.append('['); needComma = false }
+    def endArr(): Unit = { sb.append(']'); needComma = true }
+    private def key(name: String): Unit = {
+      pre(); sb.append('"').append(name).append("\":"); needComma = false
+    }
+    def str(name: String, v: String): Unit = { key(name); strVal(v); needComma = true }
+    def num(name: String, v: Long): Unit = { key(name); sb.append(v); needComma = true }
+    def dbl(name: String, v: Double): Unit = {
+      key(name)
+      // JSON has no NaN/Inf literals; proto3-JSON maps them to strings,
+      // but our DDL reads doubles — drop to null (absent) instead
+      if (java.lang.Double.isFinite(v)) sb.append(v) else sb.append("null")
+      needComma = true
+    }
+    def bool(name: String, v: Boolean): Unit = { key(name); sb.append(v); needComma = true }
+    /** uint64 renders as a JSON string per proto3-JSON. */
+    def numStr(name: String, v: Long): Unit =
+      str(name, java.lang.Long.toUnsignedString(v))
+    /** bare array elements (inside beginArr/endArr) */
+    def arrStr(v: String): Unit = { pre(); strVal(v) }
+    def arrDbl(v: Double): Unit = {
+      pre(); if (java.lang.Double.isFinite(v)) sb.append(v) else sb.append("null")
+    }
+    private def strVal(v: String): Unit = {
+      sb.append('"')
+      var i = 0
+      while (i < v.length) {
+        val c = v.charAt(i)
+        c match {
+          case '"' => sb.append("\\\"")
+          case '\\' => sb.append("\\\\")
+          case '\n' => sb.append("\\n")
+          case '\r' => sb.append("\\r")
+          case '\t' => sb.append("\\t")
+          case c0 if c0 < 0x20 => sb.append(f"\\u${c0.toInt}%04x")
+          case c0 => sb.append(c0)
+        }
+        i += 1
+      }
+      sb.append('"')
+    }
+  }
+
+  private def hex(b: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(b.length * 2)
+    var i = 0
+    while (i < b.length) { sb.append(f"${b(i) & 0xff}%02x"); i += 1 }
+    sb.toString
+  }
+
+  // --------------------------------------------------------- common parts
+  /** AnyValue (common.proto: string=1, bool=2, int=3, double=4) — the
+    * scalar subset [[Otlp]]'s `AnyValueDdl` reads; array/kvlist/bytes
+    * branches are skipped like unknown fields.
+    */
+  private def anyValue(r: Reader, j: J, name: String): Unit = {
+    j.beginObj(name)
+    while (r.hasMore) {
+      val k = r.varint()
+      ((k >> 3).toInt, (k & 7).toInt) match {
+        case (1, 2) => j.str("stringValue", r.strField())
+        case (2, 0) => j.bool("boolValue", r.varint() != 0L)
+        case (3, 0) => j.str("intValue", r.varint().toString)
+        case (4, 1) => j.dbl("doubleValue", r.double())
+        case (_, w) => r.skip(w)
+      }
+    }
+    j.endObj()
+  }
+
+  /** repeated KeyValue (key=1, value=2) — caller opens/closes the array
+    * so repeated fields interleave correctly.
+    */
+  private def keyValue(r: Reader, j: J): Unit = {
+    j.beginObj()
+    while (r.hasMore) {
+      val k = r.varint()
+      ((k >> 3).toInt, (k & 7).toInt) match {
+        case (1, 2) => j.str("key", r.strField())
+        case (2, 2) => anyValue(r.lenSlice(), j, "value")
+        case (_, w) => r.skip(w)
+      }
+    }
+    j.endObj()
+  }
+
+  /** Emit a KeyValue array only when non-empty — an ABSENT repeated
+    * field must stay absent in JSON so `kvToMap(null)` keeps the
+    * reference's "omit empty attribute maps" semantics (the proto3-JSON
+    * path omits the key the same way).
+    */
+  private def kvArr(j: J, name: String, kvs: Seq[Reader]): Unit =
+    if (kvs.nonEmpty) {
+      j.beginArr(name); kvs.foreach(keyValue(_, j)); j.endArr()
+    }
+
+  /** Resource { attributes = 1 } */
+  private def resource(r: Reader, j: J): Unit = {
+    j.beginObj("resource")
+    val kvs = scala.collection.mutable.ArrayBuffer.empty[Reader]
+    while (r.hasMore) {
+      val k = r.varint()
+      ((k >> 3).toInt, (k & 7).toInt) match {
+        case (1, 2) => kvs += r.lenSlice()
+        case (_, w) => r.skip(w)
+      }
+    }
+    kvArr(j, "attributes", kvs.toSeq)
+    j.endObj()
+  }
+
+  /** InstrumentationScope { name = 1, version = 2 } */
+  private def scope(r: Reader, j: J): Unit = {
+    j.beginObj("scope")
+    while (r.hasMore) {
+      val k = r.varint()
+      ((k >> 3).toInt, (k & 7).toInt) match {
+        case (1, 2) => j.str("name", r.strField())
+        case (2, 2) => j.str("version", r.strField())
+        case (_, w) => r.skip(w)
+      }
+    }
+    j.endObj()
+  }
+
+  // ----------------------------------------------------------------- logs
+  /** ExportLogsServiceRequest bytes → the proto3-JSON body
+    * [[Otlp.decodeLogs]] flattens. Throws on malformed input (the
+    * reference answers 400, opentelemetry_prot.c).
+    */
+  def logsToJson(raw: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(raw.length * 2 + 64)
+    val j = new J(sb)
+    j.beginObj()
+    j.beginArr("resourceLogs")
+    val r = new Reader(raw)
+    while (r.hasMore) {
+      val k = r.varint()
+      ((k >> 3).toInt, (k & 7).toInt) match {
+        case (1, 2) => resourceLogs(r.lenSlice(), j)
+        case (_, w) => r.skip(w)
+      }
+    }
+    j.endArr()
+    j.endObj()
+    sb.toString
+  }
+
+  private def resourceLogs(r: Reader, j: J): Unit = {
+    j.beginObj()
+    // protobuf repeated fields may interleave with others; buffer the
+    // scope_logs slices so the resource (field 1) can emit first
+    val scopes = scala.collection.mutable.ArrayBuffer.empty[Reader]
+    while (r.hasMore) {
+      val k = r.varint()
+      ((k >> 3).toInt, (k & 7).toInt) match {
+        case (1, 2) => resource(r.lenSlice(), j)
+        case (2, 2) => scopes += r.lenSlice()
+        case (_, w) => r.skip(w)
+      }
+    }
+    j.beginArr("scopeLogs")
+    scopes.foreach { sl => scopeLogs(sl, j) }
+    j.endArr()
+    j.endObj()
+  }
+
+  private def scopeLogs(r: Reader, j: J): Unit = {
+    j.beginObj()
+    val records = scala.collection.mutable.ArrayBuffer.empty[Reader]
+    while (r.hasMore) {
+      val k = r.varint()
+      ((k >> 3).toInt, (k & 7).toInt) match {
+        case (1, 2) => scope(r.lenSlice(), j)
+        case (2, 2) => records += r.lenSlice()
+        case (_, w) => r.skip(w)
+      }
+    }
+    j.beginArr("logRecords")
+    records.foreach(lr => logRecord(lr, j))
+    j.endArr()
+    j.endObj()
+  }
+
+  private def logRecord(r: Reader, j: J): Unit = {
+    j.beginObj()
+    var timeNano = 0L; var obsNano = 0L; var sev = 0L; var sevText: String = null
+    var flags = 0; var traceId: Array[Byte] = null; var spanId: Array[Byte] = null
+    var eventName: String = null; var body: Reader = null
+    val kvs = scala.collection.mutable.ArrayBuffer.empty[Reader]
+    while (r.hasMore) {
+      val k = r.varint()
+      ((k >> 3).toInt, (k & 7).toInt) match {
+        case (1, 1) => timeNano = r.fixed64()
+        case (2, 0) => sev = r.varint()
+        case (3, 2) => sevText = r.strField()
+        case (5, 2) => body = r.lenSlice()
+        case (6, 2) => kvs += r.lenSlice()
+        case (8, 5) => flags = r.fixed32()
+        case (9, 2) => traceId = r.bytesField()
+        case (10, 2) => spanId = r.bytesField()
+        case (11, 1) => obsNano = r.fixed64()
+        case (12, 2) => eventName = r.strField()
+        case (_, w) => r.skip(w)
+      }
+    }
+    kvArr(j, "attributes", kvs.toSeq)
+    // proto3 scalar default (0 / empty) means ABSENT in JSON — matching
+    // the reference's "timeUnixNano > 0" effective-time rule
+    if (timeNano != 0L) j.numStr("timeUnixNano", timeNano)
+    if (obsNano != 0L) j.numStr("observedTimeUnixNano", obsNano)
+    if (sev != 0L) j.num("severityNumber", sev)
+    if (sevText != null) j.str("severityText", sevText)
+    if (body != null) anyValue(body, j, "body")
+    if (flags != 0) j.num("flags", flags.toLong & 0xffffffffL)
+    if (traceId != null && traceId.nonEmpty) j.str("traceId", hex(traceId))
+    if (spanId != null && spanId.nonEmpty) j.str("spanId", hex(spanId))
+    if (eventName != null) j.str("eventName", eventName)
+    j.endObj()
+  }
+
+  // -------------------------------------------------------------- metrics
+  /** ExportMetricsServiceRequest bytes → the proto3-JSON body
+    * [[Otlp.decodeMetrics]] flattens.
+    */
+  def metricsToJson(raw: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(raw.length * 2 + 64)
+    val j = new J(sb)
+    j.beginObj()
+    j.beginArr("resourceMetrics")
+    val r = new Reader(raw)
+    while (r.hasMore) {
+      val k = r.varint()
+      ((k >> 3).toInt, (k & 7).toInt) match {
+        case (1, 2) =>
+          envelope(r.lenSlice(), j, "scopeMetrics", "metrics", metric)
+        case (_, w) => r.skip(w)
+      }
+    }
+    j.endArr()
+    j.endObj()
+    sb.toString
+  }
+
+  /** Shared Resource{Metrics,Spans} envelope: resource=1, scope list=2;
+    * inner scope envelope: scope=1, item list=2.
+    */
+  private def envelope(r: Reader, j: J, scopesName: String,
+                       itemsName: String, item: (Reader, J) => Unit): Unit = {
+    j.beginObj()
+    val scopes = scala.collection.mutable.ArrayBuffer.empty[Reader]
+    while (r.hasMore) {
+      val k = r.varint()
+      ((k >> 3).toInt, (k & 7).toInt) match {
+        case (1, 2) => resource(r.lenSlice(), j)
+        case (2, 2) => scopes += r.lenSlice()
+        case (_, w) => r.skip(w)
+      }
+    }
+    j.beginArr(scopesName)
+    scopes.foreach { sr =>
+      j.beginObj()
+      val items = scala.collection.mutable.ArrayBuffer.empty[Reader]
+      while (sr.hasMore) {
+        val k = sr.varint()
+        ((k >> 3).toInt, (k & 7).toInt) match {
+          case (1, 2) => scope(sr.lenSlice(), j)
+          case (2, 2) => items += sr.lenSlice()
+          case (_, w) => sr.skip(w)
+        }
+      }
+      j.beginArr(itemsName)
+      items.foreach(ir => item(ir, j))
+      j.endArr()
+      j.endObj()
+    }
+    j.endArr()
+    j.endObj()
+  }
+
+  /** Metric: name=1, description=2, unit=3, gauge=5, sum=7, histogram=9,
+    * summary=11 (exponential_histogram=10 skipped — the reference
+    * rejects it too, flb_opentelemetry_metrics.c:3384).
+    */
+  private def metric(r: Reader, j: J): Unit = {
+    j.beginObj()
+    while (r.hasMore) {
+      val k = r.varint()
+      ((k >> 3).toInt, (k & 7).toInt) match {
+        case (1, 2) => j.str("name", r.strField())
+        case (2, 2) => j.str("description", r.strField())
+        case (3, 2) => j.str("unit", r.strField())
+        case (5, 2) =>
+          j.beginObj("gauge"); dataPoints(r.lenSlice(), j, numberDp); j.endObj()
+        case (7, 2) =>
+          j.beginObj("sum")
+          val sr = r.lenSlice()
+          val dps = scala.collection.mutable.ArrayBuffer.empty[Reader]
+          while (sr.hasMore) {
+            val sk = sr.varint()
+            ((sk >> 3).toInt, (sk & 7).toInt) match {
+              case (1, 2) => dps += sr.lenSlice()
+              case (2, 0) => j.num("aggregationTemporality", sr.varint())
+              case (3, 0) => j.bool("isMonotonic", sr.varint() != 0L)
+              case (_, w) => sr.skip(w)
+            }
+          }
+          j.beginArr("dataPoints"); dps.foreach(numberDp(_, j)); j.endArr()
+          j.endObj()
+        case (9, 2) =>
+          j.beginObj("histogram")
+          val hr = r.lenSlice()
+          val dps = scala.collection.mutable.ArrayBuffer.empty[Reader]
+          while (hr.hasMore) {
+            val hk = hr.varint()
+            ((hk >> 3).toInt, (hk & 7).toInt) match {
+              case (1, 2) => dps += hr.lenSlice()
+              case (2, 0) => j.num("aggregationTemporality", hr.varint())
+              case (_, w) => hr.skip(w)
+            }
+          }
+          j.beginArr("dataPoints"); dps.foreach(histDp(_, j)); j.endArr()
+          j.endObj()
+        case (11, 2) =>
+          j.beginObj("summary"); dataPoints(r.lenSlice(), j, summDp); j.endObj()
+        case (_, w) => r.skip(w)
+      }
+    }
+    j.endObj()
+  }
+
+  /** Gauge/Summary wrapper: data_points = 1. */
+  private def dataPoints(r: Reader, j: J, dp: (Reader, J) => Unit): Unit = {
+    j.beginArr("dataPoints")
+    while (r.hasMore) {
+      val k = r.varint()
+      ((k >> 3).toInt, (k & 7).toInt) match {
+        case (1, 2) => dp(r.lenSlice(), j)
+        case (_, w) => r.skip(w)
+      }
+    }
+    j.endArr()
+  }
+
+  /** NumberDataPoint: start=2, time=3, as_double=4, as_int=6 sfixed64,
+    * attributes=7.
+    */
+  private def numberDp(r: Reader, j: J): Unit = {
+    j.beginObj()
+    var start = 0L; var time = 0L
+    var asDouble = Double.NaN; var hasDouble = false
+    var asInt = 0L; var hasInt = false
+    val kvs = scala.collection.mutable.ArrayBuffer.empty[Reader]
+    while (r.hasMore) {
+      val k = r.varint()
+      ((k >> 3).toInt, (k & 7).toInt) match {
+        case (2, 1) => start = r.fixed64()
+        case (3, 1) => time = r.fixed64()
+        case (4, 1) => asDouble = r.double(); hasDouble = true
+        case (6, 1) => asInt = r.fixed64(); hasInt = true
+        case (7, 2) => kvs += r.lenSlice()
+        case (_, w) => r.skip(w)
+      }
+    }
+    kvArr(j, "attributes", kvs.toSeq)
+    if (start != 0L) j.numStr("startTimeUnixNano", start)
+    if (time != 0L) j.numStr("timeUnixNano", time)
+    if (hasDouble) j.dbl("asDouble", asDouble)
+    if (hasInt) j.str("asInt", asInt.toString)
+    j.endObj()
+  }
+
+  /** HistogramDataPoint: start=2, time=3, count=4 fixed64, sum=5 double,
+    * bucket_counts=6 (packed fixed64), explicit_bounds=7 (packed
+    * double), attributes=9, min=11, max=12. Packed AND unpacked repeated
+    * encodings are both accepted, as protobuf requires.
+    */
+  private def histDp(r: Reader, j: J): Unit = {
+    j.beginObj()
+    var start = 0L; var time = 0L; var count = 0L
+    var sum = Double.NaN; var hasSum = false
+    var min = Double.NaN; var hasMin = false
+    var max = Double.NaN; var hasMax = false
+    val buckets = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val kvs = scala.collection.mutable.ArrayBuffer.empty[Reader]
+    while (r.hasMore) {
+      val k = r.varint()
+      ((k >> 3).toInt, (k & 7).toInt) match {
+        case (2, 1) => start = r.fixed64()
+        case (3, 1) => time = r.fixed64()
+        case (4, 1) => count = r.fixed64()
+        case (5, 1) => sum = r.double(); hasSum = true
+        case (6, 2) => val pr = r.lenSlice(); while (pr.hasMore) buckets += pr.fixed64()
+        case (6, 1) => buckets += r.fixed64()
+        case (7, 2) => val pr = r.lenSlice(); while (pr.hasMore) bounds += pr.double()
+        case (7, 1) => bounds += r.double()
+        case (9, 2) => kvs += r.lenSlice()
+        case (11, 1) => min = r.double(); hasMin = true
+        case (12, 1) => max = r.double(); hasMax = true
+        case (_, w) => r.skip(w)
+      }
+    }
+    kvArr(j, "attributes", kvs.toSeq)
+    if (start != 0L) j.numStr("startTimeUnixNano", start)
+    if (time != 0L) j.numStr("timeUnixNano", time)
+    j.str("count", java.lang.Long.toUnsignedString(count))
+    if (hasSum) j.dbl("sum", sum)
+    if (buckets.nonEmpty) {
+      j.beginArr("bucketCounts")
+      buckets.foreach(b => j.arrStr(java.lang.Long.toUnsignedString(b)))
+      j.endArr()
+    }
+    if (bounds.nonEmpty) {
+      j.beginArr("explicitBounds")
+      bounds.foreach(j.arrDbl)
+      j.endArr()
+    }
+    if (hasMin) j.dbl("min", min)
+    if (hasMax) j.dbl("max", max)
+    j.endObj()
+  }
+
+  /** SummaryDataPoint: start=2, time=3, count=4 fixed64, sum=5 double,
+    * quantile_values=6 { quantile=1, value=2 }, attributes=7.
+    */
+  private def summDp(r: Reader, j: J): Unit = {
+    j.beginObj()
+    var start = 0L; var time = 0L; var count = 0L
+    var sum = Double.NaN; var hasSum = false
+    val qs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val kvs = scala.collection.mutable.ArrayBuffer.empty[Reader]
+    while (r.hasMore) {
+      val k = r.varint()
+      ((k >> 3).toInt, (k & 7).toInt) match {
+        case (2, 1) => start = r.fixed64()
+        case (3, 1) => time = r.fixed64()
+        case (4, 1) => count = r.fixed64()
+        case (5, 1) => sum = r.double(); hasSum = true
+        case (6, 2) =>
+          val qr = r.lenSlice()
+          var q = 0.0; var v = 0.0
+          while (qr.hasMore) {
+            val qk = qr.varint()
+            ((qk >> 3).toInt, (qk & 7).toInt) match {
+              case (1, 1) => q = qr.double()
+              case (2, 1) => v = qr.double()
+              case (_, w) => qr.skip(w)
+            }
+          }
+          qs += ((q, v))
+        case (7, 2) => kvs += r.lenSlice()
+        case (_, w) => r.skip(w)
+      }
+    }
+    kvArr(j, "attributes", kvs.toSeq)
+    if (start != 0L) j.numStr("startTimeUnixNano", start)
+    if (time != 0L) j.numStr("timeUnixNano", time)
+    j.str("count", java.lang.Long.toUnsignedString(count))
+    if (hasSum) j.dbl("sum", sum)
+    if (qs.nonEmpty) {
+      j.beginArr("quantileValues")
+      qs.foreach { case (q, v) =>
+        j.beginObj(); j.dbl("quantile", q); j.dbl("value", v); j.endObj()
+      }
+      j.endArr()
+    }
+    j.endObj()
+  }
+
+  // --------------------------------------------------------------- traces
+  /** ExportTraceServiceRequest bytes → the proto3-JSON body
+    * [[Otlp.decodeTraces]] flattens.
+    */
+  def tracesToJson(raw: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(raw.length * 2 + 64)
+    val j = new J(sb)
+    j.beginObj()
+    j.beginArr("resourceSpans")
+    val r = new Reader(raw)
+    while (r.hasMore) {
+      val k = r.varint()
+      ((k >> 3).toInt, (k & 7).toInt) match {
+        case (1, 2) => envelope(r.lenSlice(), j, "scopeSpans", "spans", span)
+        case (_, w) => r.skip(w)
+      }
+    }
+    j.endArr()
+    j.endObj()
+    sb.toString
+  }
+
+  /** Span (trace.proto): ids 1/2/4 bytes, trace_state=3, name=5, kind=6,
+    * start/end=7/8 fixed64, attributes=9, events=11, links=13,
+    * status=15 {message=2, code=3}.
+    */
+  private def span(r: Reader, j: J): Unit = {
+    j.beginObj()
+    var traceId: Array[Byte] = null; var spanId: Array[Byte] = null
+    var parent: Array[Byte] = null; var state: String = null
+    var name: String = null; var kind = 0L; var start = 0L; var end = 0L
+    var statusMsg: String = null; var statusCode = 0L; var hasStatus = false
+    val events = scala.collection.mutable.ArrayBuffer.empty[Reader]
+    val kvs = scala.collection.mutable.ArrayBuffer.empty[Reader]
+    var linkCount = 0
+    while (r.hasMore) {
+      val k = r.varint()
+      ((k >> 3).toInt, (k & 7).toInt) match {
+        case (1, 2) => traceId = r.bytesField()
+        case (2, 2) => spanId = r.bytesField()
+        case (3, 2) => state = r.strField()
+        case (4, 2) => parent = r.bytesField()
+        case (5, 2) => name = r.strField()
+        case (6, 0) => kind = r.varint()
+        case (7, 1) => start = r.fixed64()
+        case (8, 1) => end = r.fixed64()
+        case (9, 2) => kvs += r.lenSlice()
+        case (11, 2) => events += r.lenSlice()
+        case (13, 2) => r.skip(2); linkCount += 1 // counted; content unused
+        case (15, 2) =>
+          hasStatus = true
+          val sr = r.lenSlice()
+          while (sr.hasMore) {
+            val sk = sr.varint()
+            ((sk >> 3).toInt, (sk & 7).toInt) match {
+              case (2, 2) => statusMsg = sr.strField()
+              case (3, 0) => statusCode = sr.varint()
+              case (_, w) => sr.skip(w)
+            }
+          }
+        case (_, w) => r.skip(w)
+      }
+    }
+    kvArr(j, "attributes", kvs.toSeq)
+    if (traceId != null && traceId.nonEmpty) j.str("traceId", hex(traceId))
+    if (spanId != null && spanId.nonEmpty) j.str("spanId", hex(spanId))
+    if (state != null) j.str("traceState", state)
+    if (parent != null && parent.nonEmpty) j.str("parentSpanId", hex(parent))
+    if (name != null) j.str("name", name)
+    if (kind != 0L) j.num("kind", kind)
+    if (start != 0L) j.numStr("startTimeUnixNano", start)
+    if (end != 0L) j.numStr("endTimeUnixNano", end)
+    if (events.nonEmpty) {
+      j.beginArr("events")
+      events.foreach { er =>
+        j.beginObj()
+        var t = 0L; var ename: String = null
+        val ekvs = scala.collection.mutable.ArrayBuffer.empty[Reader]
+        while (er.hasMore) {
+          val ek = er.varint()
+          ((ek >> 3).toInt, (ek & 7).toInt) match {
+            case (1, 1) => t = er.fixed64()
+            case (2, 2) => ename = er.strField()
+            case (3, 2) => ekvs += er.lenSlice()
+            case (_, w) => er.skip(w)
+          }
+        }
+        kvArr(j, "attributes", ekvs.toSeq)
+        if (t != 0L) j.numStr("timeUnixNano", t)
+        if (ename != null) j.str("name", ename)
+        j.endObj()
+      }
+      j.endArr()
+    }
+    if (linkCount > 0) {
+      j.beginArr("links")
+      var li = 0
+      while (li < linkCount) { j.beginObj(); j.endObj(); li += 1 }
+      j.endArr()
+    }
+    if (hasStatus || statusMsg != null) {
+      j.beginObj("status")
+      if (statusMsg != null) j.str("message", statusMsg)
+      if (statusCode != 0L) j.num("code", statusCode)
+      j.endObj()
+    }
+    j.endObj()
+  }
+
+  // ------------------------------------------------------------- transport
+  /** gzip body decompression (Content-Encoding: gzip —
+    * opentelemetry_prot.c:964-965), with a size cap so a malicious tiny
+    * body can't balloon into an OOM ("zip bomb"): the reference's
+    * flb_gzip_uncompress grows from the declared ISIZE, we cap at 256 MiB.
+    */
+  def gunzip(body: Array[Byte], maxBytes: Int = 256 * 1024 * 1024): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(body))
+    val out = new java.io.ByteArrayOutputStream(body.length * 4 max 1024)
+    val chunk = new Array[Byte](65536)
+    var n = in.read(chunk)
+    while (n >= 0) {
+      out.write(chunk, 0, n)
+      if (out.size() > maxBytes)
+        throw new IllegalArgumentException("gzip body exceeds size cap")
+      n = in.read(chunk)
+    }
+    out.toByteArray
+  }
+
+  def isGzip(body: Array[Byte]): Boolean =
+    body.length >= 2 && (body(0) & 0xff) == 0x1f && (body(1) & 0xff) == 0x8b
+
+  /** Content-type dispatch, mirroring opentelemetry_utils.c:122-155:
+    * `application/protobuf`, `application/x-protobuf`, and gRPC content
+    * types are protobuf; otherwise sniff — a body whose first
+    * non-whitespace byte is `{` is JSON
+    * (`opentelemetry_payload_starts_with_json_object`).
+    */
+  def isProtobuf(contentType: String, body: Array[Byte]): Boolean = {
+    val ct = Option(contentType).getOrElse("").trim.toLowerCase(java.util.Locale.ROOT)
+    val base = ct.takeWhile(c => c != ';' && c != ' ' && c != '+')
+    if (base == "application/protobuf" || base == "application/x-protobuf" ||
+        base == "application/grpc") true
+    else if (base == "application/json") false
+    else {
+      var i = 0
+      while (i < body.length && Character.isWhitespace(body(i).toChar)) i += 1
+      i >= body.length || body(i) != '{'
+    }
+  }
+
+  /** Normalize one POST body to the proto3-JSON string the [[Otlp]]
+    * decoders flatten: gunzip when Content-Encoding (or the magic bytes)
+    * say gzip, then binary-protobuf → JSON when Content-Type (or a JSON
+    * sniff) says protobuf. `toJson` is [[logsToJson]]/[[metricsToJson]]/
+    * [[tracesToJson]].
+    */
+  def normalize(body: Array[Byte], contentType: String, contentEncoding: String,
+                toJson: Array[Byte] => String): String = {
+    val ce = Option(contentEncoding).getOrElse("")
+      .toLowerCase(java.util.Locale.ROOT)
+    val raw =
+      if (ce.contains("gzip") || (ce.isEmpty && isGzip(body))) gunzip(body)
+      else body
+    if (isProtobuf(contentType, raw)) toJson(raw)
+    else new String(raw, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  // ---------------------------------------------------------- spark-facing
+  /** Decode a frame of OTLP POST bodies — binary column `body`, plus
+    * `content_type`/`content_encoding` string columns — into one row per
+    * logRecord via [[Otlp.decodeLogs]]. Malformed bodies are dropped
+    * (the reference answers 400 per-request and keeps serving).
+    *
+    * Scale shape: a map-only normalize (gunzip + pb→JSON) then the
+    * existing from_json+explode plan; one POST body never needs to be
+    * wider than one task.
+    */
+  def decodeLogsBodies(df: DataFrame, body: Column, contentType: Column,
+                       contentEncoding: Column): DataFrame =
+    Otlp.decodeLogs(normalizeBodies(df, body, contentType, contentEncoding,
+      logsToJson), org.apache.spark.sql.functions.col("value"))
+      .drop("value")
+
+  def decodeMetricsBodies(df: DataFrame, body: Column, contentType: Column,
+                          contentEncoding: Column): DataFrame =
+    Otlp.decodeMetrics(normalizeBodies(df, body, contentType, contentEncoding,
+      metricsToJson), org.apache.spark.sql.functions.col("value"))
+      .drop("value")
+
+  def decodeTracesBodies(df: DataFrame, body: Column, contentType: Column,
+                         contentEncoding: Column): DataFrame =
+    Otlp.decodeTraces(normalizeBodies(df, body, contentType, contentEncoding,
+      tracesToJson), org.apache.spark.sql.functions.col("value"))
+      .drop("value")
+
+  // ------------------------------------------------------------ pb encode
+  // out_opentelemetry's binary wire option — the reference's export path
+  // emits protobuf request bodies via fluent-otel-proto's generated
+  // packers; here the same bytes come from Proto.Writer.
+
+  /** A KeyValue whose AnyValue is the string branch — sufficient for the
+    * engine's map<string,string> attribute frames (decode renders every
+    * scalar branch to string anyway).
+    */
+  final case class KvPair(key: String, value: String)
+
+  final case class LogRecRow(timeUnixNano: Option[Long],
+                             observedTimeUnixNano: Option[Long],
+                             severityNumber: Option[Int],
+                             severityText: Option[String],
+                             body: Option[String],
+                             attributes: Seq[KvPair],
+                             traceId: Option[String])
+
+  final case class LogGroupRow(rattrs: Seq[KvPair], sname: Option[String],
+                               sver: Option[String], recs: Seq[LogRecRow])
+
+  private def kvWriter(kv: KvPair): Writer = {
+    val w = new Writer
+    w.str(1, kv.key)
+    val av = new Writer
+    av.str(1, Option(kv.value).getOrElse(""))
+    w.msg(2, av)
+    w
+  }
+
+  private def hexToBytes(h: String): Array[Byte] = {
+    val out = new Array[Byte]((h.length + 1) / 2)
+    var i = 0
+    while (i + 1 < h.length) {
+      out(i / 2) = ((Character.digit(h.charAt(i), 16) << 4) |
+        Character.digit(h.charAt(i + 1), 16)).toByte
+      i += 2
+    }
+    out
+  }
+
+  /** Serialize one ExportLogsServiceRequest: one resource, one scope,
+    * the group's records — the per-group body shape
+    * [[Otlp.encodeLogs]] emits as JSON.
+    */
+  def encodeLogsRequest(g: LogGroupRow): Array[Byte] = {
+    val rl = new Writer
+    // Resource { attributes = 1 }
+    val res = new Writer
+    g.rattrs.foreach(kv => res.msg(1, kvWriter(kv)))
+    rl.msg(1, res)
+    // ScopeLogs { scope = 1, log_records = 2 }
+    val sl = new Writer
+    val sc = new Writer
+    g.sname.foreach(sc.str(1, _))
+    g.sver.foreach(sc.str(2, _))
+    sl.msg(1, sc)
+    g.recs.foreach { rec =>
+      val lr = new Writer
+      rec.timeUnixNano.filter(_ != 0L).foreach(lr.fixed64(1, _))
+      rec.severityNumber.filter(_ != 0).foreach(n => lr.int64(2, n.toLong))
+      rec.severityText.foreach(lr.str(3, _))
+      rec.body.foreach { b =>
+        val av = new Writer; av.str(1, b); lr.msg(5, av)
+      }
+      rec.attributes.foreach(kv => lr.msg(6, kvWriter(kv)))
+      rec.traceId.filter(_.nonEmpty).foreach(t => lr.bytes(9, hexToBytes(t)))
+      rec.observedTimeUnixNano.filter(_ != 0L).foreach(lr.fixed64(11, _))
+      sl.msg(2, lr)
+    }
+    rl.msg(2, sl)
+    val req = new Writer
+    req.msg(1, rl)
+    req.result()
+  }
+
+  /** Protobuf twin of [[Otlp.encodeLogs]]: group records by resource
+    * identity (sorted attribute set) and scope, emit ONE binary
+    * `ExportLogsServiceRequest` body per group. Same single shuffle on
+    * the resource identity; record payloads travel once.
+    *
+    * `gzipBody = true` additionally gzip-compresses each body (the
+    * sender side of Content-Encoding: gzip).
+    */
+  def encodeLogsPb(df: DataFrame,
+                   resourceAttrs: Column,
+                   scopeName: Column,
+                   scopeVersion: Column,
+                   tsUnixNano: Column,
+                   observedTsUnixNano: Column,
+                   severityNumber: Column,
+                   severityText: Column,
+                   body: Column,
+                   attributes: Column,
+                   traceId: Column,
+                   gzipBody: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    import spark.implicits._
+    def kvArr(m: Column): Column = array_sort(map_entries(m))
+    val rec = struct(
+      tsUnixNano.cast("long").as("timeUnixNano"),
+      observedTsUnixNano.cast("long").as("observedTimeUnixNano"),
+      severityNumber.cast("int").as("severityNumber"),
+      severityText.cast("string").as("severityText"),
+      body.cast("string").as("body"),
+      kvArr(attributes).as("attributes"),
+      traceId.cast("string").as("traceId"))
+    df.groupBy(kvArr(resourceAttrs).as("rattrs"),
+        scopeName.cast("string").as("sname"),
+        scopeVersion.cast("string").as("sver"))
+      .agg(collect_list(rec).as("recs"))
+      .as[LogGroupRow]
+      .map { g =>
+        val pb = encodeLogsRequest(g)
+        if (gzipBody) {
+          val bos = new java.io.ByteArrayOutputStream(pb.length / 2 max 64)
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          gz.write(pb); gz.close()
+          bos.toByteArray
+        } else pb
+      }
+      .toDF("body")
+  }
+
+  private def normalizeBodies(df: DataFrame, body: Column, contentType: Column,
+                              contentEncoding: Column,
+                              toJson: Array[Byte] => String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(body.cast("binary"), contentType.cast("string"),
+        contentEncoding.cast("string"))
+      .as[(Array[Byte], String, String)]
+      .flatMap { case (b, ct, ce) =>
+        // a malformed body must not poison the batch — the bytes were
+        // already 201-acked by the HTTP layer, so a throw would make
+        // streaming retry the same offsets forever
+        scala.util.Try(normalize(b, ct, ce, toJson)).toOption
+      }
+      .toDF("value")
+  }
+}

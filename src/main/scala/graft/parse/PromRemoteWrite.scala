@@ -40,26 +40,7 @@ object PromRemoteWrite {
   final case class RwSeries(labels: Seq[RwLabel], samples: Seq[RwSample])
 
   // ---------------------------------------------------------------- write
-  private final class Writer {
-    val out = new ArrayBuffer[Byte](256)
-    def varint(v0: Long): Unit = {
-      var v = v0
-      while ((v & ~0x7fL) != 0L) { out += ((v & 0x7f) | 0x80).toByte; v >>>= 7 }
-      out += (v & 0x7f).toByte
-    }
-    def tag(field: Int, wire: Int): Unit = varint((field << 3) | wire)
-    def bytes(field: Int, b: Array[Byte]): Unit = {
-      tag(field, 2); varint(b.length.toLong); out ++= b
-    }
-    def str(field: Int, s: String): Unit = bytes(field, s.getBytes("UTF-8"))
-    def fixed64(field: Int, bits: Long): Unit = {
-      tag(field, 1)
-      var i = 0
-      while (i < 8) { out += ((bits >>> (8 * i)) & 0xff).toByte; i += 1 }
-    }
-    def int64(field: Int, v: Long): Unit = { tag(field, 0); varint(v) }
-    def result(): Array[Byte] = out.toArray
-  }
+  private type Writer = Proto.Writer
 
   /** Serialize a WriteRequest (uncompressed protobuf bytes). */
   def encode(series: Seq[RwSeries]): Array[Byte] = {
@@ -85,66 +66,19 @@ object PromRemoteWrite {
   def snappyCompress(raw: Array[Byte]): Array[Byte] = Snappy.compress(raw)
 
   // ----------------------------------------------------------------- read
-  /** Every read and skip is bounds-checked against `end` — nested
-    * sub-readers share the backing array, so an unchecked length in a
-    * truncated or hostile body (this decoder sits behind a listening
-    * HTTP source) would otherwise read sibling bytes or, worse, a
-    * negative wire-2 length would move `pos` backwards and loop forever.
-    * The reference decoder bounds-checks all lengths the same way.
+  /** Bounds-checked reads/skips live in [[Proto.Reader]] — this decoder
+    * sits behind a listening HTTP source, so hostile lengths must never
+    * escape a body slice. The reference decoder bounds-checks all
+    * lengths the same way.
     */
-  private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
-    def hasMore: Boolean = pos < end
-    def varint(): Long = {
-      var shift = 0; var v = 0L
-      while (shift < 64) {
-        if (pos >= end) throw new IllegalArgumentException("truncated varint")
-        val b = buf(pos); pos += 1
-        v |= (b & 0x7fL) << shift
-        if ((b & 0x80) == 0) return v
-        shift += 7
-      }
-      throw new IllegalArgumentException("malformed varint")
-    }
-    def fixed64(): Long = {
-      if (pos + 8 > end) throw new IllegalArgumentException("truncated fixed64")
-      var v = 0L; var i = 0
-      while (i < 8) { v |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
-      pos += 8; v
-    }
-    private def boundedLen(): Int = {
-      val n = varint().toInt
-      if (n < 0 || pos + n > end) throw new IllegalArgumentException("bad length")
-      n
-    }
-    def lenSlice(): Reader = {
-      val n = boundedLen()
-      val r = new Reader(buf, pos, pos + n); pos += n; r
-    }
-    def strField(): String = {
-      val n = boundedLen()
-      val s = new String(buf, pos, n, "UTF-8"); pos += n; s
-    }
-    def skip(wire: Int): Unit = wire match {
-      case 0 => varint()
-      case 1 =>
-        if (pos + 8 > end) throw new IllegalArgumentException("truncated fixed64")
-        pos += 8
-      // two statements: `pos += boundedLen()` would read the old pos
-      // before boundedLen() advances it past the length varint
-      case 2 => val n = boundedLen(); pos += n
-      case 5 =>
-        if (pos + 4 > end) throw new IllegalArgumentException("truncated fixed32")
-        pos += 4
-      case w => throw new IllegalArgumentException(s"wire type $w")
-    }
-  }
+  private type Reader = Proto.Reader
 
   /** Parse uncompressed WriteRequest bytes. Throws on malformed input
     * (the reference answers 400 in that case, prom_rw_prot.c:74-76).
     */
   def decode(raw: Array[Byte]): Seq[RwSeries] = {
     val out = ArrayBuffer.empty[RwSeries]
-    val r = new Reader(raw, 0, raw.length)
+    val r = new Reader(raw)
     while (r.hasMore) {
       val key = r.varint()
       if ((key >> 3) == 1 && (key & 7) == 2) out += decodeSeries(r.lenSlice())

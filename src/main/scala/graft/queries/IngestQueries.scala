@@ -81,6 +81,61 @@ object IngestQueries {
              FROM events""")
     ),
 
+    // The PROTOBUF twin of f_otlp_ingest (opentelemetry_utils.c:122-155
+    // accepts application/x-protobuf; opentelemetry_prot.c:964-965 gzip):
+    // the same flat records are packed into binary
+    // ExportLogsServiceRequest bodies (one per resource identity),
+    // gzip-compressed, then decoded through the gzip + pb → proto3-JSON
+    // → decodeLogs path. Same oracle as the JSON gate — both wire
+    // formats must land in byte-identical rows.
+    GraftQuery(
+      "f_otlp_ingest_pb",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val m4 = col("event_id") % 4
+        val tns = col("ts_ns") - col("ts_ns") % 1000
+        val bodies = graft.parse.OtlpProto.encodeLogsPb(ev,
+          resourceAttrs = map(lit("service.name"), col("event_type")),
+          scopeName = lit("graft.events"), scopeVersion = lit("1.0"),
+          // %5==0 records omit timeUnixNano and carry only the observed
+          // time — the reference's effective-timestamp fallback rule
+          tsUnixNano = when(col("event_id") % 5 =!= 0, tns),
+          observedTsUnixNano = when(col("event_id") % 5 === 0, tns + 1),
+          severityNumber = (lit(9) + m4).cast("int"),
+          severityText = concat(lit("INFO"),
+            when(m4 === 0, lit("")).otherwise((m4 + 1).cast("string"))),
+          body = col("props"),
+          attributes = map(lit("event_id"), col("event_id").cast("string"),
+            lit("user_id"), col("user_id").cast("string")),
+          traceId = md5(col("event_id").cast("string")),
+          gzipBody = true)
+        graft.parse.OtlpProto.decodeLogsBodies(bodies, col("body"),
+            lit("application/x-protobuf"), lit("gzip"))
+          .select(
+            element_at(col("resource_attributes"), "service.name").as("service"),
+            col("scope_name"),
+            col("ts_unix_nano"),
+            col("severity_number"),
+            col("severity_text"),
+            col("body"),
+            element_at(col("attributes"), "event_id").cast("long").as("event_id"),
+            element_at(col("attributes"), "user_id").cast("long").as("user_id"),
+            col("trace_id"))
+      },
+      Some("""SELECT event_type AS service,
+             'graft.events' AS scope_name,
+             CAST(CASE WHEN event_id % 5 = 0 THEN epoch_ns(ts) + 1
+                       ELSE epoch_ns(ts) END AS BIGINT) AS ts_unix_nano,
+             CAST(9 + event_id % 4 AS INT) AS severity_number,
+             CASE WHEN event_id % 4 = 0 THEN 'INFO'
+                  ELSE 'INFO' || CAST(event_id % 4 + 1 AS VARCHAR)
+             END AS severity_text,
+             props AS body,
+             event_id, user_id,
+             md5(CAST(event_id AS VARCHAR)) AS trace_id
+             FROM events""")
+    ),
+
     // RFC3164 legacy BSD syslog (conf/parsers.conf `syslog-rfc3164`,
     // in_syslog/syslog_prot.c): `<pri>Mmm dd hh:mm:ss host ident[pid]:
     // message` — space-padded day, no year, optional [pid]. The oracle
@@ -596,6 +651,51 @@ object IngestQueries {
           traceId = md5(concat(lit("t"), col("event_id").cast("string"))))
           .withColumnRenamed("body", "__body")
         Otlp.decodeLogs(bodies, col("__body"))
+          .select(
+            element_at(col("resource_attributes"), "service.name").as("service"),
+            element_at(col("resource_attributes"), "host").as("host"),
+            col("scope_name"), col("scope_version"),
+            col("ts_unix_nano"), col("severity_number"),
+            element_at(col("attributes"), "event_id").cast("long").as("event_id"),
+            col("body").as("payload"),
+            col("trace_id"))
+      },
+      Some("""SELECT event_type AS service,
+             'h' || CAST(user_id % 5 AS VARCHAR) AS host,
+             'graft.out' AS scope_name, '2.0' AS scope_version,
+             epoch_ns(ts) AS ts_unix_nano,
+             CAST(event_id % 24 + 1 AS INT) AS severity_number,
+             event_id, props AS payload,
+             md5('t' || CAST(event_id AS VARCHAR)) AS trace_id
+             FROM events""")
+    ),
+
+    // The PROTOBUF twin of sink_otlp_logs: the same flat frame packs
+    // into BINARY ExportLogsServiceRequest bodies (out_opentelemetry's
+    // default wire option) and decodes back through the pb ingest path
+    // — encode→decode gated as a true inverse pair over the binary
+    // format end-to-end.
+    GraftQuery(
+      "sink_otlp_logs_pb",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val tns = col("ts_ns") - col("ts_ns") % 1000
+        val bodies = graft.parse.OtlpProto.encodeLogsPb(
+          ev,
+          resourceAttrs = map(
+            lit("service.name"), col("event_type"),
+            lit("host"), concat(lit("h"), (col("user_id") % 5).cast("string"))),
+          scopeName = lit("graft.out"),
+          scopeVersion = lit("2.0"),
+          tsUnixNano = tns,
+          observedTsUnixNano = lit(null),
+          severityNumber = (col("event_id") % 24 + 1).cast("int"),
+          severityText = lit("S"),
+          body = col("props"),
+          attributes = map(lit("event_id"), col("event_id").cast("string")),
+          traceId = md5(concat(lit("t"), col("event_id").cast("string"))))
+        graft.parse.OtlpProto.decodeLogsBodies(bodies, col("body"),
+            lit("application/x-protobuf"), lit(null))
           .select(
             element_at(col("resource_attributes"), "service.name").as("service"),
             element_at(col("resource_attributes"), "host").as("host"),

@@ -42,7 +42,8 @@ object HttpServerSource {
   val Schema: StructType = StructType(Seq(
     StructField("value", StringType, nullable = false),
     StructField("path", StringType, nullable = false),
-    StructField("ts", TimestampType, nullable = false)))
+    StructField("ts", TimestampType, nullable = false),
+    StructField("content_type", StringType, nullable = true)))
 }
 
 private[sources] class HttpTable(host: String, port: Int, rawBody: Boolean)
@@ -66,7 +67,8 @@ private[sources] class HttpMicroBatchStream(host: String, port: Int,
                                             rawBody: Boolean = false)
     extends MicroBatchStream {
 
-  private val buf = new scala.collection.mutable.ArrayBuffer[(String, String, Long)]
+  private val buf =
+    new scala.collection.mutable.ArrayBuffer[(String, String, Long, String)]
   @volatile private var stopped = false
   private val server = new ServerSocket()
   server.bind(new InetSocketAddress(host, port))
@@ -111,22 +113,39 @@ private[sources] class HttpMicroBatchStream(host: String, port: Int,
         val (method, path) =
           (parts.lift(0).getOrElse(""), parts.lift(1).getOrElse("/"))
         var contentLength = 0
+        var contentType = ""
+        var contentEncoding = ""
         var h = readLine(in)
         while (h != null && h.nonEmpty) {
           val i = h.indexOf(':')
-          if (i > 0 && h.substring(0, i).equalsIgnoreCase("content-length"))
-            contentLength = h.substring(i + 1).trim.toInt
+          if (i > 0) {
+            val name = h.substring(0, i)
+            if (name.equalsIgnoreCase("content-length"))
+              contentLength = h.substring(i + 1).trim.toInt
+            else if (name.equalsIgnoreCase("content-type"))
+              contentType = h.substring(i + 1).trim
+            else if (name.equalsIgnoreCase("content-encoding"))
+              contentEncoding = h.substring(i + 1).trim
+          }
           h = readLine(in)
         }
-        val body = new Array[Byte](contentLength)
+        val rawBytes = new Array[Byte](contentLength)
         var read = 0
         while (read < contentLength) {
-          val n = in.read(body, read, contentLength - read)
+          val n = in.read(rawBytes, read, contentLength - read)
           if (n < 0) throw new java.io.EOFException
           read += n
         }
         if (method == "POST" && contentLength > 0) {
           val now = System.currentTimeMillis()
+          // Content-Encoding: gzip is handled at the HTTP layer like the
+          // reference (flb_http_common.c / opentelemetry_prot.c:964-965
+          // uncompress before the format decoder sees the body)
+          val body =
+            if (contentEncoding.toLowerCase(java.util.Locale.ROOT)
+                  .contains("gzip"))
+              graft.parse.OtlpProto.gunzip(rawBytes)
+            else rawBytes
           // body=raw keeps the POST body intact as ONE base64 row — the
           // ingest shape for binary payloads (prometheus remote-write
           // WriteRequest protobufs are snappy blocks, not text lines)
@@ -134,7 +153,9 @@ private[sources] class HttpMicroBatchStream(host: String, port: Int,
             if (rawBody) Array(java.util.Base64.getEncoder.encodeToString(body))
             else new String(body, StandardCharsets.UTF_8)
               .split("\n").filter(_.nonEmpty)
-          buf.synchronized { lines.foreach(l => buf += ((l, path, now))) }
+          buf.synchronized {
+            lines.foreach(l => buf += ((l, path, now, contentType)))
+          }
           out.write("HTTP/1.1 201 Created\r\nContent-Length: 0\r\n\r\n")
         } else {
           out.write("HTTP/1.1 400 Bad Request\r\nContent-Length: 0\r\n\r\n")
@@ -177,8 +198,8 @@ private[sources] class HttpMicroBatchStream(host: String, port: Int,
   }
 }
 
-private[sources] case class HttpPartition(rows: Array[(String, String, Long)])
-    extends InputPartition
+private[sources] case class HttpPartition(
+    rows: Array[(String, String, Long, String)]) extends InputPartition
 
 private[sources] object HttpReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -187,8 +208,10 @@ private[sources] object HttpReaderFactory extends PartitionReaderFactory {
       private var i = -1
       override def next(): Boolean = { i += 1; i < rows.length }
       override def get(): InternalRow = {
-        val (v, p, tsMs) = rows(i)
-        InternalRow(UTF8String.fromString(v), UTF8String.fromString(p), tsMs * 1000L)
+        val (v, p, tsMs, ct) = rows(i)
+        InternalRow(UTF8String.fromString(v), UTF8String.fromString(p),
+          tsMs * 1000L, if (ct == null || ct.isEmpty) null
+          else UTF8String.fromString(ct))
       }
       override def close(): Unit = {}
     }

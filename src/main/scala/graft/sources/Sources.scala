@@ -78,6 +78,22 @@ object Sources {
       .withColumn("tag",
         regexp_replace(regexp_replace(col("path"), "^/", ""), "/", "."))
 
+  /** in_opentelemetry logs endpoint (plugins/in_opentelemetry): listening
+    * HTTP source accepting BOTH wire formats — proto3-JSON and binary
+    * protobuf (`application/x-protobuf`, the default of every standard
+    * otel exporter; opentelemetry_utils.c:122-155) — with gzip
+    * Content-Encoding handled at the HTTP layer
+    * (opentelemetry_prot.c:964-965). One row per logRecord.
+    */
+  def otlpLogsHttp(spark: SparkSession, port: Int,
+                   host: String = "127.0.0.1"): DataFrame = {
+    val raw = spark.readStream.format("graft.sources.HttpServerSource")
+      .option("port", port).option("host", host)
+      .option("body", "raw").load()
+    graft.parse.OtlpProto.decodeLogsBodies(raw, unbase64(col("value")),
+      col("content_type"), lit(null))
+  }
+
   /** in_prometheus_remote_write (plugins/in_prometheus_remote_write):
     * listening HTTP endpoint; each POST body is a snappy-compressed
     * protobuf `WriteRequest` decoded into one row per sample

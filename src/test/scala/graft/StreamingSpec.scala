@@ -443,6 +443,63 @@ class StreamingSpec extends AnyFunSuite {
       ("v1.logs", "checkout", 1704067201000000000L, None, None, "fine", None)))
   }
 
+  test("otlp protobuf+gzip e2e: real POST with application/x-protobuf in, flat events out") {
+    import org.apache.spark.sql.functions._
+    import graft.parse.OtlpProto
+    val probe = new java.net.ServerSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+
+    val flat = graft.sources.Sources.otlpLogsHttp(spark, port)
+      .select(element_at(col("resource_attributes"), "service.name"),
+        col("ts_unix_nano"), col("severity_number"), col("severity_text"),
+        col("body"), col("trace_id"))
+    val q = flat.writeStream.format("memory").queryName("otlp_pb_in")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      // binary ExportLogsServiceRequest, gzip-compressed — the default
+      // wire shape of a standard otel exporter
+      val pb = OtlpProto.encodeLogsRequest(OtlpProto.LogGroupRow(
+        rattrs = Seq(OtlpProto.KvPair("service.name", "checkout")),
+        sname = Some("app"), sver = Some("1"),
+        recs = Seq(
+          OtlpProto.LogRecRow(Some(1704067200000000000L), None, Some(17),
+            Some("ERROR"), Some("boom"), Seq.empty,
+            Some("0af7651916cd43dd8448eb211c80319c")),
+          OtlpProto.LogRecRow(None, Some(1704067201000000000L), None, None,
+            Some("fine"), Seq.empty, None))))
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(pb); gz.close()
+      val gzBody = bos.toByteArray
+
+      val deadline = System.currentTimeMillis + 30000
+      var code = -1
+      while (code != 201 && System.currentTimeMillis < deadline) {
+        try {
+          val url = java.net.URI.create(s"http://127.0.0.1:$port/v1/logs").toURL
+          val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+          conn.setRequestMethod("POST")
+          conn.setRequestProperty("Content-Type", "application/x-protobuf")
+          conn.setRequestProperty("Content-Encoding", "gzip")
+          conn.setDoOutput(true)
+          conn.getOutputStream.write(gzBody)
+          code = conn.getResponseCode
+          conn.disconnect()
+        } catch { case _: java.net.ConnectException => Thread.sleep(100) }
+      }
+      assert(code == 201, s"POST not accepted (last code $code)")
+      awaitRows("otlp_pb_in", 2)
+    } finally q.stop()
+    val got = spark.table("otlp_pb_in")
+      .as[(String, Long, Option[Int], Option[String], String, Option[String])]
+      .collect().toSet
+    assert(got == Set(
+      ("checkout", 1704067200000000000L, Some(17), Some("ERROR"),
+        "boom", Some("0af7651916cd43dd8448eb211c80319c")),
+      ("checkout", 1704067201000000000L, None, None, "fine", None)))
+  }
+
   test("prometheus remote-write e2e: snappy WriteRequest POST in, samples out") {
     import graft.parse.PromRemoteWrite
     import graft.parse.PromRemoteWrite.{RwLabel, RwSample, RwSeries}
