@@ -84,6 +84,137 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 }
 
+/** Scalar-quantize a dense vector into PACKED BYTES — one unsigned byte
+  * per dimension, `floor((v - min[i]) * 255/(max[i]-min[i]) + 0.5)` —
+  * the storage layout that actually delivers the int8 quantization
+  * memory story: a 64-dim vector shrinks from a 528-byte
+  * UnsafeArrayData of doubles to a 64-byte binary, and every scored
+  * pair in a top-k scan materializes that binary instead of two double
+  * arrays.
+  *
+  * `mins`/`scales` are driver-held model state (one range aggregate,
+  * like k-means centroids) baked in as literals — constant dimensions
+  * carry scale 0 and quantize to 0. Values are clamped to 0..255 so a
+  * query vector outside the corpus range still packs soundly.
+  */
+case class QuantizeToBytes(child: Expression, mins: Array[Double],
+                           scales: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quantize_bytes expects array<double>/array<float>, got ${other.sql}")
+  }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), mins.length)
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      var q = math.floor((x - mins(i)) * scales(i) + 0.5).toInt
+      if (q < 0) q = 0
+      if (q > 255) q = 255
+      out(i) = q.toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val minsRef = ctx.addReferenceObj("mins", mins, "double[]")
+    val scalesRef = ctx.addReferenceObj("scales", scales, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val q = ctx.freshName("q")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $minsRef.length);
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  int $q = (int) java.lang.Math.floor(
+         |    (((double) $a.$get($i)) - $minsRef[$i]) * $scalesRef[$i] + 0.5);
+         |  if ($q < 0) $q = 0;
+         |  if ($q > 255) $q = 255;
+         |  $out[$i] = (byte) $q;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "quantize_bytes"
+}
+
+/** Integer dot product of two byte-packed quantized vectors (unsigned
+  * 0..255 per element) — the scoring kernel of quantized top-k search:
+  * a tight primitive loop over two byte[]s inside WholeStageCodegen, no
+  * per-pair array materialization. Max score 255²·dim stays far below
+  * 2^63, so the long arithmetic is exact.
+  */
+case class ByteDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == org.apache.spark.sql.types.BinaryType &&
+        right.dataType == org.apache.spark.sql.types.BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"byte_dot_product expects binary, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += (x(i) & 0xff).toLong * (y(i) & 0xff).toLong
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.length);
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long)($a[$i] & 0xff) * (long)($b[$i] & 0xff);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "byte_dot_product"
+}
+
 object VectorFunctions {
   /** Codegen'd dot product of two dense vector columns. */
   def dotProduct(a: Column, b: Column): Column =
@@ -91,4 +222,12 @@ object VectorFunctions {
 
   def l2Norm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(dotProduct(a, a))
+
+  /** Pack a vector into scalar-quantized bytes (model state as literals). */
+  def quantizeBytes(v: Column, mins: Array[Double], scales: Array[Double]): Column =
+    shim.column(QuantizeToBytes(shim.expression(v), mins, scales))
+
+  /** Exact integer dot product over byte-packed quantized vectors. */
+  def byteDotProduct(a: Column, b: Column): Column =
+    shim.column(ByteDotProduct(shim.expression(a), shim.expression(b)))
 }

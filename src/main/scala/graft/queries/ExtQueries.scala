@@ -377,19 +377,11 @@ object ExtQueries {
       "x_ann_kmeans",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val base = emb.select(col("vec_id"),
-          col("embedding").cast("array<double>").as("ev"))
-        val cents = Similarity.kmeansTrain(emb, "vec_id", "embedding",
+        // final assignment is fused into one map-only argmax against the
+        // trained literal centroids — no join tail after training
+        val model = Similarity.kmeansTrainModel(emb, "vec_id", "embedding",
           k = 8, iters = 2, dim = 64)
-        val assigned = Similarity.ivfAssign(base,
-          cents.select(col("cent_id").as("vec_id"), col("cv").as("ev")),
-          "vec_id", "ev")
-        assigned
-          .join(base, "vec_id")
-          .join(broadcast(cents.select(col("cent_id").as("cell"),
-            col("cv"))), "cell")
-          .select(col("vec_id"), col("cell"),
-            round(Similarity.cosine(col("ev"), col("cv")), 6).as("cos"))
+        Similarity.kmeansAssign(emb, "vec_id", "embedding", model)
       },
       Some(kmeansOracle(k = 8, dim = 64))
     ),

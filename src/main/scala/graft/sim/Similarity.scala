@@ -142,6 +142,19 @@ object Similarity {
                   iters: Int, dim: Int): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    kmeansTrainModel(vecs, idCol, vecCol, k, iters, dim)
+      .toSeq.map { case (id, cv) => (id, cv.toSeq) }
+      .toDF("cent_id", "cv")
+  }
+
+  /** [[kmeansTrain]] returning the raw driver-held model (k×dim centroid
+    * matrix) so callers can fuse a final assignment pass against literal
+    * centroids without re-collecting.
+    */
+  def kmeansTrainModel(vecs: DataFrame, idCol: String, vecCol: String,
+                       k: Int, iters: Int, dim: Int): Array[(Long, Array[Double])] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
     val base = vecs.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).cast("array<double>").as("ev"))
     // Centroids are k×dim MODEL STATE, not record data: they live on the
@@ -191,17 +204,51 @@ object Similarity {
         }
       it += 1
     }
-    cents.toSeq.map { case (id, cv) => (id, cv.toSeq) }
-      .toDF("cent_id", "cv")
+    cents
+  }
+
+  /** Assign every vector to its nearest trained centroid AND emit the
+    * cosine — ONE map-only job against the k literal centroids (the same
+    * fused argmax shape as a training iteration), replacing the
+    * ivfAssign → join(base) → broadcast-join(centroids) three-plan tail:
+    * no shuffle, no join, nothing but the scan.
+    *
+    * Tie-breaking replays [[ivfAssign]]'s (round(cos,6) desc, cent_id
+    * asc) rank-1 exactly via the struct-max trick.
+    */
+  def kmeansAssign(vecs: DataFrame, idCol: String, vecCol: String,
+                   model: Array[(Long, Array[Double])]): DataFrame = {
+    val base = vecs.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("ev"))
+      .withColumn("__vn", norm(col("ev")))
+    val scored = array(model.map { case (id, cv) =>
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      struct(
+        round(dot(col("ev"), typedLit(cv)) / (col("__vn") * lit(cn)), 6)
+          .as("cos"),
+        lit(-id).as("negid"))
+    }: _*)
+    val best = array_max(scored)
+    base.select(col("vec_id"),
+      (-best.getField("negid")).as("cell"),
+      best.getField("cos").as("cos"))
   }
 
   /** Scalar-quantized (int8-range) top-k search — the memory-compressed
     * ANN path: per-dimension min/max ranges quantize every component to
-    * 0..255, cutting vector storage 8× (double→byte) while scoring with
-    * EXACT integer dot products (max score 255²·dim ≪ 2^53, so the
-    * double-typed arithmetic is exact and replayable bit-for-bit by any
-    * engine). Ranges are one aggregate collected to the driver — model
-    * state like [[kmeansTrain]]'s centroids, never record data.
+    * 0..255 and PACK it as one byte per dimension (`BinaryType`), so a
+    * 64-dim vector really is 64 bytes instead of a 528-byte double
+    * array — the honest 8× memory cut — and every scored pair runs a
+    * codegen'd byte-loop integer dot product with zero per-pair array
+    * materialization. Scores are EXACT integers (max 255²·dim ≪ 2^63),
+    * replayable bit-for-bit by any engine. Ranges are one aggregate
+    * collected to the driver — model state like [[kmeansTrain]]'s
+    * centroids, never record data.
+    *
+    * The quantization formula is `floor((x-min)·255/(max-min) + 0.5)` —
+    * floor, not round(): Spark's Round on doubles detours through
+    * BigDecimal per value, and the oracle uses the identical formula so
+    * the tie direction is shared.
     *
     * Scale shape: one range aggregate over the corpus, then the same
     * broadcast-queries map-only scan + WindowGroupLimit top-k as
@@ -216,26 +263,22 @@ object Similarity {
         .as("mins"),
       array((0 until dim).map(i => max(element_at(col("cv"), i + 1))): _*)
         .as("maxs")).collect()(0)
-    val mins = r.getSeq[Double](0)
+    val mins = r.getSeq[Double](0).toArray
     val maxs = r.getSeq[Double](1)
-    def quant(v: Column) = array((0 until dim).map { i =>
-      val mn = mins(i); val mx = maxs(i)
-      if (mx == mn) lit(0.0) // constant dimension carries no signal
-      // floor(x + 0.5), not round(): Spark's Round on doubles detours
-      // through BigDecimal per value (~1µs × dim × rows dominates the
-      // scan); floor stays primitive in codegen, and the oracle uses
-      // the identical formula so the tie direction is shared
-      else floor((element_at(v, i + 1) - lit(mn)) * lit(255.0) / lit(mx - mn)
-        + lit(0.5)).cast("double")
-    }: _*)
-    val qc = base.select(col("cid"), quant(col("cv")).as("cq"))
+    // constant dimensions carry no signal: scale 0 quantizes them to 0
+    val scales = mins.indices.map { i =>
+      if (maxs(i) == mins(i)) 0.0 else 255.0 / (maxs(i) - mins(i))
+    }.toArray
+    import graft.functions.VectorFunctions.{byteDotProduct, quantizeBytes}
+    val qc = base.select(col("cid"),
+      quantizeBytes(col("cv"), mins, scales).as("cq"))
     val q = broadcast(queries
       .select(col(idCol).cast("long").as("qid"),
         col(vecCol).cast("array<double>").as("qv"))
-      .select(col("qid"), quant(col("qv")).as("qq")))
+      .select(col("qid"), quantizeBytes(col("qv"), mins, scales).as("qq")))
     val scored = q.join(qc, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        dot(col("qq"), col("cq")).cast("long").as("score"))
+        byteDotProduct(col("qq"), col("cq")).as("score"))
     topKPerGroup(scored, "qid", k,
       payload = Seq("cid", "score"),
       orderAsc = Seq(negate(col("score")).as("__neg"), col("cid").as("__cid")))

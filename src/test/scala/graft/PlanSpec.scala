@@ -97,14 +97,29 @@ class PlanSpec extends AnyFunSuite {
       "pane ranking must not trigger a global sort")
   }
 
-  test("kmeans assignment broadcasts centroids, never shuffles the corpus") {
+  test("kmeans final assignment is map-only: no join, no exchange at all") {
+    // training holds centroids as driver model state; the assignment is
+    // a fused argmax against k literal centroids — the plan after
+    // training must be nothing but scan → project
     val plan = planOf("x_ann_kmeans")
-    assert(plan.contains("BroadcastNestedLoopJoin") ||
-      plan.contains("BroadcastHashJoin"), plan.take(3000))
-    assert(!plan.contains("CartesianProduct"),
-      "k×n scoring must ride a broadcast, not a cartesian shuffle")
-    assert(!plan.contains("SortMergeJoin"),
-      "centroid joins must broadcast (k rows), not sort-merge")
+    for (bad <- Seq("Join", "CartesianProduct", "Exchange", "Window"))
+      assert(!plan.contains(bad),
+        s"kmeans assignment must be map-only, found $bad:\n" + plan.take(3000))
+    assert(plan.contains("*("), "assignment argmax must stay in codegen")
+  }
+
+  test("quantized top-k packs vectors as binary and scores in codegen") {
+    val df = Registry.queries("x_ann_quantized")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("quantize_bytes"),
+      "vectors must pack to one byte per dim:\n" + plan.take(3000))
+    assert(plan.contains("byte_dot_product"),
+      "scoring must be the integer byte-loop kernel:\n" + plan.take(3000))
+    // no array<double> materialization per scored pair: the only
+    // projection between the join and the top-k carries binary columns
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+    assert(plan.contains("*("), "the scan must stay in whole-stage codegen")
   }
 
   test("ngram census top-k is TakeOrdered, not a global sort") {
