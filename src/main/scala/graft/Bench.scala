@@ -58,8 +58,20 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    // Isolation for the sub-second tail: the sequential in-JVM suite is
+    // order-sensitive at the 0.1-1 s scale — garbage from an earlier
+    // heavy query (corpus-curate's CC rounds, the OTLP JSON bodies)
+    // lands its GC pause inside a later 0.2 s scan, which is exactly the
+    // r6 sink_influx 0.14→1.19 s "drift" (isolated fresh-JVM runs of the
+    // same commit: 0.25 s, stable). Before each query's timing block,
+    // collect the previous query's garbage so pauses bill to their
+    // owner; quick queries (<1 s first run) also get extra runs so one
+    // stray pause can't own the median.
     val results = selected.map { case (name, fn) =>
-      val times = (1 to runs).map(_ => timeOnce(fn)).sorted
+      System.gc()
+      val first = timeOnce(fn)
+      val extra = if (first >= 0 && first < 1.0) (runs + 2) else (runs - 1)
+      val times = (first +: (1 to extra).map(_ => timeOnce(fn))).sorted
       name -> times(times.size / 2)
     }
     // Locale-pinned: the default-locale f"%.3f" emits "1,234" under
