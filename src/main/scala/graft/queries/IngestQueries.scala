@@ -393,6 +393,57 @@ object IngestQueries {
              FROM events""")
     ),
 
+    // The SINK direction of Splunk HEC (out_splunk splunk.c:500-527
+    // splunk_format): flat events pack into event-endpoint JSON maps —
+    // double-seconds `time`, host/source/sourcetype/index/fields
+    // metadata, record under `event` — concatenated into size-capped
+    // POST bodies, then re-ingested through Parsers.splunkHecEvents as
+    // a true encode→decode inverse pair. The oracle recomputes the flat
+    // truth straight from the table. Time survives exactly: micros are
+    // integral in double seconds (0.19 µs representation error < the
+    // 0.5 µs recovery threshold of floor(t·1e6 + 0.5)).
+    GraftQuery(
+      "sink_splunk_hec",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val tSec = (col("ts_ns") - col("ts_ns") % 1000).cast("double") / 1e9
+        val rec = graft.sinks.Formats.splunkHecEvent(
+          timeSec = tSec,
+          host = concat(lit("h"), (col("user_id") % 5).cast("string")),
+          source = concat(lit("app-"), col("event_type")),
+          sourcetype = lit("graft:event"),
+          index = lit("main"),
+          fields = struct(lit("prod").as("env")),
+          event = struct(col("event_id"), col("props")))
+        val bodies = ev.groupBy(col("event_type"), expr("event_id div 256"))
+          .agg(array_join(collect_list(rec), "").as("body"))
+          .select(col("body"))
+        graft.parse.Parsers.splunkHecEvents(bodies, col("body"))
+          .select(from_json(col("record"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              """time double, host string, source string,
+                 sourcetype string, index string,
+                 fields map<string, string>,
+                 event struct<event_id: bigint, props: string>""")).as("__r"))
+          .select(
+            floor(col("__r.time") * 1e6 + 0.5).cast("long").as("time_us"),
+            col("__r.host").as("host"),
+            col("__r.source").as("source"),
+            col("__r.sourcetype").as("sourcetype"),
+            col("__r.index").as("idx"),
+            col("__r.event.event_id").as("event_id"),
+            col("__r.event.props").as("props"),
+            element_at(col("__r.fields"), "env").as("env"))
+      },
+      Some("""SELECT epoch_ns(ts) // 1000 AS time_us,
+             'h' || CAST(user_id % 5 AS VARCHAR) AS host,
+             'app-' || event_type AS source,
+             'graft:event' AS sourcetype,
+             'main' AS idx,
+             event_id, props, 'prod' AS env
+             FROM events""")
+    ),
+
     // OTLP/HTTP metrics path (flb_opentelemetry_metrics.c:3161-3384):
     // build ExportMetricsServiceRequest bodies from `events` covering all
     // four decoded point kinds — a monotonic cumulative sum and a gauge

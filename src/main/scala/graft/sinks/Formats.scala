@@ -166,6 +166,25 @@ object Formats {
       nil(msgid), lit(" - "), message)
   }
 
+  /** Splunk HEC event-endpoint record (out_splunk `plugins/out_splunk/
+    * splunk.c:500-527` splunk_format + `pack_map_meta` :265-420): one
+    * JSON map per record — `time` (epoch seconds as double, the
+    * reference packs `msgpack_pack_double(mp_pck, t)`), then the
+    * metadata keys `host`/`source`/`sourcetype`/`index`/`fields` (each
+    * omitted when its config/accessor yields nothing — pass null
+    * columns and to_json drops them), then the record under `event`.
+    *
+    * A HEC POST body is the bare CONCATENATION of these maps (no
+    * separator, no array wrapper) — the wire shape the in_splunk side
+    * re-ingests via [[graft.parse.Parsers.splunkHecEvents]].
+    */
+  def splunkHecEvent(timeSec: Column, host: Column, source: Column,
+                     sourcetype: Column, index: Column, fields: Column,
+                     event: Column): Column =
+    to_json(struct(timeSec.as("time"), host.as("host"),
+      source.as("source"), sourcetype.as("sourcetype"),
+      index.as("index"), fields.as("fields"), event.as("event")))
+
   /** Datadog log-intake record (out_datadog `plugins/out_datadog/
     * datadog.c:221-340` datadog_format; key names datadog.h:28-35):
     * `{"timestamp":<ms>,"ddsource":…,"service":…,"hostname":…,

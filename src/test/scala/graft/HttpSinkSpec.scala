@@ -232,4 +232,38 @@ class HttpSinkSpec extends AnyFunSuite {
       .as[(String, String)].collect().toSet
     assert(entries == Set(("1", "line a"), ("2", "line b")))
   }
+
+  test("loopback e2e: writeSplunkHec round-trips splunkHecEvent through the HEC parser") {
+    import org.apache.spark.sql.functions._
+    import graft.sinks.Formats
+    val ev = Seq(
+      (1704067200.5, "h1", 1L, "msg a"),
+      (1704067201.25, "h2", 2L, "msg b")).toDF("t", "host", "id", "msg")
+    val lines = ev.select(Formats.splunkHecEvent(
+      timeSec = col("t"), host = col("host"), source = lit("app"),
+      sourcetype = lit("graft:event"), index = lit("main"),
+      fields = struct(lit("prod").as("env")),
+      event = struct(col("id"), col("msg"))).as("value"))
+    val got = loopback("hec_loop", 2) { port =>
+      HttpSink.writeSplunkHec(lines.coalesce(1), s"http://127.0.0.1:$port",
+        token = "tok", batchLines = 10)
+    }
+    // the body is newline-batched HEC maps; re-ingest through the same
+    // parser the in_splunk side uses
+    val parsed = graft.parse.Parsers.splunkHecEvents(
+        got.toDF("body"), col("body"))
+      .select(from_json(col("record"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          """time double, host string, source string, sourcetype string,
+             index string, fields map<string,string>,
+             event struct<id: bigint, msg: string>""")).as("r"))
+      .select(col("r.time"), col("r.host"), col("r.source"),
+        col("r.index"), element_at(col("r.fields"), "env"),
+        col("r.event.id"), col("r.event.msg"))
+      .as[(Double, String, String, String, String, Long, String)]
+      .collect().toSet
+    assert(parsed == Set(
+      (1704067200.5, "h1", "app", "main", "prod", 1L, "msg a"),
+      (1704067201.25, "h2", "app", "main", "prod", 2L, "msg b")))
+  }
 }
