@@ -74,28 +74,45 @@ object ObjectStoreSink {
     * total_file_size). Part files are `<key>/part-<sparkPartition>-<roll>`
     * so concurrent writers never collide, matching how each output
     * worker owns its own multipart upload.
+    *
+    * `compression = "gzip"` gzip-compresses each part object (out_s3's
+    * `compression gzip` option, s3.c config) and suffixes parts `.gz`;
+    * the roll threshold applies to UNCOMPRESSED bytes, matching the
+    * reference's chunk-size cut on the raw buffered chunk before
+    * compress-at-upload. (The reference's `compression arrow` columnar
+    * option maps to Spark's native parquet writer — use
+    * `df.write.parquet` for that path, not a line sink.)
     */
   def write(df: DataFrame, baseDir: String, template: String,
             tag: Column, ts: Column, line: Column,
-            tagDelimiter: String = ".", maxBytes: Long = 5L * 1024 * 1024): Unit = {
+            tagDelimiter: String = ".", maxBytes: Long = 5L * 1024 * 1024,
+            compression: String = "none"): Unit = {
+    val gzip = compression.toLowerCase(java.util.Locale.ROOT) match {
+      case "gzip" => true
+      case "none" | "" => false
+      case other => throw new IllegalArgumentException(
+        s"unsupported compression '$other' (gzip|none)")
+    }
     val keyed = df.select(
       renderKey(template, tag, ts, tagDelimiter).as("key"),
       line.cast("string").as("line"))
       .filter(col("line").isNotNull)
     keyed.foreachPartition { (rows: Iterator[Row]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      final class Part(var out: BufferedOutputStream, var bytes: Long, var roll: Int)
+      final class Part(var out: java.io.OutputStream, var bytes: Long, var roll: Int)
       val open = scala.collection.mutable.HashMap.empty[String, Part]
       val baseCanonical = new File(baseDir).getCanonicalPath
-      def newStream(key: String, roll: Int): BufferedOutputStream = {
-        val f = new File(baseDir, key.stripPrefix("/") + s"/part-$pid-$roll")
+      def newStream(key: String, roll: Int): java.io.OutputStream = {
+        val suffix = if (gzip) ".gz" else ""
+        val f = new File(baseDir, key.stripPrefix("/") + s"/part-$pid-$roll$suffix")
         // tags are remote-controlled input and flow into the key via
         // $TAG: a '..' segment must not escape the destination root
         if (!f.getCanonicalPath.startsWith(baseCanonical + File.separator))
           throw new IllegalArgumentException(
             s"object key '$key' escapes the sink root")
         f.getParentFile.mkdirs()
-        new BufferedOutputStream(new FileOutputStream(f))
+        val base = new BufferedOutputStream(new FileOutputStream(f))
+        if (gzip) new java.util.zip.GZIPOutputStream(base) else base
       }
       try {
         rows.foreach { r =>

@@ -59,6 +59,38 @@ class ObjectStoreSinkSpec extends AnyFunSuite {
     assert(lines.sorted == (0 until 100).map(i => f"line-$i%03d"))
   }
 
+  test("write: gzip parts decompress to exactly the uncompressed output") {
+    def lines(n: Int) = spark.range(n).select(
+      lit("app.gz").as("tag"), ts.as("ts"),
+      concat(lit("line-"), lpad(col("id").cast("string"), 3, "0")).as("line"))
+      .coalesce(1)
+    val plainDir = Files.createTempDirectory("s3plain").toFile.getAbsolutePath
+    val gzDir = Files.createTempDirectory("s3gz").toFile.getAbsolutePath
+    ObjectStoreSink.write(lines(100), plainDir, "/logs/$TAG/records",
+      col("tag"), col("ts"), col("line"), maxBytes = 200)
+    ObjectStoreSink.write(lines(100), gzDir, "/logs/$TAG/records",
+      col("tag"), col("ts"), col("line"), maxBytes = 200,
+      compression = "gzip")
+    def partDir(d: String) = Paths.get(d, "logs/app.gz/records")
+    val plainParts = Files.list(partDir(plainDir)).iterator().asScala.toSeq
+      .sortBy(_.toString)
+    val gzParts = Files.list(partDir(gzDir)).iterator().asScala.toSeq
+      .sortBy(_.toString)
+    // same roll structure: the threshold applies to UNCOMPRESSED bytes
+    assert(gzParts.size == plainParts.size && gzParts.size > 1)
+    assert(gzParts.forall(_.getFileName.toString.endsWith(".gz")))
+    // compressed parts are actually smaller than their raw twins
+    assert(gzParts.map(Files.size).sum < plainParts.map(Files.size).sum)
+    def gunzip(p: java.nio.file.Path): Array[Byte] = {
+      val in = new java.util.zip.GZIPInputStream(Files.newInputStream(p))
+      try in.readAllBytes() finally in.close()
+    }
+    // decompressed concatenation is byte-identical to the plain run
+    val plainBytes = plainParts.map(Files.readAllBytes).reduce(_ ++ _)
+    val gzBytes = gzParts.map(gunzip).reduce(_ ++ _)
+    assert(java.util.Arrays.equals(gzBytes, plainBytes))
+  }
+
   test("write: a tag with '..' cannot escape the sink root") {
     val dir = Files.createTempDirectory("s3esc").toFile.getAbsolutePath
     val df = Seq(("../../escaped", "x")).toDF("tag", "line")
