@@ -38,11 +38,22 @@ object HttpSink {
   }
 
   /** POST `body` once; returns the status code, or throws IOException on
-    * a transport failure.
+    * a transport failure. For https URLs, `tls` supplies the truststore
+    * / hostname-verification policy (the out_http `tls.ca_file` /
+    * `tls.verify` options); absent ⇒ JVM default trust roots.
     */
   private def postOnce(url: String, body: Array[Byte], contentType: String,
-                       headers: Seq[(String, String)]): Int = {
+                       headers: Seq[(String, String)],
+                       tls: Option[graft.sources.Tls.Client]): Int = {
     val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    (conn, tls) match {
+      case (https: javax.net.ssl.HttpsURLConnection, Some(t)) =>
+        https.setSSLSocketFactory(
+          graft.sources.Tls.clientContext(t).getSocketFactory)
+        if (!t.verifyHostname)
+          https.setHostnameVerifier((_, _) => true)
+      case _ => ()
+    }
     try {
       conn.setRequestMethod("POST")
       conn.setDoOutput(true)
@@ -64,12 +75,16 @@ object HttpSink {
                     headers: Seq[(String, String)] = Nil,
                     maxRetries: Int = 3, baseMs: Int = 100,
                     capMs: Int = 5000,
-                    rnd: java.util.Random = new java.util.Random()): Int = {
+                    rnd: java.util.Random = new java.util.Random(),
+                    tls: Option[graft.sources.Tls.Client] = None): Int = {
     var attempt = 0
     while (true) {
       val status =
-        try postOnce(url, body, contentType, headers)
-        catch { case e: IOException => if (attempt >= maxRetries) throw e; -1 }
+        try postOnce(url, body, contentType, headers, tls)
+        catch {
+          case e: javax.net.ssl.SSLHandshakeException => throw e // never heals
+          case e: IOException => if (attempt >= maxRetries) throw e; -1
+        }
       if (status >= 200 && status < 300) return attempt + 1
       if (status >= 400 && status < 500 && status != 429)
         throw new IOException(s"permanent HTTP error $status from $url")
@@ -88,7 +103,8 @@ object HttpSink {
   def write(df: DataFrame, url: String, lineCol: String = "value",
             batchLines: Int = 1000, maxRetries: Int = 3,
             baseMs: Int = 100, capMs: Int = 5000,
-            headers: Seq[(String, String)] = Nil): Unit = {
+            headers: Seq[(String, String)] = Nil,
+            tls: Option[graft.sources.Tls.Client] = None): Unit = {
     // a NULL line would serialize as the literal string "null" — drop it
     val lines = df.select(col(lineCol).cast("string").as("line"))
       .filter(col("line").isNotNull)
@@ -97,7 +113,7 @@ object HttpSink {
       rows.map(_.getAs[String]("line")).grouped(batchLines).foreach { batch =>
         val body = (batch.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
         postWithRetry(url, body, "application/x-ndjson", headers,
-          maxRetries, baseMs, capMs, rnd)
+          maxRetries, baseMs, capMs, rnd, tls)
       }
     }
   }

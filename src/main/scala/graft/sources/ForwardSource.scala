@@ -46,7 +46,9 @@ class ForwardServerSource extends TableProvider {
             s"forward source option 'users': entry '$kv' is not user:password")
         }
       }.toMap).getOrElse(Map.empty[String, String])
-    new ForwardTable(host, port, sharedKey, selfHostname, users)
+    // `tls on` + keystore: the reference's in_forward `tls` block
+    val tls = Tls.serverFromOptions(k => Option(properties.get(k)))
+    new ForwardTable(host, port, sharedKey, selfHostname, users, tls)
   }
 }
 
@@ -60,7 +62,8 @@ object ForwardServerSource {
 private[sources] class ForwardTable(host: String, port: Int,
                                     sharedKey: Option[String],
                                     selfHostname: String,
-                                    users: Map[String, String])
+                                    users: Map[String, String],
+                                    tls: Option[Tls.Server] = None)
     extends Table with SupportsRead {
   override def name(): String = s"forward://$host:$port"
   override def schema(): StructType = ForwardServerSource.Schema
@@ -73,19 +76,22 @@ private[sources] class ForwardTable(host: String, port: Int,
         override def readSchema(): StructType = ForwardServerSource.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new ForwardMicroBatchStream(host, port, sharedKey, selfHostname,
-            users)
+            users, tls)
       }
     }
 }
 
 private[sources] class ForwardMicroBatchStream(host: String, port: Int,
     sharedKey: Option[String] = None, selfHostname: String = "graft",
-    users: Map[String, String] = Map.empty)
+    users: Map[String, String] = Map.empty,
+    tls: Option[Tls.Server] = None)
     extends MicroBatchStream {
 
   private val buf = new scala.collection.mutable.ArrayBuffer[Msgpack.Event]
   @volatile private var stopped = false
-  private val server = new ServerSocket()
+  // `tls on` terminates TLS at accept; a failed handshake drops only
+  // that connection (the reference's tls layer behaves the same)
+  private val server = tls.map(Tls.serverSocket).getOrElse(new ServerSocket())
   server.bind(new InetSocketAddress(host, port))
 
   private val acceptThread = new Thread(() => {

@@ -44,7 +44,9 @@ class TcpServerSource extends TableProvider {
     // (RFC 6587 `<len> SP <msg>`, in_syslog/syslog.c:250)
     val octet = Option(properties.get("framing")).exists(f =>
       f.equalsIgnoreCase("octet_counting") || f.equalsIgnoreCase("octet"))
-    new TcpTable(host, port, octet)
+    // `tls on` + keystore: the reference's in_tcp `tls` block
+    val tls = Tls.serverFromOptions(k => Option(properties.get(k)))
+    new TcpTable(host, port, octet, tls)
   }
 }
 
@@ -55,7 +57,8 @@ object TcpServerSource {
 }
 
 private[sources] class TcpTable(host: String, port: Int,
-                                octet: Boolean = false)
+                                octet: Boolean = false,
+                                tls: Option[Tls.Server] = None)
     extends Table with SupportsRead {
   override def name(): String = s"tcp://$host:$port"
   override def schema(): StructType = TcpServerSource.Schema
@@ -67,7 +70,7 @@ private[sources] class TcpTable(host: String, port: Int,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = TcpServerSource.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new TcpMicroBatchStream(host, port, octet)
+          new TcpMicroBatchStream(host, port, octet, tls)
       }
     }
 }
@@ -77,12 +80,15 @@ private[sources] case class TcpOffset(n: Long) extends Offset {
 }
 
 private[sources] class TcpMicroBatchStream(host: String, port: Int,
-                                           octet: Boolean = false)
+                                           octet: Boolean = false,
+                                           tls: Option[Tls.Server] = None)
     extends MicroBatchStream {
 
   private val buf = new scala.collection.mutable.ArrayBuffer[(String, Long)]
   @volatile private var stopped = false
-  private val server = new ServerSocket()
+  // `tls on` terminates TLS at accept; a failed handshake drops only
+  // that connection (the reference's tls layer behaves the same)
+  private val server = tls.map(Tls.serverSocket).getOrElse(new ServerSocket())
   server.bind(new InetSocketAddress(host, port))
 
   private val acceptThread = new Thread(() => {
