@@ -692,20 +692,26 @@ object OtlpProto {
   def decodeLogsBodies(df: DataFrame, body: Column, contentType: Column,
                        contentEncoding: Column): DataFrame =
     Otlp.decodeLogs(normalizeBodies(df, body, contentType, contentEncoding,
-      logsToJson), org.apache.spark.sql.functions.col("value"))
-      .drop("value")
+      logsToJson), org.apache.spark.sql.functions.col(BodyJsonCol))
+      .drop(BodyJsonCol)
 
   def decodeMetricsBodies(df: DataFrame, body: Column, contentType: Column,
                           contentEncoding: Column): DataFrame =
     Otlp.decodeMetrics(normalizeBodies(df, body, contentType, contentEncoding,
-      metricsToJson), org.apache.spark.sql.functions.col("value"))
-      .drop("value")
+      metricsToJson), org.apache.spark.sql.functions.col(BodyJsonCol))
+      .drop(BodyJsonCol)
 
   def decodeTracesBodies(df: DataFrame, body: Column, contentType: Column,
                          contentEncoding: Column): DataFrame =
     Otlp.decodeTraces(normalizeBodies(df, body, contentType, contentEncoding,
-      tracesToJson), org.apache.spark.sql.functions.col("value"))
-      .drop("value")
+      tracesToJson), org.apache.spark.sql.functions.col(BodyJsonCol))
+      .drop(BodyJsonCol)
+
+  /** Collision-proof name for the normalized JSON column — the decoded
+    * frames have their own `value` columns (metric points), so a plain
+    * "value" would be dropped together with real output.
+    */
+  private val BodyJsonCol = "__graft_body_json"
 
   // ------------------------------------------------------------ pb encode
   // out_opentelemetry's binary wire option — the reference's export path
@@ -833,6 +839,265 @@ object OtlpProto {
       .toDF("body")
   }
 
+  // ------------------------------------------------ pb encode: metrics
+  final case class QRow(quantile: Double, value: Double)
+  final case class MetricDpRow(labels: Seq[KvPair], tsUnixNano: Option[Long],
+                               value: Option[Double], count: Option[Long],
+                               sum: Option[Double],
+                               bucketCounts: Option[Seq[Long]],
+                               explicitBounds: Option[Seq[Double]],
+                               quantiles: Option[Seq[QRow]])
+  final case class MetricRow(name: Option[String], mtype: Option[String],
+                             temporality: Option[Int],
+                             isMonotonic: Option[Boolean],
+                             dps: Seq[MetricDpRow])
+  final case class MetricGroupRow(rattrs: Seq[KvPair], sname: Option[String],
+                                  sver: Option[String],
+                                  metrics: Seq[MetricRow])
+
+  private def resourceWriter(rattrs: Seq[KvPair]): Writer = {
+    val w = new Writer
+    rattrs.foreach(kv => w.msg(1, kvWriter(kv)))
+    w
+  }
+
+  private def scopeWriter(name: Option[String], ver: Option[String]): Writer = {
+    val w = new Writer
+    name.foreach(w.str(1, _))
+    ver.foreach(w.str(2, _))
+    w
+  }
+
+  /** Packed repeated fixed64/double payload (protobuf's default for
+    * bucket_counts/explicit_bounds).
+    */
+  private def packedFixed64(w: Writer, field: Int, vs: Seq[Long]): Unit = {
+    val pk = new Writer
+    vs.foreach { v =>
+      var i = 0
+      while (i < 8) { pk.out += ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+    }
+    w.bytes(field, pk.result())
+  }
+
+  /** Serialize one ExportMetricsServiceRequest — one resource, one
+    * scope, the group's metrics with their typed data points.
+    */
+  def encodeMetricsRequest(g: MetricGroupRow): Array[Byte] = {
+    def numberDp(d: MetricDpRow): Writer = {
+      val w = new Writer
+      d.tsUnixNano.filter(_ != 0L).foreach(w.fixed64(3, _))
+      d.value.foreach(w.double(4, _))
+      d.labels.foreach(kv => w.msg(7, kvWriter(kv)))
+      w
+    }
+    def histDp(d: MetricDpRow): Writer = {
+      val w = new Writer
+      d.tsUnixNano.filter(_ != 0L).foreach(w.fixed64(3, _))
+      w.fixed64(4, d.count.getOrElse(0L))
+      d.sum.foreach(w.double(5, _))
+      d.bucketCounts.filter(_.nonEmpty).foreach(packedFixed64(w, 6, _))
+      d.explicitBounds.filter(_.nonEmpty).foreach(bs =>
+        packedFixed64(w, 7, bs.map(java.lang.Double.doubleToLongBits)))
+      d.labels.foreach(kv => w.msg(9, kvWriter(kv)))
+      w
+    }
+    def summDp(d: MetricDpRow): Writer = {
+      val w = new Writer
+      d.tsUnixNano.filter(_ != 0L).foreach(w.fixed64(3, _))
+      w.fixed64(4, d.count.getOrElse(0L))
+      d.sum.foreach(w.double(5, _))
+      d.quantiles.getOrElse(Seq.empty).foreach { q =>
+        val qw = new Writer
+        qw.double(1, q.quantile); qw.double(2, q.value)
+        w.msg(6, qw)
+      }
+      d.labels.foreach(kv => w.msg(7, kvWriter(kv)))
+      w
+    }
+    val sm = new Writer
+    sm.msg(1, scopeWriter(g.sname, g.sver))
+    g.metrics.foreach { m =>
+      val mw = new Writer
+      m.name.foreach(mw.str(1, _))
+      m.mtype match {
+        case Some("gauge") =>
+          val w = new Writer
+          m.dps.foreach(d => w.msg(1, numberDp(d)))
+          mw.msg(5, w)
+        case Some("sum") =>
+          val w = new Writer
+          m.dps.foreach(d => w.msg(1, numberDp(d)))
+          m.temporality.foreach(t => w.int64(2, t.toLong))
+          m.isMonotonic.foreach(w.bool(3, _))
+          mw.msg(7, w)
+        case Some("histogram") =>
+          val w = new Writer
+          m.dps.foreach(d => w.msg(1, histDp(d)))
+          m.temporality.foreach(t => w.int64(2, t.toLong))
+          mw.msg(9, w)
+        case Some("summary") =>
+          val w = new Writer
+          m.dps.foreach(d => w.msg(1, summDp(d)))
+          mw.msg(11, w)
+        case _ => ()
+      }
+      sm.msg(2, mw)
+    }
+    val rm = new Writer
+    rm.msg(1, resourceWriter(g.rattrs))
+    rm.msg(2, sm)
+    val req = new Writer
+    req.msg(1, rm)
+    req.result()
+  }
+
+  /** Protobuf twin of [[Otlp.encodeMetrics]]: the same two keyed
+    * aggregations (resource×metric → points, resource → metrics), one
+    * binary `ExportMetricsServiceRequest` body per resource identity.
+    */
+  def encodeMetricsPb(df: DataFrame,
+                      resourceAttrs: Column, scopeName: Column,
+                      scopeVersion: Column, name: Column,
+                      metricType: Column, temporality: Column,
+                      isMonotonic: Column, labels: Column,
+                      tsUnixNano: Column, value: Column, count: Column,
+                      sum: Column, bucketCounts: Column,
+                      explicitBounds: Column, quantiles: Column): DataFrame = {
+    // qualified import: bare functions._ would shadow the count/sum params
+    import org.apache.spark.sql.{functions => F}
+    val spark = df.sparkSession
+    import spark.implicits._
+    def kvArr(m: Column): Column = F.array_sort(F.map_entries(m))
+    val dp = F.struct(
+      kvArr(labels).as("labels"),
+      tsUnixNano.cast("long").as("tsUnixNano"),
+      value.cast("double").as("value"),
+      count.cast("long").as("count"),
+      sum.cast("double").as("sum"),
+      bucketCounts.cast("array<long>").as("bucketCounts"),
+      explicitBounds.cast("array<double>").as("explicitBounds"),
+      quantiles.cast("array<struct<quantile double, value double>>")
+        .as("quantiles"))
+    df.groupBy(kvArr(resourceAttrs).as("rattrs"),
+        scopeName.cast("string").as("sname"),
+        scopeVersion.cast("string").as("sver"),
+        name.cast("string").as("name"),
+        metricType.cast("string").as("mtype"),
+        temporality.cast("int").as("temporality"),
+        isMonotonic.cast("boolean").as("isMonotonic"))
+      .agg(F.collect_list(dp).as("dps"))
+      .groupBy(F.col("rattrs"), F.col("sname"), F.col("sver"))
+      .agg(F.collect_list(F.struct(F.col("name"), F.col("mtype"),
+        F.col("temporality"), F.col("isMonotonic"), F.col("dps")))
+        .as("metrics"))
+      .as[MetricGroupRow]
+      .map(encodeMetricsRequest)
+      .toDF("body")
+  }
+
+  // ------------------------------------------------- pb encode: traces
+  final case class SpanEventRow(tsUnixNano: Option[Long],
+                                name: Option[String],
+                                attributes: Seq[KvPair])
+  final case class SpanRow(traceId: Option[String], spanId: Option[String],
+                           parentSpanId: Option[String],
+                           traceState: Option[String], name: Option[String],
+                           kind: Option[Int], startUnixNano: Option[Long],
+                           endUnixNano: Option[Long],
+                           attributes: Seq[KvPair],
+                           events: Option[Seq[SpanEventRow]],
+                           statusCode: Option[Int],
+                           statusMessage: Option[String])
+  final case class SpanGroupRow(rattrs: Seq[KvPair], sname: Option[String],
+                                sver: Option[String], spans: Seq[SpanRow])
+
+  /** Serialize one ExportTraceServiceRequest — one resource, one scope,
+    * the group's spans with events and status.
+    */
+  def encodeTracesRequest(g: SpanGroupRow): Array[Byte] = {
+    val ss = new Writer
+    ss.msg(1, scopeWriter(g.sname, g.sver))
+    g.spans.foreach { sp =>
+      val w = new Writer
+      sp.traceId.filter(_.nonEmpty).foreach(t => w.bytes(1, hexToBytes(t)))
+      sp.spanId.filter(_.nonEmpty).foreach(t => w.bytes(2, hexToBytes(t)))
+      sp.traceState.foreach(w.str(3, _))
+      sp.parentSpanId.filter(_.nonEmpty).foreach(t => w.bytes(4, hexToBytes(t)))
+      sp.name.foreach(w.str(5, _))
+      sp.kind.filter(_ != 0).foreach(k => w.int64(6, k.toLong))
+      sp.startUnixNano.filter(_ != 0L).foreach(w.fixed64(7, _))
+      sp.endUnixNano.filter(_ != 0L).foreach(w.fixed64(8, _))
+      sp.attributes.foreach(kv => w.msg(9, kvWriter(kv)))
+      sp.events.getOrElse(Seq.empty).foreach { e =>
+        val ew = new Writer
+        e.tsUnixNano.filter(_ != 0L).foreach(ew.fixed64(1, _))
+        e.name.foreach(ew.str(2, _))
+        e.attributes.foreach(kv => ew.msg(3, kvWriter(kv)))
+        w.msg(11, ew)
+      }
+      if (sp.statusMessage.nonEmpty || sp.statusCode.exists(_ != 0)) {
+        val stw = new Writer
+        sp.statusMessage.foreach(stw.str(2, _))
+        sp.statusCode.filter(_ != 0).foreach(c => stw.int64(3, c.toLong))
+        w.msg(15, stw)
+      }
+      ss.msg(2, w)
+    }
+    val rs = new Writer
+    rs.msg(1, resourceWriter(g.rattrs))
+    rs.msg(2, ss)
+    val req = new Writer
+    req.msg(1, rs)
+    req.result()
+  }
+
+  /** Protobuf twin of [[Otlp.encodeTraces]]: one shuffle on the
+    * resource identity, one binary `ExportTraceServiceRequest` body per
+    * group. `events` must be
+    * `array<struct<ts_unix_nano, name, attributes map>>` or NULL, the
+    * same contract as the JSON encoder.
+    */
+  def encodeTracesPb(df: DataFrame,
+                     resourceAttrs: Column, scopeName: Column,
+                     scopeVersion: Column, traceId: Column, spanId: Column,
+                     parentSpanId: Column, traceState: Column, name: Column,
+                     kind: Column, startUnixNano: Column,
+                     endUnixNano: Column, attributes: Column,
+                     events: Column, statusCode: Column,
+                     statusMessage: Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    import spark.implicits._
+    def kvArr(m: Column): Column = array_sort(map_entries(m))
+    val span = struct(
+      traceId.cast("string").as("traceId"),
+      spanId.cast("string").as("spanId"),
+      parentSpanId.cast("string").as("parentSpanId"),
+      traceState.cast("string").as("traceState"),
+      name.cast("string").as("name"),
+      kind.cast("int").as("kind"),
+      startUnixNano.cast("long").as("startUnixNano"),
+      endUnixNano.cast("long").as("endUnixNano"),
+      kvArr(attributes).as("attributes"),
+      transform(
+        events.cast(
+          "array<struct<ts_unix_nano long, name string, attributes map<string,string>>>"),
+        e => struct(
+          e.getField("ts_unix_nano").as("tsUnixNano"),
+          e.getField("name").as("name"),
+          kvArr(e.getField("attributes")).as("attributes"))).as("events"),
+      statusCode.cast("int").as("statusCode"),
+      statusMessage.cast("string").as("statusMessage"))
+    df.groupBy(kvArr(resourceAttrs).as("rattrs"),
+        scopeName.cast("string").as("sname"),
+        scopeVersion.cast("string").as("sver"))
+      .agg(collect_list(span).as("spans"))
+      .as[SpanGroupRow]
+      .map(encodeTracesRequest)
+      .toDF("body")
+  }
+
   private def normalizeBodies(df: DataFrame, body: Column, contentType: Column,
                               contentEncoding: Column,
                               toJson: Array[Byte] => String): DataFrame = {
@@ -847,6 +1112,6 @@ object OtlpProto {
         // streaming retry the same offsets forever
         scala.util.Try(normalize(b, ct, ce, toJson)).toOption
       }
-      .toDF("value")
+      .toDF(BodyJsonCol)
   }
 }

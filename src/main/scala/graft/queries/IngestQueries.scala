@@ -548,52 +548,32 @@ object IngestQueries {
             element_at(col("quantiles"), 1).getField("value").as("q_min"),
             element_at(col("quantiles"), 2).getField("value").as("q_max"))
       },
-      Some("""WITH g AS (
-               SELECT event_type, 'h' || CAST(user_id % 3 AS VARCHAR) AS host,
-                      count(*) AS cnt, max(value) AS mx,
-                      max(epoch_ns(ts)) AS tsns
-               FROM events GROUP BY 1, 2),
-             h AS (
-               SELECT event_type, count(*) AS cnt,
-                      CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sm,
-                      min(value) AS mn, max(value) AS mx,
-                      CAST(sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
-                      CAST(sum(CASE WHEN value > 50 AND value <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
-                      CAST(sum(CASE WHEN value > 100 AND value <= 250 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
-                      CAST(sum(CASE WHEN value > 250 THEN 1 ELSE 0 END) AS BIGINT) AS b4,
-                      max(epoch_ns(ts)) AS tsns
-               FROM events GROUP BY 1)
-             SELECT event_type AS service, 'events_total' AS name,
-                    'sum' AS metric_type, CAST(2 AS INT) AS temporality,
-                    TRUE AS is_monotonic, host, tsns AS ts_unix_nano,
-                    CAST(cnt AS DOUBLE) AS point_value,
-                    CAST(NULL AS BIGINT) AS point_count,
-                    CAST(NULL AS DOUBLE) AS point_sum,
-                    CAST(NULL AS BIGINT) AS b1, CAST(NULL AS BIGINT) AS b2,
-                    CAST(NULL AS BIGINT) AS b3, CAST(NULL AS BIGINT) AS b4,
-                    CAST(NULL AS DOUBLE) AS bound_hi,
-                    CAST(NULL AS DOUBLE) AS q_min, CAST(NULL AS DOUBLE) AS q_max
-             FROM g
-             UNION ALL
-             SELECT event_type, 'event_value_max', 'gauge',
-                    CAST(NULL AS INT), CAST(NULL AS BOOLEAN), host, tsns,
-                    mx, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
-             FROM g
-             UNION ALL
-             SELECT event_type, 'event_value_hist', 'histogram',
-                    CAST(2 AS INT), CAST(NULL AS BOOLEAN),
-                    CAST(NULL AS VARCHAR), tsns, CAST(NULL AS DOUBLE),
-                    cnt, sm, b1, b2, b3, b4, CAST(250.0 AS DOUBLE),
-                    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
-             FROM h
-             UNION ALL
-             SELECT event_type, 'event_value_summary', 'summary',
-                    CAST(NULL AS INT), CAST(NULL AS BOOLEAN),
-                    CAST(NULL AS VARCHAR), tsns, CAST(NULL AS DOUBLE),
-                    cnt, sm, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-                    CAST(NULL AS DOUBLE), mn, mx
-             FROM h""")
+      Some(OtlpMetricsOracle)
+    ),
+
+    // The PROTOBUF twin of sink_otlp_metrics: the same flat frame packs
+    // into BINARY ExportMetricsServiceRequest bodies (all four point
+    // kinds, packed bucket/bound arrays) and decodes back through the
+    // pb ingest path — same oracle, gating the binary round trip.
+    GraftQuery(
+      "sink_otlp_metrics_pb",
+      (s, dir) => {
+        val flat = otlpMetricsFlat(Tables.events(s, dir))
+        val bodies = graft.parse.OtlpProto.encodeMetricsPb(flat,
+          resourceAttrs = map(lit("service.name"), col("event_type")),
+          scopeName = lit("graft.out"), scopeVersion = lit("2.0"),
+          name = col("name"), metricType = col("metric_type"),
+          temporality = col("temporality"),
+          isMonotonic = col("is_monotonic"), labels = col("labels"),
+          tsUnixNano = col("tsns"), value = col("value"),
+          count = col("count"), sum = col("sum"),
+          bucketCounts = col("bucket_counts"),
+          explicitBounds = col("explicit_bounds"),
+          quantiles = col("quantiles"))
+        otlpMetricsProject(graft.parse.OtlpProto.decodeMetricsBodies(
+          bodies, col("body"), lit("application/x-protobuf"), lit(null)))
+      },
+      Some(OtlpMetricsOracle)
     ),
 
     // OTLP/HTTP traces path (flb_opentelemetry_traces.c:762-897): build
@@ -775,63 +755,7 @@ object IngestQueries {
     GraftQuery(
       "sink_otlp_metrics",
       (s, dir) => {
-        val ev = Tables.events(s, dir)
-        val tns = col("ts_ns") - col("ts_ns") % 1000
-        val g = ev.groupBy(col("event_type"),
-            concat(lit("h"), (col("user_id") % 3).cast("string")).as("host"))
-          .agg(count(lit(1)).as("cnt"), max(col("value")).as("mx"),
-            max(tns).as("tsns"))
-        val h = ev.groupBy(col("event_type")).agg(
-          count(lit(1)).as("cnt"),
-          sum(col("value").cast("decimal(28,6)")).cast("double").as("sm"),
-          min(col("value")).as("mn"), max(col("value")).as("mx"),
-          sum(when(col("value") <= 50, 1L).otherwise(0L)).as("b1"),
-          sum(when(col("value") > 50 && col("value") <= 100, 1L).otherwise(0L)).as("b2"),
-          sum(when(col("value") > 100 && col("value") <= 250, 1L).otherwise(0L)).as("b3"),
-          sum(when(col("value") > 250, 1L).otherwise(0L)).as("b4"),
-          max(tns).as("tsns"))
-        val nulLong = lit(null).cast("bigint")
-        val nulDbl = lit(null).cast("double")
-        val nulBuckets = lit(null).cast("array<bigint>")
-        val nulBounds = lit(null).cast("array<double>")
-        val nulQuant =
-          lit(null).cast("array<struct<quantile double, value double>>")
-        val flat = g.select(col("event_type"),
-            lit("events_total").as("name"), lit("sum").as("metric_type"),
-            lit(2).as("temporality"), lit(true).as("is_monotonic"),
-            map(lit("host"), col("host")).as("labels"), col("tsns"),
-            col("cnt").cast("double").as("value"), nulLong.as("count"),
-            nulDbl.as("sum"), nulBuckets.as("bucket_counts"),
-            nulBounds.as("explicit_bounds"), nulQuant.as("quantiles"))
-          .unionByName(g.select(col("event_type"),
-            lit("event_value_max").as("name"), lit("gauge").as("metric_type"),
-            lit(null).cast("int").as("temporality"),
-            lit(null).cast("boolean").as("is_monotonic"),
-            map(lit("host"), col("host")).as("labels"), col("tsns"),
-            col("mx").as("value"), nulLong.as("count"), nulDbl.as("sum"),
-            nulBuckets.as("bucket_counts"), nulBounds.as("explicit_bounds"),
-            nulQuant.as("quantiles")))
-          .unionByName(h.select(col("event_type"),
-            lit("event_value_hist").as("name"),
-            lit("histogram").as("metric_type"), lit(2).as("temporality"),
-            lit(null).cast("boolean").as("is_monotonic"),
-            map().cast("map<string,string>").as("labels"), col("tsns"),
-            nulDbl.as("value"), col("cnt").as("count"), col("sm").as("sum"),
-            array(col("b1"), col("b2"), col("b3"), col("b4"))
-              .as("bucket_counts"),
-            array(lit(50.0), lit(100.0), lit(250.0)).as("explicit_bounds"),
-            nulQuant.as("quantiles")))
-          .unionByName(h.select(col("event_type"),
-            lit("event_value_summary").as("name"),
-            lit("summary").as("metric_type"),
-            lit(null).cast("int").as("temporality"),
-            lit(null).cast("boolean").as("is_monotonic"),
-            map().cast("map<string,string>").as("labels"), col("tsns"),
-            nulDbl.as("value"), col("cnt").as("count"), col("sm").as("sum"),
-            nulBuckets.as("bucket_counts"), nulBounds.as("explicit_bounds"),
-            array(struct(lit(0.0).as("quantile"), col("mn").as("value")),
-              struct(lit(1.0).as("quantile"), col("mx").as("value")))
-              .as("quantiles")))
+        val flat = otlpMetricsFlat(Tables.events(s, dir))
         val bodies = Otlp.encodeMetrics(flat,
           resourceAttrs = map(lit("service.name"), col("event_type")),
           scopeName = lit("graft.out"), scopeVersion = lit("2.0"),
@@ -843,70 +767,34 @@ object IngestQueries {
           bucketCounts = col("bucket_counts"),
           explicitBounds = col("explicit_bounds"),
           quantiles = col("quantiles"))
-        Otlp.decodeMetrics(bodies, col("body")).drop("body")
-          .select(
-            element_at(col("resource_attributes"), "service.name").as("service"),
-            col("name"), col("metric_type"), col("temporality"),
-            col("is_monotonic"),
-            element_at(col("labels"), "host").as("host"),
-            col("ts_unix_nano"),
-            col("value").as("point_value"),
-            col("count").as("point_count"),
-            col("sum").as("point_sum"),
-            element_at(col("bucket_counts"), 1).as("b1"),
-            element_at(col("bucket_counts"), 2).as("b2"),
-            element_at(col("bucket_counts"), 3).as("b3"),
-            element_at(col("bucket_counts"), 4).as("b4"),
-            element_at(col("explicit_bounds"), 3).as("bound_hi"),
-            element_at(col("quantiles"), 1).getField("value").as("q_min"),
-            element_at(col("quantiles"), 2).getField("value").as("q_max"))
+        otlpMetricsProject(Otlp.decodeMetrics(bodies, col("body")).drop("body"))
       },
-      Some("""WITH g AS (
-               SELECT event_type, 'h' || CAST(user_id % 3 AS VARCHAR) AS host,
-                      count(*) AS cnt, max(value) AS mx,
-                      max(epoch_ns(ts)) AS tsns
-               FROM events GROUP BY 1, 2),
-             h AS (
-               SELECT event_type, count(*) AS cnt,
-                      CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sm,
-                      min(value) AS mn, max(value) AS mx,
-                      CAST(sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
-                      CAST(sum(CASE WHEN value > 50 AND value <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
-                      CAST(sum(CASE WHEN value > 100 AND value <= 250 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
-                      CAST(sum(CASE WHEN value > 250 THEN 1 ELSE 0 END) AS BIGINT) AS b4,
-                      max(epoch_ns(ts)) AS tsns
-               FROM events GROUP BY 1)
-             SELECT event_type AS service, 'events_total' AS name,
-                    'sum' AS metric_type, CAST(2 AS INT) AS temporality,
-                    TRUE AS is_monotonic, host, tsns AS ts_unix_nano,
-                    CAST(cnt AS DOUBLE) AS point_value,
-                    CAST(NULL AS BIGINT) AS point_count,
-                    CAST(NULL AS DOUBLE) AS point_sum,
-                    CAST(NULL AS BIGINT) AS b1, CAST(NULL AS BIGINT) AS b2,
-                    CAST(NULL AS BIGINT) AS b3, CAST(NULL AS BIGINT) AS b4,
-                    CAST(NULL AS DOUBLE) AS bound_hi,
-                    CAST(NULL AS DOUBLE) AS q_min, CAST(NULL AS DOUBLE) AS q_max
-             FROM g
-             UNION ALL
-             SELECT event_type, 'event_value_max', 'gauge',
-                    CAST(NULL AS INT), CAST(NULL AS BOOLEAN), host, tsns,
-                    mx, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
-             FROM g
-             UNION ALL
-             SELECT event_type, 'event_value_hist', 'histogram',
-                    CAST(2 AS INT), CAST(NULL AS BOOLEAN),
-                    CAST(NULL AS VARCHAR), tsns, CAST(NULL AS DOUBLE),
-                    cnt, sm, b1, b2, b3, b4, CAST(250.0 AS DOUBLE),
-                    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
-             FROM h
-             UNION ALL
-             SELECT event_type, 'event_value_summary', 'summary',
-                    CAST(NULL AS INT), CAST(NULL AS BOOLEAN),
-                    CAST(NULL AS VARCHAR), tsns, CAST(NULL AS DOUBLE),
-                    cnt, sm, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-                    CAST(NULL AS DOUBLE), mn, mx
-             FROM h""")
+      Some(OtlpMetricsOracle)
+    ),
+
+    // The PROTOBUF twin of sink_otlp_metrics: the same flat frame packs
+    // into BINARY ExportMetricsServiceRequest bodies (all four point
+    // kinds, packed bucket/bound arrays) and decodes back through the
+    // pb ingest path — same oracle, gating the binary round trip.
+    GraftQuery(
+      "sink_otlp_metrics_pb",
+      (s, dir) => {
+        val flat = otlpMetricsFlat(Tables.events(s, dir))
+        val bodies = graft.parse.OtlpProto.encodeMetricsPb(flat,
+          resourceAttrs = map(lit("service.name"), col("event_type")),
+          scopeName = lit("graft.out"), scopeVersion = lit("2.0"),
+          name = col("name"), metricType = col("metric_type"),
+          temporality = col("temporality"),
+          isMonotonic = col("is_monotonic"), labels = col("labels"),
+          tsUnixNano = col("tsns"), value = col("value"),
+          count = col("count"), sum = col("sum"),
+          bucketCounts = col("bucket_counts"),
+          explicitBounds = col("explicit_bounds"),
+          quantiles = col("quantiles"))
+        otlpMetricsProject(graft.parse.OtlpProto.decodeMetricsBodies(
+          bodies, col("body"), lit("application/x-protobuf"), lit(null)))
+      },
+      Some(OtlpMetricsOracle)
     ),
 
     // out_opentelemetry traces delivery: a flat span frame (parent /
@@ -917,26 +805,7 @@ object IngestQueries {
     GraftQuery(
       "sink_otlp_traces",
       (s, dir) => {
-        val ev = Tables.events(s, dir)
-        val tns = col("ts_ns") - col("ts_ns") % 1000
-        val flat = ev.select(col("event_type"),
-          md5(col("user_id").cast("string")).as("trace_id"),
-          substring(md5(col("event_id").cast("string")), 1, 16).as("span_id"),
-          when(col("event_id") % 3 =!= 0,
-            substring(md5(concat(lit("p"), col("user_id").cast("string"))), 1, 16))
-            .as("parent_span_id"),
-          when(col("event_id") % 2 === 0, lit("sampled=1")).as("trace_state"),
-          col("event_type").as("name"),
-          (col("event_id") % 5 + 1).cast("int").as("kind"),
-          tns.as("start_ns"),
-          (tns + (col("event_id") % 1000 + 1) * 1000000L).as("end_ns"),
-          map(lit("event_id"), col("event_id").cast("string"),
-            lit("user_id"), col("user_id").cast("string")).as("attrs"),
-          when(col("event_id") % 4 === 0, array(struct(
-            (tns + 500000L).as("ts_unix_nano"), lit("retry").as("name"),
-            map(lit("attempt"), lit("2")).as("attributes")))).as("span_events"),
-          (col("event_id") % 3).cast("int").as("status_code"),
-          when(col("event_id") % 3 === 2, lit("boom")).as("status_message"))
+        val flat = otlpTracesFlat(Tables.events(s, dir))
         val bodies = Otlp.encodeTraces(flat,
           resourceAttrs = map(lit("service.name"), col("event_type")),
           scopeName = lit("graft.out"), scopeVersion = lit("2.0"),
@@ -947,38 +816,33 @@ object IngestQueries {
           endUnixNano = col("end_ns"), attributes = col("attrs"),
           events = col("span_events"), statusCode = col("status_code"),
           statusMessage = col("status_message"))
-        Otlp.decodeTraces(bodies, col("body")).drop("body")
-          .select(
-            element_at(col("resource_attributes"), "service.name").as("service"),
-            col("scope_name"), col("trace_id"), col("span_id"),
-            col("parent_span_id"), col("trace_state"), col("name"),
-            col("kind"), col("start_unix_nano"), col("end_unix_nano"),
-            element_at(col("attributes"), "event_id").cast("long").as("event_id"),
-            coalesce(size(col("events")), lit(0)).as("event_count"),
-            element_at(col("events"), 1).getField("name").as("first_event_name"),
-            element_at(element_at(col("events"), 1).getField("attributes"),
-              "attempt").as("first_event_attempt"),
-            col("status_code"), col("status_message"))
+        otlpTracesProject(Otlp.decodeTraces(bodies, col("body")).drop("body"))
       },
-      Some("""SELECT event_type AS service,
-             'graft.out' AS scope_name,
-             md5(CAST(user_id AS VARCHAR)) AS trace_id,
-             substr(md5(CAST(event_id AS VARCHAR)), 1, 16) AS span_id,
-             CASE WHEN event_id % 3 <> 0
-                  THEN substr(md5('p' || CAST(user_id AS VARCHAR)), 1, 16)
-             END AS parent_span_id,
-             CASE WHEN event_id % 2 = 0 THEN 'sampled=1' END AS trace_state,
-             event_type AS name,
-             CAST(event_id % 5 + 1 AS INT) AS kind,
-             epoch_ns(ts) AS start_unix_nano,
-             epoch_ns(ts) + (event_id % 1000 + 1) * 1000000 AS end_unix_nano,
-             event_id,
-             CAST(CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END AS INT) AS event_count,
-             CASE WHEN event_id % 4 = 0 THEN 'retry' END AS first_event_name,
-             CASE WHEN event_id % 4 = 0 THEN '2' END AS first_event_attempt,
-             CAST(event_id % 3 AS INT) AS status_code,
-             CASE WHEN event_id % 3 = 2 THEN 'boom' END AS status_message
-             FROM events""")
+      Some(OtlpTracesOracle)
+    ),
+
+    // The PROTOBUF twin of sink_otlp_traces: the same span frame packs
+    // into BINARY ExportTraceServiceRequest bodies (bytes ids, nested
+    // events, status) and decodes back through the pb ingest path —
+    // same oracle, gating the binary round trip.
+    GraftQuery(
+      "sink_otlp_traces_pb",
+      (s, dir) => {
+        val flat = otlpTracesFlat(Tables.events(s, dir))
+        val bodies = graft.parse.OtlpProto.encodeTracesPb(flat,
+          resourceAttrs = map(lit("service.name"), col("event_type")),
+          scopeName = lit("graft.out"), scopeVersion = lit("2.0"),
+          traceId = col("trace_id"), spanId = col("span_id"),
+          parentSpanId = col("parent_span_id"),
+          traceState = col("trace_state"), name = col("name"),
+          kind = col("kind"), startUnixNano = col("start_ns"),
+          endUnixNano = col("end_ns"), attributes = col("attrs"),
+          events = col("span_events"), statusCode = col("status_code"),
+          statusMessage = col("status_message"))
+        otlpTracesProject(graft.parse.OtlpProto.decodeTracesBodies(
+          bodies, col("body"), lit("application/x-protobuf"), lit(null)))
+      },
+      Some(OtlpTracesOracle)
     ),
 
     // out_loki push bodies (plugins/out_loki/loki.c:1656-1795
@@ -1224,4 +1088,194 @@ object IngestQueries {
              FROM events""")
     )
   )
+
+  /** The four-kind long-format metrics frame both sink_otlp_metrics
+    * variants (JSON and protobuf) encode — one `sum` + one `gauge`
+    * point per (event_type, host), one `histogram` + one `summary` per
+    * event_type.
+    */
+  private def otlpMetricsFlat(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tns = col("ts_ns") - col("ts_ns") % 1000
+    val g = ev.groupBy(col("event_type"),
+        concat(lit("h"), (col("user_id") % 3).cast("string")).as("host"))
+      .agg(count(lit(1)).as("cnt"), max(col("value")).as("mx"),
+        max(tns).as("tsns"))
+    val h = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("cnt"),
+      sum(col("value").cast("decimal(28,6)")).cast("double").as("sm"),
+      min(col("value")).as("mn"), max(col("value")).as("mx"),
+      sum(when(col("value") <= 50, 1L).otherwise(0L)).as("b1"),
+      sum(when(col("value") > 50 && col("value") <= 100, 1L).otherwise(0L)).as("b2"),
+      sum(when(col("value") > 100 && col("value") <= 250, 1L).otherwise(0L)).as("b3"),
+      sum(when(col("value") > 250, 1L).otherwise(0L)).as("b4"),
+      max(tns).as("tsns"))
+    val nulLong = lit(null).cast("bigint")
+    val nulDbl = lit(null).cast("double")
+    val nulBuckets = lit(null).cast("array<bigint>")
+    val nulBounds = lit(null).cast("array<double>")
+    val nulQuant =
+      lit(null).cast("array<struct<quantile double, value double>>")
+    g.select(col("event_type"),
+        lit("events_total").as("name"), lit("sum").as("metric_type"),
+        lit(2).as("temporality"), lit(true).as("is_monotonic"),
+        map(lit("host"), col("host")).as("labels"), col("tsns"),
+        col("cnt").cast("double").as("value"), nulLong.as("count"),
+        nulDbl.as("sum"), nulBuckets.as("bucket_counts"),
+        nulBounds.as("explicit_bounds"), nulQuant.as("quantiles"))
+      .unionByName(g.select(col("event_type"),
+        lit("event_value_max").as("name"), lit("gauge").as("metric_type"),
+        lit(null).cast("int").as("temporality"),
+        lit(null).cast("boolean").as("is_monotonic"),
+        map(lit("host"), col("host")).as("labels"), col("tsns"),
+        col("mx").as("value"), nulLong.as("count"), nulDbl.as("sum"),
+        nulBuckets.as("bucket_counts"), nulBounds.as("explicit_bounds"),
+        nulQuant.as("quantiles")))
+      .unionByName(h.select(col("event_type"),
+        lit("event_value_hist").as("name"),
+        lit("histogram").as("metric_type"), lit(2).as("temporality"),
+        lit(null).cast("boolean").as("is_monotonic"),
+        map().cast("map<string,string>").as("labels"), col("tsns"),
+        nulDbl.as("value"), col("cnt").as("count"), col("sm").as("sum"),
+        array(col("b1"), col("b2"), col("b3"), col("b4"))
+          .as("bucket_counts"),
+        array(lit(50.0), lit(100.0), lit(250.0)).as("explicit_bounds"),
+        nulQuant.as("quantiles")))
+      .unionByName(h.select(col("event_type"),
+        lit("event_value_summary").as("name"),
+        lit("summary").as("metric_type"),
+        lit(null).cast("int").as("temporality"),
+        lit(null).cast("boolean").as("is_monotonic"),
+        map().cast("map<string,string>").as("labels"), col("tsns"),
+        nulDbl.as("value"), col("cnt").as("count"), col("sm").as("sum"),
+        nulBuckets.as("bucket_counts"), nulBounds.as("explicit_bounds"),
+        array(struct(lit(0.0).as("quantile"), col("mn").as("value")),
+          struct(lit(1.0).as("quantile"), col("mx").as("value")))
+          .as("quantiles")))
+  }
+
+  /** Shared oracle-facing projection of the decoded metrics frame. */
+  private def otlpMetricsProject(decoded: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    decoded.select(
+      element_at(col("resource_attributes"), "service.name").as("service"),
+      col("name"), col("metric_type"), col("temporality"),
+      col("is_monotonic"),
+      element_at(col("labels"), "host").as("host"),
+      col("ts_unix_nano"),
+      col("value").as("point_value"),
+      col("count").as("point_count"),
+      col("sum").as("point_sum"),
+      element_at(col("bucket_counts"), 1).as("b1"),
+      element_at(col("bucket_counts"), 2).as("b2"),
+      element_at(col("bucket_counts"), 3).as("b3"),
+      element_at(col("bucket_counts"), 4).as("b4"),
+      element_at(col("explicit_bounds"), 3).as("bound_hi"),
+      element_at(col("quantiles"), 1).getField("value").as("q_min"),
+      element_at(col("quantiles"), 2).getField("value").as("q_max"))
+
+  private def OtlpMetricsOracle: String = """WITH g AS (
+               SELECT event_type, 'h' || CAST(user_id % 3 AS VARCHAR) AS host,
+                      count(*) AS cnt, max(value) AS mx,
+                      max(epoch_ns(ts)) AS tsns
+               FROM events GROUP BY 1, 2),
+             h AS (
+               SELECT event_type, count(*) AS cnt,
+                      CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sm,
+                      min(value) AS mn, max(value) AS mx,
+                      CAST(sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+                      CAST(sum(CASE WHEN value > 50 AND value <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+                      CAST(sum(CASE WHEN value > 100 AND value <= 250 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+                      CAST(sum(CASE WHEN value > 250 THEN 1 ELSE 0 END) AS BIGINT) AS b4,
+                      max(epoch_ns(ts)) AS tsns
+               FROM events GROUP BY 1)
+             SELECT event_type AS service, 'events_total' AS name,
+                    'sum' AS metric_type, CAST(2 AS INT) AS temporality,
+                    TRUE AS is_monotonic, host, tsns AS ts_unix_nano,
+                    CAST(cnt AS DOUBLE) AS point_value,
+                    CAST(NULL AS BIGINT) AS point_count,
+                    CAST(NULL AS DOUBLE) AS point_sum,
+                    CAST(NULL AS BIGINT) AS b1, CAST(NULL AS BIGINT) AS b2,
+                    CAST(NULL AS BIGINT) AS b3, CAST(NULL AS BIGINT) AS b4,
+                    CAST(NULL AS DOUBLE) AS bound_hi,
+                    CAST(NULL AS DOUBLE) AS q_min, CAST(NULL AS DOUBLE) AS q_max
+             FROM g
+             UNION ALL
+             SELECT event_type, 'event_value_max', 'gauge',
+                    CAST(NULL AS INT), CAST(NULL AS BOOLEAN), host, tsns,
+                    mx, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+             FROM g
+             UNION ALL
+             SELECT event_type, 'event_value_hist', 'histogram',
+                    CAST(2 AS INT), CAST(NULL AS BOOLEAN),
+                    CAST(NULL AS VARCHAR), tsns, CAST(NULL AS DOUBLE),
+                    cnt, sm, b1, b2, b3, b4, CAST(250.0 AS DOUBLE),
+                    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+             FROM h
+             UNION ALL
+             SELECT event_type, 'event_value_summary', 'summary',
+                    CAST(NULL AS INT), CAST(NULL AS BOOLEAN),
+                    CAST(NULL AS VARCHAR), tsns, CAST(NULL AS DOUBLE),
+                    cnt, sm, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                    CAST(NULL AS DOUBLE), mn, mx
+             FROM h"""
+
+  /** The span frame both sink_otlp_traces variants encode — parent /
+    * traceState / span-events / status branch on modular slices of
+    * `events`.
+    */
+  private def otlpTracesFlat(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tns = col("ts_ns") - col("ts_ns") % 1000
+    ev.select(col("event_type"),
+      md5(col("user_id").cast("string")).as("trace_id"),
+      substring(md5(col("event_id").cast("string")), 1, 16).as("span_id"),
+      when(col("event_id") % 3 =!= 0,
+        substring(md5(concat(lit("p"), col("user_id").cast("string"))), 1, 16))
+        .as("parent_span_id"),
+      when(col("event_id") % 2 === 0, lit("sampled=1")).as("trace_state"),
+      col("event_type").as("name"),
+      (col("event_id") % 5 + 1).cast("int").as("kind"),
+      tns.as("start_ns"),
+      (tns + (col("event_id") % 1000 + 1) * 1000000L).as("end_ns"),
+      map(lit("event_id"), col("event_id").cast("string"),
+        lit("user_id"), col("user_id").cast("string")).as("attrs"),
+      when(col("event_id") % 4 === 0, array(struct(
+        (tns + 500000L).as("ts_unix_nano"), lit("retry").as("name"),
+        map(lit("attempt"), lit("2")).as("attributes")))).as("span_events"),
+      (col("event_id") % 3).cast("int").as("status_code"),
+      when(col("event_id") % 3 === 2, lit("boom")).as("status_message"))
+  }
+
+  /** Shared oracle-facing projection of the decoded span frame. */
+  private def otlpTracesProject(decoded: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    decoded.select(
+      element_at(col("resource_attributes"), "service.name").as("service"),
+      col("scope_name"), col("trace_id"), col("span_id"),
+      col("parent_span_id"), col("trace_state"), col("name"),
+      col("kind"), col("start_unix_nano"), col("end_unix_nano"),
+      element_at(col("attributes"), "event_id").cast("long").as("event_id"),
+      coalesce(size(col("events")), lit(0)).as("event_count"),
+      element_at(col("events"), 1).getField("name").as("first_event_name"),
+      element_at(element_at(col("events"), 1).getField("attributes"),
+        "attempt").as("first_event_attempt"),
+      col("status_code"), col("status_message"))
+
+  private def OtlpTracesOracle: String = """SELECT event_type AS service,
+             'graft.out' AS scope_name,
+             md5(CAST(user_id AS VARCHAR)) AS trace_id,
+             substr(md5(CAST(event_id AS VARCHAR)), 1, 16) AS span_id,
+             CASE WHEN event_id % 3 <> 0
+                  THEN substr(md5('p' || CAST(user_id AS VARCHAR)), 1, 16)
+             END AS parent_span_id,
+             CASE WHEN event_id % 2 = 0 THEN 'sampled=1' END AS trace_state,
+             event_type AS name,
+             CAST(event_id % 5 + 1 AS INT) AS kind,
+             epoch_ns(ts) AS start_unix_nano,
+             epoch_ns(ts) + (event_id % 1000 + 1) * 1000000 AS end_unix_nano,
+             event_id,
+             CAST(CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END AS INT) AS event_count,
+             CASE WHEN event_id % 4 = 0 THEN 'retry' END AS first_event_name,
+             CASE WHEN event_id % 4 = 0 THEN '2' END AS first_event_attempt,
+             CAST(event_id % 3 AS INT) AS status_code,
+             CASE WHEN event_id % 3 = 2 THEN 'boom' END AS status_message
+             FROM events"""
 }
