@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.sinks.Formats
+
+/** The SaaS delivery body shapes (SURVEY.md §2.10 long tail): CloudWatch
+  * PutLogEvents, Cloud Logging entries.write, LogDNA ingest, BigQuery
+  * insertAll — each gated as a build→parse round trip whose oracle
+  * recomputes the flat truth straight from `events`. All four ride the
+  * proven [[graft.sinks.HttpSink]] transport; what each service needs is
+  * exactly its body builder in [[Formats]].
+  */
+object SaasQueries {
+
+  private val PayloadDdl = "event_id bigint, props string"
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // out_cloudwatch_logs (cloudwatch_api.c:440-560): one PutLogEvents
+    // body per (logGroup, logStream), events chronologically sorted,
+    // millisecond timestamps.
+    GraftQuery(
+      "sink_cloudwatch",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val msg = Formats.jsonLine(Seq(
+          "event_id" -> col("event_id"), "props" -> col("props")))
+        val bodies = ev
+          .groupBy(concat(lit("g-"), col("event_type")).as("grp"),
+            concat(lit("s"), (col("user_id") % 3).cast("string")).as("strm"))
+          .agg(collect_list(
+            // integer div: a double detour would round 1.7e18 ns to a
+            // 256 ns ulp and land ±1 ms off the oracle's epoch_ns//1e6
+            Formats.cloudwatchEvent(expr("ts_ns div 1000000"), msg))
+            .as("evs"))
+          .select(Formats.cloudwatchBody(col("grp"), col("strm"),
+            col("evs")).as("body"))
+        bodies
+          .select(from_json(col("body"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              s"""logGroupName string, logStreamName string,
+                  logEvents array<struct<timestamp: bigint, message: string>>"""))
+            .as("r"))
+          .select(col("r.logGroupName").as("log_group"),
+            col("r.logStreamName").as("log_stream"),
+            explode(col("r.logEvents")).as("e"))
+          .select(col("log_group"), col("log_stream"),
+            col("e.timestamp").as("ts_ms"),
+            from_json(col("e.message"),
+              org.apache.spark.sql.types.StructType.fromDDL(PayloadDdl))
+              .as("m"))
+          .select(col("log_group"), col("log_stream"), col("ts_ms"),
+            col("m.event_id").as("event_id"), col("m.props").as("props"))
+      },
+      Some("""SELECT 'g-' || event_type AS log_group,
+             's' || CAST(user_id % 3 AS VARCHAR) AS log_stream,
+             epoch_ns(ts) // 1000000 AS ts_ms,
+             event_id, props
+             FROM events""")
+    ),
+
+    // out_stackdriver (stackdriver.c:1728-1830): entries.write bodies —
+    // logName projects/<project>/logs/<tag>, mapped severity, RFC3339
+    // timestamp, residual fields under jsonPayload.
+    GraftQuery(
+      "sink_stackdriver",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val sev = element_at(
+          array(lit("DEBUG"), lit("INFO"), lit("WARNING"), lit("ERROR")),
+          (col("event_id") % 4 + 1).cast("int"))
+        val entry = Formats.stackdriverEntry(
+          logName = concat(lit("projects/graft/logs/"), col("event_type")),
+          severity = sev,
+          ts = col("ts"),
+          jsonPayload = struct(col("event_id"), col("props")))
+        val bodies = ev.groupBy(col("event_type"))
+          .agg(collect_list(entry).as("es"))
+          .select(Formats.stackdriverBody(col("es")).as("body"))
+        bodies
+          .select(explode(from_json(col("body"),
+            org.apache.spark.sql.types.DataType.fromDDL(
+              s"""struct<entries: array<struct<logName string,
+                  severity string, timestamp string,
+                  jsonPayload struct<event_id bigint, props string>>>>"""))
+            .getField("entries")).as("e"))
+          .select(col("e.logName").as("log_name"),
+            col("e.severity").as("severity"),
+            // RFC3339 micro-precision timestamp → epoch micros
+            unix_micros(to_timestamp(col("e.timestamp"),
+              "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")).as("ts_us"),
+            col("e.jsonPayload.event_id").as("event_id"),
+            col("e.jsonPayload.props").as("props"))
+      },
+      Some("""SELECT 'projects/graft/logs/' || event_type AS log_name,
+             CASE CAST(event_id % 4 AS INT)
+                  WHEN 0 THEN 'DEBUG' WHEN 1 THEN 'INFO'
+                  WHEN 2 THEN 'WARNING' ELSE 'ERROR' END AS severity,
+             epoch_ns(ts) // 1000 AS ts_us,
+             event_id, props
+             FROM events""")
+    ),
+
+    // out_logdna (logdna.c:200-280): {"lines":[{timestamp (int seconds),
+    // app, level, line}]} — promoted keys + the residual record JSON.
+    GraftQuery(
+      "sink_logdna",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val line = Formats.jsonLine(Seq(
+          "event_id" -> col("event_id"), "props" -> col("props")))
+        val lvl = element_at(
+          array(lit("info"), lit("warn"), lit("error")),
+          (col("event_id") % 3 + 1).cast("int"))
+        val bodies = ev.groupBy(col("event_type"))
+          .agg(collect_list(Formats.logdnaLine(col("ts_sec"),
+            concat(lit("app-"), col("event_type")), lvl, line)).as("ls"))
+          .select(Formats.logdnaBody(col("ls")).as("body"))
+        bodies
+          .select(explode(from_json(col("body"),
+            org.apache.spark.sql.types.DataType.fromDDL(
+              s"""struct<lines: array<struct<timestamp bigint, app string,
+                  level string, line string>>>""")).getField("lines"))
+            .as("l"))
+          .select(col("l.timestamp").as("ts_sec"), col("l.app").as("app"),
+            col("l.level").as("level"),
+            from_json(col("l.line"),
+              org.apache.spark.sql.types.StructType.fromDDL(PayloadDdl))
+              .as("m"))
+          .select(col("ts_sec"), col("app"), col("level"),
+            col("m.event_id").as("event_id"), col("m.props").as("props"))
+      },
+      Some("""SELECT epoch_ns(ts) // 1000000000 AS ts_sec,
+             'app-' || event_type AS app,
+             CASE CAST(event_id % 3 AS INT)
+                  WHEN 0 THEN 'info' WHEN 1 THEN 'warn'
+                  ELSE 'error' END AS level,
+             event_id, props
+             FROM events""")
+    ),
+
+    // out_bigquery (bigquery.c:917-975): insertAll bodies {"rows":
+    // [{"json":{…}}]} — no insertId, matching the reference.
+    GraftQuery(
+      "sink_bigquery",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val bodies = ev.groupBy(col("event_type"), expr("event_id div 500"))
+          .agg(collect_list(struct(col("event_id"), col("user_id"),
+            col("props"))).as("rs"))
+          .select(Formats.bigqueryBody(col("rs")).as("body"))
+        bodies
+          .select(explode(from_json(col("body"),
+            org.apache.spark.sql.types.DataType.fromDDL(
+              s"""struct<rows: array<struct<json struct<event_id bigint,
+                  user_id bigint, props string>>>>""")).getField("rows"))
+            .as("r"))
+          .select(col("r.json.event_id").as("event_id"),
+            col("r.json.user_id").as("user_id"),
+            col("r.json.props").as("props"))
+      },
+      Some("SELECT event_id, user_id, props FROM events")
+    )
+  )
+}

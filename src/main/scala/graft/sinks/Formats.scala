@@ -185,6 +185,58 @@ object Formats {
       source.as("source"), sourcetype.as("sourcetype"),
       index.as("index"), fields.as("fields"), event.as("event")))
 
+  /** CloudWatch Logs `PutLogEvents` body (out_cloudwatch_logs
+    * `plugins/out_cloudwatch_logs/cloudwatch_api.c:440-520` init_put_payload
+    * + write_event): `{"logGroupName":…,"logStreamName":…,
+    * "logEvents":[{"timestamp":<ms>,"message":…},…]}`. The API requires
+    * events in chronological order — pass `events` through
+    * `array_sort`, which orders the (timestamp, message) structs by
+    * timestamp first.
+    */
+  def cloudwatchEvent(timestampMs: Column, message: Column): Column =
+    struct(timestampMs.cast("long").as("timestamp"), message.as("message"))
+
+  def cloudwatchBody(group: Column, stream: Column, events: Column): Column =
+    to_json(struct(group.as("logGroupName"), stream.as("logStreamName"),
+      array_sort(events).as("logEvents")))
+
+  /** Cloud Logging `entries.write` entry (out_stackdriver
+    * `plugins/out_stackdriver/stackdriver.c:1728-1830`): `logName`
+    * (`projects/<project>/logs/<tag>`), mapped `severity`, RFC3339
+    * `timestamp`, residual fields under `jsonPayload`. The body is
+    * `{"entries":[…]}`.
+    */
+  def stackdriverEntry(logName: Column, severity: Column, ts: Column,
+                       jsonPayload: Column): Column = {
+    val utcTs = to_utc_timestamp(ts, expr("current_timezone()"))
+    struct(logName.as("logName"), severity.as("severity"),
+      date_format(utcTs, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("timestamp"),
+      jsonPayload.as("jsonPayload"))
+  }
+
+  def stackdriverBody(entries: Column): Column =
+    to_json(struct(entries.as("entries")))
+
+  /** LogDNA ingest line (out_logdna `plugins/out_logdna/logdna.c:200-280`):
+    * promoted `app`/`level` keys, integer-seconds `timestamp`, the
+    * residual record JSON as `line`; the POST body is `{"lines":[…]}`.
+    */
+  def logdnaLine(timestampSec: Column, app: Column, level: Column,
+                 line: Column): Column =
+    struct(timestampSec.cast("long").as("timestamp"), app.as("app"),
+      level.as("level"), line.as("line"))
+
+  def logdnaBody(lines: Column): Column =
+    to_json(struct(lines.as("lines")))
+
+  /** BigQuery `tabledata.insertAll` body (out_bigquery
+    * `plugins/out_bigquery/bigquery.c:917-975`): `{"rows":[{"json":
+    * {…}},…]}` — the reference skips `insertId` (bigquery.c:964 "we
+    * don't support the insertId"), so rows carry only the record.
+    */
+  def bigqueryBody(rows: Column): Column =
+    to_json(struct(transform(rows, r => struct(r.as("json"))).as("rows")))
+
   /** Datadog log-intake record (out_datadog `plugins/out_datadog/
     * datadog.c:221-340` datadog_format; key names datadog.h:28-35):
     * `{"timestamp":<ms>,"ddsource":…,"service":…,"hostname":…,
