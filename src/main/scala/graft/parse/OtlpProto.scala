@@ -662,19 +662,45 @@ object OtlpProto {
     }
   }
 
+  /** Strip a gRPC unary request down to its protobuf message: 1-byte
+    * compressed flag + 4-byte big-endian length + message (the framing
+    * the reference's gRPC endpoints receive, opentelemetry_prot.c's
+    * `*_grpc` routes). flag=1 means the MESSAGE is gzip-compressed
+    * (grpc-encoding), independently of HTTP Content-Encoding.
+    */
+  def stripGrpcFrame(body: Array[Byte]): Array[Byte] = {
+    if (body.length < 5)
+      throw new IllegalArgumentException("truncated gRPC frame")
+    val compressed = body(0) == 1
+    val len = ((body(1) & 0xff) << 24) | ((body(2) & 0xff) << 16) |
+      ((body(3) & 0xff) << 8) | (body(4) & 0xff)
+    if (len < 0 || 5 + len > body.length)
+      throw new IllegalArgumentException("bad gRPC frame length")
+    val msg = java.util.Arrays.copyOfRange(body, 5, 5 + len)
+    if (compressed) gunzip(msg) else msg
+  }
+
+  private def isGrpc(contentType: String): Boolean = {
+    val ct = Option(contentType).getOrElse("").trim
+      .toLowerCase(java.util.Locale.ROOT)
+    ct.takeWhile(c => c != ';' && c != ' ' && c != '+') == "application/grpc"
+  }
+
   /** Normalize one POST body to the proto3-JSON string the [[Otlp]]
     * decoders flatten: gunzip when Content-Encoding (or the magic bytes)
-    * say gzip, then binary-protobuf → JSON when Content-Type (or a JSON
-    * sniff) says protobuf. `toJson` is [[logsToJson]]/[[metricsToJson]]/
+    * say gzip, unwrap gRPC framing when Content-Type says grpc, then
+    * binary-protobuf → JSON when Content-Type (or a JSON sniff) says
+    * protobuf. `toJson` is [[logsToJson]]/[[metricsToJson]]/
     * [[tracesToJson]].
     */
   def normalize(body: Array[Byte], contentType: String, contentEncoding: String,
                 toJson: Array[Byte] => String): String = {
     val ce = Option(contentEncoding).getOrElse("")
       .toLowerCase(java.util.Locale.ROOT)
-    val raw =
+    val unzipped =
       if (ce.contains("gzip") || (ce.isEmpty && isGzip(body))) gunzip(body)
       else body
+    val raw = if (isGrpc(contentType)) stripGrpcFrame(unzipped) else unzipped
     if (isProtobuf(contentType, raw)) toJson(raw)
     else new String(raw, java.nio.charset.StandardCharsets.UTF_8)
   }

@@ -94,6 +94,26 @@ object Sources {
       col("content_type"), lit(null))
   }
 
+  /** /v1/metrics twin of [[otlpLogsHttp]] — one row per data point. */
+  def otlpMetricsHttp(spark: SparkSession, port: Int,
+                      host: String = "127.0.0.1"): DataFrame = {
+    val raw = spark.readStream.format("graft.sources.HttpServerSource")
+      .option("port", port).option("host", host)
+      .option("body", "raw").load()
+    graft.parse.OtlpProto.decodeMetricsBodies(raw, unbase64(col("value")),
+      col("content_type"), lit(null))
+  }
+
+  /** /v1/traces twin of [[otlpLogsHttp]] — one row per span. */
+  def otlpTracesHttp(spark: SparkSession, port: Int,
+                     host: String = "127.0.0.1"): DataFrame = {
+    val raw = spark.readStream.format("graft.sources.HttpServerSource")
+      .option("port", port).option("host", host)
+      .option("body", "raw").load()
+    graft.parse.OtlpProto.decodeTracesBodies(raw, unbase64(col("value")),
+      col("content_type"), lit(null))
+  }
+
   /** in_prometheus_remote_write (plugins/in_prometheus_remote_write):
     * listening HTTP endpoint; each POST body is a snappy-compressed
     * protobuf `WriteRequest` decoded into one row per sample

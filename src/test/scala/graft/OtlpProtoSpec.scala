@@ -245,6 +245,36 @@ class OtlpProtoSpec extends AnyFunSuite {
     }
   }
 
+  test("gRPC framing: unary frame unwraps, compressed flag gunzips the message") {
+    val pb = OtlpProto.encodeLogsRequest(OtlpProto.LogGroupRow(
+      Seq(OtlpProto.KvPair("r", "1")), Some("s"), None,
+      Seq(OtlpProto.LogRecRow(Some(7L), None, None, None, Some("grpc"),
+        Seq.empty, None))))
+    val json = OtlpProto.logsToJson(pb)
+    def frame(msg: Array[Byte], compressed: Boolean): Array[Byte] = {
+      val n = msg.length
+      Array[Byte](if (compressed) 1 else 0,
+        ((n >> 24) & 0xff).toByte, ((n >> 16) & 0xff).toByte,
+        ((n >> 8) & 0xff).toByte, (n & 0xff).toByte) ++ msg
+    }
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    assert(OtlpProto.normalize(frame(pb, compressed = false),
+      "application/grpc", "", OtlpProto.logsToJson) == json)
+    assert(OtlpProto.normalize(frame(gz(pb), compressed = true),
+      "application/grpc", "", OtlpProto.logsToJson) == json)
+    // truncated frame and over-long declared length are protocol errors
+    intercept[IllegalArgumentException] {
+      OtlpProto.stripGrpcFrame(Array[Byte](0, 0, 0))
+    }
+    intercept[IllegalArgumentException] {
+      OtlpProto.stripGrpcFrame(Array[Byte](0, 0, 0, 0, 9, 1, 2))
+    }
+  }
+
   test("hostile bodies: truncated/negative lengths throw; batch decode drops them") {
     val pb = OtlpProto.encodeLogsRequest(OtlpProto.LogGroupRow(
       Seq.empty, Some("s"), None,
