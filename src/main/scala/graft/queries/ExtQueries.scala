@@ -515,6 +515,81 @@ object ExtQueries {
              FROM m""")
     ),
 
+    // Within-document repetition: duplicated-bigram fraction (the
+    // Gopher-style boilerplate/degeneration signal). Map-only; the
+    // oracle rebuilds the same bigrams with 1-based list indexing.
+    GraftQuery(
+      "x_text_repetition",
+      (s, dir) =>
+        TextAnalysis.repetitionRatio(Tables.documents(s, dir),
+          col("doc_id"), col("text")),
+      Some("""WITH b AS (
+               SELECT doc_id,
+                      list_transform(range(1, len(string_split(text, ' '))),
+                        i -> string_split(text, ' ')[i] || ' ' ||
+                             string_split(text, ' ')[i + 1]) AS bgs
+               FROM documents)
+             SELECT doc_id,
+                    len(bgs) AS n_bigrams,
+                    len(list_distinct(bgs)) AS n_distinct,
+                    CASE WHEN len(bgs) > 0
+                         THEN round(CAST(len(bgs) - len(list_distinct(bgs))
+                                    AS DOUBLE) / len(bgs), 3)
+                         ELSE 0.0 END AS repetition_ratio
+             FROM b""")
+    ),
+
+    // PII detection + scrub: email/IPv4/phone patterns counted and
+    // replaced by typed placeholders. PII is synthesized onto the text
+    // identically on both sides so the counts are non-zero and the
+    // replacement semantics (global, ordered) are gated — DuckDB's
+    // regexp_replace needs the 'g' flag for parity with Spark's
+    // replace-all.
+    GraftQuery(
+      "x_text_pii",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("text", concat(col("text"),
+            lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com from "),
+            lit("10.0."), (col("doc_id") % 256).cast("string"), lit(".7"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" tel 555-01"), lpad((col("doc_id") % 10)
+                .cast("string"), 1, "0"), lit("-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+              .otherwise(lit(""))))
+        TextAnalysis.piiScrub(docs, col("doc_id"), col("text"))
+      },
+      Some("""WITH aug AS (
+               SELECT doc_id,
+                      text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+                      '@example.com from 10.0.' ||
+                      CAST(doc_id % 256 AS VARCHAR) || '.7' ||
+                      CASE WHEN doc_id % 3 = 0
+                           THEN ' tel 555-01' || CAST(doc_id % 10 AS VARCHAR)
+                                || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                               4, '0')
+                           ELSE '' END AS text
+               FROM documents)
+             SELECT doc_id,
+                    len(regexp_extract_all(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                      AS n_email,
+                    len(regexp_extract_all(text,
+                      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+                      AS n_ip,
+                    len(regexp_extract_all(text,
+                      '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS n_phone,
+                    regexp_replace(regexp_replace(regexp_replace(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                      '<EMAIL>', 'g'),
+                      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                      '<IP>', 'g'),
+                      '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')
+                      AS scrubbed
+             FROM aug""")
+    ),
+
     // Token counting: whitespace + BPE-ish regex segmentation.
     GraftQuery(
       "x_text_tokens",

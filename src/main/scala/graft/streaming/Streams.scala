@@ -82,6 +82,18 @@ object Streams {
       .groupBy((session_window(col(tsCol), gap) +: groupKeys.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
 
+  /** Streaming exact dedup with BOUNDED state — the streaming twin of
+    * the batch `x_dedup_exact` operator: duplicates of a key are
+    * dropped while the key is within the watermark horizon, and its
+    * state is evicted once the watermark passes (so a re-ingested
+    * at-least-once replay inside the horizon dedups, while state never
+    * grows with stream lifetime — the property that matters at 100 TB).
+    */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, watermark: String,
+                           keyCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Tag-routed fan-out: one writeStream per sink pattern
     * (§2.8 routing; each sink gets its own checkpoint = independent
     * delivery progress, like per-output task queues).

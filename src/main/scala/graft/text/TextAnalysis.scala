@@ -86,6 +86,52 @@ object TextAnalysis {
         .as("split"))
   }
 
+  /** Within-document repetition ratio — the Gopher-style quality signal
+    * (fraction of duplicated word bigrams) that catches boilerplate and
+    * degenerate generations: `1 - distinct_bigrams / total_bigrams`.
+    * Shingling is the codegen [[graft.functions.WordShingles]]
+    * expression; the whole operator is a map-only projection — no
+    * shuffle at any corpus size. Docs with fewer than 2 words score 0.
+    */
+  def repetitionRatio(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    val bigrams = graft.functions.TextFunctions.wordShingles(text, 2)
+    val total = size(bigrams)
+    val distinct = size(array_distinct(bigrams))
+    df.select(
+      idCol.as("doc_id"),
+      total.as("n_bigrams"),
+      distinct.as("n_distinct"),
+      when(total > 0,
+        round((total - distinct).cast("double") / total, 3))
+        .otherwise(lit(0.0)).as("repetition_ratio"))
+  }
+
+  // PII patterns kept to the regex subset with identical semantics in
+  // Java regex and RE2 (the oracle engine): no lookarounds, no
+  // backreferences.
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Pat = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private val PhonePat = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** PII detection + scrubbing — the redaction pass every training-data
+    * pipeline runs before release: per-doc match counts for email /
+    * IPv4 / phone-shaped tokens and the text with each replaced by a
+    * typed placeholder. Pure regexp column expressions, map-only.
+    */
+  def piiScrub(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPat, "<EMAIL>"),
+        Ipv4Pat, "<IP>"),
+      PhonePat, "<PHONE>")
+    df.select(
+      idCol.as("doc_id"),
+      size(regexp_extract_all(text, lit(EmailPat), lit(0))).as("n_email"),
+      size(regexp_extract_all(text, lit(Ipv4Pat), lit(0))).as("n_ip"),
+      size(regexp_extract_all(text, lit(PhonePat), lit(0))).as("n_phone"),
+      scrubbed.as("scrubbed"))
+  }
+
   /** Document fingerprint: position-weighted rolling hash over tokens.
     * Token hash = two md5 hex chars (portable, exact int64 math); weight
     * cycles with position so near-identical docs with swapped words get

@@ -776,6 +776,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains(("2024-01-01 00:00:40", "2024-01-01 00:00:50", 1L, 5.0)), rows)
   }
 
+  test("streaming exact dedup drops replays within the watermark, state bounded") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = in.toDF().toDF("ts", "doc_id", "body")
+    val out = Streams.dedupWithinWatermark(df, "ts", "30 seconds",
+      Seq("doc_id"))
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      in.addData(
+        (t("2024-01-01 00:00:01"), "d1", "a"),
+        (t("2024-01-01 00:00:02"), "d2", "b"),
+        (t("2024-01-01 00:00:03"), "d1", "a-replay")) // dup inside horizon
+      q.processAllAvailable()
+      // advance the watermark far past d1/d2 so their state evicts
+      in.addData((t("2024-01-01 00:05:00"), "d3", "c"))
+      q.processAllAvailable()
+      // d1 re-ingested AFTER eviction: state is gone, row re-admits —
+      // the bounded-state contract (horizon dedup, not forever dedup)
+      in.addData((t("2024-01-01 00:05:01"), "d1", "a-late"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("dedup_out")
+      .select(col("doc_id"), col("body")).as[(String, String)]
+      .collect().toSeq
+    assert(rows.count(_._1 == "d1") == 2, rows) // once per horizon
+    assert(rows.map(_._2).toSet == Set("a", "b", "c", "a-late"))
+    assert(!rows.map(_._2).contains("a-replay"))
+  }
+
   test("windowed streaming aggregation with watermark emits closed windows") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
