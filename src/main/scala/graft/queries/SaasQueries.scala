@@ -140,6 +140,100 @@ object SaasQueries {
              FROM events""")
     ),
 
+    // out_kinesis_firehose (firehose_api.c:80-130): PutRecordBatch
+    // bodies with base64-encoded record payloads, decoded back through
+    // unbase64 — encode→decode gated.
+    GraftQuery(
+      "sink_kinesis_firehose",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val rec = Formats.jsonLine(Seq(
+          "event_id" -> col("event_id"), "props" -> col("props")))
+        val bodies = ev.groupBy(col("event_type"), expr("event_id div 500"))
+          .agg(collect_list(rec).as("rs"))
+          .select(Formats.kinesisFirehoseBody(
+            concat(lit("stream-"), col("event_type")), col("rs")).as("body"))
+        bodies
+          .select(from_json(col("body"),
+            org.apache.spark.sql.types.DataType.fromDDL(
+              """struct<DeliveryStreamName: string,
+                  Records: array<struct<Data string>>>""")).as("r"))
+          .select(col("r.DeliveryStreamName").as("delivery_stream"),
+            explode(col("r.Records")).as("rec"))
+          .select(col("delivery_stream"),
+            from_json(unbase64(col("rec.Data")).cast("string"),
+              org.apache.spark.sql.types.StructType.fromDDL(PayloadDdl))
+              .as("m"))
+          .select(col("delivery_stream"),
+            col("m.event_id").as("event_id"), col("m.props").as("props"))
+      },
+      Some("""SELECT 'stream-' || event_type AS delivery_stream,
+             event_id, props FROM events""")
+    ),
+
+    // out_kinesis_streams (kinesis_api.c:140-190): PutRecords bodies —
+    // base64 Data plus a per-record PartitionKey (deterministic here
+    // where the reference appends a random suffix; the shape is what's
+    // gated).
+    GraftQuery(
+      "sink_kinesis_streams",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val rec = struct(
+          Formats.jsonLine(Seq(
+            "event_id" -> col("event_id"), "props" -> col("props")))
+            .as("data"),
+          substring(md5(col("event_id").cast("string")), 1, 10)
+            .as("partition_key"))
+        val bodies = ev.groupBy(col("event_type"), expr("event_id div 500"))
+          .agg(collect_list(rec).as("rs"))
+          .select(Formats.kinesisStreamsBody(
+            concat(lit("ks-"), col("event_type")), col("rs")).as("body"))
+        bodies
+          .select(from_json(col("body"),
+            org.apache.spark.sql.types.DataType.fromDDL(
+              """struct<StreamName: string, Records: array<struct<
+                  Data string, PartitionKey string>>>""")).as("r"))
+          .select(col("r.StreamName").as("stream"),
+            explode(col("r.Records")).as("rec"))
+          .select(col("stream"), col("rec.PartitionKey").as("partition_key"),
+            from_json(unbase64(col("rec.Data")).cast("string"),
+              org.apache.spark.sql.types.StructType.fromDDL(PayloadDdl))
+              .as("m"))
+          .select(col("stream"), col("partition_key"),
+            col("m.event_id").as("event_id"), col("m.props").as("props"))
+      },
+      Some("""SELECT 'ks-' || event_type AS stream,
+             substr(md5(CAST(event_id AS VARCHAR)), 1, 10) AS partition_key,
+             event_id, props FROM events""")
+    ),
+
+    // out_slack (slack.c:220-230): one {"text": ...} webhook payload
+    // per batch, records newline-joined — decode splits the text back
+    // into per-record lines.
+    GraftQuery(
+      "sink_slack",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val line = Formats.jsonLine(Seq(
+          "event_id" -> col("event_id"), "props" -> col("props")))
+        val bodies = ev.groupBy(col("event_type"))
+          .agg(array_join(collect_list(line), "\n").as("txt"))
+          .select(col("event_type"), Formats.slackBody(col("txt")).as("body"))
+        bodies
+          .select(col("event_type"),
+            explode(split(get_json_object(col("body"), "$.text"), "\n"))
+              .as("l"))
+          .select(col("event_type"),
+            from_json(col("l"),
+              org.apache.spark.sql.types.StructType.fromDDL(PayloadDdl))
+              .as("m"))
+          .select(col("event_type"), col("m.event_id").as("event_id"),
+            col("m.props").as("props"))
+      },
+      Some("SELECT event_type, event_id, props FROM events")
+    ),
+
     // out_bigquery (bigquery.c:917-975): insertAll bodies {"rows":
     // [{"json":{…}}]} — no insertId, matching the reference.
     GraftQuery(

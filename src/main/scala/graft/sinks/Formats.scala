@@ -237,6 +237,32 @@ object Formats {
   def bigqueryBody(rows: Column): Column =
     to_json(struct(transform(rows, r => struct(r.as("json"))).as("rows")))
 
+  /** Kinesis Firehose `PutRecordBatch` body (out_kinesis_firehose
+    * `firehose_api.c:80-130`): `{"DeliveryStreamName":…,"Records":
+    * [{"Data":"<base64 record>"},…]}` — records travel base64-encoded.
+    */
+  def kinesisFirehoseBody(deliveryStream: Column, datas: Column): Column =
+    to_json(struct(deliveryStream.as("DeliveryStreamName"),
+      transform(datas, d => struct(base64(d.cast("binary")).as("Data")))
+        .as("Records")))
+
+  /** Kinesis Streams `PutRecords` body (out_kinesis_streams
+    * `kinesis_api.c:140-190`): like Firehose plus a per-record
+    * `PartitionKey`. `records` is `array<struct<data string,
+    * partition_key string>>`.
+    */
+  def kinesisStreamsBody(streamName: Column, records: Column): Column =
+    to_json(struct(streamName.as("StreamName"),
+      transform(records, r => struct(
+        base64(r.getField("data").cast("binary")).as("Data"),
+        r.getField("partition_key").as("PartitionKey"))).as("Records")))
+
+  /** Slack incoming-webhook payload (out_slack `slack.c:220-230`): the
+    * whole batch renders as one `{"text": …}` message.
+    */
+  def slackBody(text: Column): Column =
+    to_json(struct(text.as("text")))
+
   /** Datadog log-intake record (out_datadog `plugins/out_datadog/
     * datadog.c:221-340` datadog_format; key names datadog.h:28-35):
     * `{"timestamp":<ms>,"ddsource":…,"service":…,"hostname":…,

@@ -808,6 +808,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(!rows.map(_._2).contains("a-replay"))
   }
 
+  test("tcp sink loopback: out_tcp lines land in this engine's tcp source") {
+    import org.apache.spark.sql.functions._
+    val probe = new java.net.ServerSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+    val src = graft.sources.Sources.tcpLines(spark, port).select(col("value"))
+    val q = src.writeStream.format("memory").queryName("tcp_sink_loop")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      val deadline = System.currentTimeMillis + 30000
+      var up = false
+      while (!up && System.currentTimeMillis < deadline) {
+        try { new java.net.Socket("127.0.0.1", port).close(); up = true }
+        catch { case _: java.net.ConnectException => Thread.sleep(100) }
+      }
+      assert(up)
+      val df = Seq("line a", "line b", "line c").toDF("value").coalesce(1)
+      graft.sinks.SocketSinks.writeTcp(df, "127.0.0.1", port)
+      awaitRows("tcp_sink_loop", 3)
+    } finally q.stop()
+    assert(spark.table("tcp_sink_loop").as[String].collect().toSet ==
+      Set("line a", "line b", "line c"))
+  }
+
+  test("udp sink loopback: out_udp datagrams land in this engine's udp source") {
+    import org.apache.spark.sql.functions._
+    val probe = new java.net.DatagramSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+    val src = graft.sources.Sources.udpLines(spark, port).select(col("value"))
+    val q = src.writeStream.format("memory").queryName("udp_sink_loop")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      // datagrams are fire-and-forget: retry the batch until the
+      // listening source has bound and rows appear
+      val deadline = System.currentTimeMillis + 30000
+      val df = Seq("dgram 1", "dgram 2").toDF("value").coalesce(1)
+      var count = 0L
+      while (count < 2 && System.currentTimeMillis < deadline) {
+        graft.sinks.SocketSinks.writeUdp(df, "127.0.0.1", port)
+        Thread.sleep(300)
+        count = spark.table("udp_sink_loop").count()
+      }
+      assert(count >= 2, s"udp rows after retries: $count")
+    } finally q.stop()
+    assert(spark.table("udp_sink_loop").as[String].collect().toSet ==
+      Set("dgram 1", "dgram 2"))
+  }
+
   test("windowed streaming aggregation with watermark emits closed windows") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
