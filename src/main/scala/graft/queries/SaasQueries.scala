@@ -234,6 +234,68 @@ object SaasQueries {
       Some("SELECT event_type, event_id, props FROM events")
     ),
 
+    // out_nrlogs (newrelic.c:53-140,190-240): [{common, logs:[{timestamp
+    // ms, message, attributes}]}] — the message key lifted, residual
+    // fields under attributes.
+    GraftQuery(
+      "sink_nrlogs",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val bodies = ev.groupBy(col("event_type"))
+          .agg(collect_list(Formats.nrlogsLine(
+            expr("ts_ns div 1000000"),
+            concat(lit("ev #"), col("event_id").cast("string")),
+            map(lit("user_id"), col("user_id").cast("string"),
+              lit("props"), col("props")))).as("ls"))
+          .select(Formats.nrlogsBody(col("ls")).as("body"))
+        bodies
+          .select(explode(from_json(col("body"),
+            org.apache.spark.sql.types.DataType.fromDDL(
+              """array<struct<common struct<attributes struct<
+                  plugin struct<type string>>>,
+                  logs array<struct<timestamp bigint, message string,
+                  attributes map<string,string>>>>>"""))).as("b"))
+          .select(col("b.common.attributes.plugin.type").as("plugin_type"),
+            explode(col("b.logs")).as("l"))
+          .select(col("plugin_type"), col("l.timestamp").as("ts_ms"),
+            col("l.message").as("message"),
+            element_at(col("l.attributes"), "user_id").cast("long")
+              .as("user_id"),
+            element_at(col("l.attributes"), "props").as("props"))
+      },
+      Some("""SELECT 'graft' AS plugin_type,
+             epoch_ns(ts) // 1000000 AS ts_ms,
+             'ev #' || CAST(event_id AS VARCHAR) AS message,
+             user_id, props
+             FROM events""")
+    ),
+
+    // out_azure (azure.c:120-200): Log Analytics POST body — a bare
+    // JSON array of records carrying the configured time key; the
+    // SharedKey signature is header-side (HttpSink.azureSharedKeyAuth,
+    // unit-spec'd).
+    GraftQuery(
+      "sink_azure",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val rec = struct(expr("ts_ns div 1000000").as("TimeGenerated"),
+          col("event_id"), col("user_id"), col("props"))
+        val bodies = ev.groupBy(col("event_type"), expr("event_id div 500"))
+          .agg(collect_list(rec).as("rs"))
+          .select(Formats.azureBody(col("rs")).as("body"))
+        bodies
+          .select(explode(from_json(col("body"),
+            org.apache.spark.sql.types.DataType.fromDDL(
+              """array<struct<TimeGenerated bigint, event_id bigint,
+                  user_id bigint, props string>>"""))).as("r"))
+          .select(col("r.TimeGenerated").as("time_generated"),
+            col("r.event_id").as("event_id"),
+            col("r.user_id").as("user_id"), col("r.props").as("props"))
+      },
+      Some("""SELECT epoch_ns(ts) // 1000000 AS time_generated,
+             event_id, user_id, props FROM events""")
+    ),
+
     // out_bigquery (bigquery.c:917-975): insertAll bodies {"rows":
     // [{"json":{…}}]} — no insertId, matching the reference.
     GraftQuery(

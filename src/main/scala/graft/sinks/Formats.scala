@@ -263,6 +263,29 @@ object Formats {
   def slackBody(text: Column): Column =
     to_json(struct(text.as("text")))
 
+  /** New Relic Logs record (out_nrlogs `newrelic.c:53-140`
+    * package_record): `{"timestamp":<ms>,"message":<log|message key>,
+    * "attributes":{residual}}`, wrapped as
+    * `[{"common":{"attributes":{"plugin":…}},"logs":[…]}]`.
+    */
+  def nrlogsLine(timestampMs: Column, message: Column,
+                 attributes: Column): Column =
+    struct(timestampMs.cast("long").as("timestamp"),
+      message.as("message"), attributes.as("attributes"))
+
+  def nrlogsBody(logs: Column): Column =
+    to_json(array(struct(
+      struct(struct(struct(lit("graft").as("type")).as("plugin"))
+        .as("attributes")).as("common"),
+      logs.as("logs"))))
+
+  /** Azure Log Analytics record batch (out_azure `azure.c:120-200`):
+    * the POST body is a bare JSON array of records, each carrying the
+    * configured time key; Log-Type and the SharedKey signature ride as
+    * headers (see [[HttpSink.azureSharedKeyAuth]]).
+    */
+  def azureBody(records: Column): Column = to_json(records)
+
   /** Datadog log-intake record (out_datadog `plugins/out_datadog/
     * datadog.c:221-340` datadog_format; key names datadog.h:28-35):
     * `{"timestamp":<ms>,"ddsource":…,"service":…,"hostname":…,

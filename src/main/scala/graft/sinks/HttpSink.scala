@@ -153,6 +153,28 @@ object HttpSink {
     }
   }
 
+  /** Azure Log Analytics SharedKey authorization (out_azure
+    * `azure.c:230-330` build_headers): the string-to-sign is
+    * `POST\n<content-length>\napplication/json\nx-ms-date:<rfc1123>\n
+    * /api/logs`, HMAC-SHA256'd with the base64-DECODED workspace key,
+    * base64-encoded into `SharedKey <customerId>:<signature>`. Returns
+    * the (Authorization, x-ms-date) header pair; `rfc1123Date` is a
+    * parameter so callers (and specs) control the clock.
+    */
+  def azureSharedKeyAuth(customerId: String, sharedKeyB64: String,
+                         contentLength: Int,
+                         rfc1123Date: String): Seq[(String, String)] = {
+    val toSign = s"POST\n$contentLength\napplication/json\n" +
+      s"x-ms-date:$rfc1123Date\n/api/logs"
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(
+      java.util.Base64.getDecoder.decode(sharedKeyB64), "HmacSHA256"))
+    val sig = java.util.Base64.getEncoder.encodeToString(
+      mac.doFinal(toSign.getBytes(StandardCharsets.UTF_8)))
+    Seq("Authorization" -> s"SharedKey $customerId:$sig",
+      "x-ms-date" -> rfc1123Date)
+  }
+
   /** Splunk HEC sender (out_splunk `plugins/out_splunk/splunk.c`): lines
     * are [[Formats.splunkHecEvent]] payloads, batched newline-joined to
     * `/services/collector/event` with the `Splunk <token>` auth header —

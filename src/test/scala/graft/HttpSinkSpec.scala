@@ -233,6 +233,27 @@ class HttpSinkSpec extends AnyFunSuite {
     assert(entries == Set(("1", "line a"), ("2", "line b")))
   }
 
+  test("azure SharedKey auth: deterministic signature over the documented string-to-sign") {
+    val key = java.util.Base64.getEncoder.encodeToString(
+      "workspace-secret".getBytes("UTF-8"))
+    val date = "Mon, 01 Jan 2024 00:00:00 GMT"
+    val headers = HttpSink.azureSharedKeyAuth("ws-123", key, 42, date).toMap
+    assert(headers.get("x-ms-date").contains(date))
+    val auth = headers("Authorization")
+    assert(auth.startsWith("SharedKey ws-123:"))
+    // independent reference computation of the azure.c:230-280 string
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(
+      "workspace-secret".getBytes("UTF-8"), "HmacSHA256"))
+    val want = java.util.Base64.getEncoder.encodeToString(mac.doFinal(
+      ("POST\n42\napplication/json\nx-ms-date:" + date + "\n/api/logs")
+        .getBytes("UTF-8")))
+    assert(auth == s"SharedKey ws-123:$want")
+    // same inputs → same signature; different length → different one
+    assert(HttpSink.azureSharedKeyAuth("ws-123", key, 42, date).toMap == headers)
+    assert(HttpSink.azureSharedKeyAuth("ws-123", key, 43, date).toMap != headers)
+  }
+
   test("loopback e2e: writeSplunkHec round-trips splunkHecEvent through the HEC parser") {
     import org.apache.spark.sql.functions._
     import graft.sinks.Formats

@@ -108,6 +108,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("*("), "assignment argmax must stay in codegen")
   }
 
+  test("repetition/pii text operators are map-only: no exchange at all") {
+    for (q <- Seq("x_text_repetition", "x_text_pii")) {
+      val plan = planOf(q)
+      for (bad <- Seq("Exchange", "Join", "Window", "Aggregate"))
+        assert(!plan.contains(bad),
+          s"$q must be a pure projection, found $bad:\n" + plan.take(2000))
+      assert(plan.contains("*("), s"$q must stay in whole-stage codegen")
+    }
+  }
+
   test("quantized top-k packs vectors as binary and scores in codegen") {
     val df = Registry.queries("x_ann_quantized")(spark, sf)
     df.collect() // finalize the adaptive plan
