@@ -857,6 +857,70 @@ class StreamingSpec extends AnyFunSuite {
       Set("dgram 1", "dgram 2"))
   }
 
+  test("nats sink e2e: INFO/CONNECT handshake then PUB frames against a scripted server") {
+    import org.apache.spark.sql.functions._
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    @volatile var connectLine: String = null
+    val pubs = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
+    val t = new Thread(() => {
+      try {
+        val s = server.accept()
+        val out = s.getOutputStream
+        out.write("INFO {\"server_id\":\"stub\"}\r\n".getBytes("UTF-8"))
+        out.flush()
+        val in = new java.io.BufferedInputStream(s.getInputStream)
+        def line(): String = {
+          val sb = new StringBuilder
+          var b = in.read()
+          while (b >= 0 && b != '\n') { if (b != '\r') sb.append(b.toChar); b = in.read() }
+          if (b < 0 && sb.isEmpty) null else sb.toString
+        }
+        connectLine = line()
+        var l = line()
+        while (l != null) {
+          // PUB <subject> <#bytes>
+          val parts = l.split(" ")
+          if (parts(0) == "PUB") {
+            val n = parts.last.toInt
+            val payload = new Array[Byte](n)
+            var read = 0
+            while (read < n) {
+              val k = in.read(payload, read, n - read)
+              if (k < 0) throw new java.io.EOFException
+              read += k
+            }
+            in.read(); in.read() // trailing CRLF
+            pubs.add((parts(1), new String(payload, "UTF-8")))
+          }
+          l = line()
+        }
+      } catch { case _: Throwable => () }
+    })
+    t.setDaemon(true)
+    t.start()
+    try {
+      val df = Seq(
+        ("app.a", 1704067200L, """{"log":"x"}"""),
+        ("app.b", 1704067201L, """{"log":"y"}"""))
+        .toDF("tag", "ts_sec", "rec")
+        .select(col("tag").as("subject"),
+          graft.sinks.NatsSink.natsPayload(col("ts_sec"), col("rec"))
+            .as("payload"))
+        .coalesce(1)
+      graft.sinks.NatsSink.write(df, "127.0.0.1", port)
+      val deadline = System.currentTimeMillis + 10000
+      while (pubs.size < 2 && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+    } finally server.close()
+    assert(connectLine != null && connectLine.startsWith("CONNECT {"),
+      s"got: $connectLine")
+    val got = pubs.toArray(Array.empty[(String, String)]).toSet
+    assert(got == Set(
+      ("app.a", """[["1704067200","{\"log\":\"x\"}"]]"""),
+      ("app.b", """[["1704067201","{\"log\":\"y\"}"]]""")), got)
+  }
+
   test("windowed streaming aggregation with watermark emits closed windows") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
