@@ -835,7 +835,8 @@ object OtlpProto {
                    body: Column,
                    attributes: Column,
                    traceId: Column,
-                   gzipBody: Boolean = false): DataFrame = {
+                   gzipBody: Boolean = false,
+                   maxRecordsPerBody: Int = 0): DataFrame = {
     import org.apache.spark.sql.functions._
     val spark = df.sparkSession
     import spark.implicits._
@@ -848,10 +849,21 @@ object OtlpProto {
       body.cast("string").as("body"),
       kvArr(attributes).as("attributes"),
       traceId.cast("string").as("traceId"))
+    // maxRecordsPerBody > 0 splits a resource's records across several
+    // requests (exporters batch by size, and one resource must never
+    // serialize a whole partition's gzip on one core); 0 keeps strict
+    // one-body-per-resource
+    val batchKey =
+      if (maxRecordsPerBody > 0)
+        spark_partition_id() * 100000L +
+          (monotonically_increasing_id() % (1L << 33)) / maxRecordsPerBody
+      else lit(0L)
     df.groupBy(kvArr(resourceAttrs).as("rattrs"),
         scopeName.cast("string").as("sname"),
-        scopeVersion.cast("string").as("sver"))
+        scopeVersion.cast("string").as("sver"),
+        batchKey.as("__batch"))
       .agg(collect_list(rec).as("recs"))
+      .drop("__batch")
       .as[LogGroupRow]
       .map { g =>
         val pb = encodeLogsRequest(g)

@@ -108,7 +108,11 @@ object IngestQueries {
           attributes = map(lit("event_id"), col("event_id").cast("string"),
             lit("user_id"), col("user_id").cast("string")),
           traceId = md5(col("event_id").cast("string")),
-          gzipBody = true)
+          gzipBody = true,
+          // size-capped bodies (exporters batch a few thousand records
+          // per request) — also keeps the per-body gzip parallel across
+          // cores instead of one giant body per resource
+          maxRecordsPerBody = 2048)
         graft.parse.OtlpProto.decodeLogsBodies(bodies, col("body"),
             lit("application/x-protobuf"), lit("gzip"))
           .select(
