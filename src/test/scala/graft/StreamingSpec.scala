@@ -921,6 +921,79 @@ class StreamingSpec extends AnyFunSuite {
       ("app.b", """[["1704067201","{\"log\":\"y\"}"]]""")), got)
   }
 
+  test("websocket sink e2e: RFC6455 upgrade + masked text frames against a scripted server") {
+    import org.apache.spark.sql.functions._
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val frames = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    @volatile var sawUpgrade = false
+    val t = new Thread(() => {
+      try {
+        val s = server.accept()
+        val in = new java.io.BufferedInputStream(s.getInputStream)
+        def line(): String = {
+          val sb = new StringBuilder
+          var b = in.read()
+          while (b >= 0 && b != '\n') { if (b != '\r') sb.append(b.toChar); b = in.read() }
+          sb.toString
+        }
+        var key: String = null
+        var l = line()
+        while (l.nonEmpty) {
+          if (l.toLowerCase.startsWith("upgrade:") && l.contains("websocket"))
+            sawUpgrade = true
+          if (l.toLowerCase.startsWith("sec-websocket-key:"))
+            key = l.split(":", 2)(1).trim
+          l = line()
+        }
+        val accept = graft.sinks.WebSocketSink.acceptFor(key)
+        s.getOutputStream.write(
+          ("HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n" +
+            s"Connection: Upgrade\r\nSec-WebSocket-Accept: $accept\r\n\r\n")
+            .getBytes("UTF-8"))
+        s.getOutputStream.flush()
+        // parse masked client frames
+        var b0 = in.read()
+        while (b0 >= 0) {
+          val b1 = in.read()
+          assert((b1 & 0x80) != 0, "client frames MUST be masked")
+          var len = (b1 & 0x7f).toLong
+          if (len == 126) len = (in.read() << 8) | in.read()
+          else if (len == 127) {
+            len = 0
+            var i = 0
+            while (i < 8) { len = (len << 8) | in.read(); i += 1 }
+          }
+          val mask = Array.fill(4)(in.read().toByte)
+          val payload = new Array[Byte](len.toInt)
+          var read = 0
+          while (read < len) {
+            val k = in.read(payload, read, len.toInt - read)
+            if (k < 0) throw new java.io.EOFException
+            read += k
+          }
+          var i = 0
+          while (i < len) { payload(i) = (payload(i) ^ mask(i % 4)).toByte; i += 1 }
+          frames.add(new String(payload, "UTF-8"))
+          b0 = in.read()
+        }
+      } catch { case _: Throwable => () }
+    })
+    t.setDaemon(true)
+    t.start()
+    try {
+      val df = (Seq("""{"n":1}""", """{"n":2}""") :+ ("x" * 300))
+        .toDF("value").coalesce(1) // 300-char line exercises the 16-bit tier
+      graft.sinks.WebSocketSink.write(df, "127.0.0.1", port, "/stream")
+      val deadline = System.currentTimeMillis + 10000
+      while (frames.size < 3 && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+    } finally server.close()
+    assert(sawUpgrade)
+    assert(frames.toArray(Array.empty[String]).toSet ==
+      Set("""{"n":1}""", """{"n":2}""", "x" * 300))
+  }
+
   test("windowed streaming aggregation with watermark emits closed windows") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
