@@ -448,6 +448,61 @@ object IngestQueries {
              FROM events""")
     ),
 
+    // collectd network protocol (in_collectd/netprot.c): binary packets
+    // (string/time/values parts, LE gauge doubles vs BE int64 counters,
+    // TypesDB field-name mapping) built from `events` — two metrics per
+    // event (a 1-field gauge and a 2-field derive pair) batched into
+    // packets — then decoded back through the bounds-checked parser.
+    // The oracle recomputes every flattened sample from the table.
+    GraftQuery(
+      "f_collectd_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val base = ev.select(col("event_id"), col("user_id"),
+            col("event_type"), col("ts_sec"), col("value"))
+          .as[(Long, Long, String, Long, Double)]
+        val packets = base.mapPartitions { it =>
+          it.grouped(50).map { chunk =>
+            val ms = chunk.flatMap { case (eid, uid, et, tsec, v) =>
+              Seq(
+                graft.parse.Collectd.Metric(s"h${uid % 5}", et, "",
+                  "gauge", "v", tsec, 10, Seq(v)),
+                graft.parse.Collectd.Metric(s"h${uid % 5}", et, "",
+                  "if_octets", "eth0", tsec, 10,
+                  Seq(eid.toDouble, uid.toDouble)))
+            }
+            graft.parse.Collectd.encode(ms.toSeq)
+          }
+        }.toDF("body")
+        graft.parse.Collectd.decodeBodies(packets, col("body"))
+          .select(col("host"), col("plugin"),
+            col("typ"), col("typeInstance").as("type_instance"),
+            col("timeSec").cast("long").as("time_sec"),
+            col("intervalSec").cast("long").as("interval_sec"),
+            col("field"), col("dsType").as("ds_type"), col("value"))
+      },
+      Some("""SELECT 'h' || CAST(user_id % 5 AS VARCHAR) AS host,
+                    event_type AS plugin, 'gauge' AS typ,
+                    'v' AS type_instance,
+                    epoch_ns(ts) // 1000000000 AS time_sec,
+                    CAST(10 AS BIGINT) AS interval_sec,
+                    'value' AS field, CAST(1 AS INT) AS ds_type, value
+             FROM events
+             UNION ALL
+             SELECT 'h' || CAST(user_id % 5 AS VARCHAR), event_type,
+                    'if_octets', 'eth0', epoch_ns(ts) // 1000000000,
+                    CAST(10 AS BIGINT), 'rx', CAST(2 AS INT),
+                    CAST(event_id AS DOUBLE)
+             FROM events
+             UNION ALL
+             SELECT 'h' || CAST(user_id % 5 AS VARCHAR), event_type,
+                    'if_octets', 'eth0', epoch_ns(ts) // 1000000000,
+                    CAST(10 AS BIGINT), 'tx', CAST(2 AS INT),
+                    CAST(user_id AS DOUBLE)
+             FROM events""")
+    ),
+
     // OTLP/HTTP metrics path (flb_opentelemetry_metrics.c:3161-3384):
     // build ExportMetricsServiceRequest bodies from `events` covering all
     // four decoded point kinds — a monotonic cumulative sum and a gauge

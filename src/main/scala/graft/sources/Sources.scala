@@ -114,6 +114,33 @@ object Sources {
       col("content_type"), lit(null))
   }
 
+  /** in_prometheus_textfile (plugins/in_prometheus_textfile): tail
+    * `*.prom` exposition files from a directory and parse each line with
+    * the scrape-text parser — node-exporter's textfile-collector drop
+    * pattern. New files are picked up by the file stream source;
+    * offsets ride the checkpoint.
+    */
+  def promTextfile(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.readStream.format("text")
+      .option("pathGlobFilter", "*.prom").load(dir)
+    graft.parse.Parsers.promText(raw, col("value")).drop("value")
+  }
+
+  /** in_collectd (plugins/in_collectd): LISTENING datagram source for
+    * the collectd binary network protocol — each packet decodes into
+    * one row per sample field via the bounds-checked
+    * [[graft.parse.Collectd]] parser (TypesDB-mapped field names).
+    */
+  def collectdUdp(spark: SparkSession, port: Int,
+                  host: String = "127.0.0.1",
+                  types: graft.parse.Collectd.TypesDb =
+                    graft.parse.Collectd.DefaultTypes): DataFrame = {
+    val raw = spark.readStream.format("graft.sources.UdpServerSource")
+      .option("port", port).option("host", host)
+      .option("body", "raw").load()
+    graft.parse.Collectd.decodeBodies(raw, unbase64(col("value")), types)
+  }
+
   /** in_prometheus_remote_write (plugins/in_prometheus_remote_write):
     * listening HTTP endpoint; each POST body is a snappy-compressed
     * protobuf `WriteRequest` decoded into one row per sample

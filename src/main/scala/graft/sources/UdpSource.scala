@@ -34,7 +34,10 @@ class UdpServerSource extends TableProvider {
     val port = Option(properties.get("port")).map(_.toInt).getOrElse(
       throw new IllegalArgumentException("udp source requires option 'port'"))
     val host = Option(properties.get("host")).getOrElse("127.0.0.1")
-    new UdpTable(host, port)
+    // body=raw keeps each datagram intact as ONE base64 row — the
+    // ingest shape for binary payloads (collectd network protocol)
+    val rawBody = Option(properties.get("body")).exists(_ == "raw")
+    new UdpTable(host, port, rawBody)
   }
 }
 
@@ -48,7 +51,8 @@ object UdpServerSource {
   val MaxDatagram: Int = 65536
 }
 
-private[sources] class UdpTable(host: String, port: Int)
+private[sources] class UdpTable(host: String, port: Int,
+                                rawBody: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"udp://$host:$port"
   override def schema(): StructType = UdpServerSource.Schema
@@ -60,12 +64,13 @@ private[sources] class UdpTable(host: String, port: Int)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = UdpServerSource.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new UdpMicroBatchStream(host, port)
+          new UdpMicroBatchStream(host, port, rawBody)
       }
     }
 }
 
-private[sources] class UdpMicroBatchStream(host: String, port: Int)
+private[sources] class UdpMicroBatchStream(host: String, port: Int,
+                                           rawBody: Boolean = false)
     extends MicroBatchStream {
 
   private val buf = new scala.collection.mutable.ArrayBuffer[(String, String, Long)]
@@ -80,9 +85,13 @@ private[sources] class UdpMicroBatchStream(host: String, port: Int)
         socket.receive(packet)
         val now = System.currentTimeMillis()
         val peer = packet.getAddress.getHostAddress
-        val lines = new String(packet.getData, packet.getOffset,
-          packet.getLength, StandardCharsets.UTF_8)
-          .split("\n").filter(_.nonEmpty)
+        val lines =
+          if (rawBody) Array(java.util.Base64.getEncoder.encodeToString(
+            java.util.Arrays.copyOfRange(packet.getData, packet.getOffset,
+              packet.getOffset + packet.getLength)))
+          else new String(packet.getData, packet.getOffset,
+            packet.getLength, StandardCharsets.UTF_8)
+            .split("\n").filter(_.nonEmpty)
         buf.synchronized { lines.foreach(l => buf += ((l, peer, now))) }
       } catch {
         case _: Throwable if stopped => // closed during shutdown

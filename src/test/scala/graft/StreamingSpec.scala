@@ -994,6 +994,56 @@ class StreamingSpec extends AnyFunSuite {
       Set("""{"n":1}""", """{"n":2}""", "x" * 300))
   }
 
+  test("collectd udp e2e: binary protocol packets in, typed samples out") {
+    import org.apache.spark.sql.functions._
+    import graft.parse.Collectd
+    // hostile-input contract first: bad part length and corrupted
+    // values count must throw, not wander the buffer
+    intercept[IllegalArgumentException] {
+      Collectd.decode(Array[Byte](0, 0, 0, 2)) // part len 2 < 4
+    }
+    intercept[IllegalArgumentException] {
+      val ok = Collectd.encode(Seq(Collectd.Metric("h", "p", "", "gauge",
+        "", 1L, 0, Seq(1.0))))
+      Collectd.decode(ok.dropRight(1)) // truncated values payload
+    }
+
+    val probe = new java.net.DatagramSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+    val rows = graft.sources.Sources.collectdUdp(spark, port)
+      .select(col("host"), col("plugin"), col("typ"), col("field"),
+        col("value"))
+    val q = rows.writeStream.format("memory").queryName("collectd_in")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      val packet = Collectd.encode(Seq(
+        Collectd.Metric("web1", "cpu", "", "load", "", 1704067200L, 10,
+          Seq(0.5, 0.25, 0.125)),
+        Collectd.Metric("web1", "net", "eth0", "if_octets", "",
+          1704067201L, 10, Seq(100.0, 200.0))))
+      val deadline = System.currentTimeMillis + 30000
+      var count = 0L
+      while (count < 5 && System.currentTimeMillis < deadline) {
+        val sock = new java.net.DatagramSocket()
+        try sock.send(new java.net.DatagramPacket(packet, packet.length,
+          java.net.InetAddress.getByName("127.0.0.1"), port))
+        finally sock.close()
+        Thread.sleep(300)
+        count = spark.table("collectd_in").count()
+      }
+      assert(count >= 5, s"collectd rows: $count")
+    } finally q.stop()
+    val got = spark.table("collectd_in")
+      .as[(String, String, String, String, Double)].collect().toSet
+    assert(got == Set(
+      ("web1", "cpu", "load", "shortterm", 0.5),
+      ("web1", "cpu", "load", "midterm", 0.25),
+      ("web1", "cpu", "load", "longterm", 0.125),
+      ("web1", "net", "if_octets", "rx", 100.0),
+      ("web1", "net", "if_octets", "tx", 200.0)))
+  }
+
   test("windowed streaming aggregation with watermark emits closed windows") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
