@@ -297,4 +297,146 @@ object Formats {
     to_json(struct(timestampMs.as("timestamp"), source.as("ddsource"),
       service.as("service"), hostname.as("hostname"), tags.as("ddtags"),
       message.as("message")))
+
+  /** Seconds-resolution ISO-8601 UTC render plus an explicit
+    * fractional tail — the reference's recurring
+    * `strftime("%Y-%m-%dT%H:%M:%S") + snprintf(".%0<n>d" suffix)`
+    * idiom (kafka_rest kafka.c:186-195 nanos, chronicle
+    * chronicle.c:1180-1188 nanos, azure_kusto azure_kusto.c:1104-1113
+    * millis). `frac` is the already-scaled sub-second value (nanos or
+    * millis); `digits` its zero-padded width.
+    */
+  def isoFracZ(ts: Column, frac: Column, digits: Int): Column = {
+    val utcTs = to_utc_timestamp(ts, expr("current_timezone()"))
+    concat(date_format(utcTs, "yyyy-MM-dd'T'HH:mm:ss"), lit("."),
+      lpad(frac.cast("string"), digits, "0"), lit("Z"))
+  }
+
+  /** Kafka REST Proxy record (out_kafka_rest `plugins/out_kafka_rest/
+    * kafka.c:131-210`): the POST body is `{"records":[{"key":…,
+    * "value":{<time_key>:"<strftime>.%09<ns>Z", <tag_key>:…, …record}}]}`
+    * — defaults `@timestamp`/`%Y-%m-%dT%H:%M:%S` (kafka.h:23-24), the
+    * tag key included when `include_tag_key` is on. Pass each record
+    * already shaped as `struct(key, value)`; a null `key` drops out of
+    * the JSON like the reference's `message_key == NULL` branch.
+    */
+  def kafkaRestBody(records: Column): Column =
+    to_json(struct(records.as("records")))
+
+  /** PostgreSQL insert statement (out_pgsql `plugins/out_pgsql/
+    * pgsql.h:39-41` FLB_PGSQL_INSERT + `pgsql.c:270-336`): the whole
+    * batch travels as ONE statement — `INSERT INTO <table> SELECT
+    * '<tag>', to_timestamp(CAST(value->>'<time_key>' as FLOAT)), *
+    * FROM json_array_elements('<batch as a JSON array>');` with tag and
+    * payload as escaped SQL literals (PQescapeLiteral doubles quotes;
+    * we render the standard `''` form).
+    */
+  def pgsqlInsert(table: String, timestampKey: String, tag: Column,
+                  jsonArray: Column): Column = {
+    def lit1(c: Column): Column =
+      concat(lit("'"), regexp_replace(c, "'", "''"), lit("'"))
+    concat(lit(s"INSERT INTO $table SELECT "), lit1(tag),
+      lit(s", to_timestamp(CAST(value->>'$timestampKey' as FLOAT)), " +
+        "* FROM json_array_elements("), lit1(jsonArray), lit(");"))
+  }
+
+  /** SkyWalking OAP log record (out_skywalking `plugins/out_skywalking/
+    * skywalking.c:228-276` sw_format + :154-225 sw_msgpack_pack_log_body):
+    * `{"timestamp":<ms>,"service":…,"serviceInstance":…,
+    * "body":{"json":{"json":"<record JSON as a string>"}}}`; the POST
+    * body is a JSON array of these.
+    */
+  def skywalkingLog(timestampMs: Column, service: Column,
+                    serviceInstance: Column, recordJson: Column): Column =
+    struct(timestampMs.cast("long").as("timestamp"), service.as("service"),
+      serviceInstance.as("serviceInstance"),
+      struct(struct(recordJson.as("json")).as("json")).as("body"))
+
+  /** Chronicle unstructured-log entry (out_chronicle `plugins/
+    * out_chronicle/chronicle.c:1070-1190`): the body is
+    * `{"customer_id":…,"log_type":…,"entries":[{"log_text":"<record
+    * JSON>","ts_rfc3339":"<%Y-%m-%dT%H:%M:%S.%09dZ>"},…]}`.
+    */
+  def chronicleEntry(logText: Column, ts: Column, nanos: Column): Column =
+    struct(logText.as("log_text"), isoFracZ(ts, nanos, 9).as("ts_rfc3339"))
+
+  def chronicleBody(customerId: Column, logType: Column,
+                    entries: Column): Column =
+    to_json(struct(customerId.as("customer_id"), logType.as("log_type"),
+      entries.as("entries")))
+
+  /** Azure Data Explorer (Kusto) ingestion line (out_azure_kusto
+    * `plugins/out_azure_kusto/azure_kusto.c:1085-1130`): one JSON map
+    * per record — `{"timestamp":"<ISO8601.%03dZ>","tag":…,"log":
+    * {record}}` with the default `timestamp`/`tag`/`log` key names
+    * (azure_kusto.h:56-58); a request body is the newline-joined lines.
+    */
+  def kustoLine(ts: Column, millis: Column, tag: Column,
+                record: Column): Column =
+    to_json(struct(isoFracZ(ts, millis, 3).as("timestamp"), tag.as("tag"),
+      record.as("log")))
+
+  /** Azure Logs Ingestion API body (out_azure_logs_ingestion
+    * `plugins/out_azure_logs_ingestion/azure_logs_ingestion.c:80-150`):
+    * a bare JSON array of records, each led by the `@timestamp` time
+    * key (azure_logs_ingestion.h:24) as ISO-8601 with milliseconds;
+    * records is `array<struct<…>>` whose first field is that key.
+    */
+  def azureLogsIngestionBody(records: Column): Column = to_json(records)
+
+  /** OCI Log Analytics payload (out_oracle_log_analytics `plugins/
+    * out_oracle_log_analytics/oci_logan.c:735-870` pack_lre_payload):
+    * `{"metadata":{…},"logEvents":[{"logSourceName":…,"logPath":…,
+    * "metadata":{…},"logRecords":["<record JSON>",…]}]}` — log records
+    * travel as JSON STRINGS inside the event group.
+    */
+  def ociLogEvent(logSourceName: Column, logPath: Column,
+                  metadata: Column, logRecords: Column): Column =
+    struct(logSourceName.as("logSourceName"), logPath.as("logPath"),
+      metadata.as("metadata"), logRecords.as("logRecords"))
+
+  def ociLoganBody(metadata: Column, logEvents: Column): Column =
+    to_json(struct(metadata.as("metadata"), logEvents.as("logEvents")))
+
+  /** gnuplot-ready line (out_plot `plugins/out_plot/plot.c:170-198`):
+    * `dprintf("%f %<val>\n", flb_time_to_double(ts), value)` — a
+    * six-decimal time column, a space, the configured key's numeric
+    * value. `java.util.Formatter`'s `%f` matches C's six-decimal
+    * default.
+    */
+  def plotLine(tsSecDouble: Column, value: Column): Column =
+    concat(format_string("%f", tsSecDouble), lit(" "),
+      value.cast("string"))
+
+  /** Vivo exporter stream frame (out_vivo_exporter `plugins/
+    * out_vivo_exporter/vivo.c:93-160`): `{"source_type":…,
+    * "source_name":…,"tag":…,"records":[{"timestamp":<ns>,
+    * "metadata":{…},…body},…]}` — the shape Vivo's HTTP buffer serves
+    * back to the UI.
+    */
+  def vivoBody(sourceType: Column, sourceName: Column, tag: Column,
+               records: Column): Column =
+    to_json(struct(sourceType.as("source_type"),
+      sourceName.as("source_name"), tag.as("tag"), records.as("records")))
+
+  /** Azure Blob block id (out_azure_blob `plugins/out_azure_blob/
+    * azure_blob_blockblob.c:229-300` azb_block_blob_id_blob, non-FIPS
+    * path): base64 of `"<md5hex(path)>.flb-part.%06d"` — ids must share
+    * one length and stay under 64 base64 bytes, so the path is hashed
+    * and only the part ordinal varies.
+    */
+  def azureBlockId(path: Column, partId: Column): Column =
+    base64(concat(md5(path), lit(".flb-part."),
+      lpad(partId.cast("string"), 6, "0")).cast("binary"))
+
+  /** Azure Blob Put Block List payload (azure_blob_blockblob.c:460-500
+    * azb_block_blob_commit_file_parts): an XML doc with the blob path
+    * as a comment and one `<Uncommitted>` element per block id.
+    */
+  def azureBlockListPayload(path: Column, blockIds: Column): Column =
+    concat(lit("<?xml version=\"1.0\" encoding=\"utf-8\"?>\n<!-- "), path,
+      lit(" -->\n<BlockList>\n"),
+      array_join(transform(blockIds,
+        id => concat(lit("  <Uncommitted>"), id, lit("</Uncommitted>"))), "\n"),
+      lit("\n</BlockList>"))
 }
