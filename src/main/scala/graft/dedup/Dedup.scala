@@ -275,4 +275,43 @@ object Dedup {
         concat((1 to 16).map(p =>
           when(col(s"v$p") >= 0, lit(1)).otherwise(lit(0)).cast("string")): _*).as("simhash16"))
   }
+
+  /** Cross-document paragraph dedup — the RefinedWeb/CCNet pass that
+    * removes any paragraph occurring more than once ANYWHERE in the
+    * corpus (boilerplate headers, nav bars, license blocks). The
+    * paragraph boundary is injectable; `chunkDedup` uses fixed
+    * `chunkTokens`-token windows (the degenerate splitter for corpora
+    * without layout), but the pipeline is the operator: explode
+    * paragraphs with their position, count occurrences corpus-wide,
+    * drop duplicated ones, reassemble the survivors in order.
+    *
+    * Scale shape: the occurrence count groups on md5(paragraph) so the
+    * counting shuffle carries 16-byte keys, not paragraph bodies; the
+    * join back is an equi-join on the same hash; reassembly aggregates
+    * per doc_id. Three shuffles total, all narrow-keyed, no all-pairs
+    * anything.
+    */
+  def chunkDedup(df: DataFrame, idCol: Column, textCol: Column,
+                 chunkTokens: Int = 20): DataFrame = {
+    val toks = split(textCol, " ")
+    val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1), i =>
+      struct(i.as("pos"),
+        array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")
+          .as("chunk")))
+    val exploded = df
+      .select(idCol.as("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.pos").as("pos"),
+        col("c.chunk").as("chunk"), md5(col("c.chunk")).as("__h"))
+    val counts = exploded.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n"))
+    exploded.join(counts, "__h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__n") > 1, 1L).otherwise(0L)).as("n_dup"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__n") === 1,
+            struct(col("pos"), col("chunk"))))),
+          c => c.getField("chunk"))).as("cleaned"))
+  }
 }

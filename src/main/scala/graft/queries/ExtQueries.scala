@@ -602,6 +602,113 @@ object ExtQueries {
              FROM documents""")
     ),
 
+    // Benchmark decontamination (GPT-3 appendix C / Pile style): corpus
+    // docs sharing any word 13-gram with the benchmark partition
+    // (doc_id % 20 == 0 stands in for the eval suite). The benchmark
+    // n-gram set broadcasts; the corpus side never shuffles its grams.
+    GraftQuery(
+      "x_text_contamination",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextAnalysis.contamination(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          col("doc_id"), col("text"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                         FROM documents),
+             ix AS (SELECT doc_id, w,
+                           unnest(range(1, greatest(len(w) - 11, 1))) AS i
+                    FROM d),
+             g AS (SELECT doc_id, array_to_string(w[i:i+12], ' ') AS ngram
+                   FROM ix),
+             bench AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 20 = 0),
+             corpus AS (SELECT DISTINCT doc_id, ngram FROM g
+                        WHERE doc_id % 20 != 0)
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+             FROM corpus JOIN bench USING (ngram) GROUP BY 1""")
+    ),
+
+    // Corpus-duplicated n-gram fraction (the Gopher repetition rule
+    // measured across documents): per doc, what share of its distinct
+    // 13-grams appear in any other document.
+    GraftQuery(
+      "x_text_dupgrams",
+      (s, dir) =>
+        TextAnalysis.dupNgramFraction(Tables.documents(s, dir),
+          col("doc_id"), col("text")),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                         FROM documents),
+             ix AS (SELECT doc_id, w,
+                           unnest(range(1, greatest(len(w) - 11, 1))) AS i
+                    FROM d),
+             g AS (SELECT DISTINCT doc_id,
+                          array_to_string(w[i:i+12], ' ') AS ngram FROM ix),
+             c AS (SELECT ngram, count(*) AS nd FROM g GROUP BY 1),
+             a AS (SELECT g.doc_id, count(*) AS n_grams,
+                          CAST(sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END)
+                               AS BIGINT) AS n_dup
+                   FROM g JOIN c USING (ngram) GROUP BY 1)
+             SELECT doc.doc_id,
+                    coalesce(a.n_grams, 0) AS n_grams,
+                    coalesce(a.n_dup, 0) AS n_dup,
+                    coalesce(round(CAST(a.n_dup AS DOUBLE) / a.n_grams, 3),
+                             0.0) AS dup_frac
+             FROM documents doc LEFT JOIN a USING (doc_id)""")
+    ),
+
+    // Hashed bag-of-tokens linear scorer (fasttext-shaped classifier
+    // filtering): exact integer weight sum folded over the token array
+    // — one map-only projection, no explode, no shuffle.
+    GraftQuery(
+      "x_quality_classifier",
+      (s, dir) =>
+        TextAnalysis.classifierScore(Tables.documents(s, dir),
+          col("doc_id"), col("text")),
+      Some("""WITH t AS (SELECT doc_id,
+                                unnest(string_split(text, ' ')) AS tok
+                         FROM documents),
+             a AS (SELECT doc_id,
+                          CAST(sum(('0x' || substr(md5(tok), 1, 8))::BIGINT
+                                   % 1001 - 500) AS BIGINT) AS score_sum
+                   FROM t GROUP BY 1)
+             SELECT d.doc_id,
+                    CAST(len(string_split(d.text, ' ')) AS BIGINT)
+                      AS n_tokens,
+                    a.score_sum,
+                    CASE WHEN a.score_sum > 0 THEN 'keep' ELSE 'drop' END
+                      AS label
+             FROM documents d JOIN a USING (doc_id)""")
+    ),
+
+    // Cross-document paragraph dedup (RefinedWeb/CCNet pass) over
+    // fixed 20-token windows: corpus-wide occurrence counts on
+    // md5(chunk), duplicated chunks dropped, survivors reassembled in
+    // order.
+    GraftQuery(
+      "x_dedup_paragraph",
+      (s, dir) =>
+        graft.dedup.Dedup.chunkDedup(Tables.documents(s, dir),
+          col("doc_id"), col("text")),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                         FROM documents),
+             ix AS (SELECT doc_id, w,
+                           unnest(range(0, CAST(ceil(len(w) / 20.0)
+                                                AS BIGINT))) AS i
+                    FROM d),
+             p AS (SELECT doc_id, i,
+                          array_to_string(w[i*20+1:i*20+20], ' ') AS chunk
+                   FROM ix),
+             c AS (SELECT chunk, count(*) AS n FROM p GROUP BY 1)
+             SELECT p.doc_id,
+                    CAST(count(*) AS BIGINT) AS n_chunks,
+                    CAST(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_dup,
+                    coalesce(string_agg(CASE WHEN c.n = 1 THEN p.chunk END,
+                                        ' ' ORDER BY p.i), '') AS cleaned
+             FROM p JOIN c USING (chunk) GROUP BY 1""")
+    ),
+
     // Document fingerprint (position-weighted rolling hash).
     GraftQuery(
       "x_text_fingerprint",

@@ -132,6 +132,75 @@ object TextAnalysis {
       scrubbed.as("scrubbed"))
   }
 
+  /** Benchmark-contamination check — the GPT-3 appendix-C / Pile-style
+    * decontamination pass: a corpus document is contaminated when it
+    * shares any word 13-gram with the evaluation/benchmark set. Returns
+    * (doc_id, n_overlap) for contaminated docs only. Benchmark suites
+    * are fixed-size while the corpus is the 100 TB side, so the
+    * benchmark n-gram set is the BROADCAST side of the join — the
+    * corpus n-gram stream never shuffles; per-doc overlap counting
+    * aggregates on doc_id only.
+    */
+  def contamination(corpus: DataFrame, bench: DataFrame, idCol: Column,
+                    text: Column, n: Int = 13): DataFrame = {
+    val benchGrams = bench
+      .select(explode(graft.functions.TextFunctions.wordShingles(text, n))
+        .as("ngram")).distinct()
+    corpus
+      .select(idCol.as("doc_id"),
+        explode(graft.functions.TextFunctions.wordShingles(text, n))
+          .as("ngram")).distinct()
+      .join(broadcast(benchGrams), "ngram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** Corpus-duplicated n-gram fraction — the Gopher repetition-rule
+    * twin measured ACROSS documents: per doc, the fraction of its
+    * distinct word n-grams that appear in at least one other document
+    * (boilerplate/template signal). Two keyed aggregates plus one
+    * equi-join on the n-gram; docs shorter than n tokens report 0.
+    */
+  def dupNgramFraction(df: DataFrame, idCol: Column, text: Column,
+                       n: Int = 13): DataFrame = {
+    val g = df.select(idCol.as("doc_id"),
+      explode(graft.functions.TextFunctions.wordShingles(text, n))
+        .as("ngram")).distinct()
+    val counts = g.groupBy(col("ngram"))
+      .agg(count(lit(1)).as("__nd"))
+    val perDoc = g.join(counts, "ngram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_dup"))
+    df.select(idCol.as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(round(col("n_dup").cast("double") / col("n_grams"), 3),
+          lit(0.0)).as("dup_frac"))
+  }
+
+  /** Hashed bag-of-tokens linear scorer — the fasttext-shaped quality
+    * classifier pass: each token hashes into a weight (here a
+    * deterministic pseudo-weight from the same portable md5 slice the
+    * split/minhash family uses; a trained model would broadcast a
+    * weight table keyed by the same bucket), the document score is the
+    * EXACT integer weight sum folded over the token array, and the
+    * keep/drop label thresholds it. `aggregate` over the split array
+    * makes the whole operator one map-only projection — no explode, no
+    * shuffle, which is what lets classifier filtering run in the same
+    * stage as the scan at 100 TB.
+    */
+  def classifierScore(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    val toks = split(text, " ")
+    val sumW = aggregate(toks, lit(0L), (acc, t) =>
+      acc + (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 1001L
+        - 500L))
+    df.select(idCol.as("doc_id"), size(toks).cast("long").as("n_tokens"),
+      sumW.as("score_sum"),
+      when(sumW > 0, "keep").otherwise("drop").as("label"))
+  }
+
   /** Document fingerprint: position-weighted rolling hash over tokens.
     * Token hash = two md5 hex chars (portable, exact int64 math); weight
     * cycles with position so near-identical docs with swapped words get

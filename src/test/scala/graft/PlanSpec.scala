@@ -162,4 +162,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("aggregate(filter(split("),
       "the O(lines^2) HOF fold must be gone")
   }
+
+  test("classifier scoring is map-only: no explode, no exchange") {
+    // fasttext-shaped filtering must run in the same stage as the scan
+    // at 100 TB — the weight sum folds over the token array in place
+    val plan = planOf("x_quality_classifier")
+    for (bad <- Seq("Exchange", "Join", "Window", "Generate"))
+      assert(!plan.contains(bad),
+        s"classifier must be a pure projection, found $bad:\n" +
+          plan.take(2000))
+  }
+
+  test("contamination check broadcasts the benchmark n-gram set") {
+    // the corpus side is the 100 TB side — it must never shuffle its
+    // n-gram stream to meet the (fixed-size) benchmark suite
+    val plan = planOf("x_text_contamination")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"),
+      "benchmark join must broadcast, not sort-merge:\n" + plan.take(3000))
+  }
+
+  test("paragraph dedup counts occurrences on the 16-byte hash") {
+    // the corpus-wide occurrence count must group on md5(chunk), so the
+    // counting shuffle carries hashes, not paragraph bodies
+    val plan = planOf("x_dedup_paragraph")
+    assert(plan.contains("md5"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(2000))
+  }
 }
