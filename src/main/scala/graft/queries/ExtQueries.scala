@@ -47,6 +47,30 @@ object ExtQueries {
        SELECT vec_id, cell, cos FROM a3"""
   }
 
+  /** DuckDB replay of [[graft.sim.Similarity.semDedup]]: the same
+    * two-iteration k-means chain as [[kmeansOracle]] (a3 = final
+    * assignment), then within-cell pairwise cosine against lower ids.
+    */
+  private def semDedupOracle(k: Int, dim: Int, threshold: Double): String = {
+    val chain = kmeansOracle(k, dim)
+      .stripSuffix("SELECT vec_id, cell, cos FROM a3").trim.stripSuffix(",")
+    s"""$chain,
+       pairs AS (
+         SELECT a.vec_id,
+                round(list_dot_product(va.ev, vb.ev) /
+                      (sqrt(list_dot_product(va.ev, va.ev)) *
+                       sqrt(list_dot_product(vb.ev, vb.ev))), 6) AS pcos
+         FROM a3 a JOIN a3 b ON a.cell = b.cell AND b.vec_id < a.vec_id
+         JOIN v va ON va.vec_id = a.vec_id
+         JOIN v vb ON vb.vec_id = b.vec_id),
+       mx AS (SELECT vec_id, max(pcos) AS nn FROM pairs GROUP BY 1)
+       SELECT a.vec_id, a.cell,
+              coalesce(mx.nn, -1.0) AS nn_cos,
+              CASE WHEN coalesce(mx.nn, -1.0) >= $threshold
+                   THEN 1 ELSE 0 END AS is_dup
+       FROM a3 a LEFT JOIN mx USING (vec_id)"""
+  }
+
   /** DuckDB replay of [[graft.sim.Similarity.quantizedTopK]]: per-dim
     * min/max CTE, identical quantization expression (same IEEE op
     * order), exact integer dot-product scoring, total-ordered top-k.
@@ -963,6 +987,105 @@ object ExtQueries {
                     CAST(count(*) AS BIGINT) AS n_events,
                     CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum
              FROM y GROUP BY user_id, sid""")
+    ),
+
+    // SemDeDup-style semantic dedup: k-means clusters the embedding
+    // space, pairwise cosine runs only WITHIN a cluster, and a vector
+    // is a duplicate when a lower-id cluster-mate is within the cosine
+    // threshold. The synthetic embeddings carry no planted near-dups
+    // (max pairwise cosine ≈0.51), so the gate threshold is 0.4 — the
+    // mechanism under test, not the production ε.
+    GraftQuery(
+      "x_dedup_semantic",
+      (s, dir) =>
+        Similarity.semDedup(Tables.embeddings(s, dir), "vec_id",
+          "embedding", k = 8, iters = 2, dim = 64, threshold = 0.4),
+      Some(semDedupOracle(k = 8, dim = 64, threshold = 0.4))
+    ),
+
+    // DSIR-style importance weighting: hashed-bigram count tables for
+    // the target (doc_id%20==0, the same stand-in eval suite the
+    // contamination gate uses) and raw distributions become literal
+    // model state; scoring the raw corpus is map-only. Scores are
+    // exact integers; the keep label cross-multiplies mass ratios.
+    GraftQuery(
+      "x_dsir_weights",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextAnalysis.dsirWeights(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          col("doc_id"), col("text"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                         FROM documents),
+             ix AS (SELECT doc_id, w,
+                           unnest(range(1, greatest(len(w), 1))) AS i
+                    FROM d),
+             g AS (SELECT doc_id,
+                          ('0x' || substr(md5(array_to_string(w[i:i+1], ' ')),
+                                          1, 8))::BIGINT % 4096 AS b
+                   FROM ix),
+             tc AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM g
+                    WHERE doc_id % 20 = 0 GROUP BY 1),
+             rc AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM g
+                    WHERE doc_id % 20 != 0 GROUP BY 1),
+             tot AS (SELECT (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM tc) AS t,
+                            (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM rc) AS r),
+             s AS (SELECT g.doc_id,
+                          CAST(count(*) AS BIGINT) AS n_grams,
+                          CAST(coalesce(sum(tc.n), 0) AS BIGINT) AS score_t,
+                          CAST(coalesce(sum(rc.n), 0) AS BIGINT) AS score_r
+                   FROM g LEFT JOIN tc USING (b) LEFT JOIN rc USING (b)
+                   WHERE g.doc_id % 20 != 0 GROUP BY 1)
+             SELECT d.doc_id,
+                    coalesce(s.n_grams, 0) AS n_grams,
+                    coalesce(s.score_t, 0) AS score_t,
+                    coalesce(s.score_r, 0) AS score_r,
+                    CASE WHEN coalesce(s.score_t, 0)::HUGEINT * tot.r >
+                              coalesce(s.score_r, 0)::HUGEINT * tot.t
+                         THEN 'keep' ELSE 'drop' END AS label
+             FROM d CROSS JOIN tot LEFT JOIN s ON s.doc_id = d.doc_id
+             WHERE d.doc_id % 20 != 0""")
+    ),
+
+    // C4/RefinedWeb-style per-domain quota: at most 20 docs per
+    // `source` domain, hash-priority order, kept rows only (the window
+    // collapses to a partial+final WindowGroupLimit — bounded state on
+    // every hot domain).
+    GraftQuery(
+      "x_curate_domains",
+      (s, dir) =>
+        TextAnalysis.domainQuota(Tables.documents(s, dir),
+          col("doc_id"), col("source"), cap = 20),
+      Some("""SELECT doc_id, domain, rn FROM (
+               SELECT doc_id, source AS domain,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+               FROM documents)
+             WHERE rn <= 20""")
+    ),
+
+    // Token-budget data mixing: every language gets the same token
+    // budget, filled in deterministic hash-priority order; emits every
+    // doc with its running total and keep flag (auditable exclusion,
+    // no silent truncation).
+    GraftQuery(
+      "x_mix_budget",
+      (s, dir) =>
+        TextAnalysis.tokenBudgetMix(Tables.documents(s, dir),
+          col("doc_id"), col("lang"), col("text"), budgetPerGroup = 4000L),
+      Some("""SELECT doc_id, grp, n_tokens,
+                    CAST(cum_tokens AS BIGINT) AS cum_tokens,
+                    CASE WHEN cum_tokens <= 4000 THEN 1 ELSE 0 END AS kept
+             FROM (
+               SELECT doc_id, lang AS grp,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                      sum(len(string_split(text, ' ')))
+                        OVER (PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_tokens
+               FROM documents)""")
     )
   )
 }

@@ -397,4 +397,45 @@ object Similarity {
                   nPlanes: Int, dims: Int, nTables: Int): DataFrame =
     lshSignatures(corpus, idCol, vecCol, nPlanes, dims, nTables)
       .groupBy("table", "lsh_sig").agg(count(lit(1)).as("n"))
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with k-means, then
+    * compare pairs ONLY within a cluster — a vector is a semantic
+    * duplicate when some LOWER-id vector in the same cluster has cosine
+    * ≥ `threshold` (keep-lowest-id, the same canonical-member policy as
+    * the MinHash cluster dedup). Output: (vec_id, cell, nn_cos, is_dup)
+    * where nn_cos is the max cosine to any lower-id cluster-mate
+    * (−1.0 when the vector is alone below it in its cell).
+    *
+    * Scale shape: the quadratic term is bounded by the cluster
+    * partition — (n/k)² per cell instead of n² global, and k grows with
+    * the corpus (SemDeDup used 11k clusters for LAION). Training cost
+    * is [[kmeansTrainModel]]'s one-job-per-iteration; assignment and
+    * scoring shuffle on `cell` (an equi-join), never all-pairs.
+    * Cosines are rounded to 6 like the k-means path so any engine
+    * replays the keep set exactly.
+    */
+  def semDedup(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+               iters: Int, dim: Int, threshold: Double): DataFrame = {
+    val model = kmeansTrainModel(vecs, idCol, vecCol, k, iters, dim)
+    val assigned = kmeansAssign(vecs, idCol, vecCol, model)
+      .select("vec_id", "cell")
+    val v = vecs.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("ev"))
+      .withColumn("__n", norm(col("ev")))
+    val withVec = assigned.join(v, "vec_id")
+    val a = withVec.select(col("cell"), col("vec_id"),
+      col("ev").as("av"), col("__n").as("an"))
+    val b = withVec.select(col("cell"), col("vec_id").as("bid"),
+      col("ev").as("bv"), col("__n").as("bn"))
+    val nn = a.join(b, Seq("cell")).filter(col("bid") < col("vec_id"))
+      .withColumn("pcos",
+        round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6))
+      .groupBy(col("vec_id")).agg(max(col("pcos")).as("__nn"))
+    assigned.join(nn, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("__nn"), lit(-1.0)).as("nn_cos"),
+        when(coalesce(col("__nn"), lit(-1.0)) >= threshold, 1).otherwise(0)
+          .as("is_dup"))
+  }
 }

@@ -201,6 +201,99 @@ object TextAnalysis {
       when(sumW > 0, "keep").otherwise("drop").as("label"))
   }
 
+  /** DSIR-style hashed-n-gram importance weights (Xie et al. 2023,
+    * arXiv:2302.03169): score every raw-corpus document by how much its
+    * hashed-bigram distribution looks like the TARGET distribution vs
+    * the RAW distribution. Both distributions are bucketed bigram
+    * counts — `buckets` longs each — computed by one aggregate apiece
+    * and then carried as LITERAL arrays (model state, the same pattern
+    * as the k-means centroids and quantization ranges), so the scoring
+    * pass over the 100 TB corpus is MAP-ONLY: fold the document's
+    * bigram array against the two broadcast count tables, no explode,
+    * no shuffle, no join.
+    *
+    * Determinism: the classic DSIR weight is Σ log(p_target/p_raw); a
+    * float log-sum hash-compares across engines only with rounding
+    * luck, so the scores stay EXACT integers — per-doc Σ count_target
+    * and Σ count_raw — and the keep label cross-multiplies against the
+    * corpus totals (score_t·R > score_r·T ⟺ mean target-mass ratio
+    * exceeds the raw-mass ratio), computed in decimal so it cannot
+    * overflow.
+    */
+  def dsirWeights(corpus: DataFrame, target: DataFrame, idCol: Column,
+                  text: Column, buckets: Int = 4096): DataFrame = {
+    def bucketCounts(df: DataFrame): Array[Long] = {
+      val rows = df.select(explode(
+          graft.functions.TextFunctions.wordShingles(text, 2)).as("g"))
+        .select((conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long")
+          % buckets).as("b"))
+        .groupBy("b").count().collect()
+      val arr = Array.fill(buckets)(0L)
+      rows.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+      arr
+    }
+    val tCounts = bucketCounts(target)
+    val rCounts = bucketCounts(corpus)
+    val tTotal = tCounts.sum
+    val rTotal = rCounts.sum
+    val tLit = typedLit(tCounts)
+    val rLit = typedLit(rCounts)
+    def bucketOf(g: Column): Column =
+      (conv(substring(md5(g), 1, 8), 16, 10).cast("long") % buckets)
+        .cast("int") + 1
+    val grams = graft.functions.TextFunctions.wordShingles(text, 2)
+    val scoreT = aggregate(grams, lit(0L),
+      (acc, g) => acc + element_at(tLit, bucketOf(g)))
+    val scoreR = aggregate(grams, lit(0L),
+      (acc, g) => acc + element_at(rLit, bucketOf(g)))
+    corpus.select(idCol.as("doc_id"),
+      size(grams).cast("long").as("n_grams"),
+      scoreT.as("score_t"), scoreR.as("score_r"))
+      .withColumn("label",
+        when(col("score_t").cast("decimal(38,0)") * lit(rTotal) >
+             col("score_r").cast("decimal(38,0)") * lit(tTotal), "keep")
+          .otherwise("drop"))
+  }
+
+  /** C4/RefinedWeb-style per-domain quota: keep at most `cap` documents
+    * per domain, chosen by a deterministic hash priority (md5 of the
+    * doc id — a stable "random" order any engine replays). Emits only
+    * the kept rows with their rank, so Catalyst's InferWindowGroupLimit
+    * turns the window into a partial+final WindowGroupLimit: every map
+    * task keeps at most `cap` rows per domain in a bounded heap BEFORE
+    * the shuffle — a hot domain (the classic blogspot.com skew) never
+    * concentrates more than cap·partitions rows on one reducer.
+    */
+  def domainQuota(df: DataFrame, idCol: Column, domainCol: Column,
+                  cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    df.select(idCol.as("doc_id"), domainCol.as("domain"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+  }
+
+  /** Token-budget data mixing: give every group (language, domain,
+    * source…) the same token budget and fill it in deterministic
+    * hash-priority order — the doc that tips the running token total
+    * over the budget is the first one dropped. One shuffle (the window
+    * partition on the group key); all arithmetic is exact integers.
+    * Emits every doc with its running total and keep flag so the caller
+    * can audit what the budget excluded (no silent truncation).
+    */
+  def tokenBudgetMix(df: DataFrame, idCol: Column, groupCol: Column,
+                     text: Column, budgetPerGroup: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    df.select(idCol.as("doc_id"), groupCol.as("grp"),
+      size(split(text, " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("kept",
+        when(col("cum_tokens") <= budgetPerGroup, 1).otherwise(0))
+  }
+
   /** Document fingerprint: position-weighted rolling hash over tokens.
     * Token hash = two md5 hex chars (portable, exact int64 math); weight
     * cycles with position so near-identical docs with swapped words get
