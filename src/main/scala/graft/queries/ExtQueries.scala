@@ -1086,6 +1086,114 @@ object ExtQueries {
                               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
                FROM documents)""")
+    ),
+
+    // C4-style line cleaning: the synthetic docs are single-line, so
+    // the query derives a deterministic line structure both engines
+    // replay — ' table '→'.\n' and ' row '→'?\n' make punctuated line
+    // breaks, ' scan '→'\n' makes unpunctuated ones, and three modular
+    // doc_id classes inject the javascript / lorem-ipsum / brace
+    // triggers. The operator under test is the line filter + doc gate.
+    GraftQuery(
+      "x_text_c4_clean",
+      (s, dir) => {
+        val nl = "\n"
+        val docs = Tables.documents(s, dir)
+          .withColumn("t1", when(col("doc_id") % 83 === 0,
+            concat(col("text"), lit(nl + "this uses javascript today.")))
+            .otherwise(col("text")))
+          .withColumn("t2", when(col("doc_id") % 97 === 0,
+            concat(col("t1"), lit(" lorem ipsum"))).otherwise(col("t1")))
+          .withColumn("t3", when(col("doc_id") % 89 === 0,
+            concat(col("t2"), lit(" {"))).otherwise(col("t2")))
+          .withColumn("lined",
+            regexp_replace(regexp_replace(regexp_replace(col("t3"),
+              lit(" table "), lit("." + nl)),
+              lit(" row "), lit("?" + nl)),
+              lit(" scan "), lit(nl)))
+        TextAnalysis.c4LineClean(docs, col("doc_id"), col("lined"))
+      },
+      Some("""WITH t AS (
+               SELECT doc_id,
+                      replace(replace(replace(
+                        CASE WHEN doc_id % 89 = 0 THEN t2 || ' {' ELSE t2 END,
+                        ' table ', '.' || chr(10)),
+                        ' row ', '?' || chr(10)),
+                        ' scan ', chr(10)) AS lined
+               FROM (SELECT doc_id,
+                       CASE WHEN doc_id % 97 = 0 THEN t1 || ' lorem ipsum'
+                            ELSE t1 END AS t2
+                     FROM (SELECT doc_id,
+                             CASE WHEN doc_id % 83 = 0
+                                  THEN text || chr(10) || 'this uses javascript today.'
+                                  ELSE text END AS t1
+                           FROM documents))),
+             k AS (
+               SELECT doc_id, lined,
+                      list_filter(string_split(lined, chr(10)),
+                        x -> regexp_matches(x, '[.!?"]$')
+                             AND len(string_split(x, ' ')) >= 3
+                             AND NOT contains(lower(x), 'javascript')) AS kept
+               FROM t),
+             c AS (
+               -- array_to_string of an empty list is NULL in DuckDB;
+               -- Spark's array_join returns '' — normalize to ''
+               SELECT doc_id, lined, kept,
+                      coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+               FROM k)
+             SELECT doc_id,
+                    len(string_split(lined, chr(10))) AS n_lines,
+                    len(kept) AS n_kept,
+                    cleaned,
+                    len(regexp_extract_all(cleaned, '[.!?]')) AS n_sentences,
+                    CASE WHEN len(regexp_extract_all(cleaned, '[.!?]')) >= 5
+                              AND NOT contains(lower(lined), 'lorem ipsum')
+                              AND NOT contains(lower(lined), '{')
+                         THEN 'keep' ELSE 'drop' END AS label
+             FROM c""")
+    ),
+
+    // Gopher document-quality rules with exact-integer cross-multiplied
+    // ratio tests. The stop list is vocabulary-adapted (the synthetic
+    // corpus lacks of/and/that/have/with) so both labels occur; the
+    // rule structure is Rae et al. A1.1 verbatim.
+    GraftQuery(
+      "x_text_gopher",
+      (s, dir) =>
+        TextAnalysis.gopherRules(Tables.documents(s, dir),
+          col("doc_id"), col("text"),
+          stops = Seq("the", "a", "data", "table", "row", "line", "key",
+            "value")),
+      Some("""SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                    CAST(list_sum(list_transform(string_split(text, ' '),
+                        x -> len(x))) AS BIGINT) AS sum_word_len,
+                    CAST(len(list_filter(string_split(text, ' '),
+                        x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+                      AS n_alpha_words,
+                    CAST(len(regexp_extract_all(text, '#'))
+                       + len(regexp_extract_all(text, '\.\.\.|…')) AS BIGINT)
+                      AS n_symbols,
+                    CAST(len(list_filter(
+                        ['the','a','data','table','row','line','key','value'],
+                        s -> list_contains(string_split(text, ' '), s)))
+                      AS BIGINT) AS n_stop_kinds,
+                    CASE WHEN len(string_split(text, ' ')) BETWEEN 50 AND 100000
+                              AND list_sum(list_transform(string_split(text, ' '),
+                                  x -> len(x)))
+                                  BETWEEN 3 * len(string_split(text, ' '))
+                                      AND 10 * len(string_split(text, ' '))
+                              AND 10 * (len(regexp_extract_all(text, '#'))
+                                   + len(regexp_extract_all(text, '\.\.\.|…')))
+                                  <= len(string_split(text, ' '))
+                              AND 5 * len(list_filter(string_split(text, ' '),
+                                  x -> regexp_matches(x, '[A-Za-z]')))
+                                  >= 4 * len(string_split(text, ' '))
+                              AND len(list_filter(
+                                  ['the','a','data','table','row','line','key','value'],
+                                  s -> list_contains(string_split(text, ' '), s))) >= 2
+                         THEN 'keep' ELSE 'drop' END AS label
+             FROM documents""")
     )
   )
 }

@@ -294,6 +294,71 @@ object TextAnalysis {
         when(col("cum_tokens") <= budgetPerGroup, 1).otherwise(0))
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020, arXiv:1910.10683
+    * §2.2): keep only lines that end in a terminal punctuation mark AND
+    * carry at least three words AND do not mention javascript; then
+    * drop the whole document when the cleaned text has fewer than five
+    * sentences, mentions "lorem ipsum", or contains a curly brace.
+    * Emits per-doc line counts, the cleaned text, and the keep label —
+    * everything an audit of the filter needs. Map-only: the line rules
+    * are a `filter` fold over `split(text, '\n')`, no explode, no
+    * shuffle, so the pass composes with the other curation stages in
+    * one scan of the 100 TB corpus.
+    */
+  def c4LineClean(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    val lines = split(text, "\n")
+    val keepLine = (l: Column) =>
+      l.rlike("[.!?\"]$") && size(split(l, " ")) >= 3 &&
+        !lower(l).contains("javascript")
+    val kept = filter(lines, keepLine)
+    val cleaned = array_join(kept, "\n")
+    val nSentences = size(regexp_extract_all(cleaned, lit("[.!?]"), lit(0)))
+    val lowerAll = lower(text)
+    df.select(
+      idCol.as("doc_id"),
+      size(lines).as("n_lines"),
+      size(kept).as("n_kept"),
+      cleaned.as("cleaned"),
+      nSentences.as("n_sentences"),
+      when(nSentences >= 5 && !lowerAll.contains("lorem ipsum") &&
+           !lowerAll.contains("{"), "keep").otherwise("drop").as("label"))
+  }
+
+  /** Gopher document-quality rules (Rae et al. 2021, arXiv:2112.11446
+    * A1.1): word count in [50, 100000], mean word length in [3, 10],
+    * symbol-to-word ratio (# and ellipsis) at most 0.1, at least 80% of
+    * words containing an alphabetic character, and at least two
+    * distinct stop words present. Every ratio test cross-multiplies
+    * exact integer counts (3n ≤ Σlen ≤ 10n, 10·sym ≤ n, 5·alpha ≥ 4n),
+    * so the verdict hash-replays on any engine — no float thresholds.
+    * Map-only: one projection folding over the word array.
+    */
+  def gopherRules(df: DataFrame, idCol: Column, text: Column,
+                  stops: Seq[String] =
+                    Seq("the", "be", "to", "of", "and", "that", "have",
+                        "with")): DataFrame = {
+    val words = split(text, " ")
+    val nWords = size(words).cast("long")
+    val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val nSym = (size(regexp_extract_all(text, lit("#"), lit(0))) +
+      size(regexp_extract_all(text, lit("\\.\\.\\.|…"), lit(0)))).cast("long")
+    val nStop = size(filter(typedLit(stops),
+      s => array_contains(words, s))).cast("long")
+    df.select(
+      idCol.as("doc_id"),
+      nWords.as("n_words"),
+      sumLen.as("sum_word_len"),
+      nAlpha.as("n_alpha_words"),
+      nSym.as("n_symbols"),
+      nStop.as("n_stop_kinds"),
+      when(nWords >= 50 && nWords <= 100000 &&
+           sumLen >= nWords * 3 && sumLen <= nWords * 10 &&
+           nSym * 10 <= nWords &&
+           nAlpha * 5 >= nWords * 4 &&
+           nStop >= 2, "keep").otherwise("drop").as("label"))
+  }
+
   /** Document fingerprint: position-weighted rolling hash over tokens.
     * Token hash = two md5 hex chars (portable, exact int64 math); weight
     * cycles with position so near-identical docs with swapped words get

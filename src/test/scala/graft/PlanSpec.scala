@@ -182,6 +182,58 @@ class PlanSpec extends AnyFunSuite {
       "benchmark join must broadcast, not sort-merge:\n" + plan.take(3000))
   }
 
+  test("domain quota collapses to WindowGroupLimit with bounded map-side state") {
+    // rn <= cap over a hash-ordered window must trigger
+    // InferWindowGroupLimit: every map task holds at most cap rows per
+    // domain BEFORE the shuffle, so one hot domain cannot concentrate
+    // its full row set on a single reducer
+    val plan = planOf("x_curate_domains")
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+    assert(plan.contains("hashpartitioning"), plan.take(2000))
+    assert(!plan.contains("rangepartitioning"),
+      "quota ranking must not trigger a global sort")
+  }
+
+  test("dsir scoring pass is map-only: broadcast count tables, no explode") {
+    // the two bucketed-count tables are literal model state; scoring the
+    // corpus side (the 100 TB side) must fold each doc's gram array in
+    // place — no Generate, no join against the distributions, no shuffle
+    val plan = planOf("x_dsir_weights")
+    for (bad <- Seq("Exchange", "Join", "Generate", "Window"))
+      assert(!plan.contains(bad),
+        s"dsir scoring must be a pure projection, found $bad:\n" +
+          plan.take(2000))
+  }
+
+  test("token-budget mix shuffles once on the group key") {
+    val plan = planOf("x_mix_budget")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly one shuffle, got $exchanges:\n" +
+      plan.take(2500))
+    assert(!plan.contains("rangepartitioning"),
+      "running sum must partition by group, never globally sort")
+  }
+
+  test("semantic dedup pairs only within a cluster cell (equi-join)") {
+    val plan = planOf("x_dedup_semantic")
+    assert(!plan.contains("CartesianProduct"),
+      "pairwise cosine must be bounded by the cell equi-join:\n" +
+        plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("c4 line cleaning and gopher rules are map-only projections") {
+    // both filters must compose into the single corpus scan at 100 TB:
+    // the line rules fold over split(text) in place, the quality rules
+    // fold over the word array — no explode, no shuffle, no join
+    for (q <- Seq("x_text_c4_clean", "x_text_gopher")) {
+      val plan = planOf(q)
+      for (bad <- Seq("Exchange", "Join", "Generate", "Window", "Aggregate"))
+        assert(!plan.contains(bad),
+          s"$q must be a pure projection, found $bad:\n" + plan.take(2000))
+    }
+  }
+
   test("paragraph dedup counts occurrences on the 16-byte hash") {
     // the corpus-wide occurrence count must group on md5(chunk), so the
     // counting shuffle carries hashes, not paragraph bodies
