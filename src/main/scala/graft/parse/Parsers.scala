@@ -289,6 +289,26 @@ object Parsers {
         col("__rec.meta").as("meta"), col("__rec.doc").as("doc")): _*)
   }
 
+  // ------------------------------------------------------- WARC / WET
+
+  /** WARC/WET segment ingest (ISO 28500): one row per record in each
+    * binary blob, via the single-pass [[graft.functions.WarcScan]]
+    * codegen scanner. Blobs stay embarrassingly parallel — a Common
+    * Crawl dump is ~64k segment files, each one task's worth of work —
+    * and the scanner resynchronizes past corrupt records instead of
+    * dropping the segment.
+    */
+  def warc(df: DataFrame, blob: Column): DataFrame = {
+    val keep = df.columns.map(col)
+    val recs = graft.functions.WarcFunctions.warcScan(blob)
+    df.select(keep :+ explode(recs).as("__rec"): _*)
+      .select(keep ++ Seq(col("__rec.warc_type").as("warc_type"),
+        col("__rec.target_uri").as("target_uri"),
+        col("__rec.warc_date").as("warc_date"),
+        col("__rec.content_length").as("content_length"),
+        col("__rec.payload").as("payload")): _*)
+  }
+
   // ------------------------------------------------------- splunk HEC
 
   /** Splunk HEC `/services/collector/event` ingest — the decode side of

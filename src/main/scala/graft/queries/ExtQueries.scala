@@ -1194,6 +1194,49 @@ object ExtQueries {
                                   s -> list_contains(string_split(text, ' '), s))) >= 2
                          THEN 'keep' ELSE 'drop' END AS label
              FROM documents""")
+    ),
+
+    // WARC/WET ingest (ISO 28500 — the Common Crawl container every
+    // large-scale pipeline starts from). The query builds real WET
+    // segments from `documents` (a warcinfo head record + one
+    // Content-Length-framed conversion record per doc, CRLF framing,
+    // octet lengths), then the operator under test — the codegen
+    // WarcScan single-pass scanner — parses them back. The oracle
+    // recomputes the flat truth from the original columns, so framing
+    // AND parsing must both be right for the hash to match.
+    GraftQuery(
+      "x_warc_ingest",
+      (s, dir) => {
+        val crlf = "\r\n"
+        val uri = concat(lit("https://"), col("source"),
+          lit(".example.com/"), col("lang"), lit("/"),
+          col("doc_id").cast("string"))
+        val rec = concat(
+          lit("WARC/1.0" + crlf + "WARC-Type: conversion" + crlf +
+            "WARC-Target-URI: "), uri,
+          lit(crlf + "WARC-Date: 2026-08-13T00:00:00Z" + crlf +
+            "WARC-Record-ID: <urn:uuid:"), col("doc_id").cast("string"),
+          lit(">" + crlf + "Content-Length: "),
+          octet_length(col("text")).cast("string"),
+          lit(crlf + crlf), col("text"), lit(crlf + crlf))
+        val info = "WARC/1.0" + crlf + "WARC-Type: warcinfo" + crlf +
+          "Content-Length: 0" + crlf + crlf + crlf + crlf
+        val blobs = Tables.documents(s, dir)
+          .groupBy((col("doc_id") % 16).as("seg"))
+          .agg(concat_ws("", collect_list(rec)).as("recs"))
+          .select(encode(concat(lit(info), col("recs")), "UTF-8").as("blob"))
+        graft.parse.Parsers.warc(blobs, col("blob"))
+          .where(col("warc_type") === "conversion")
+          .select(col("target_uri"), col("warc_date"),
+            col("content_length"), col("payload"))
+      },
+      Some("""SELECT 'https://' || source || '.example.com/' || lang || '/'
+                      || doc_id AS target_uri,
+                    '2026-08-13T00:00:00Z' AS warc_date,
+                    CAST(octet_length(encode(text)) AS BIGINT)
+                      AS content_length,
+                    text AS payload
+             FROM documents""")
     )
   )
 }

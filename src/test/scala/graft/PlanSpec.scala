@@ -234,6 +234,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("warc ingest scans each segment once, inside codegen") {
+    // parsing must be the warc_scan single-pass expression feeding
+    // Generate; the only shuffle is the segment-builder groupBy (the
+    // test-side synthesis) — segments themselves are embarrassingly
+    // parallel, the axis a 64k-file crawl dump scales on
+    val plan = planOf("x_warc_ingest")
+    assert(plan.contains("warc_scan"), plan.take(3000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected only the builder shuffle, got $exchanges:\n" +
+      plan.take(2500))
+  }
+
   test("paragraph dedup counts occurrences on the 16-byte hash") {
     // the corpus-wide occurrence count must group on md5(chunk), so the
     // counting shuffle carries hashes, not paragraph bodies
