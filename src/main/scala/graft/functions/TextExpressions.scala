@@ -420,10 +420,55 @@ object EsBulkScan {
   private val OpUpdate = UTF8String.fromString("update")
 }
 
+/** Unicode NFC normalization (UAX #15) as a native expression — Spark
+  * has no built-in normalizer, and web-crawled corpora mix precomposed
+  * and combining-mark encodings of the same grapheme ("café" two ways),
+  * which silently defeats exact dedup and token counting downstream.
+  *
+  * Scale shape: the hot path is a byte scan — a fully-ASCII string (the
+  * overwhelming majority of a web corpus) returns the input UTF8String
+  * unchanged with zero allocation, and an already-normalized non-ASCII
+  * string pays only `Normalizer.isNormalized`. Only the denormalized
+  * minority allocates. Runs inside whole-stage codegen.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NfcNormalize.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "nfc_normalize"
+}
+
+object NfcNormalize {
+  /** Static entry shared by eval and generated code. */
+  def compute(s: UTF8String): UTF8String = {
+    val nb = s.numBytes
+    var i = 0
+    while (i < nb && (s.getByte(i) & 0x80) == 0) i += 1
+    if (i == nb) return s // pure ASCII: NFC is the identity
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
 object TextFunctions {
   /** All word n-grams of `text` (split on single spaces). */
   def wordShingles(text: Column, n: Int): Column =
     shim.column(WordShingles(shim.expression(text), n))
+
+  /** Unicode NFC normalization (UAX #15), ASCII fast-pathed. */
+  def nfcNormalize(s: Column): Column =
+    shim.column(NfcNormalize(shim.expression(s)))
 
   /** escaped_utf8 decoder (flb_parser_decoder.c:392-468). */
   def unescapeUtf8(s: Column): Column =

@@ -1237,6 +1237,60 @@ object ExtQueries {
                       AS content_length,
                     text AS payload
              FROM documents""")
+    ),
+
+    // ftfy-style Unicode cleanup. The synthetic corpus is clean, so the
+    // query injects the real-world defects deterministically by doc_id
+    // class — a combining-mark 'café' (NFC must precompose), a BEL
+    // control char, double-space runs with trailing blanks, and an NBSP
+    // — then the operator under test normalizes them away. Both engines
+    // replay the injection; NFC itself runs through our codegen
+    // expression on the Spark side and utf8proc on DuckDB's.
+    GraftQuery(
+      "x_text_unicode",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("t1", when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" cafe\u0301"))).otherwise(col("text")))
+          .withColumn("t2", when(col("doc_id") % 7 === 0,
+            concat(col("t1"), lit("\u0007alert"))).otherwise(col("t1")))
+          .withColumn("t3", when(col("doc_id") % 5 === 0,
+            concat(col("t2"), lit("  double  spaced  "))).otherwise(col("t2")))
+          .withColumn("t4", when(col("doc_id") % 11 === 0,
+            concat(col("t3"), lit(" a\u00a0b"))).otherwise(col("t3")))
+        TextAnalysis.unicodeClean(docs, col("doc_id"), col("t4"))
+      },
+      Some("""WITH t AS (
+               SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0 THEN t3 || ' a' || chr(160) || 'b'
+                      ELSE t3 END AS raw
+               FROM (SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN t2 || '  double  spaced  '
+                            ELSE t2 END AS t3
+                     FROM (SELECT doc_id,
+                             CASE WHEN doc_id % 7 = 0 THEN t1 || chr(7) || 'alert'
+                                  ELSE t1 END AS t2
+                           FROM (SELECT doc_id,
+                                   CASE WHEN doc_id % 3 = 0
+                                        THEN text || ' cafe' || chr(769)
+                                        ELSE text END AS t1
+                                 FROM documents)))),
+             n AS (SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM t),
+             c AS (SELECT doc_id, raw, nfc,
+                     trim(regexp_replace(
+                       regexp_replace(
+                         regexp_replace(nfc,
+                           '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+                         '[\x{A0}\x{2007}\x{202F}]', ' ', 'g'),
+                       ' {2,}', ' ', 'g')) AS cleaned
+                   FROM n)
+             SELECT doc_id, cleaned,
+                    CAST(len(raw) AS INT) AS n_chars_raw,
+                    CAST(len(cleaned) AS INT) AS n_chars_clean,
+                    CASE WHEN nfc <> raw THEN 1 ELSE 0 END AS changed_nfc,
+                    CASE WHEN regexp_matches(raw, '[\x00-\x08\x0B-\x1F\x7F]')
+                         THEN 1 ELSE 0 END AS had_control
+             FROM c""")
     )
   )
 }

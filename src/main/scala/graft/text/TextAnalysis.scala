@@ -359,6 +359,33 @@ object TextAnalysis {
            nStop >= 2, "keep").otherwise("drop").as("label"))
   }
 
+  /** ftfy-style Unicode cleanup (the fix-text pass every crawled corpus
+    * runs before dedup/tokenization): NFC normalization via the
+    * ASCII-fast-pathed [[graft.functions.NfcNormalize]] expression, then
+    * strip C0/C1-ish control characters (keeping `\t` and `\n`), map
+    * the fixed-width Unicode spaces (NBSP, figure space, narrow NBSP)
+    * to ASCII space, collapse space runs, and trim. Emits the cleaned
+    * text plus audit counts (raw/clean code-point lengths, an NFC-change
+    * flag, a control-char flag).
+    *
+    * Map-only — composes into the single 100 TB corpus scan; the NFC
+    * cost lands only on the non-ASCII minority of documents.
+    */
+  def unicodeClean(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    val nfc = graft.functions.TextFunctions.nfcNormalize(text)
+    val ctl = "[\\x00-\\x08\\x0B-\\x1F\\x7F]"
+    val noCtl = regexp_replace(nfc, ctl, "")
+    val spaced = regexp_replace(noCtl, "[\\x{A0}\\x{2007}\\x{202F}]", " ")
+    val cleaned = trim(regexp_replace(spaced, " {2,}", " "))
+    df.select(
+      idCol.as("doc_id"),
+      cleaned.as("cleaned"),
+      length(text).as("n_chars_raw"),
+      length(cleaned).as("n_chars_clean"),
+      (nfc =!= text).cast("int").as("changed_nfc"),
+      text.rlike(ctl).cast("int").as("had_control"))
+  }
+
   /** Document fingerprint: position-weighted rolling hash over tokens.
     * Token hash = two md5 hex chars (portable, exact int64 math); weight
     * cycles with position so near-identical docs with swapped words get

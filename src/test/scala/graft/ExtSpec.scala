@@ -158,6 +158,29 @@ class ExtSpec extends AnyFunSuite {
     assert(fp(1L) != fp(2L))
   }
 
+  test("nfc normalize: ascii identity, precompose, already-normalized passthrough") {
+    import graft.functions.NfcNormalize
+    import org.apache.spark.unsafe.types.UTF8String
+    val ascii = UTF8String.fromString("plain ascii text")
+    assert(NfcNormalize.compute(ascii) eq ascii) // zero-alloc fast path
+    val composed = UTF8String.fromString("café")
+    assert(NfcNormalize.compute(composed) eq composed) // already NFC
+    val combining = UTF8String.fromString("cafe\u0301")
+    assert(NfcNormalize.compute(combining).toString == "café")
+    // compatibility chars survive NFC (it is not NFKC)
+    val ligature = UTF8String.fromString("ﬁle")
+    assert(NfcNormalize.compute(ligature).toString == "ﬁle")
+  }
+
+  test("unicode clean strips controls, maps nbsp, collapses runs, trims") {
+    val d = Seq((1L, "a\u0007b  c\u00a0d  "), (2L, "ok")).toDF("doc_id", "text")
+    val out = TextAnalysis.unicodeClean(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "ab c d")
+    assert(out(1L).getInt(4) == 0 && out(1L).getInt(5) == 1)
+    assert(out(2L).getString(1) == "ok" && out(2L).getInt(5) == 0)
+  }
+
   test("multimodal: stub decode is deterministic; frame sampling slices payload") {
     val media = Multimodal.ingest(docs, "doc_id", "text", "text/plain")
     val feats = Multimodal.extractFeatures(spark, media, dims = 4, parallelism = 2)

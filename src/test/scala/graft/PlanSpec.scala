@@ -234,6 +234,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("unicode clean is a map-only projection with the nfc expression inline") {
+    // the ftfy pass must compose into the single 100 TB corpus scan:
+    // nfc_normalize is a codegen expression, the rest is regexp_replace
+    // — no explode, no shuffle, no join
+    val plan = planOf("x_text_unicode")
+    assert(plan.contains("nfc_normalize"), plan.take(2000))
+    for (bad <- Seq("Exchange", "Join", "Generate", "Window", "Aggregate"))
+      assert(!plan.contains(bad),
+        s"unicode clean must be a pure projection, found $bad:\n" + plan.take(2000))
+  }
+
   test("warc ingest scans each segment once, inside codegen") {
     // parsing must be the warc_scan single-pass expression feeding
     // Generate; the only shuffle is the segment-builder groupBy (the
