@@ -1291,6 +1291,36 @@ object ExtQueries {
                     CASE WHEN regexp_matches(raw, '[\x00-\x08\x0B-\x1F\x7F]')
                          THEN 1 ELSE 0 END AS had_control
              FROM c""")
+    ),
+
+    // GPT-style sequence packing: 8 hash shards, 256-token sequences.
+    // The oracle replays the identical shard assignment, hash-priority
+    // window order, and integer div/mod chunk arithmetic.
+    GraftQuery(
+      "x_pack_sequences",
+      (s, dir) =>
+        TextAnalysis.packSequences(Tables.documents(s, dir),
+          col("doc_id"), col("text"), seqLen = 256, nShards = 8),
+      Some("""WITH t AS (
+               SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                           ::BIGINT % 8 AS INT) AS shard
+               FROM documents),
+             c AS (
+               SELECT doc_id, n_tokens, shard,
+                      CAST(SUM(n_tokens) OVER (PARTITION BY shard
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+               FROM t)
+             SELECT doc_id, n_tokens, shard, tok_end,
+                    CAST(tok_end - n_tokens AS BIGINT) AS tok_begin,
+                    CAST((tok_end - n_tokens) // 256 AS BIGINT) AS first_seq,
+                    CAST((tok_end - 1) // 256 AS BIGINT) AS last_seq,
+                    CAST((tok_end - n_tokens) % 256 AS BIGINT) AS seq_offset,
+                    CAST((tok_end - 1) // 256 - (tok_end - n_tokens) // 256 + 1
+                      AS BIGINT) AS n_seqs
+             FROM c""")
     )
   )
 }

@@ -294,6 +294,39 @@ object TextAnalysis {
         when(col("cum_tokens") <= budgetPerGroup, 1).otherwise(0))
   }
 
+  /** GPT-style training-sequence packing (concat-and-chunk): shard the
+    * corpus by document hash, concatenate each shard's token stream in
+    * deterministic hash-priority order, and chunk it into fixed
+    * `seqLen`-token sequences. Emits, per document, the half-open token
+    * interval it occupies in its shard's stream and the first/last
+    * sequence it lands in — a doc may straddle a boundary, and which
+    * docs were split where is exactly the audit a packing run needs.
+    *
+    * Scale shape: shards are independent, so packing never needs a
+    * global sort — one shuffle (the per-shard window), and a 100 TB
+    * corpus packs in `nShards`-way parallel. Sequence ids are
+    * shard-local; `shard * 2^40 + first_seq` makes them globally unique
+    * when a flat id is needed. All arithmetic is exact integer div/mod.
+    */
+  def packSequences(df: DataFrame, idCol: Column, text: Column,
+                    seqLen: Int, nShards: Int): DataFrame = {
+    require(seqLen > 0 && nShards > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    df.select(idCol.as("doc_id"),
+        size(split(text, " ")).cast("long").as("n_tokens"))
+      .withColumn("shard",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % nShards).cast("int"))
+      .withColumn("tok_end", sum(col("n_tokens")).over(w))
+      .withColumn("tok_begin", col("tok_end") - col("n_tokens"))
+      .withColumn("first_seq", expr(s"tok_begin div $seqLen"))
+      .withColumn("last_seq", expr(s"(tok_end - 1) div $seqLen"))
+      .withColumn("seq_offset", pmod(col("tok_begin"), lit(seqLen.toLong)))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+  }
+
   /** C4-style line-level cleaning (Raffel et al. 2020, arXiv:1910.10683
     * §2.2): keep only lines that end in a terminal punctuation mark AND
     * carry at least three words AND do not mention javascript; then

@@ -181,6 +181,32 @@ class ExtSpec extends AnyFunSuite {
     assert(out(2L).getString(1) == "ok" && out(2L).getInt(5) == 0)
   }
 
+  test("sequence packing: contiguous intervals, boundary docs straddle") {
+    // 6 docs of 100 tokens in one shard, seqLen 256: the stream is
+    // 600 tokens = sequences [0,256) [256,512) [512,600…); every doc
+    // interval must be contiguous with its predecessor and chunk ids
+    // must follow from integer div
+    val text = Seq.fill(100)("w").mkString(" ")
+    val d = (1L to 6L).map(i => (i, text)).toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(d, col("doc_id"), col("text"),
+      seqLen = 256, nShards = 1)
+      .orderBy("tok_begin").collect()
+    assert(out.map(_.getAs[Long]("n_tokens")).forall(_ == 100L))
+    val begins = out.map(_.getAs[Long]("tok_begin"))
+    val ends = out.map(_.getAs[Long]("tok_end"))
+    assert(begins.head == 0L && ends.last == 600L)
+    assert(begins.tail.sameElements(ends.init)) // no gaps, no overlaps
+    // the doc covering tokens [200,300) straddles sequences 0 and 1
+    val straddler = out.find(r => r.getAs[Long]("tok_begin") == 200L).get
+    assert(straddler.getAs[Long]("first_seq") == 0L)
+    assert(straddler.getAs[Long]("last_seq") == 1L)
+    assert(straddler.getAs[Long]("n_seqs") == 2L)
+    assert(straddler.getAs[Long]("seq_offset") == 200L)
+    // a doc fully inside one sequence does not straddle
+    val inside = out.find(r => r.getAs[Long]("tok_begin") == 0L).get
+    assert(inside.getAs[Long]("n_seqs") == 1L)
+  }
+
   test("multimodal: stub decode is deterministic; frame sampling slices payload") {
     val media = Multimodal.ingest(docs, "doc_id", "text", "text/plain")
     val feats = Multimodal.extractFeatures(spark, media, dims = 4, parallelism = 2)

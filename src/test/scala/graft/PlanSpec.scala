@@ -234,6 +234,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing shuffles once on the shard key, never globally sorts") {
+    // chunk arithmetic must ride the per-shard window — a global sort
+    // (rangepartitioning) would serialize the 100 TB token stream
+    // through one ordering instead of nShards independent ones
+    val plan = planOf("x_pack_sequences")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly one shuffle, got $exchanges:\n" +
+      plan.take(2500))
+    assert(!plan.contains("rangepartitioning"), plan.take(2500))
+  }
+
   test("unicode clean is a map-only projection with the nfc expression inline") {
     // the ftfy pass must compose into the single 100 TB corpus scan:
     // nfc_normalize is a codegen expression, the rest is regexp_replace
