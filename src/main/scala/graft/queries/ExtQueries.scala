@@ -1321,6 +1321,59 @@ object ExtQueries {
                     CAST((tok_end - 1) // 256 - (tok_end - n_tokens) // 256 + 1
                       AS BIGINT) AS n_seqs
              FROM c""")
+    ),
+
+    // URL blocklist gate. Synthetic URLs derive deterministically from
+    // doc_id classes (subdomains, three TLDs, a blocklisted parent
+    // domain, http vs https) so every code path — registrable-domain
+    // block, exact-host block, pass — occurs; the blocklist mixes both
+    // entry kinds.
+    GraftQuery(
+      "x_url_filter",
+      (s, dir) => {
+        val host = when(col("doc_id") % 4 === 0,
+            concat(lit("www."), col("source"), lit(".com")))
+          .when(col("doc_id") % 4 === 1, concat(col("source"), lit(".org")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("cdn."), col("source"), lit(".badsite.net")))
+          .otherwise(concat(col("source"), lit(".com")))
+        val scheme = when(col("doc_id") % 3 === 0, "http").otherwise("https")
+        val docs = Tables.documents(s, dir).withColumn("url",
+          concat(scheme, lit("://"), host, lit("/"), col("lang"),
+            lit("/"), col("doc_id").cast("string")))
+        TextAnalysis.urlFilter(docs, col("doc_id"), col("url"),
+          Seq("src3.com", "src7.org", "badsite.net", "www.src5.com"))
+      },
+      Some("""WITH u AS (
+               SELECT doc_id,
+                      CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END
+                        AS scheme,
+                      CASE WHEN doc_id % 4 = 0 THEN 'www.' || source || '.com'
+                           WHEN doc_id % 4 = 1 THEN source || '.org'
+                           WHEN doc_id % 4 = 2
+                             THEN 'cdn.' || source || '.badsite.net'
+                           ELSE source || '.com' END AS host,
+                      '/' || lang || '/' || doc_id AS path
+               FROM documents),
+             p AS (
+               SELECT doc_id, scheme, host,
+                      array_to_string(string_split(host, '.')[-2:], '.')
+                        AS domain,
+                      path
+               FROM u),
+             r AS (
+               SELECT p.*,
+                      CASE WHEN domain IN ('src3.com','src7.org',
+                                           'badsite.net','www.src5.com')
+                             THEN 'domain'
+                           WHEN host IN ('src3.com','src7.org',
+                                         'badsite.net','www.src5.com')
+                             THEN 'host'
+                           ELSE 'ok' END AS reason
+               FROM p)
+             SELECT doc_id, scheme, host, domain, path, reason,
+                    CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS kept
+             FROM r""")
     )
   )
 }

@@ -294,6 +294,42 @@ object TextAnalysis {
         when(col("cum_tokens") <= budgetPerGroup, 1).otherwise(0))
   }
 
+  /** URL provenance gate (the C4/RefinedWeb UT1-blocklist pass): parse
+    * scheme/host/path out of each document's URL, derive the
+    * registrable domain (last two host labels — a production run plugs
+    * a public-suffix list in the same shape), and drop documents whose
+    * registrable domain OR exact host is blocklisted. Emits every doc
+    * with its parsed fields, keep flag, and the reason — provenance
+    * filtering must be auditable, not silent.
+    *
+    * Scale shape: the blocklist (MB-scale even for UT1's millions of
+    * entries) broadcasts; the corpus side is a map-only parse plus two
+    * broadcast left joins — no shuffle of the 100 TB side.
+    */
+  def urlFilter(df: DataFrame, idCol: Column, urlCol: Column,
+                blocklist: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val blDomain = broadcast(blocklist.toDF("bl_domain"))
+    val blHost = broadcast(blocklist.toDF("bl_host"))
+    val host = regexp_extract(urlCol, "^[a-z]+://([^/]+)", 1)
+    val parsed = df.select(
+      idCol.as("doc_id"),
+      regexp_extract(urlCol, "^([a-z]+)://", 1).as("scheme"),
+      host.as("host"),
+      concat_ws(".", slice(split(host, "\\."), -2, 2)).as("domain"),
+      regexp_extract(urlCol, "^[a-z]+://[^/]+(/.*)?$", 1).as("path"))
+    parsed
+      .join(blDomain, parsed("domain") === blDomain("bl_domain"), "left")
+      .join(blHost, parsed("host") === blHost("bl_host"), "left")
+      .withColumn("reason",
+        when(col("bl_domain").isNotNull, "domain")
+          .when(col("bl_host").isNotNull, "host")
+          .otherwise("ok"))
+      .withColumn("kept", (col("reason") === "ok").cast("int"))
+      .drop("bl_domain", "bl_host")
+  }
+
   /** GPT-style training-sequence packing (concat-and-chunk): shard the
     * corpus by document hash, concatenate each shard's token stream in
     * deterministic hash-priority order, and chunk it into fixed

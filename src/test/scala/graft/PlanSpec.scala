@@ -234,6 +234,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("url blocklist joins broadcast; the corpus side never shuffles") {
+    val plan = planOf("x_url_filter")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "the 100 TB side must not shuffle for an MB-scale blocklist:\n" +
+        plan.take(3000))
+  }
+
   test("sequence packing shuffles once on the shard key, never globally sorts") {
     // chunk arithmetic must ride the per-shard window — a global sort
     // (rangepartitioning) would serialize the 100 TB token stream
