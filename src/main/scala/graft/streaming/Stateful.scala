@@ -94,6 +94,52 @@ object Stateful {
         })
   }
 
+  // ---------------------------------------------------- sequence packing
+
+  final case class Doc(shard: Int, docId: Long, nTokens: Long)
+  final case class PackedDoc(shard: Int, docId: Long, tokBegin: Long,
+                             tokEnd: Long, firstSeq: Long, lastSeq: Long)
+  final case class PackState(nextTok: Long)
+
+  /** Streaming twin of [[graft.text.TextAnalysis.packSequences]]: online
+    * concat-and-chunk — each shard keeps ONE cursor (the next free token
+    * offset) and every arriving document is assigned its token interval
+    * and first/last sequence ids as it lands. State is a single long per
+    * shard — bounded by construction, so NoTimeout is safe (nothing to
+    * evict; a shard's cursor IS the packing position and must survive
+    * forever). Within a micro-batch, documents pack in deterministic
+    * (md5(docId), docId) order — the same priority order as the batch
+    * operator — so a replayed batch packs identically.
+    */
+  def packStream(spark: SparkSession, docs: Dataset[Doc],
+                 seqLen: Int): Dataset[PackedDoc] = {
+    import spark.implicits._
+    require(seqLen > 0)
+    docs.groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (shard: Int, it: Iterator[Doc], state: GroupState[PackState]) => {
+          var next = state.getOption.map(_.nextTok).getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer[PackedDoc]()
+          it.toSeq
+            .sortBy(d => (md5Hex(d.docId), d.docId))
+            .foreach { d =>
+              val begin = next
+              val end = begin + d.nTokens
+              out += PackedDoc(shard, d.docId, begin, end,
+                begin / seqLen, math.max(begin, end - 1) / seqLen)
+              next = end
+            }
+          state.update(PackState(next))
+          out.iterator
+        })
+  }
+
+  private def md5Hex(id: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(id.toString.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+  }
+
   // -------------------------------------------------------- tail sampling
 
   final case class Span(traceId: String, spanId: String, tsSec: Long,

@@ -96,6 +96,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exists(_.body == "other_key")) // independent bucket
   }
 
+  test("streaming sequence packing: shard cursors survive across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import Stateful.{Doc, PackedDoc}
+    val in = MemoryStream[Doc]
+    // NoTimeout stateful query: processAllAvailable is safe (see header)
+    val out = Stateful.packStream(spark, in.toDS(), seqLen = 256)
+    val q = startToMemory(out, "pack_out")
+    try {
+      in.addData(Doc(0, 1L, 100L), Doc(0, 2L, 100L), Doc(1, 10L, 300L))
+      q.processAllAvailable()
+      in.addData(Doc(0, 3L, 100L)) // must continue at token 200, not 0
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("pack_out").as[PackedDoc].collect()
+      .map(p => p.docId -> p).toMap
+    // batch 1, shard 0: docs 1,2 pack in md5-priority order (md5("1")
+    // sorts before md5("2") → c4ca… < c81e…) — intervals [0,100) [100,200)
+    assert(got(1L).tokBegin == 0L && got(2L).tokBegin == 100L)
+    // batch 2 resumes shard 0's cursor at 200 and straddles nothing
+    assert(got(3L).tokBegin == 200L && got(3L).tokEnd == 300L)
+    assert(got(3L).firstSeq == 0L && got(3L).lastSeq == 1L) // [200,300) straddles
+    // shard 1 packs independently from 0 and spans sequences 0..1
+    assert(got(10L).tokBegin == 0L && got(10L).lastSeq == 1L)
+  }
+
   test("snapshot buffer flushes history when the trigger record arrives") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Rec]

@@ -94,4 +94,28 @@ class WarcSpec extends AnyFunSuite {
     val rows = scan(rec("warcinfo", "u", "") + rec("conversion", "v", "x"))
     assert(rows.map(_.getLong(3)) == Seq(0L, 1L))
   }
+
+  test("property: any payload corpus round-trips through build→scan") {
+    // payloads draw from the adversarial alphabet: CRLFs, the WARC/
+    // magic, colons, header-shaped lines, multibyte unicode — framing
+    // must be immune to ALL content because Content-Length drives it
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val payloadGen: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.const("\r\n"), Gen.const("\r\n\r\n"),
+      Gen.const("WARC/1.0"), Gen.const("Content-Length: 7"),
+      Gen.const("日本語テキスト"), Gen.const("café"),
+      Gen.const(": colon : everywhere :"))).map(_.mkString(" "))
+    val corpusGen = Gen.listOfN(20, payloadGen)
+    (1 to 40).foreach { i =>
+      val payloads = corpusGen(Gen.Parameters.default, Seed(i.toLong)).get
+      val blob = payloads.zipWithIndex.map { case (p, j) =>
+        rec("conversion", s"uri/$j", p) }.mkString
+      val rows = scan(blob)
+      assert(rows.map(payloadOf) == payloads, s"seed $i")
+      assert(rows.map(_.getLong(3)) ==
+        payloads.map(_.getBytes("UTF-8").length.toLong), s"seed $i lengths")
+    }
+  }
 }
