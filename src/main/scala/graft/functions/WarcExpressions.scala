@@ -100,8 +100,15 @@ object WarcScan {
     new String(b, i, e - i, java.nio.charset.StandardCharsets.ISO_8859_1)
   }
 
-  /** Static entry shared by eval and generated code. */
-  def compute(blob: Array[Byte]): ArrayData = {
+  /** Static entry shared by eval and generated code. Real WET segments
+    * ship as `.warc.wet.gz` — a gzip-magic blob inflates first (size
+    * cap via the shared bounded reader), exactly like a real ingester.
+    */
+  def compute(raw: Array[Byte]): ArrayData = {
+    val blob =
+      if (!graft.parse.OtlpProto.isGzip(raw)) raw
+      else scala.util.Try(graft.parse.OtlpProto.gunzip(raw))
+        .getOrElse(Array.emptyByteArray) // corrupt/bomb gzip: no records
     val n = blob.length
     val out = scala.collection.mutable.ArrayBuffer[Any]()
     var i = findMagic(blob, 0)
@@ -160,7 +167,50 @@ object WarcScan {
   }
 }
 
+/** gzip-compress a binary column (RFC 1952). Java's GZIPOutputStream
+  * writes a fixed zero MTIME, so output is deterministic. Used to build
+  * `.warc.wet.gz`-shaped test segments and by delivery paths that gzip
+  * request bodies.
+  */
+case class GzipCompress(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"gzip_compress needs binary input, got ${child.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    GzipCompress.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GzipCompress.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "gzip_compress"
+}
+
+object GzipCompress {
+  def compute(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(b.length / 2 max 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(b); gz.close()
+    bos.toByteArray
+  }
+}
+
 object WarcFunctions {
   /** WARC/WET blob → array of parsed records (ISO 28500). */
   def warcScan(blob: Column): Column = shim.column(WarcScan(shim.expression(blob)))
+
+  /** RFC 1952 gzip compression of a binary column. */
+  def gzipCompress(blob: Column): Column =
+    shim.column(GzipCompress(shim.expression(blob)))
 }

@@ -1239,6 +1239,39 @@ object ExtQueries {
              FROM documents""")
     ),
 
+    // Gzipped WET segments (.warc.wet.gz — how Common Crawl actually
+    // ships): same build as x_warc_ingest but each segment compresses
+    // through the gzip_compress expression and WarcScan inflates off
+    // the magic bytes before scanning. Same flat-truth oracle.
+    GraftQuery(
+      "x_warc_gzip",
+      (s, dir) => {
+        val crlf = "\r\n"
+        val uri = concat(lit("https://"), col("source"),
+          lit(".example.com/"), col("lang"), lit("/"),
+          col("doc_id").cast("string"))
+        val rec = concat(
+          lit("WARC/1.0" + crlf + "WARC-Type: conversion" + crlf +
+            "WARC-Target-URI: "), uri,
+          lit(crlf + "Content-Length: "),
+          octet_length(col("text")).cast("string"),
+          lit(crlf + crlf), col("text"), lit(crlf + crlf))
+        val blobs = Tables.documents(s, dir)
+          .groupBy((col("doc_id") % 16).as("seg"))
+          .agg(concat_ws("", collect_list(rec)).as("recs"))
+          .select(graft.functions.WarcFunctions.gzipCompress(
+            encode(col("recs"), "UTF-8")).as("blob"))
+        graft.parse.Parsers.warc(blobs, col("blob"))
+          .select(col("target_uri"), col("content_length"), col("payload"))
+      },
+      Some("""SELECT 'https://' || source || '.example.com/' || lang || '/'
+                      || doc_id AS target_uri,
+                    CAST(octet_length(encode(text)) AS BIGINT)
+                      AS content_length,
+                    text AS payload
+             FROM documents""")
+    ),
+
     // ftfy-style Unicode cleanup. The synthetic corpus is clean, so the
     // query injects the real-world defects deterministically by doc_id
     // class — a combining-mark 'café' (NFC must precompose), a BEL

@@ -95,6 +95,18 @@ class WarcSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)) == Seq(0L, 1L))
   }
 
+  test("gzip segments inflate off the magic bytes; corrupt gzip yields nothing") {
+    import graft.functions.GzipCompress
+    val plain = rec("conversion", "u", "compressed payload")
+    val gz = GzipCompress.compute(plain.getBytes("UTF-8"))
+    val arr = WarcScan.compute(gz).asInstanceOf[ArrayData]
+    assert(arr.numElements() == 1)
+    assert(arr.getStruct(0, 5).getUTF8String(4).toString == "compressed payload")
+    // gzip magic but corrupt stream: no records, no throw
+    val corrupt = Array[Byte](0x1f, 0x8b.toByte, 9, 9, 9, 9, 9, 9)
+    assert(WarcScan.compute(corrupt).asInstanceOf[ArrayData].numElements() == 0)
+  }
+
   test("property: any payload corpus round-trips through build→scan") {
     // payloads draw from the adversarial alphabet: CRLFs, the WARC/
     // magic, colons, header-shaped lines, multibyte unicode — framing
