@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `spark.sql.extensions=graft.GraftExtensions` SQL surface: every
+  * registered native expression must be callable from pure SQL and
+  * agree with its DataFrame wrapper.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("scalar expressions resolve and compute from pure SQL") {
+    val r = spark.sql(
+      """SELECT word_shingles('a b c', 2) AS sh,
+                nfc_normalize('café') AS nfc,
+                mysql_unquote('"hi"') AS mq,
+                vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
+                byte_dot(X'0102', X'0304') AS bdot,
+                media_header(X'89504E470D0A1A0A0000000D494844520000000100000002') AS mh
+      """).collect().head
+    assert(r.getSeq[String](0) == Seq("a b", "b c"))
+    assert(r.getString(1) == "café") // combining mark precomposed
+    assert(r.getString(2) == "hi")
+    assert(r.getDouble(3) == 11.0)
+    assert(r.getLong(4) == 1L * 3 + 2 * 4)
+    val mh = r.getStruct(5)
+    assert(mh.getString(0).toLowerCase.contains("png"), mh.toString)
+    assert(mh.getInt(1) == 1 && mh.getInt(2) == 2)
+  }
+
+  test("warc_scan and gzip_compress compose in SQL") {
+    val n = spark.sql(
+      """SELECT size(warc_scan(gzip_compress(encode(
+           'WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n',
+           'UTF-8')))) AS n""").collect().head.getInt(0)
+    assert(n == 1)
+  }
+
+  test("es_bulk_scan and split_json_values resolve from SQL") {
+    val r = spark.sql(
+      """SELECT size(es_bulk_scan('{"index":{}}\n{"a":1}')) AS es,
+                size(split_json_values('{"a":1}{"b":2}')) AS sj""")
+      .collect().head
+    assert(r.getInt(0) == 1 && r.getInt(1) == 2)
+  }
+
+  test("arity errors are named, not MatchErrors") {
+    val e = intercept[Exception](spark.sql("SELECT nfc_normalize('a','b')"))
+    assert(e.getMessage.contains("nfc_normalize"))
+  }
+}

@@ -10,6 +10,7 @@ object TestSpark {
     .config("spark.sql.codegen.maxFields", "256") // k=128 minhash agg stays codegen'd
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions) // SQL surface under test too
     .getOrCreate()
   val sf: String = "/root/testdata/sf0.001"
 }
