@@ -64,6 +64,10 @@ object GraftExtensions {
     (FunctionIdentifier("es_bulk_scan"),
       info("es_bulk_scan", "es_bulk_scan(body) - ES _bulk actions"),
       one("es_bulk_scan")(EsBulkScan)),
+    (FunctionIdentifier("html_unescape"),
+      info("html_unescape",
+        "html_unescape(str) - decode HTML entities, malformed-verbatim"),
+      one("html_unescape")(HtmlUnescape)),
     (FunctionIdentifier("warc_scan"),
       info("warc_scan", "warc_scan(blob) - WARC/WET records (gzip ok)"),
       one("warc_scan")(WarcScan)),

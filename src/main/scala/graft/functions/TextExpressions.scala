@@ -461,6 +461,86 @@ object NfcNormalize {
   }
 }
 
+/** HTML entity decoding (`&amp;` `&#65;` `&#x41;` …) as a native
+  * expression — the last step of HTML→text extraction, which Spark has
+  * no built-in for. Named entities cover the HTML4 core set a crawled
+  * page actually uses; numeric (decimal and hex) references decode any
+  * code point. Malformed references (`&foo;`, `&#;`, unterminated
+  * `&amp`) pass through verbatim — extraction must never lose user
+  * text. Strings without `&` return the input UTF8String unchanged
+  * (zero allocation); runs inside whole-stage codegen.
+  */
+case class HtmlUnescape(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    HtmlUnescape.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HtmlUnescape.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "html_unescape"
+}
+
+object HtmlUnescape {
+  private val Named: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("amp", "&"); m.put("lt", "<"); m.put("gt", ">")
+    m.put("quot", "\""); m.put("apos", "'"); m.put("nbsp", " ")
+    m.put("mdash", "—"); m.put("ndash", "–")
+    m.put("hellip", "…"); m.put("rsquo", "’")
+    m.put("lsquo", "‘"); m.put("rdquo", "”")
+    m.put("ldquo", "“"); m.put("copy", "©")
+    m.put("reg", "®"); m.put("trade", "™")
+    m.put("deg", "°"); m.put("middot", "·")
+    m.put("laquo", "«"); m.put("raquo", "»")
+    m
+  }
+
+  /** Static entry shared by eval and generated code. */
+  def compute(s: UTF8String): UTF8String = {
+    val str = s.toString
+    var i = str.indexOf('&')
+    if (i < 0) return s // no references: zero-alloc passthrough
+    val n = str.length
+    val sb = new java.lang.StringBuilder(n)
+    sb.append(str, 0, i)
+    while (i < n) {
+      val c = str.charAt(i)
+      if (c != '&') { sb.append(c); i += 1 }
+      else {
+        val semi = str.indexOf(';', i + 1)
+        // references are short; a far-away ';' means bare '&' text
+        if (semi < 0 || semi - i > 10) { sb.append('&'); i += 1 }
+        else {
+          val body = str.substring(i + 1, semi)
+          val decoded: String =
+            if (body.startsWith("#x") || body.startsWith("#X")) {
+              try {
+                val cp = Integer.parseInt(body.substring(2), 16)
+                if (Character.isValidCodePoint(cp))
+                  new String(Character.toChars(cp)) else null
+              } catch { case _: Exception => null }
+            } else if (body.startsWith("#")) {
+              try {
+                val cp = Integer.parseInt(body.substring(1))
+                if (Character.isValidCodePoint(cp))
+                  new String(Character.toChars(cp)) else null
+              } catch { case _: Exception => null }
+            } else Named.get(body)
+          if (decoded == null) { sb.append('&'); i += 1 } // verbatim
+          else { sb.append(decoded); i = semi + 1 }
+        }
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
 object TextFunctions {
   /** All word n-grams of `text` (split on single spaces). */
   def wordShingles(text: Column, n: Int): Column =
@@ -469,6 +549,10 @@ object TextFunctions {
   /** Unicode NFC normalization (UAX #15), ASCII fast-pathed. */
   def nfcNormalize(s: Column): Column =
     shim.column(NfcNormalize(shim.expression(s)))
+
+  /** HTML entity decoding (named + numeric refs), malformed-verbatim. */
+  def htmlUnescape(s: Column): Column =
+    shim.column(HtmlUnescape(shim.expression(s)))
 
   /** escaped_utf8 decoder (flb_parser_decoder.c:392-468). */
   def unescapeUtf8(s: Column): Column =

@@ -1239,6 +1239,51 @@ object ExtQueries {
              FROM documents""")
     ),
 
+    // HTML→text extraction (the FineWeb/trafilatura step). The query
+    // wraps each document in a real page skeleton — head with title,
+    // body script with hostile '<'/'&&' content, style, comment, an
+    // entity-encoded body (so text containing &/</> round-trips), an
+    // injected entity suite (named, decimal, hex, bogus, unterminated)
+    // and a trailing div block — then the operator extracts. The oracle
+    // recomputes the flat truth from the original text, so stripping
+    // order AND the entity scanner must both be right.
+    GraftQuery(
+      "x_html_extract",
+      (s, dir) => {
+        val pre = "<html><head><title>Ignored Title</title></head><body>" +
+          "<script type=\"text/javascript\">var x = 1 < 2 && \"f&amp;o\";" +
+          "</script><style>p{color:red}</style><!-- c --><p>"
+        val post = " &amp; &lt;b&gt; &#65; &#x42; &quot;q&quot;&nbsp;" +
+          "&bogus; &amp</p><div class=\"x\">suffix block</div></body></html>"
+        val enc = expr(
+          "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')")
+        val docs = Tables.documents(s, dir)
+          .withColumn("html", concat(lit(pre), enc, lit(post)))
+        TextAnalysis.htmlExtract(docs, col("doc_id"), col("html"))
+      },
+      Some("""WITH h AS (
+               SELECT doc_id, text,
+                      '<html><head><title>Ignored Title</title></head><body>'
+                      || '<script type="text/javascript">var x = 1 < 2 && "f&amp;o";'
+                      || '</script><style>p{color:red}</style><!-- c --><p>'
+                      || replace(replace(replace(text, '&', '&amp;'),
+                           '<', '&lt;'), '>', '&gt;')
+                      || ' &amp; &lt;b&gt; &#65; &#x42; &quot;q&quot;&nbsp;'
+                      || '&bogus; &amp</p><div class="x">suffix block</div>'
+                      || '</body></html>' AS html
+               FROM documents),
+             e AS (
+               SELECT doc_id, html,
+                      trim(regexp_replace(
+                        text || ' & <b> A B "q" &bogus; &amp suffix block',
+                        '\s+', ' ', 'g')) AS extracted
+               FROM h)
+             SELECT doc_id, extracted,
+                    CAST(len(html) AS INT) AS n_chars_html,
+                    CAST(len(extracted) AS INT) AS n_chars_extracted
+             FROM e""")
+    ),
+
     // Gzipped WET segments (.warc.wet.gz — how Common Crawl actually
     // ships): same build as x_warc_ingest but each segment compresses
     // through the gzip_compress expression and WarcScan inflates off

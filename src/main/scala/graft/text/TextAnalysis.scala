@@ -294,6 +294,31 @@ object TextAnalysis {
         when(col("cum_tokens") <= budgetPerGroup, 1).otherwise(0))
   }
 
+  /** HTML→text extraction (the trafilatura-shaped step between a WARC
+    * response record and curation — FineWeb runs exactly this shape):
+    * drop `<head>` wholesale, strip `<script>`/`<style>` blocks and
+    * comments, strip remaining tags to spaces, THEN decode entities
+    * (order matters: decoding first would turn `&lt;b&gt;` into a tag
+    * the stripper eats — user text must survive), collapse whitespace,
+    * trim. Map-only: four regexp passes plus the codegen
+    * [[graft.functions.HtmlUnescape]] scanner, composing into the
+    * single corpus scan at any scale.
+    */
+  def htmlExtract(df: DataFrame, idCol: Column, html: Column): DataFrame = {
+    val noHead = regexp_replace(html, "(?is)<head[^>]*>.*?</head>", " ")
+    val noBlocks = regexp_replace(noHead,
+      "(?is)<(script|style)[^>]*>.*?</\\1>", " ")
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "<[^>]+>", " ")
+    val decoded = graft.functions.TextFunctions.htmlUnescape(noTags)
+    val extracted = trim(regexp_replace(decoded, "\\s+", " "))
+    df.select(
+      idCol.as("doc_id"),
+      extracted.as("extracted"),
+      length(html).as("n_chars_html"),
+      length(extracted).as("n_chars_extracted"))
+  }
+
   /** URL provenance gate (the C4/RefinedWeb UT1-blocklist pass): parse
     * scheme/host/path out of each document's URL, derive the
     * registrable domain (last two host labels — a production run plugs

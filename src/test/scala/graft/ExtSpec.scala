@@ -207,6 +207,31 @@ class ExtSpec extends AnyFunSuite {
     assert(inside.getAs[Long]("n_seqs") == 1L)
   }
 
+  test("html unescape: named, numeric, malformed-verbatim, passthrough") {
+    import graft.functions.HtmlUnescape
+    import org.apache.spark.unsafe.types.UTF8String
+    def u(s: String) = HtmlUnescape.compute(UTF8String.fromString(s)).toString
+    assert(u("a &amp; b &lt;c&gt;") == "a & b <c>")
+    assert(u("&#65;&#x42;&#x1F600;") == "AB😀") // astral hex ref
+    assert(u("&bogus; &#; &#xzz; &amp tail") == "&bogus; &#; &#xzz; &amp tail")
+    assert(u("5 & 6 &;") == "5 & 6 &;") // bare ampersands untouched
+    assert(u("&quot;q&quot;&nbsp;x") == "\"q\" x")
+    val plain = UTF8String.fromString("no entities here")
+    assert(HtmlUnescape.compute(plain) eq plain) // zero-alloc passthrough
+    // decoded output is never re-scanned (no double-decode)
+    assert(u("&amp;amp;") == "&amp;")
+  }
+
+  test("html extract: strips head/script/style/comments/tags before decoding") {
+    val d = Seq((1L,
+      "<html><head><title>T</title></head><body><script>if(1<2){x()}" +
+        "</script><!--n--><p>keep &lt;this&gt;</p></body></html>"))
+      .toDF("doc_id", "html")
+    val out = TextAnalysis.htmlExtract(d, col("doc_id"), col("html"))
+      .collect().head
+    assert(out.getString(1) == "keep <this>")
+  }
+
   test("multimodal: stub decode is deterministic; frame sampling slices payload") {
     val media = Multimodal.ingest(docs, "doc_id", "text", "text/plain")
     val feats = Multimodal.extractFeatures(spark, media, dims = 4, parallelism = 2)

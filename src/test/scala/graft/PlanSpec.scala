@@ -234,6 +234,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("html extraction is a map-only projection with the entity scanner inline") {
+    val plan = planOf("x_html_extract")
+    assert(plan.contains("html_unescape"), plan.take(2000))
+    for (bad <- Seq("Exchange", "Join", "Generate", "Window", "Aggregate"))
+      assert(!plan.contains(bad),
+        s"html extract must be a pure projection, found $bad:\n" + plan.take(2000))
+  }
+
   test("url blocklist joins broadcast; the corpus side never shuffles") {
     val plan = planOf("x_url_filter")
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
