@@ -1284,6 +1284,78 @@ object ExtQueries {
              FROM e""")
     ),
 
+    // End-to-end crawl→corpus pipeline: WET segments of real HTML pages
+    // → warc_scan → doc identity from the target URI → HTML extraction
+    // → Gopher gate → exact dedup keep-lowest-id. One query exercises
+    // the whole ingest-to-curation chain; the oracle re-derives the
+    // surviving doc set from flat truth, so every stage must be right.
+    GraftQuery(
+      "x_crawl_pipeline",
+      (s, dir) => {
+        val crlf = "\r\n"
+        val enc = expr(
+          "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')")
+        val page = concat(
+          lit("<html><head><title>T</title></head><body>" +
+            "<script>var x = 1 < 2;</script><p>"),
+          enc, lit("</p></body></html>"))
+        val uri = concat(lit("https://"), col("source"),
+          lit(".example.com/"), col("lang"), lit("/"),
+          col("doc_id").cast("string"))
+        val rec = concat(
+          lit("WARC/1.0" + crlf + "WARC-Type: conversion" + crlf +
+            "WARC-Target-URI: "), uri,
+          lit(crlf + "Content-Length: "), octet_length(page).cast("string"),
+          lit(crlf + crlf), page, lit(crlf + crlf))
+        val blobs = Tables.documents(s, dir)
+          .groupBy((col("doc_id") % 16).as("seg"))
+          .agg(concat_ws("", collect_list(rec)).as("recs"))
+          .select(encode(col("recs"), "UTF-8").as("blob"))
+        val recs = graft.parse.Parsers.warc(blobs, col("blob"))
+          .where(col("warc_type") === "conversion")
+          .select(regexp_extract(col("target_uri"), "/([0-9]+)$", 1)
+            .cast("long").as("doc_id"), col("payload"))
+        val ex = TextAnalysis.htmlExtract(recs, col("doc_id"), col("payload"))
+        val kept = TextAnalysis.gopherLabel(ex, col("extracted"),
+            stops = Seq("the", "a", "data", "table", "row", "line", "key",
+              "value"))
+          .filter(col("label") === "keep")
+        Dedup.exact(kept, col("doc_id"), col("extracted"))
+          .select(col("doc_id"), col("n_words"),
+            length(col("extracted")).as("n_chars"))
+      },
+      Some("""WITH x AS (
+               SELECT doc_id,
+                      trim(regexp_replace(text, '\s+', ' ', 'g')) AS cleaned
+               FROM documents),
+             g AS (
+               SELECT doc_id, cleaned,
+                      CAST(len(string_split(cleaned, ' ')) AS BIGINT)
+                        AS n_words
+               FROM x
+               WHERE len(string_split(cleaned, ' ')) BETWEEN 50 AND 100000
+                 AND list_sum(list_transform(string_split(cleaned, ' '),
+                     x -> len(x)))
+                     BETWEEN 3 * len(string_split(cleaned, ' '))
+                         AND 10 * len(string_split(cleaned, ' '))
+                 AND 10 * (len(regexp_extract_all(cleaned, '#'))
+                      + len(regexp_extract_all(cleaned, '\.\.\.|…')))
+                     <= len(string_split(cleaned, ' '))
+                 AND 5 * len(list_filter(string_split(cleaned, ' '),
+                     x -> regexp_matches(x, '[A-Za-z]')))
+                     >= 4 * len(string_split(cleaned, ' '))
+                 AND len(list_filter(
+                     ['the','a','data','table','row','line','key','value'],
+                     s -> list_contains(string_split(cleaned, ' '), s))) >= 2),
+             d AS (
+               SELECT doc_id, cleaned, n_words,
+                      row_number() OVER (PARTITION BY md5(cleaned)
+                        ORDER BY doc_id) AS rn
+               FROM g)
+             SELECT doc_id, n_words, CAST(len(cleaned) AS INT) AS n_chars
+             FROM d WHERE rn = 1""")
+    ),
+
     // Gzipped WET segments (.warc.wet.gz — how Common Crawl actually
     // ships): same build as x_warc_ingest but each segment compresses
     // through the gzip_compress expression and WarcScan inflates off

@@ -430,7 +430,21 @@ object TextAnalysis {
   def gopherRules(df: DataFrame, idCol: Column, text: Column,
                   stops: Seq[String] =
                     Seq("the", "be", "to", "of", "and", "that", "have",
-                        "with")): DataFrame = {
+                        "with")): DataFrame =
+    df.select(idCol.as("doc_id") +: gopherCols(text, stops): _*)
+
+  /** [[gopherRules]] as an appending transform: the same rule columns
+    * added to the input rows — for pipeline composition (extract →
+    * gate → dedup) without the self-join a project-then-rejoin shape
+    * would cost on the 100 TB side.
+    */
+  def gopherLabel(df: DataFrame, text: Column,
+                  stops: Seq[String]): DataFrame =
+    df.withColumns(scala.collection.immutable.ListMap(
+      Seq("n_words", "sum_word_len", "n_alpha_words", "n_symbols",
+        "n_stop_kinds", "label").zip(gopherCols(text, stops)): _*))
+
+  private def gopherCols(text: Column, stops: Seq[String]): Seq[Column] = {
     val words = split(text, " ")
     val nWords = size(words).cast("long")
     val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
@@ -439,8 +453,7 @@ object TextAnalysis {
       size(regexp_extract_all(text, lit("\\.\\.\\.|…"), lit(0)))).cast("long")
     val nStop = size(filter(typedLit(stops),
       s => array_contains(words, s))).cast("long")
-    df.select(
-      idCol.as("doc_id"),
+    Seq(
       nWords.as("n_words"),
       sumLen.as("sum_word_len"),
       nAlpha.as("n_alpha_words"),

@@ -234,6 +234,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("crawl pipeline: gate composes into the scan, only builder+dedup shuffle") {
+    // extract + gopher gate must stay inside the record scan (no
+    // self-join); the only exchanges are the segment builder's groupBy
+    // (test-side synthesis) and the dedup window — 2 total
+    val plan = planOf("x_crawl_pipeline")
+    assert(!plan.contains("Join"), "gate must not self-join:\n" + plan.take(3000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected builder+dedup shuffles only, got $exchanges:\n" +
+      plan.take(3000))
+  }
+
   test("html extraction is a map-only projection with the entity scanner inline") {
     val plan = planOf("x_html_extract")
     assert(plan.contains("html_unescape"), plan.take(2000))
