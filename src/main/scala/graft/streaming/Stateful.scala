@@ -140,6 +140,66 @@ object Stateful {
       .map(b => f"${b & 0xff}%02x").mkString
   }
 
+  // ------------------------------------------- streaming curation gates
+
+  final case class GroupedDoc(group: String, docId: Long, nTokens: Long)
+  final case class QuotaState(admitted: Long)
+
+  /** Streaming twin of [[graft.text.TextAnalysis.domainQuota]]: admit at
+    * most `cap` documents per group (domain), first-arrival order.
+    * State is one counter per group; idle groups evict after
+    * `idleTimeoutMs` (a crawl frontier stops producing a domain, its
+    * counter goes away — re-admission after eviction only ever ADMITS,
+    * matching the batch operator's per-window semantics).
+    */
+  def quotaStream(spark: SparkSession, docs: Dataset[GroupedDoc], cap: Long,
+                  idleTimeoutMs: Long = 300000): Dataset[GroupedDoc] = {
+    import spark.implicits._
+    docs.groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        (_: String, it: Iterator[GroupedDoc], state: GroupState[QuotaState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var n = state.getOption.map(_.admitted).getOrElse(0L)
+            val out = scala.collection.mutable.ArrayBuffer[GroupedDoc]()
+            it.toSeq.sortBy(d => (md5Hex(d.docId), d.docId)).foreach { d =>
+              if (n < cap) { out += d; n += 1 }
+            }
+            state.update(QuotaState(n))
+            state.setTimeoutDuration(idleTimeoutMs)
+            out.iterator
+          }
+        })
+  }
+
+  /** Streaming twin of [[graft.text.TextAnalysis.tokenBudgetMix]]: each
+    * group's token budget fills as documents arrive; the doc that tips
+    * the running total over the budget is the first one dropped. One
+    * long of state per group — the cursor is the budget position and
+    * must survive for the stream's life (NoTimeout: a group's spent
+    * budget must not reset on idleness).
+    */
+  def budgetStream(spark: SparkSession, docs: Dataset[GroupedDoc],
+                   budgetPerGroup: Long): Dataset[GroupedDoc] = {
+    import spark.implicits._
+    docs.groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, it: Iterator[GroupedDoc], state: GroupState[PackState]) => {
+          // mirror the batch operator exactly: the running total counts
+          // EVERY arriving doc's tokens, and a doc survives iff the
+          // total has not yet crossed the budget — once crossed, the
+          // group is closed (no first-fit backfilling of smaller docs)
+          var cum = state.getOption.map(_.nextTok).getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer[GroupedDoc]()
+          it.toSeq.sortBy(d => (md5Hex(d.docId), d.docId)).foreach { d =>
+            cum += d.nTokens
+            if (cum <= budgetPerGroup) out += d
+          }
+          state.update(PackState(cum))
+          out.iterator
+        })
+  }
+
   // -------------------------------------------------------- tail sampling
 
   final case class Span(traceId: String, spanId: String, tsSec: Long,

@@ -121,6 +121,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(10L).tokBegin == 0L && got(10L).lastSeq == 1L)
   }
 
+  test("streaming domain quota: cap holds across batches, counter-only state") {
+    implicit val sqlCtx = spark.sqlContext
+    import Stateful.GroupedDoc
+    val in = MemoryStream[GroupedDoc]
+    val out = Stateful.quotaStream(spark, in.toDS(), cap = 2)
+    val q = startToMemory(out, "quota_out")
+    try {
+      in.addData(GroupedDoc("a.com", 1, 10), GroupedDoc("a.com", 2, 10),
+        GroupedDoc("b.org", 3, 10))
+      in.addData(GroupedDoc("a.com", 4, 10), GroupedDoc("b.org", 5, 10))
+      awaitRows("quota_out", 4) // timeout-registered state: poll
+    } finally q.stop()
+    val got = spark.table("quota_out").as[GroupedDoc].collect()
+    // whichever way the micro-batches split, the cap is a hard invariant
+    // (3 a.com docs arrived, 2 admitted — the counter carried over)
+    assert(got.count(_.group == "a.com") == 2)
+    assert(got.count(_.group == "b.org") == 2) // independent counter
+    assert(got.length == 4)
+  }
+
+  test("streaming token budget: prefix semantics match the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    import Stateful.GroupedDoc
+    val in = MemoryStream[GroupedDoc]
+    val out = Stateful.budgetStream(spark, in.toDS(), budgetPerGroup = 250)
+    val q = startToMemory(out, "budget_out")
+    try {
+      in.addData(GroupedDoc("en", 1, 100), GroupedDoc("en", 2, 100))
+      q.processAllAvailable() // NoTimeout: safe
+      // doc 3 tips the total to 300 > 250 and is dropped; doc 4 (small)
+      // must NOT backfill — the batch operator's prefix-cut semantics
+      in.addData(GroupedDoc("en", 3, 100))
+      q.processAllAvailable()
+      in.addData(GroupedDoc("en", 4, 10))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("budget_out").as[GroupedDoc].collect().map(_.docId).toSet
+    assert(got == Set(1L, 2L))
+  }
+
   test("snapshot buffer flushes history when the trigger record arrives") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Rec]
