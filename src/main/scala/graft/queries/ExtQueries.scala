@@ -653,6 +653,61 @@ object ExtQueries {
              FROM corpus JOIN bench USING (ngram) GROUP BY 1""")
     ),
 
+    // Bloom-filter decontamination (the scale path of
+    // x_text_contamination): same bench/corpus partition, but the
+    // corpus side probes a 2^18-bit k=3 Bloom bitset map-only. The
+    // oracle replays the identical md5 bit math, so even Bloom false
+    // positives hash-match.
+    GraftQuery(
+      "x_contamination_bloom",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextAnalysis.contaminationBloom(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          col("doc_id"), col("text"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                         FROM documents),
+             ix AS (SELECT doc_id, w,
+                           unnest(range(1, greatest(len(w) - 11, 1))) AS i
+                    FROM d),
+             g AS (SELECT DISTINCT doc_id,
+                          array_to_string(w[i:i+12], ' ') AS ngram FROM ix),
+             bench AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 20 = 0),
+             bloom AS (SELECT DISTINCT
+                         ('0x' || substr(md5(ngram || '#' || j.j), 1, 8))
+                           ::BIGINT % 262144 AS bit
+                       FROM bench, (SELECT unnest([1, 2, 3]) AS j) j),
+             corpus AS (SELECT DISTINCT doc_id, ngram FROM g
+                        WHERE doc_id % 20 != 0),
+             probe AS (SELECT doc_id, ngram,
+                         ('0x' || substr(md5(ngram || '#1'), 1, 8))
+                           ::BIGINT % 262144 AS b1,
+                         ('0x' || substr(md5(ngram || '#2'), 1, 8))
+                           ::BIGINT % 262144 AS b2,
+                         ('0x' || substr(md5(ngram || '#3'), 1, 8))
+                           ::BIGINT % 262144 AS b3
+                       FROM corpus),
+             hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged
+                      FROM probe
+                      WHERE b1 IN (SELECT bit FROM bloom)
+                        AND b2 IN (SELECT bit FROM bloom)
+                        AND b3 IN (SELECT bit FROM bloom)
+                      GROUP BY 1),
+             base AS (SELECT dd.doc_id,
+                        CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_grams
+                      FROM (SELECT doc_id FROM documents
+                            WHERE doc_id % 20 != 0) dd
+                      LEFT JOIN (SELECT doc_id, count(*) AS n FROM corpus
+                                 GROUP BY 1) cnt USING (doc_id))
+             SELECT base.doc_id, base.n_grams,
+                    CAST(coalesce(hits.n_flagged, 0) AS BIGINT) AS n_flagged,
+                    CASE WHEN coalesce(hits.n_flagged, 0) > 0 THEN 1 ELSE 0 END
+                      AS contaminated
+             FROM base LEFT JOIN hits USING (doc_id)""")
+    ),
+
     // Corpus-duplicated n-gram fraction (the Gopher repetition rule
     // measured across documents): per doc, what share of its distinct
     // 13-grams appear in any other document.

@@ -155,6 +155,60 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Bloom-filter decontamination — the 100 TB shape of
+    * [[contamination]]: the benchmark side folds into a k-probe Bloom
+    * bitset (`mBits` bits; built once and held as driver model state
+    * like the k-means centroids — benchmark suites are KB–MB scale by
+    * definition), and the corpus side is MAP-ONLY — each document's
+    * distinct n-grams test k md5-derived bits in the literal bitmask.
+    * No corpus-side explode, no distinct shuffle, no join: the pass
+    * composes into the single corpus scan. The false-positive rate is
+    * the tunable price (≈(1-e^{-kn/m})^k); determinism is total — both
+    * engines replay the same md5 bit math, so even false positives
+    * hash-match the oracle.
+    */
+  def contaminationBloom(corpus: DataFrame, bench: DataFrame, idCol: Column,
+                         text: Column, n: Int = 13, mBits: Int = 262144,
+                         k: Int = 3): DataFrame = {
+    require(mBits % 64 == 0 && k >= 1)
+    def bitOf(g: Column, j: Int): Column =
+      conv(substring(md5(concat(g, lit("#" + j))), 1, 8), 16, 10)
+        .cast("long") % mBits
+    // build (small side): distinct benchmark grams → set bit positions
+    val benchGrams = bench
+      .select(explode(graft.functions.TextFunctions.wordShingles(text, n))
+        .as("g")).distinct()
+    val positions = benchGrams
+      .select(explode(array((1 to k).map(j => bitOf(col("g"), j)): _*))
+        .as("bit")).distinct()
+      .collect().map(_.getLong(0))
+    val words = new Array[Long](mBits / 64)
+    positions.foreach(p => words(p.toInt / 64) |= 1L << (p.toInt % 64))
+    val wordsLit = typedLit(words.toSeq)
+    // probe (100 TB side): pure projection
+    val grams = array_distinct(
+      graft.functions.TextFunctions.wordShingles(text, n))
+    val hit = (g: Column) => (1 to k).map { j =>
+      val bit = bitOf(g, j)
+      val word = element_at(wordsLit, shiftright(bit, 6).cast("int") + 1)
+      shiftRightDyn(word, (bit % 64).cast("int")).bitwiseAND(1) === 1
+    }.reduce(_ && _)
+    corpus.select(
+      idCol.as("doc_id"),
+      size(grams).cast("long").as("n_grams"),
+      size(filter(grams, hit)).cast("long").as("n_flagged"))
+      .withColumn("contaminated", (col("n_flagged") > 0).cast("int"))
+  }
+
+  /** Catalyst ShiftRight with a column shift amount (the functions API
+    * only exposes literal shifts).
+    */
+  private def shiftRightDyn(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.shim
+    shim.column(org.apache.spark.sql.catalyst.expressions.ShiftRight(
+      shim.expression(a), shim.expression(b)))
+  }
+
   /** Corpus-duplicated n-gram fraction — the Gopher repetition-rule
     * twin measured ACROSS documents: per doc, the fraction of its
     * distinct word n-grams that appear in at least one other document

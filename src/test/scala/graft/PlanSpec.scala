@@ -234,6 +234,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom decontamination probe is map-only: literal bitset, no join") {
+    // the benchmark bitset is a literal in the plan; the 100 TB corpus
+    // side must probe it as a pure projection — no explode of corpus
+    // grams, no distinct shuffle, no join against the bench set
+    val plan = planOf("x_contamination_bloom")
+    for (bad <- Seq("Exchange", "Join", "Generate", "Window", "Aggregate"))
+      assert(!plan.contains(bad),
+        s"bloom probe must be a pure projection, found $bad:\n" + plan.take(2000))
+  }
+
   test("crawl pipeline: gate composes into the scan, only builder+dedup shuffle") {
     // extract + gopher gate must stay inside the record scan (no
     // self-join); the only exchanges are the segment builder's groupBy
