@@ -53,9 +53,22 @@ object Bench {
     // regressions (r5's sink_gelf/sink_file_formats "2x" was exactly
     // this: neither the queries nor Formats.scala had changed since r4).
     // Queries with joins/aggregates/explodes still do their real work.
+    // SPARK_GRAFT_ACTION=hash swaps the count() action for a hash
+    // aggregate over every output column — count() lets Catalyst prune
+    // a projection-only query down to the bare scan (the right default
+    // for suite tracking, see above), but for a ratio measurement
+    // against DuckDB (which always materializes the result set) the
+    // hash action forces the full computation on both sides.
+    val action = sys.env.getOrElse("SPARK_GRAFT_ACTION", "count")
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      try {
+        val df = fn(spark, sfDir)
+        if (action == "hash") {
+          import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
+          df.select(sum(xxhash64(struct(df.columns.map(col): _*)))).count()
+        } else df.count()
+      } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
     // Isolation for the sub-second tail: the sequential in-JVM suite is
