@@ -94,11 +94,15 @@ object Bench {
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
 
-    // Full per-query medians for local diffing / judge inspection.
-    try {
-      val w = new java.io.PrintWriter("bench_full.json")
-      try w.println(jmap(results)) finally w.close()
-    } catch { case _: Throwable => () }
+    // Full per-query medians for local diffing / judge inspection —
+    // written only by full-suite default-action runs so an iteration
+    // subset (SPARK_GRAFT_ONLY / ACTION=hash) can't clobber the record.
+    if (only.isEmpty && action == "count") {
+      try {
+        val w = new java.io.PrintWriter("bench_full.json")
+        try w.println(jmap(results)) finally w.close()
+      } catch { case _: Throwable => () }
+    }
 
     val qs = jmap(results.filter { case (n, _) => isHeadline(n) })
     val family = results.filterNot { case (n, _) => isHeadline(n) }

@@ -31,6 +31,29 @@ object Streams {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(path)
 
+  /** Streaming WARC/WET ingestion — crawl segments landing in a bucket
+    * (the drop-directory pattern of a live fetch fleet) stream in as
+    * whole binary files via the `binaryFile` source: one segment = one
+    * task = one [[graft.functions.WarcScan]] pass, gzip segments
+    * inflate off the magic bytes, and file-source checkpointing makes
+    * restarts resume at the first unread segment. Emits one row per
+    * record with the source segment path kept for provenance.
+    */
+  def warcSegments(spark: SparkSession, pathGlob: String,
+                   maxFilesPerTrigger: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    // the streaming DataSource path requires the schema up front; this
+    // is binaryFile's fixed schema (BinaryFileFormat.schema)
+    val binarySchema = StructType.fromDDL(
+      "path string, modificationTime timestamp, length bigint, content binary")
+    graft.parse.Parsers.warc(
+      spark.readStream.format("binaryFile").schema(binarySchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .load(pathGlob)
+        .select(col("path").as("segment"), col("content")),
+      col("content")).drop("content")
+  }
+
   /** in_dummy / in_random analogue: the `rate` source emitting
     * `recordsPerSecond` rows, shaped as log events with a constant tag
     * and templated body — the generator the reference's runtime tests

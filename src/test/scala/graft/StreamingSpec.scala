@@ -121,6 +121,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(10L).tokBegin == 0L && got(10L).lastSeq == 1L)
   }
 
+  test("streaming warc segments: files become records, gzip inflates, path kept") {
+    val dir = java.nio.file.Files.createTempDirectory("warcstream").toFile
+    try {
+      def rec(uri: String, payload: String) =
+        s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $uri\r\n" +
+          s"Content-Length: ${payload.getBytes("UTF-8").length}\r\n\r\n" +
+          payload + "\r\n\r\n"
+      java.nio.file.Files.write(new java.io.File(dir, "seg1.warc").toPath,
+        (rec("u/1", "one") + rec("u/2", "two")).getBytes("UTF-8"))
+      java.nio.file.Files.write(new java.io.File(dir, "seg2.warc.gz").toPath,
+        graft.functions.GzipCompress.compute(rec("u/3", "three").getBytes("UTF-8")))
+      val out = Streams.warcSegments(spark, dir.getAbsolutePath + "/*")
+      val q = startToMemory(out.toDF(), "warc_stream_out")
+      try {
+        q.processAllAvailable() // stateless file stream: safe
+      } finally q.stop()
+      val got = spark.table("warc_stream_out").collect()
+      assert(got.length == 3)
+      val byUri = got.map(r => r.getAs[String]("target_uri") ->
+        r.getAs[String]("payload")).toMap
+      assert(byUri == Map("u/1" -> "one", "u/2" -> "two", "u/3" -> "three"))
+      assert(got.forall(_.getAs[String]("segment").contains("seg")))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("streaming domain quota: cap holds across batches, counter-only state") {
     implicit val sqlCtx = spark.sqlContext
     import Stateful.GroupedDoc
