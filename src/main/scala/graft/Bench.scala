@@ -65,8 +65,12 @@ object Bench {
       try {
         val df = fn(spark, sfDir)
         if (action == "hash") {
-          import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
-          df.select(sum(xxhash64(struct(df.columns.map(col): _*)))).count()
+          import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
+          // collect() the 1-row aggregate — count() on it would let
+          // Catalyst prune the hash (and every column read) right back
+          // out, silently re-measuring the bare scan. bit_xor, not sum:
+          // summing 64-bit hashes overflows under ANSI mode.
+          df.select(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect()
         } else df.count()
       } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9

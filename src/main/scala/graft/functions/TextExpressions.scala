@@ -503,9 +503,15 @@ object HtmlUnescape {
 
   /** Static entry shared by eval and generated code. */
   def compute(s: UTF8String): UTF8String = {
+    // '&' is ASCII: scan the UTF-8 bytes before materializing a String,
+    // so the no-entity majority of a corpus really is zero-alloc
+    val nb = s.numBytes
+    var bi = 0
+    while (bi < nb && s.getByte(bi) != '&') bi += 1
+    if (bi == nb) return s
     val str = s.toString
     var i = str.indexOf('&')
-    if (i < 0) return s // no references: zero-alloc passthrough
+    if (i < 0) return s // unreachable; defensive
     val n = str.length
     val sb = new java.lang.StringBuilder(n)
     sb.append(str, 0, i)
@@ -522,13 +528,15 @@ object HtmlUnescape {
             if (body.startsWith("#x") || body.startsWith("#X")) {
               try {
                 val cp = Integer.parseInt(body.substring(2), 16)
-                if (Character.isValidCodePoint(cp))
+                if (Character.isValidCodePoint(cp) &&
+                    !(cp >= 0xD800 && cp <= 0xDFFF)) // lone surrogates
                   new String(Character.toChars(cp)) else null
               } catch { case _: Exception => null }
             } else if (body.startsWith("#")) {
               try {
                 val cp = Integer.parseInt(body.substring(1))
-                if (Character.isValidCodePoint(cp))
+                if (Character.isValidCodePoint(cp) &&
+                    !(cp >= 0xD800 && cp <= 0xDFFF)) // lone surrogates
                   new String(Character.toChars(cp)) else null
               } catch { case _: Exception => null }
             } else Named.get(body)

@@ -90,14 +90,22 @@ object WarcScan {
     j
   }
 
-  /** Line content [i, end) with a trailing '\r' stripped, as ASCII-ish
-    * String (header names/values are ASCII per spec; URI bytes survive
-    * the ISO-8859-1 round trip unchanged).
+  /** ASCII decimal parse of [lo, hi); -1 on any non-digit, empty range,
+    * or a value past 2^40 (no real segment is a terabyte — and the
+    * bound keeps the accumulator far from overflow).
     */
-  private def lineStr(b: Array[Byte], i: Int, end: Int): String = {
-    var e = end
-    if (e > i && b(e - 1) == '\r') e -= 1
-    new String(b, i, e - i, java.nio.charset.StandardCharsets.ISO_8859_1)
+  private def parseAsciiLong(b: Array[Byte], lo: Int, hi: Int): Long = {
+    if (lo >= hi) return -1L
+    var v = 0L
+    var i = lo
+    while (i < hi) {
+      val c = b(i)
+      if (c < '0' || c > '9') return -1L
+      v = v * 10 + (c - '0')
+      if (v > (1L << 40)) return -1L
+      i += 1
+    }
+    v
   }
 
   /** Static entry shared by eval and generated code. Real WET segments
@@ -105,10 +113,16 @@ object WarcScan {
     * cap via the shared bounded reader), exactly like a real ingester.
     */
   def compute(raw: Array[Byte]): ArrayData = {
+    // cap = max JVM array size, not the HTTP-body default: real WET
+    // segments inflate to ~400 MB and WARC segments to ~1 GB — a cap
+    // sized for request bodies would silently drop whole segments.
+    // (>2 GB inflated cannot fit a JVM byte array at all; such segments
+    // must be split upstream.)
     val blob =
       if (!graft.parse.OtlpProto.isGzip(raw)) raw
-      else scala.util.Try(graft.parse.OtlpProto.gunzip(raw))
-        .getOrElse(Array.emptyByteArray) // corrupt/bomb gzip: no records
+      else scala.util.Try(
+        graft.parse.OtlpProto.gunzip(raw, maxBytes = Int.MaxValue - 64))
+        .getOrElse(Array.emptyByteArray) // corrupt gzip: no records
     val n = blob.length
     val out = scala.collection.mutable.ArrayBuffer[Any]()
     var i = findMagic(blob, 0)
@@ -123,23 +137,30 @@ object WarcScan {
       var done = false
       while (!done && p < n) {
         val e = lineEnd(blob, p)
-        val line = lineStr(blob, p, e)
-        if (line.isEmpty) { ok = true; done = true }
+        var he = e // line end with trailing '\r' stripped
+        if (he > p && blob(he - 1) == '\r') he -= 1
+        if (he == p) { ok = true; done = true }
         else {
-          val c = line.indexOf(':')
-          if (c > 0) {
-            val name = line.substring(0, c).trim
-            val value = line.substring(c + 1).trim
+          var c = p
+          while (c < he && blob(c) != ':') c += 1
+          if (c > p && c < he) {
+            // header NAMES are ASCII per spec; VALUES (the target URI
+            // in particular) may be UTF-8 — slice them as raw bytes so
+            // multibyte content survives undamaged
+            val name = new String(blob, p, c - p,
+              java.nio.charset.StandardCharsets.US_ASCII).trim
+            var vlo = c + 1
+            var vhi = he
+            while (vlo < vhi && (blob(vlo) == ' ' || blob(vlo) == '\t')) vlo += 1
+            while (vhi > vlo && (blob(vhi - 1) == ' ' || blob(vhi - 1) == '\t')) vhi -= 1
             if (name.equalsIgnoreCase("WARC-Type"))
-              warcType = UTF8String.fromString(value)
+              warcType = UTF8String.fromBytes(blob, vlo, vhi - vlo)
             else if (name.equalsIgnoreCase("WARC-Target-URI"))
-              targetUri = UTF8String.fromString(value)
+              targetUri = UTF8String.fromBytes(blob, vlo, vhi - vlo)
             else if (name.equalsIgnoreCase("WARC-Date"))
-              warcDate = UTF8String.fromString(value)
+              warcDate = UTF8String.fromBytes(blob, vlo, vhi - vlo)
             else if (name.equalsIgnoreCase("Content-Length"))
-              contentLength =
-                try java.lang.Long.parseLong(value)
-                catch { case _: NumberFormatException => -1L }
+              contentLength = parseAsciiLong(blob, vlo, vhi)
           }
           // headerless junk lines are skipped; resync happens below if
           // the block never terminates

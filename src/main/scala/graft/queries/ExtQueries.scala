@@ -182,6 +182,39 @@ object ExtQueries {
         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
   """
 
+  /** WET segment builder shared by the three WARC queries: a warcinfo
+    * head record plus one Content-Length-framed conversion record per
+    * document (CRLF framing, octet lengths, URI/date/record-id
+    * headers), grouped into 16 segments, optionally gzipped. The
+    * framing lives in ONE place so the queries cannot drift apart;
+    * callers parse with `Parsers.warc` and filter
+    * `warc_type = 'conversion'`.
+    */
+  private def wetSegments(docs: org.apache.spark.sql.DataFrame,
+                          payload: org.apache.spark.sql.Column,
+                          gzip: Boolean): org.apache.spark.sql.DataFrame = {
+    val crlf = "\r\n"
+    val uri = concat(lit("https://"), col("source"), lit(".example.com/"),
+      col("lang"), lit("/"), col("doc_id").cast("string"))
+    val rec = concat(
+      lit("WARC/1.0" + crlf + "WARC-Type: conversion" + crlf +
+        "WARC-Target-URI: "), uri,
+      lit(crlf + "WARC-Date: 2026-08-13T00:00:00Z" + crlf +
+        "WARC-Record-ID: <urn:uuid:"), col("doc_id").cast("string"),
+      lit(">" + crlf + "Content-Length: "),
+      octet_length(payload).cast("string"),
+      lit(crlf + crlf), payload, lit(crlf + crlf))
+    val info = "WARC/1.0" + crlf + "WARC-Type: warcinfo" + crlf +
+      "Content-Length: 0" + crlf + crlf + crlf + crlf
+    val plain = docs.groupBy((col("doc_id") % 16).as("seg"))
+      .agg(concat_ws("", collect_list(rec)).as("recs"))
+      .select(encode(concat(lit(info), col("recs")), "UTF-8").as("blob"))
+    if (gzip)
+      plain.select(
+        graft.functions.WarcFunctions.gzipCompress(col("blob")).as("blob"))
+    else plain
+  }
+
   val all: Seq[GraftQuery] = Seq(
     // Exact dedup: content-hash groups with representative + cardinality.
     GraftQuery(
@@ -1262,24 +1295,8 @@ object ExtQueries {
     GraftQuery(
       "x_warc_ingest",
       (s, dir) => {
-        val crlf = "\r\n"
-        val uri = concat(lit("https://"), col("source"),
-          lit(".example.com/"), col("lang"), lit("/"),
-          col("doc_id").cast("string"))
-        val rec = concat(
-          lit("WARC/1.0" + crlf + "WARC-Type: conversion" + crlf +
-            "WARC-Target-URI: "), uri,
-          lit(crlf + "WARC-Date: 2026-08-13T00:00:00Z" + crlf +
-            "WARC-Record-ID: <urn:uuid:"), col("doc_id").cast("string"),
-          lit(">" + crlf + "Content-Length: "),
-          octet_length(col("text")).cast("string"),
-          lit(crlf + crlf), col("text"), lit(crlf + crlf))
-        val info = "WARC/1.0" + crlf + "WARC-Type: warcinfo" + crlf +
-          "Content-Length: 0" + crlf + crlf + crlf + crlf
-        val blobs = Tables.documents(s, dir)
-          .groupBy((col("doc_id") % 16).as("seg"))
-          .agg(concat_ws("", collect_list(rec)).as("recs"))
-          .select(encode(concat(lit(info), col("recs")), "UTF-8").as("blob"))
+        val blobs = wetSegments(Tables.documents(s, dir), col("text"),
+          gzip = false)
         graft.parse.Parsers.warc(blobs, col("blob"))
           .where(col("warc_type") === "conversion")
           .select(col("target_uri"), col("warc_date"),
@@ -1347,25 +1364,14 @@ object ExtQueries {
     GraftQuery(
       "x_crawl_pipeline",
       (s, dir) => {
-        val crlf = "\r\n"
         val enc = expr(
           "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')")
         val page = concat(
           lit("<html><head><title>T</title></head><body>" +
             "<script>var x = 1 < 2;</script><p>"),
           enc, lit("</p></body></html>"))
-        val uri = concat(lit("https://"), col("source"),
-          lit(".example.com/"), col("lang"), lit("/"),
-          col("doc_id").cast("string"))
-        val rec = concat(
-          lit("WARC/1.0" + crlf + "WARC-Type: conversion" + crlf +
-            "WARC-Target-URI: "), uri,
-          lit(crlf + "Content-Length: "), octet_length(page).cast("string"),
-          lit(crlf + crlf), page, lit(crlf + crlf))
-        val blobs = Tables.documents(s, dir)
-          .groupBy((col("doc_id") % 16).as("seg"))
-          .agg(concat_ws("", collect_list(rec)).as("recs"))
-          .select(encode(col("recs"), "UTF-8").as("blob"))
+        val blobs = wetSegments(Tables.documents(s, dir), page,
+          gzip = false)
         val recs = graft.parse.Parsers.warc(blobs, col("blob"))
           .where(col("warc_type") === "conversion")
           .select(regexp_extract(col("target_uri"), "/([0-9]+)$", 1)
@@ -1418,22 +1424,10 @@ object ExtQueries {
     GraftQuery(
       "x_warc_gzip",
       (s, dir) => {
-        val crlf = "\r\n"
-        val uri = concat(lit("https://"), col("source"),
-          lit(".example.com/"), col("lang"), lit("/"),
-          col("doc_id").cast("string"))
-        val rec = concat(
-          lit("WARC/1.0" + crlf + "WARC-Type: conversion" + crlf +
-            "WARC-Target-URI: "), uri,
-          lit(crlf + "Content-Length: "),
-          octet_length(col("text")).cast("string"),
-          lit(crlf + crlf), col("text"), lit(crlf + crlf))
-        val blobs = Tables.documents(s, dir)
-          .groupBy((col("doc_id") % 16).as("seg"))
-          .agg(concat_ws("", collect_list(rec)).as("recs"))
-          .select(graft.functions.WarcFunctions.gzipCompress(
-            encode(col("recs"), "UTF-8")).as("blob"))
+        val blobs = wetSegments(Tables.documents(s, dir), col("text"),
+          gzip = true)
         graft.parse.Parsers.warc(blobs, col("blob"))
+          .where(col("warc_type") === "conversion")
           .select(col("target_uri"), col("content_length"), col("payload"))
       },
       Some("""SELECT 'https://' || source || '.example.com/' || lang || '/'

@@ -120,19 +120,27 @@ object Stateful {
         (shard: Int, it: Iterator[Doc], state: GroupState[PackState]) => {
           var next = state.getOption.map(_.nextTok).getOrElse(0L)
           val out = scala.collection.mutable.ArrayBuffer[PackedDoc]()
-          it.toSeq
-            .sortBy(d => (md5Hex(d.docId), d.docId))
-            .foreach { d =>
-              val begin = next
-              val end = begin + d.nTokens
-              out += PackedDoc(shard, d.docId, begin, end,
-                begin / seqLen, math.max(begin, end - 1) / seqLen)
-              next = end
-            }
+          priorityOrder(it)(_.docId).foreach { d =>
+            val begin = next
+            val end = begin + d.nTokens
+            // the max() guards nTokens=0 (unreachable from the batch
+            // twin, whose tokenizer emits >=1): an empty doc sits AT the
+            // cursor, occupying [begin, begin) in sequence begin/seqLen
+            out += PackedDoc(shard, d.docId, begin, end,
+              begin / seqLen, math.max(begin, end - 1) / seqLen)
+            next = end
+          }
           state.update(PackState(next))
           out.iterator
         })
   }
+
+  /** Deterministic hash-priority order with keys computed ONCE per
+    * element — `sortBy(md5Hex(...))` would re-run the digest on every
+    * comparison (O(n log n) digests per group per micro-batch).
+    */
+  private def priorityOrder[T](xs: Iterator[T])(id: T => Long): Seq[T] =
+    xs.toSeq.map(x => ((md5Hex(id(x)), id(x)), x)).sortBy(_._1).map(_._2)
 
   private def md5Hex(id: Long): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -162,7 +170,7 @@ object Stateful {
           else {
             var n = state.getOption.map(_.admitted).getOrElse(0L)
             val out = scala.collection.mutable.ArrayBuffer[GroupedDoc]()
-            it.toSeq.sortBy(d => (md5Hex(d.docId), d.docId)).foreach { d =>
+            priorityOrder(it)(_.docId).foreach { d =>
               if (n < cap) { out += d; n += 1 }
             }
             state.update(QuotaState(n))
@@ -191,7 +199,7 @@ object Stateful {
           // group is closed (no first-fit backfilling of smaller docs)
           var cum = state.getOption.map(_.nextTok).getOrElse(0L)
           val out = scala.collection.mutable.ArrayBuffer[GroupedDoc]()
-          it.toSeq.sortBy(d => (md5Hex(d.docId), d.docId)).foreach { d =>
+          priorityOrder(it)(_.docId).foreach { d =>
             cum += d.nTokens
             if (cum <= budgetPerGroup) out += d
           }

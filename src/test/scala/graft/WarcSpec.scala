@@ -83,6 +83,13 @@ class WarcSpec extends AnyFunSuite {
     assert(rows.head.isNullAt(1) && rows.head.isNullAt(2)) // no URI/date
   }
 
+  test("multibyte UTF-8 header values survive undamaged") {
+    // URIs in real crawls carry UTF-8; a chars-based decode would
+    // mojibake them (ISO-8859-1 read + UTF-8 re-encode doubles bytes)
+    val rows = scan(rec("conversion", "https://example.com/café/世界", "x"))
+    assert(rows.head.getUTF8String(1).toString == "https://example.com/café/世界")
+  }
+
   test("header names are case-insensitive, values are trimmed") {
     val r = "WARC/1.0\r\ncontent-length:  2 \r\nwarc-type:  response \r\n\r\nhi\r\n\r\n"
     val rows = scan(r)
