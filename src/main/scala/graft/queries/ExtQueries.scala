@@ -1573,6 +1573,136 @@ object ExtQueries {
              SELECT doc_id, scheme, host, domain, path, reason,
                     CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS kept
              FROM r""")
+    ),
+
+    // CCNet-style bigram-LM quality score (LM trained on the corpus in
+    // the same job, exact fixed-point credit per bigram). Oracle
+    // rebuilds both count tables and replays the integer arithmetic.
+    GraftQuery(
+      "x_lm_ngram_score",
+      (s, dir) =>
+        TextAnalysis.lmScore(Tables.documents(s, dir), col("doc_id"),
+          col("text")),
+      Some("""WITH toks AS (SELECT doc_id,
+                      unnest(string_split(text,' ')) AS tok,
+                      unnest(range(0, len(string_split(text,' ')))) AS pos
+               FROM documents),
+             c1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+                    FROM toks GROUP BY 1),
+             v AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM c1),
+             g AS (SELECT doc_id, tok || ' ' || lead(tok) OVER
+                     (PARTITION BY doc_id ORDER BY pos) AS bigram
+                   FROM toks),
+             g2 AS (SELECT doc_id, bigram,
+                           substr(bigram, 1, strpos(bigram,' ')-1) AS pre
+                    FROM g WHERE bigram IS NOT NULL),
+             c2 AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c
+                    FROM g2 GROUP BY 1),
+             sc AS (SELECT g2.doc_id,
+                           (1000000 * (c2.c + 1)) // (c1.c + (SELECT vsz FROM v)) AS s
+                    FROM g2 JOIN c2 USING (bigram)
+                            JOIN c1 ON g2.pre = c1.tok)
+             SELECT d.doc_id,
+                    CAST(coalesce(count(sc.s), 0) AS BIGINT) AS n_bigrams,
+                    CAST(coalesce(sum(sc.s), 0) AS BIGINT) AS lm_score
+             FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+             GROUP BY 1""")
+    ),
+
+    // BPE merge induction over the word-count histogram: the first 4
+    // tokenizer merges, deterministically tie-broken. Oracle replays
+    // each merge with chained CTEs (argmax scalar subquery + padded
+    // replace), mirroring the k-means chained-CTE pattern.
+    GraftQuery(
+      "x_bpe_train",
+      (s, dir) =>
+        TextAnalysis.bpeTrain(Tables.documents(s, dir), col("text"),
+          merges = 4),
+      Some("""WITH w AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
+               FROM (SELECT unnest(string_split(text,' ')) AS tok
+                     FROM documents)
+               WHERE regexp_matches(tok, '^[a-z]+$') GROUP BY 1),
+             s0 AS (SELECT array_to_string(list_transform(
+                      range(1, len(word)+1), i -> word[i]), ' ') AS seg,
+                      cnt FROM w),
+             p1 AS (SELECT unnest(list_transform(range(1, len(l)),
+                      i -> l[i] || ' ' || l[i+1])) AS pair, cnt
+                    FROM (SELECT string_split(seg,' ') AS l, cnt FROM s0)),
+             k1 AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS c
+                    FROM p1 GROUP BY 1),
+             m1 AS (SELECT pair, c FROM k1 ORDER BY c DESC, pair LIMIT 1),
+             s1 AS (SELECT trim(replace(' '||seg||' ',
+                      ' '||(SELECT pair FROM m1)||' ',
+                      ' '||replace((SELECT pair FROM m1),' ','')||' ')) AS seg,
+                      cnt FROM s0),
+             p2 AS (SELECT unnest(list_transform(range(1, len(l)),
+                      i -> l[i] || ' ' || l[i+1])) AS pair, cnt
+                    FROM (SELECT string_split(seg,' ') AS l, cnt FROM s1)),
+             k2 AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS c
+                    FROM p2 GROUP BY 1),
+             m2 AS (SELECT pair, c FROM k2 ORDER BY c DESC, pair LIMIT 1),
+             s2 AS (SELECT trim(replace(' '||seg||' ',
+                      ' '||(SELECT pair FROM m2)||' ',
+                      ' '||replace((SELECT pair FROM m2),' ','')||' ')) AS seg,
+                      cnt FROM s1),
+             p3 AS (SELECT unnest(list_transform(range(1, len(l)),
+                      i -> l[i] || ' ' || l[i+1])) AS pair, cnt
+                    FROM (SELECT string_split(seg,' ') AS l, cnt FROM s2)),
+             k3 AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS c
+                    FROM p3 GROUP BY 1),
+             m3 AS (SELECT pair, c FROM k3 ORDER BY c DESC, pair LIMIT 1),
+             s3 AS (SELECT trim(replace(' '||seg||' ',
+                      ' '||(SELECT pair FROM m3)||' ',
+                      ' '||replace((SELECT pair FROM m3),' ','')||' ')) AS seg,
+                      cnt FROM s2),
+             p4 AS (SELECT unnest(list_transform(range(1, len(l)),
+                      i -> l[i] || ' ' || l[i+1])) AS pair, cnt
+                    FROM (SELECT string_split(seg,' ') AS l, cnt FROM s3)),
+             k4 AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS c
+                    FROM p4 GROUP BY 1),
+             m4 AS (SELECT pair, c FROM k4 ORDER BY c DESC, pair LIMIT 1)
+             SELECT * FROM (
+               SELECT 1 AS step, pair, replace(pair,' ','') AS merged,
+                      c AS cnt FROM m1
+               UNION ALL SELECT 2, pair, replace(pair,' ',''), c FROM m2
+               UNION ALL SELECT 3, pair, replace(pair,' ',''), c FROM m3
+               UNION ALL SELECT 4, pair, replace(pair,' ',''), c FROM m4)""")
+    ),
+
+    // Deterministic per-language stratified downsampling: exact integer
+    // Bernoulli(target/n) on the stable id hash; broadcast per-stratum
+    // counts onto a map-only filter.
+    GraftQuery(
+      "x_sample_stratified",
+      (s, dir) =>
+        TextAnalysis.stratifiedSample(Tables.documents(s, dir),
+          col("doc_id"), col("lang"), target = 100L),
+      Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+                         FROM documents GROUP BY 1)
+             SELECT d.doc_id, d.lang
+             FROM documents d JOIN c USING (lang)
+             WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    % 10000) * c.cnt < 100 * 10000""")
+    ),
+
+    // RAG chunking: 64-token windows at stride 48 (16-token overlap),
+    // tail-clamped; map-only generate.
+    GraftQuery(
+      "x_chunk_overlap",
+      (s, dir) =>
+        TextAnalysis.chunkOverlap(Tables.documents(s, dir), col("doc_id"),
+          col("text"), win = 64, stride = 48),
+      Some("""WITH d AS (SELECT doc_id, string_split(text,' ') AS w
+                         FROM documents),
+             ix AS (SELECT doc_id, w,
+                      unnest(range(0, CASE WHEN len(w) <= 64 THEN 1
+                                      ELSE 1 + (len(w) - 64 + 47) // 48 END))
+                        AS i
+                    FROM d)
+             SELECT doc_id, i AS chunk_ix,
+                    CAST(len(w[i*48+1 : i*48+64]) AS BIGINT) AS n_tokens,
+                    array_to_string(w[i*48+1 : i*48+64], ' ') AS chunk
+             FROM ix""")
     )
   )
 }

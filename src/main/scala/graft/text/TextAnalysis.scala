@@ -559,4 +559,135 @@ object TextAnalysis {
     toks.groupBy(col("doc_id"))
       .agg((sum(tokHash * (lit(1L) + col("pos") % 97)) % 1000000007L).as("fingerprint"))
   }
+
+  /** CCNet-style n-gram language-model quality scoring (Wenzek et al.
+    * 2020 filter corpora by LM perplexity; here the LM is trained on the
+    * corpus itself in the same job). Bigram LM with add-one smoothing,
+    * kept in EXACT fixed-point integers so the score is reproducible
+    * across engines and re-runs: per-bigram credit =
+    * `(1e6 * (c(w1 w2) + 1)) div (c(w1) + |V|)`, document score = sum.
+    *
+    * Scale shape: the LM (unigram + bigram count tables) is CORPUS-sized
+    * and therefore never broadcast — both scoring joins are gram-keyed
+    * shuffle equi-joins, counts get map-side combine, and only the
+    * single-row vocabulary size crosses the driver as a broadcast. Every
+    * stage is a HashAggregate or equi-join; nothing is quadratic and no
+    * executor holds more than its hash-partition of the LM.
+    */
+  def lmScore(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    val docs = df.select(idCol.as("doc_id"), text.as("text"))
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_uni"))
+    val vocab = uni.agg(count(lit(1)).as("vsz"))
+    val bi = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.wordShingles(col("text"), 2))
+          .as("bigram"))
+      .withColumn("pre", substring_index(col("bigram"), " ", 1))
+    val biCnt = bi.groupBy(col("bigram")).agg(count(lit(1)).as("c_bi"))
+    val scored = bi
+      .join(biCnt, "bigram")
+      .join(uni, bi("pre") === uni("tok"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        expr("(1000000L * (c_bi + 1)) DIV (c_uni + vsz)").as("s"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("s")).as("n_bigrams"),
+        coalesce(sum(col("s")), lit(0L)).as("lm_score"))
+  }
+
+  /** BPE merge induction (Sennrich et al. 2016) — learn the first k
+    * tokenizer merges from the corpus. Runs on the WORD-COUNT HISTOGRAM,
+    * not the raw token stream: one corpus-scale aggregate builds the
+    * vocabulary (word, count), and every merge iteration then touches
+    * only that (much smaller) table — the standard trick that makes BPE
+    * training feasible at 100 TB. Per iteration: adjacent symbol pairs
+    * via the codegen [[graft.functions.WordShingles]] expression,
+    * count-weighted HashAggregate, total-ordered argmax (count desc,
+    * pair asc — deterministic ties), then a map-only space-delimited
+    * `replace` applies the merge with BPE's leftmost-non-overlapping
+    * greedy semantics. Only the k winning pairs cross the driver (model
+    * state, MLlib-shaped like the k-means trainer).
+    *
+    * Training is restricted to `^[a-z]+$` words (BPE pre-tokenization
+    * splits off digits/punctuation anyway), which also keeps character
+    * splitting byte-exact across engines.
+    */
+  def bpeTrain(df: DataFrame, text: Column, merges: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val vocab = df.select(explode(split(text, " ")).as("word"))
+      .where(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(concat_ws(" ", split(col("word"), "")).as("seg"), col("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var seg = vocab
+      val out = Seq.newBuilder[(Int, String, String, Long)]
+      for (step <- 1 to merges) {
+        val top = seg
+          .select(explode(graft.functions.TextFunctions
+            .wordShingles(col("seg"), 2)).as("pair"), col("cnt"))
+          .groupBy(col("pair")).agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("pair"))
+          .limit(1).collect()
+        if (top.nonEmpty) {
+          val pair = top(0).getString(0)
+          val c = top(0).getLong(1)
+          val merged = pair.replace(" ", "")
+          out += ((step, pair, merged, c))
+          // space padding makes every symbol boundary explicit, so a
+          // plain (leftmost, non-overlapping) replace IS the BPE merge
+          seg = seg.select(
+            trim(expr(s"replace(concat(' ', seg, ' '), ' $pair ', ' $merged ')"))
+              .as("seg"), col("cnt"))
+        }
+      }
+      import spark.implicits._
+      out.result().toDF("step", "pair", "merged", "cnt")
+    } finally vocab.unpersist()
+  }
+
+  /** Stratified downsampling to a per-stratum document target — the
+    * "don't let the head language drown the tail" mixing gate every
+    * multilingual pipeline runs. Deterministic: a document is kept iff
+    * `hash_bucket(doc_id) * n_stratum < target * buckets`, i.e. an exact
+    * integer Bernoulli(target/n) draw on the stable id hash — the sample
+    * survives reshuffles, retries and corpus growth, unlike
+    * `df.sample()`. Plan: one tiny per-stratum count aggregate broadcast
+    * back onto a map-only filter — the corpus itself never shuffles.
+    */
+  def stratifiedSample(df: DataFrame, idCol: Column, stratumCol: Column,
+                       target: Long = 100L): DataFrame = {
+    val counts = df.groupBy(stratumCol.as("stratum"))
+      .agg(count(lit(1)).as("cnt"))
+    val bucket = conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 10000L
+    df.join(broadcast(counts), stratumCol === col("stratum"))
+      .where(bucket * col("cnt") < lit(target) * 10000L)
+      .select(idCol.as("doc_id"), stratumCol.as("lang"))
+  }
+
+  /** RAG-style chunking: overlapping token windows of `win` tokens at
+    * `stride` (< win ⇒ `win - stride` tokens of overlap), the unit every
+    * retrieval/embedding pipeline feeds downstream. Tail chunks are
+    * clamped, single short docs yield one chunk. Map-only generate —
+    * split, sequence, slice, array_join are all codegen built-ins and no
+    * shuffle appears at any corpus size.
+    */
+  def chunkOverlap(df: DataFrame, idCol: Column, text: Column,
+                   win: Int = 64, stride: Int = 48): DataFrame =
+    df.select(idCol.as("doc_id"), split(text, " ").as("w"))
+      .withColumn("nc",
+        when(size(col("w")) <= win, lit(1)).otherwise(
+          expr(s"1 + (size(w) - $win + ${stride - 1}) DIV $stride")))
+      .select(col("doc_id"), col("w"),
+        posexplode(sequence(lit(0), col("nc").cast("int") - 1))
+          .as(Seq("chunk_ix", "_i")))
+      .select(col("doc_id"), col("chunk_ix").cast("long").as("chunk_ix"),
+        size(slice(col("w"), col("chunk_ix") * stride + 1, lit(win)))
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("w"), col("chunk_ix") * stride + 1, lit(win)), " ")
+          .as("chunk"))
 }

@@ -232,6 +232,58 @@ class ExtSpec extends AnyFunSuite {
     assert(out.getString(1) == "keep <this>")
   }
 
+  test("lm score: add-one bigram credits in exact fixed point") {
+    // unigrams a=3 b=2 x=1, |V|=3; credit(a b)=1e6*3 div 6, credit(b a)=1e6*2 div 5
+    val d = Seq((1L, "a b a"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((2L, 900000L)))
+    assert(out(2L) == ((1L, 500000L)))
+    assert(out(3L) == ((0L, 0L))) // no bigrams, still present
+  }
+
+  test("bpe train: greedy merges with deterministic tie-break") {
+    val d = Seq((1L, "low low low lower")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(d, col("text"), merges = 4)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // "l o" and "o w" both count 4; pair-asc tiebreak picks "l o"
+    assert(out(0) == ((1, "l o", "lo", 4L)))
+    assert(out(1) == ((2, "lo w", "low", 4L)))
+    // "low e" and "e r" both 1; asc picks "e r"
+    assert(out(2) == ((3, "e r", "er", 1L)))
+    assert(out(3) == ((4, "low er", "lower", 1L)))
+  }
+
+  test("stratified sample: exact keep-all / keep-none bounds, deterministic") {
+    val d = (1L to 40L).map(i => (i, if (i % 4 == 0L) "de" else "en"))
+      .toDF("doc_id", "lang")
+    val all = TextAnalysis.stratifiedSample(d, col("doc_id"), col("lang"),
+      target = 1000L)
+    assert(all.count() == 40)
+    assert(TextAnalysis.stratifiedSample(d, col("doc_id"), col("lang"),
+      target = 0L).count() == 0)
+    val once = TextAnalysis.stratifiedSample(d, col("doc_id"), col("lang"),
+      target = 5L).select("doc_id").as[Long].collect().sorted.toSeq
+    val twice = TextAnalysis.stratifiedSample(d, col("doc_id"), col("lang"),
+      target = 5L).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(once == twice)
+  }
+
+  test("chunk overlap: stride windows with clamped tail, short doc = 1 chunk") {
+    val d = Seq((1L, (1 to 11).map(i => s"t$i").mkString(" ")),
+      (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkOverlap(d, col("doc_id"), col("text"),
+      win = 4, stride = 3)
+      .orderBy("doc_id", "chunk_ix").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.count(_._1 == 1L) == 4)
+    assert(out(0)._4 == "t1 t2 t3 t4")
+    assert(out(1)._4 == "t4 t5 t6 t7")
+    assert(out(3) == ((1L, 3L, 2L, "t10 t11"))) // tail clamped to 2 tokens
+    assert(out(4) == ((2L, 0L, 2L, "a b")))
+  }
+
   test("multimodal: stub decode is deterministic; frame sampling slices payload") {
     val media = Multimodal.ingest(docs, "doc_id", "text", "text/plain")
     val feats = Multimodal.extractFeatures(spark, media, dims = 4, parallelism = 2)
