@@ -20,6 +20,63 @@ object LuaContract {
 
   final case class Record(tag: String, tsSec: Long, body: Map[String, String])
 
+  /** Run a REAL user Lua script behind the contract via the in-repo
+    * interpreter ([[Lua]]): the named function is called as
+    * `fn(tag, timestamp, record)` with the record as a Lua table and
+    * must return `(code, timestamp, record)` — exactly
+    * `plugins/filter_lua/lua.c:433-616`, including the 1→N split form
+    * (the returned record being a pure array of tables emits one
+    * record per element).
+    *
+    * The script compiles once per task (transient lazy), so executors
+    * never ship interpreter state — only the source string travels.
+    */
+  def script(source: String, function: String = "cb_filter"): Callback =
+    new LuaScriptCallback(source, function)
+
+  private final class LuaScriptCallback(source: String, function: String)
+      extends ((String, Long, Map[String, String]) => (Int, Long, Seq[Map[String, String]]))
+      with Serializable {
+    import Lua._
+    @transient private lazy val compiled = new Lua.Script(source)
+
+    private def toTable(body: Map[String, String]): LTable = {
+      val t = new LTable
+      body.foreach { case (k, v) =>
+        t.set(LStr(k), if (v == null) LNil else LStr(v))
+      }
+      t
+    }
+
+    private def toMap(t: LTable): Map[String, String] =
+      t.entries.iterator.map { case (k, v) => tostr(k) -> tostr(v) }.toMap
+
+    /** lua.c's split form: a pure array of tables → one record each. */
+    private def records(v: LV): Seq[Map[String, String]] = v match {
+      case t: LTable =>
+        val n = t.arrayLen
+        val isSplit = n > 0 && t.entries.size == n &&
+          t.entries.valuesIterator.forall(_.isInstanceOf[LTable])
+        if (isSplit)
+          (1 to n).map(i => toMap(t.get(LNum(i)).asInstanceOf[LTable]))
+        else Seq(toMap(t))
+      case LNil => Seq.empty
+      case other => throw err(s"filter must return a record table, got ${typeName(other)}")
+    }
+
+    def apply(tag: String, tsSec: Long,
+              body: Map[String, String]): (Int, Long, Seq[Map[String, String]]) = {
+      val rs = compiled.callFunction(function,
+        Seq(LStr(tag), LNum(tsSec.toDouble), toTable(body)))
+      val code = rs.headOption.flatMap(tonum).getOrElse(
+        throw err("filter must return (code, ts, record)")).toInt
+      val newTs = rs.drop(1).headOption.flatMap(tonum)
+        .map(_.toLong).getOrElse(tsSec)
+      val recv = rs.drop(2).headOption.getOrElse(LNil)
+      (code, newTs, if (code <= 0) Seq.empty else records(recv))
+    }
+  }
+
   /** The callback: (tag, tsSec, body) → (code, newTsSec, newBodies). */
   type Callback = (String, Long, Map[String, String]) => (Int, Long, Seq[Map[String, String]])
 

@@ -686,21 +686,31 @@ object OtlpProto {
     ct.takeWhile(c => c != ';' && c != ' ' && c != '+') == "application/grpc"
   }
 
-  /** Normalize one POST body to the proto3-JSON string the [[Otlp]]
-    * decoders flatten: gunzip when Content-Encoding (or the magic bytes)
-    * say gzip, unwrap gRPC framing when Content-Type says grpc, then
-    * binary-protobuf → JSON when Content-Type (or a JSON sniff) says
-    * protobuf. `toJson` is [[logsToJson]]/[[metricsToJson]]/
-    * [[tracesToJson]].
+  /** Transport peel: gunzip when Content-Encoding (or the magic bytes)
+    * say gzip, unwrap gRPC framing when Content-Type says grpc. Returns
+    * the bare request message (protobuf or JSON).
     */
-  def normalize(body: Array[Byte], contentType: String, contentEncoding: String,
-                toJson: Array[Byte] => String): String = {
+  def rawBody(body: Array[Byte], contentType: String,
+              contentEncoding: String): Array[Byte] = {
     val ce = Option(contentEncoding).getOrElse("")
       .toLowerCase(java.util.Locale.ROOT)
     val unzipped =
       if (ce.contains("gzip") || (ce.isEmpty && isGzip(body))) gunzip(body)
       else body
-    val raw = if (isGrpc(contentType)) stripGrpcFrame(unzipped) else unzipped
+    if (isGrpc(contentType)) stripGrpcFrame(unzipped) else unzipped
+  }
+
+  /** Normalize one POST body to the proto3-JSON string the [[Otlp]]
+    * decoders flatten: [[rawBody]] transport peel, then binary-protobuf
+    * → JSON when Content-Type (or a JSON sniff) says protobuf. `toJson`
+    * is [[logsToJson]]/[[metricsToJson]]/[[tracesToJson]]. (The batch
+    * decode path no longer routes through this — [[OtlpRows]] emits
+    * rows straight from the wire bytes; this remains the JSON printer
+    * for tools and specs.)
+    */
+  def normalize(body: Array[Byte], contentType: String, contentEncoding: String,
+                toJson: Array[Byte] => String): String = {
+    val raw = rawBody(body, contentType, contentEncoding)
     if (isProtobuf(contentType, raw)) toJson(raw)
     else new String(raw, java.nio.charset.StandardCharsets.UTF_8)
   }
@@ -708,36 +718,58 @@ object OtlpProto {
   // ---------------------------------------------------------- spark-facing
   /** Decode a frame of OTLP POST bodies — binary column `body`, plus
     * `content_type`/`content_encoding` string columns — into one row per
-    * logRecord via [[Otlp.decodeLogs]]. Malformed bodies are dropped
-    * (the reference answers 400 per-request and keeps serving).
+    * logRecord, the column set of [[Otlp.decodeLogs]]. Malformed bodies
+    * are dropped (the reference answers 400 per-request and keeps
+    * serving).
     *
-    * Scale shape: a map-only normalize (gunzip + pb→JSON) then the
-    * existing from_json+explode plan; one POST body never needs to be
-    * wider than one task.
+    * Scale shape: ONE map-only pass per body — gunzip + a single
+    * bounds-checked walk emitting rows directly ([[OtlpRows]]); no
+    * intermediate proto3-JSON string, no from_json re-parse. The
+    * reference likewise parses pb bodies straight into its event model
+    * (opentelemetry_prot.c:964-1010). `application/json` bodies take
+    * the Jackson twin inside the same pass, so mixed-format batches
+    * never fork the plan.
     */
   def decodeLogsBodies(df: DataFrame, body: Column, contentType: Column,
                        contentEncoding: Column): DataFrame =
-    Otlp.decodeLogs(normalizeBodies(df, body, contentType, contentEncoding,
-      logsToJson), org.apache.spark.sql.functions.col(BodyJsonCol))
-      .drop(BodyJsonCol)
+    decodeBodiesWith(df, body, contentType, contentEncoding,
+      OtlpRows.logsFromPb, OtlpRows.logsFromJson)(
+      org.apache.spark.sql.Encoders.product[OtlpRows.LogRow])
 
   def decodeMetricsBodies(df: DataFrame, body: Column, contentType: Column,
                           contentEncoding: Column): DataFrame =
-    Otlp.decodeMetrics(normalizeBodies(df, body, contentType, contentEncoding,
-      metricsToJson), org.apache.spark.sql.functions.col(BodyJsonCol))
-      .drop(BodyJsonCol)
+    decodeBodiesWith(df, body, contentType, contentEncoding,
+      OtlpRows.metricsFromPb, OtlpRows.metricsFromJson)(
+      org.apache.spark.sql.Encoders.product[OtlpRows.MetricRow])
 
   def decodeTracesBodies(df: DataFrame, body: Column, contentType: Column,
                          contentEncoding: Column): DataFrame =
-    Otlp.decodeTraces(normalizeBodies(df, body, contentType, contentEncoding,
-      tracesToJson), org.apache.spark.sql.functions.col(BodyJsonCol))
-      .drop(BodyJsonCol)
+    decodeBodiesWith(df, body, contentType, contentEncoding,
+      OtlpRows.tracesFromPb, OtlpRows.tracesFromJson)(
+      org.apache.spark.sql.Encoders.product[OtlpRows.SpanRow])
 
-  /** Collision-proof name for the normalized JSON column — the decoded
-    * frames have their own `value` columns (metric points), so a plain
-    * "value" would be dropped together with real output.
+  /** Shared body→rows dispatch. The readers materialize eagerly, so a
+    * malformed body throws inside the Try and drops cleanly instead of
+    * poisoning the batch (the bytes were already acked upstream).
     */
-  private val BodyJsonCol = "__graft_body_json"
+  private def decodeBodiesWith[T <: Product : org.apache.spark.sql.Encoder](
+      df: DataFrame, body: Column, contentType: Column,
+      contentEncoding: Column,
+      fromPb: Array[Byte] => Seq[T],
+      fromJson: Array[Byte] => Seq[T]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(body.cast("binary"), contentType.cast("string"),
+        contentEncoding.cast("string"))
+      .as[(Array[Byte], String, String)]
+      .flatMap { case (b, ct, ce) =>
+        scala.util.Try {
+          val raw = rawBody(b, ct, ce)
+          if (isProtobuf(ct, raw)) fromPb(raw) else fromJson(raw)
+        }.getOrElse(Seq.empty)
+      }
+      .toDF()
+  }
 
   // ------------------------------------------------------------ pb encode
   // out_opentelemetry's binary wire option — the reference's export path
@@ -781,9 +813,110 @@ object OtlpProto {
     out
   }
 
+  /** Gzip-compress one body (the sender side of Content-Encoding). */
+  private[parse] def gzipBytes(pb: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(pb.length / 2 max 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(pb); gz.close()
+    bos.toByteArray
+  }
+
+  /** Catalyst eval twin of [[encodeLogsRequest]]: serializes one
+    * aggregated group row — struct(rattrs, sname, sver, recs) — to an
+    * `ExportLogsServiceRequest` body straight from the `InternalRow`,
+    * so the encode projection never deserializes records through
+    * case classes (the former `.as[LogGroupRow].map` hop rebuilt every
+    * record as objects just to read them once). One eval per OUTPUT
+    * body, so the non-codegen projection sits outside the hot
+    * per-record loop.
+    */
+  case class LogsPbEncode(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                          gzipBody: Boolean)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import org.apache.spark.sql.catalyst.InternalRow
+
+    override def dataType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.BinaryType
+    override protected def withNewChildInternal(
+        newChild: org.apache.spark.sql.catalyst.expressions.Expression): LogsPbEncode =
+      copy(child = newChild)
+
+    private def kvW(e: InternalRow): Writer = {
+      val w = new Writer
+      w.bytes(1, e.getUTF8String(0).getBytes)
+      val av = new Writer
+      av.bytes(1,
+        if (e.isNullAt(1)) Array.emptyByteArray else e.getUTF8String(1).getBytes)
+      w.msg(2, av)
+      w
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val g = input.asInstanceOf[InternalRow]
+      val rl = new Writer
+      val res = new Writer
+      if (!g.isNullAt(0)) {
+        val arr = g.getArray(0)
+        var i = 0
+        while (i < arr.numElements()) {
+          res.msg(1, kvW(arr.getStruct(i, 2))); i += 1
+        }
+      }
+      rl.msg(1, res)
+      val sl = new Writer
+      val sc = new Writer
+      if (!g.isNullAt(1)) sc.bytes(1, g.getUTF8String(1).getBytes)
+      if (!g.isNullAt(2)) sc.bytes(2, g.getUTF8String(2).getBytes)
+      sl.msg(1, sc)
+      if (!g.isNullAt(3)) {
+        val recs = g.getArray(3)
+        var i = 0
+        while (i < recs.numElements()) {
+          val rec = recs.getStruct(i, 7)
+          val lr = new Writer
+          if (!rec.isNullAt(0)) {
+            val t = rec.getLong(0); if (t != 0L) lr.fixed64(1, t)
+          }
+          if (!rec.isNullAt(2)) {
+            val n = rec.getInt(2); if (n != 0) lr.int64(2, n.toLong)
+          }
+          if (!rec.isNullAt(3)) lr.bytes(3, rec.getUTF8String(3).getBytes)
+          if (!rec.isNullAt(4)) {
+            val av = new Writer
+            av.bytes(1, rec.getUTF8String(4).getBytes)
+            lr.msg(5, av)
+          }
+          if (!rec.isNullAt(5)) {
+            val attrs = rec.getArray(5)
+            var j = 0
+            while (j < attrs.numElements()) {
+              lr.msg(6, kvW(attrs.getStruct(j, 2))); j += 1
+            }
+          }
+          if (!rec.isNullAt(6)) {
+            val t = rec.getUTF8String(6).toString
+            if (t.nonEmpty) lr.bytes(9, hexToBytes(t))
+          }
+          if (!rec.isNullAt(1)) {
+            val o = rec.getLong(1); if (o != 0L) lr.fixed64(11, o)
+          }
+          sl.msg(2, lr)
+          i += 1
+        }
+      }
+      rl.msg(2, sl)
+      val req = new Writer
+      req.msg(1, rl)
+      val pb = req.result()
+      if (gzipBody) gzipBytes(pb) else pb
+    }
+  }
+
   /** Serialize one ExportLogsServiceRequest: one resource, one scope,
     * the group's records — the per-group body shape
-    * [[Otlp.encodeLogs]] emits as JSON.
+    * [[Otlp.encodeLogs]] emits as JSON. ([[LogsPbEncode]] is the
+    * plan-side twin; this object form serves tools and specs.)
     */
   def encodeLogsRequest(g: LogGroupRow): Array[Byte] = {
     val rl = new Writer
@@ -863,18 +996,10 @@ object OtlpProto {
         scopeVersion.cast("string").as("sver"),
         batchKey.as("__batch"))
       .agg(collect_list(rec).as("recs"))
-      .drop("__batch")
-      .as[LogGroupRow]
-      .map { g =>
-        val pb = encodeLogsRequest(g)
-        if (gzipBody) {
-          val bos = new java.io.ByteArrayOutputStream(pb.length / 2 max 64)
-          val gz = new java.util.zip.GZIPOutputStream(bos)
-          gz.write(pb); gz.close()
-          bos.toByteArray
-        } else pb
-      }
-      .toDF("body")
+      .select(org.apache.spark.sql.graftshim.shim.column(LogsPbEncode(
+        org.apache.spark.sql.graftshim.shim.expression(
+          struct(col("rattrs"), col("sname"), col("sver"), col("recs"))),
+        gzipBody)).as("body"))
   }
 
   // ------------------------------------------------ pb encode: metrics
@@ -911,10 +1036,7 @@ object OtlpProto {
     */
   private def packedFixed64(w: Writer, field: Int, vs: Seq[Long]): Unit = {
     val pk = new Writer
-    vs.foreach { v =>
-      var i = 0
-      while (i < 8) { pk.out += ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
-    }
+    vs.foreach(pk.rawFixed64)
     w.bytes(field, pk.result())
   }
 
@@ -1136,20 +1258,4 @@ object OtlpProto {
       .toDF("body")
   }
 
-  private def normalizeBodies(df: DataFrame, body: Column, contentType: Column,
-                              contentEncoding: Column,
-                              toJson: Array[Byte] => String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(body.cast("binary"), contentType.cast("string"),
-        contentEncoding.cast("string"))
-      .as[(Array[Byte], String, String)]
-      .flatMap { case (b, ct, ce) =>
-        // a malformed body must not poison the batch — the bytes were
-        // already 201-acked by the HTTP layer, so a throw would make
-        // streaming retry the same offsets forever
-        scala.util.Try(normalize(b, ct, ce, toJson)).toOption
-      }
-      .toDF(BodyJsonCol)
-  }
 }

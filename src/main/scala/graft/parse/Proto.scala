@@ -1,7 +1,5 @@
 package graft.parse
 
-import scala.collection.mutable.ArrayBuffer
-
 /** Minimal protobuf wire codec shared by the hand-rolled binary readers
   * (prometheus remote-write [[PromRemoteWrite]], OTLP [[OtlpProto]]).
   * There is no protobuf runtime on the classpath, so the varint/TLV
@@ -10,27 +8,49 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Proto {
 
+  /** Array-backed append buffer — the encode hot path writes millions
+    * of bytes per body batch, so this avoids the per-byte boxing an
+    * `ArrayBuffer[Byte]` would pay.
+    */
   final class Writer {
-    val out = new ArrayBuffer[Byte](256)
+    private var buf = new Array[Byte](256)
+    private var n = 0
+    def size: Int = n
+    private def ensure(extra: Int): Unit = {
+      if (n + extra > buf.length) {
+        var cap = buf.length << 1
+        while (cap < n + extra) cap <<= 1
+        buf = java.util.Arrays.copyOf(buf, cap)
+      }
+    }
+    def rawByte(b: Byte): Unit = { ensure(1); buf(n) = b; n += 1 }
+    def rawAll(b: Array[Byte], off: Int, len: Int): Unit = {
+      ensure(len); System.arraycopy(b, off, buf, n, len); n += len
+    }
+    /** Bare little-endian fixed64 payload (packed repeated encodings). */
+    def rawFixed64(bits: Long): Unit = {
+      ensure(8)
+      var i = 0
+      while (i < 8) { buf(n + i) = ((bits >>> (8 * i)) & 0xff).toByte; i += 1 }
+      n += 8
+    }
     def varint(v0: Long): Unit = {
       var v = v0
-      while ((v & ~0x7fL) != 0L) { out += ((v & 0x7f) | 0x80).toByte; v >>>= 7 }
-      out += (v & 0x7f).toByte
+      while ((v & ~0x7fL) != 0L) { rawByte(((v & 0x7f) | 0x80).toByte); v >>>= 7 }
+      rawByte((v & 0x7f).toByte)
     }
     def tag(field: Int, wire: Int): Unit = varint((field << 3) | wire)
     def bytes(field: Int, b: Array[Byte]): Unit = {
-      tag(field, 2); varint(b.length.toLong); out ++= b
+      tag(field, 2); varint(b.length.toLong); rawAll(b, 0, b.length)
     }
     def str(field: Int, s: String): Unit = bytes(field, s.getBytes("UTF-8"))
-    def fixed64(field: Int, bits: Long): Unit = {
-      tag(field, 1)
-      var i = 0
-      while (i < 8) { out += ((bits >>> (8 * i)) & 0xff).toByte; i += 1 }
-    }
+    def fixed64(field: Int, bits: Long): Unit = { tag(field, 1); rawFixed64(bits) }
     def fixed32(field: Int, bits: Int): Unit = {
       tag(field, 5)
+      ensure(4)
       var i = 0
-      while (i < 4) { out += ((bits >>> (8 * i)) & 0xff).toByte; i += 1 }
+      while (i < 4) { buf(n + i) = ((bits >>> (8 * i)) & 0xff).toByte; i += 1 }
+      n += 4
     }
     def double(field: Int, v: Double): Unit =
       fixed64(field, java.lang.Double.doubleToLongBits(v))
@@ -38,9 +58,9 @@ object Proto {
     def bool(field: Int, v: Boolean): Unit = int64(field, if (v) 1L else 0L)
     /** Nested message from a sub-writer. */
     def msg(field: Int, w: Writer): Unit = {
-      tag(field, 2); varint(w.out.length.toLong); out ++= w.out
+      tag(field, 2); varint(w.n.toLong); rawAll(w.buf, 0, w.n)
     }
-    def result(): Array[Byte] = out.toArray
+    def result(): Array[Byte] = java.util.Arrays.copyOf(buf, n)
   }
 
   /** Every read and skip is bounds-checked against `end` — nested

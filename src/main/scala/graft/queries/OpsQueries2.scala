@@ -475,6 +475,135 @@ object OpsQueries2 {
              FROM g GROUP BY user_id, grp""")
     ),
 
+    // Python traceback multiline mode (flb_ml_parser_python.c rules
+    // re-expressed): `Traceback (most recent call last):` OPENS a
+    // record (start-state rule — it must not continue the previous
+    // one); `  File ...` frames and `SomeError: ...` terminators
+    // continue it; a plain log line starts its own record.
+    GraftQuery(
+      "f_multiline_python",
+      (s, dir) => {
+        val m4 = col("event_id") % 4
+        val lines = Tables.events(s, dir).select(
+          col("user_id"), col("event_id"),
+          when(m4 === 0, lit("Traceback (most recent call last):"))
+            .when(m4 === 1, concat(lit("  File \"app.py\", line "),
+              col("event_id"), lit(", in run")))
+            .when(m4 === 2, concat(lit("ValueError: bad input "),
+              col("event_id")))
+            .otherwise(concat(lit("INFO request done "), col("event_id")))
+            .as("line"))
+        graft.streaming.Multiline.assembleBatch(
+          lines, Seq("user_id"), "event_id", "line",
+          graft.streaming.Multiline.Modes.python)
+      },
+      Some("""WITH lines AS (
+               SELECT user_id, event_id,
+                      CASE WHEN event_id % 4 = 0
+                             THEN 'Traceback (most recent call last):'
+                           WHEN event_id % 4 = 1
+                             THEN '  File "app.py", line ' || CAST(event_id AS VARCHAR) || ', in run'
+                           WHEN event_id % 4 = 2
+                             THEN 'ValueError: bad input ' || CAST(event_id AS VARCHAR)
+                           ELSE 'INFO request done ' || CAST(event_id AS VARCHAR) END AS line
+               FROM events),
+             g AS (
+               SELECT *, sum(CASE WHEN NOT regexp_matches(line,
+                                    '^(\s+|[A-Za-z_.]*(Error|Exception))')
+                                  THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY event_id) AS grp
+               FROM lines)
+             SELECT user_id, min(event_id) AS first_event_id, count(*) AS n_lines,
+                    string_agg(line, chr(10) ORDER BY event_id) AS message
+             FROM g GROUP BY user_id, grp""")
+    ),
+
+    // Go panic multiline mode (flb_ml_parser_go.c rules re-expressed):
+    // `panic:` opens a record; `goroutine N [running]:`, indented
+    // frames and `file.go:NN` source lines continue it.
+    GraftQuery(
+      "f_multiline_go",
+      (s, dir) => {
+        val m4 = col("event_id") % 4
+        val lines = Tables.events(s, dir).select(
+          col("user_id"), col("event_id"),
+          when(m4 === 0, concat(lit("panic: index out of range ["),
+            col("event_id"), lit("]")))
+            .when(m4 === 1, lit("goroutine 7 [running]:"))
+            .when(m4 === 2, concat(lit("main.go:"), col("event_id"),
+              lit(" +0x1a")))
+            .otherwise(concat(lit("listening on :8080 "), col("event_id")))
+            .as("line"))
+        graft.streaming.Multiline.assembleBatch(
+          lines, Seq("user_id"), "event_id", "line",
+          graft.streaming.Multiline.Modes.go)
+      },
+      Some("""WITH lines AS (
+               SELECT user_id, event_id,
+                      CASE WHEN event_id % 4 = 0
+                             THEN 'panic: index out of range [' || CAST(event_id AS VARCHAR) || ']'
+                           WHEN event_id % 4 = 1
+                             THEN 'goroutine 7 [running]:'
+                           WHEN event_id % 4 = 2
+                             THEN 'main.go:' || CAST(event_id AS VARCHAR) || ' +0x1a'
+                           ELSE 'listening on :8080 ' || CAST(event_id AS VARCHAR) END AS line
+               FROM events),
+             g AS (
+               SELECT *, sum(CASE WHEN NOT regexp_matches(line,
+                                    '^(goroutine |\s+|\S+\.go:)')
+                                  THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY event_id) AS grp
+               FROM lines)
+             SELECT user_id, min(event_id) AS first_event_id, count(*) AS n_lines,
+                    string_agg(line, chr(10) ORDER BY event_id) AS message
+             FROM g GROUP BY user_id, grp""")
+    ),
+
+    // filter_lua with a REAL user script (lua.c:433-616) executed by
+    // the in-repo interpreter (ops/Lua.scala): per-record callback
+    // drops 'click' events (code -1), uppercases, doubles an id
+    // through tonumber/tostring, rewrites via a Lua-pattern gsub, and
+    // shifts the timestamp. The oracle recomputes every output column
+    // in SQL, gating the whole script execution path.
+    GraftQuery(
+      "f_lua_script",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val in = ev.select(
+          lit("app.events").as("tag"),
+          expr("ts_ns div 1000000000").as("ts"),
+          map(
+            lit("event_type"), col("event_type"),
+            lit("event_id"), col("event_id").cast("string")).as("body"))
+        val script =
+          """function cb_filter(tag, timestamp, record)
+            |  if record["event_type"] == "click" then
+            |    return -1, timestamp, record
+            |  end
+            |  record["upper_type"] = string.upper(record["event_type"])
+            |  record["double_id"] = tostring(tonumber(record["event_id"]) * 2)
+            |  record["starred"] = string.gsub(record["event_type"], "[aeiou]", "*")
+            |  return 1, timestamp + 1, record
+            |end""".stripMargin
+        graft.ops.LuaContract.applyToFrame(s, in, "tag", "ts", "body")(
+          graft.ops.LuaContract.script(script))
+          .select(
+            col("tag"),
+            col("ts").as("ts_sec"),
+            element_at(col("body"), "event_id").cast("long").as("event_id"),
+            element_at(col("body"), "upper_type").as("upper_type"),
+            element_at(col("body"), "double_id").as("double_id"),
+            element_at(col("body"), "starred").as("starred"))
+      },
+      Some("""SELECT 'app.events' AS tag,
+             epoch_ns(ts) // 1000000000 + 1 AS ts_sec,
+             event_id,
+             upper(event_type) AS upper_type,
+             CAST(event_id * 2 AS VARCHAR) AS double_id,
+             regexp_replace(event_type, '[aeiou]', '*', 'g') AS starred
+             FROM events WHERE event_type <> 'click'""")
+    ),
+
     // cmetrics summary type (lib/cmetrics cmetrics.h:26-30): exact
     // quantiles per label set — Spark `percentile` ≙ DuckDB
     // quantile_cont (both exact linear interpolation; rounded to kill

@@ -63,12 +63,16 @@ object Multiline {
     val criPartialFlag = "P"
   }
 
-  /** Is this line a continuation under the rule set? (state collapses to
-    * start/cont for the built-in modes).
+  /** Is this line a continuation under the rule set? Only rules firing
+    * FROM the cont state continue a record — a start-state opener
+    * (python's `Traceback …`, go's `panic:`) BEGINS one, so it must
+    * not glue itself to the previous record (flb_ml_rule.c fires rules
+    * by from_state; collapsing all regexes together would misfile the
+    * openers).
     */
   private def isContinuation(rules: Seq[Rule], line: String): Boolean =
-    rules.exists(r => line != null && java.util.regex.Pattern.compile(r.regex)
-      .matcher(line).find())
+    rules.exists(r => r.fromStates.contains("cont") && line != null &&
+      java.util.regex.Pattern.compile(r.regex).matcher(line).find())
 
   // ------------------------------------------------------------- batch
 
@@ -81,8 +85,13 @@ object Multiline {
     */
   def assembleBatch(df: DataFrame, keyCols: Seq[String], orderCol: String,
                     lineCol: String, rules: Seq[Rule]): DataFrame = {
-    val contPattern = rules.map(r => s"(?:${r.regex})").mkString("|")
-    val isStart = !coalesce(col(lineCol).rlike(contPattern), lit(false))
+    // cont-state rules only — start-state openers begin a record, they
+    // never continue one (see isContinuation)
+    val contRules = rules.filter(_.fromStates.contains("cont"))
+    val contPattern = contRules.map(r => s"(?:${r.regex})").mkString("|")
+    val isStart =
+      if (contRules.isEmpty) lit(true)
+      else !coalesce(col(lineCol).rlike(contPattern), lit(false))
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
     val grouped = df
       .withColumn("__start", isStart.cast("long"))

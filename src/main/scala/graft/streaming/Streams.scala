@@ -25,6 +25,23 @@ object Streams {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(pathGlob)
 
+  /** Rotation-tolerant tail ([[TailSource]]): per-inode byte offsets in
+    * the checkpointed offset log, so appends resume mid-file, renames
+    * keep their read position (no duplicate ingest), and truncation
+    * restarts from zero — the `in_tail` contract
+    * (`plugins/in_tail/tail_file.c`) that the plain FileStreamSource
+    * ([[tailText]]) does not honor (path-keyed, whole-file-once).
+    * Point the glob at the rotated names too (`app.log*`) to keep
+    * draining a renamed file's tail.
+    */
+  def tailRotating(spark: SparkSession, pathGlob: String,
+                   maxBytesPerTrigger: Long = 64L * 1024 * 1024): DataFrame =
+    spark.readStream
+      .format(classOf[TailSourceProvider].getName)
+      .option(TailSource.PathOption, pathGlob)
+      .option(TailSource.MaxBytesOption, maxBytesPerTrigger.toString)
+      .load()
+
   def tailParquet(spark: SparkSession, path: String, schema: StructType,
                   maxFilesPerTrigger: Int = 16): DataFrame =
     spark.readStream.schema(schema)

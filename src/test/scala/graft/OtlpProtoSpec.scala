@@ -102,8 +102,7 @@ class OtlpProtoSpec extends AnyFunSuite {
     sum.msg(1, {
       val w = new Proto.Writer; w.fixed64(3, 2L)
       // as_int branch: sfixed64 field 6
-      w.tag(6, 1); var i = 0; val bits = 3L
-      while (i < 8) { w.out += ((bits >>> (8 * i)) & 0xff).toByte; i += 1 }
+      w.tag(6, 1); w.rawFixed64(3L)
       w
     })
     sum.int64(2, 2L) // temporality
@@ -115,10 +114,8 @@ class OtlpProtoSpec extends AnyFunSuite {
       w.double(5, 10.0)
       // packed bucket_counts [1,3]: field 6 wire 2
       val pk = new Proto.Writer
-      var i = 0
-      while (i < 8) { pk.out += ((1L >>> (8 * i)) & 0xff).toByte; i += 1 }
-      i = 0
-      while (i < 8) { pk.out += ((3L >>> (8 * i)) & 0xff).toByte; i += 1 }
+      pk.rawFixed64(1L)
+      pk.rawFixed64(3L)
       w.bytes(6, pk.result())
       // UNPACKED explicit_bounds [5.0]: field 7 wire 1
       w.double(7, 5.0)
@@ -332,5 +329,124 @@ class OtlpProtoSpec extends AnyFunSuite {
       Map("service.name" -> "svc-a"))
     assert(back.map(_.getAs[String]("body")).toSeq == Seq("m1", "m2", "m3"))
     assert(back.head.getAs[Map[String, String]]("attributes") == Map("a" -> "k1"))
+  }
+
+  // ------------------------------------------- direct-rows path parity
+  // decode*Bodies now emits rows straight from the wire bytes
+  // (OtlpRows) — pin it against the original pb→proto3-JSON→from_json
+  // composition, column for column, for all three signals and for the
+  // application/json branch.
+
+  private def samplePbLogs: Array[Byte] =
+    OtlpProto.encodeLogsRequest(OtlpProto.LogGroupRow(
+      rattrs = Seq(OtlpProto.KvPair("service.name", "svc")),
+      sname = Some("lib"), sver = Some("2.0"),
+      recs = Seq(
+        OtlpProto.LogRecRow(Some(1700000000000000000L), None, Some(9),
+          Some("INFO"), Some("hello"), Seq(OtlpProto.KvPair("k", "v")),
+          Some("00112233445566778899aabbccddeeff")),
+        OtlpProto.LogRecRow(None, Some(1700000000000000001L), None,
+          Some("WARN"), Some("later"), Seq.empty, None),
+        // out-of-range severity must null out, not clamp
+        OtlpProto.LogRecRow(Some(5L), None, Some(99), None, None,
+          Seq.empty, None))))
+
+  private def samplePbMetrics: Array[Byte] =
+    OtlpProto.encodeMetricsRequest(OtlpProto.MetricGroupRow(
+      rattrs = Seq(OtlpProto.KvPair("service.name", "svc")),
+      sname = Some("lib"), sver = Some("2.0"),
+      metrics = Seq(
+        OtlpProto.MetricRow(Some("g"), Some("gauge"), None, None,
+          Seq(OtlpProto.MetricDpRow(Seq(OtlpProto.KvPair("h", "a")),
+            Some(10L), Some(1.5), None, None, None, None, None))),
+        OtlpProto.MetricRow(Some("s"), Some("sum"), Some(2), Some(true),
+          Seq(OtlpProto.MetricDpRow(Seq.empty, Some(11L), Some(4.0),
+            None, None, None, None, None))),
+        OtlpProto.MetricRow(Some("h"), Some("histogram"), Some(2), None,
+          Seq(OtlpProto.MetricDpRow(Seq.empty, Some(12L), None, Some(7L),
+            Some(21.5), Some(Seq(2L, 5L)), Some(Seq(50.0)), None))),
+        OtlpProto.MetricRow(Some("q"), Some("summary"), None, None,
+          Seq(OtlpProto.MetricDpRow(Seq.empty, Some(13L), None, Some(3L),
+            Some(9.0), None, None,
+            Some(Seq(OtlpProto.QRow(0.5, 2.0), OtlpProto.QRow(0.99, 8.0)))))))))
+
+  private def samplePbTraces: Array[Byte] =
+    OtlpProto.encodeTracesRequest(OtlpProto.SpanGroupRow(
+      rattrs = Seq(OtlpProto.KvPair("service.name", "svc")),
+      sname = Some("lib"), sver = Some("2.0"),
+      spans = Seq(
+        OtlpProto.SpanRow(Some("00112233445566778899aabbccddeeff"),
+          Some("0011223344556677"), Some("8899aabbccddeeff"),
+          Some("sampled=1"), Some("op"), Some(2), Some(100L), Some(200L),
+          Seq(OtlpProto.KvPair("k", "v")),
+          Some(Seq(OtlpProto.SpanEventRow(Some(150L), Some("retry"),
+            Seq(OtlpProto.KvPair("attempt", "2"))))),
+          Some(2), Some("boom")),
+        OtlpProto.SpanRow(Some("ffeeddccbbaa99887766554433221100"),
+          Some("ffeedd0011223344"), None, None, Some("root"), None,
+          Some(300L), Some(400L), Seq.empty, None, None, None))))
+
+  test("direct pb rows match the from_json composition for all three signals") {
+    val logsPb = samplePbLogs
+    val direct = OtlpProto.decodeLogsBodies(
+      Seq(logsPb).toDF("body"), col("body"),
+      lit("application/x-protobuf"), lit(null))
+      .orderBy("ts_unix_nano").collect().toSeq
+    val composed = Otlp.decodeLogs(
+      Seq(OtlpProto.logsToJson(logsPb)).toDF("v"), col("v")).drop("v")
+      .orderBy("ts_unix_nano").collect().toSeq
+    assert(direct == composed)
+    assert(direct.length == 3)
+
+    val metricsPb = samplePbMetrics
+    val directM = OtlpProto.decodeMetricsBodies(
+      Seq(metricsPb).toDF("body"), col("body"),
+      lit("application/x-protobuf"), lit(null))
+      .orderBy("ts_unix_nano").collect().toSeq
+    val composedM = Otlp.decodeMetrics(
+      Seq(OtlpProto.metricsToJson(metricsPb)).toDF("v"), col("v")).drop("v")
+      .orderBy("ts_unix_nano").collect().toSeq
+    assert(directM == composedM)
+    assert(directM.length == 4)
+
+    val tracesPb = samplePbTraces
+    val directT = OtlpProto.decodeTracesBodies(
+      Seq(tracesPb).toDF("body"), col("body"),
+      lit("application/x-protobuf"), lit(null))
+      .orderBy("start_unix_nano").collect().toSeq
+    val composedT = Otlp.decodeTraces(
+      Seq(OtlpProto.tracesToJson(tracesPb)).toDF("v"), col("v")).drop("v")
+      .orderBy("start_unix_nano").collect().toSeq
+    assert(directT == composedT)
+    assert(directT.length == 2)
+  }
+
+  test("application/json bodies take the Jackson twin and match from_json") {
+    val jsonLogs = OtlpProto.logsToJson(samplePbLogs)
+    val direct = OtlpProto.decodeLogsBodies(
+      Seq(jsonLogs.getBytes("UTF-8")).toDF("body"), col("body"),
+      lit("application/json"), lit(null))
+      .orderBy("ts_unix_nano").collect().toSeq
+    val composed = Otlp.decodeLogs(Seq(jsonLogs).toDF("v"), col("v"))
+      .drop("v").orderBy("ts_unix_nano").collect().toSeq
+    assert(direct == composed)
+
+    val jsonMetrics = OtlpProto.metricsToJson(samplePbMetrics)
+    val directM = OtlpProto.decodeMetricsBodies(
+      Seq(jsonMetrics.getBytes("UTF-8")).toDF("body"), col("body"),
+      lit("application/json"), lit(null))
+      .orderBy("ts_unix_nano").collect().toSeq
+    val composedM = Otlp.decodeMetrics(Seq(jsonMetrics).toDF("v"), col("v"))
+      .drop("v").orderBy("ts_unix_nano").collect().toSeq
+    assert(directM == composedM)
+
+    val jsonTraces = OtlpProto.tracesToJson(samplePbTraces)
+    val directT = OtlpProto.decodeTracesBodies(
+      Seq(jsonTraces.getBytes("UTF-8")).toDF("body"), col("body"),
+      lit("application/json"), lit(null))
+      .orderBy("start_unix_nano").collect().toSeq
+    val composedT = Otlp.decodeTraces(Seq(jsonTraces).toDF("v"), col("v"))
+      .drop("v").orderBy("start_unix_nano").collect().toSeq
+    assert(directT == composedT)
   }
 }

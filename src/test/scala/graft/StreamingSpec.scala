@@ -256,6 +256,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.length == 2) // whole trace, all spans
   }
 
+  test("rotating tail: appends resume mid-file, rename keeps the offset, truncation resets") {
+    import java.nio.file.{Files, Paths, StandardOpenOption, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft_tail").toFile
+    dir.deleteOnExit()
+    val live = Paths.get(dir.getPath, "app.log")
+    def append(s: String): Unit =
+      Files.write(live, s.getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    append("one\ntwo\npartial") // trailing partial line must wait
+    val out = Streams.tailRotating(spark, dir.getPath + "/app.log*")
+    val q = startToMemory(out.selectExpr("line"), "rot_tail")
+    try {
+      awaitRows("rot_tail", 2)
+      assert(spark.table("rot_tail").collect().map(_.getString(0)).toSet ==
+        Set("one", "two")) // "partial" has no newline yet
+      // append completes the partial line — resume MID-FILE (the
+      // FileStreamSource divergence: it reads a path exactly once)
+      append(" done\nthree\n")
+      awaitRows("rot_tail", 4)
+      // rotate by rename; the inode keeps its offset → no duplicate
+      // re-ingest of the rotated content; the new file starts at 0
+      Files.move(live, Paths.get(dir.getPath, "app.log.1"),
+        StandardCopyOption.ATOMIC_MOVE)
+      append("freshline\n")
+      awaitRows("rot_tail", 5)
+      // truncation (copytruncate rotation): size < offset → restart at
+      // 0 — the in_tail detection is st_size < offset, so the new
+      // content must actually be SHORTER than the old
+      Files.write(live, "rewound\n".getBytes("UTF-8"),
+        StandardOpenOption.TRUNCATE_EXISTING)
+      awaitRows("rot_tail", 6)
+    } finally q.stop()
+    val got = spark.table("rot_tail").collect().map(_.getString(0)).toSeq
+    assert(got.sorted ==
+      Seq("freshline", "one", "partial done", "rewound", "three", "two"))
+    // exactly once each — rotation produced no duplicates
+    assert(got.distinct.size == got.size)
+  }
+
+  test("plain FileStreamSource divergence: appended lines are never re-read") {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val dir = Files.createTempDirectory("graft_tail_plain").toFile
+    dir.deleteOnExit()
+    val f = Paths.get(dir.getPath, "flat.log")
+    Files.write(f, "a\n".getBytes("UTF-8"))
+    val q = startToMemory(
+      Streams.tailText(spark, dir.getPath).selectExpr("value"), "plain_tail")
+    try {
+      awaitRows("plain_tail", 1)
+      Files.write(f, "b\n".getBytes("UTF-8"), StandardOpenOption.APPEND)
+      // the path-keyed seen-map never revisits the file: documented
+      // divergence from in_tail (tail_fs_inotify.c) — the appended
+      // line must NOT appear
+      Thread.sleep(1500)
+      assert(spark.table("plain_tail").count() == 1)
+    } finally q.stop()
+  }
+
   test("tcp push source e2e: raw RFC5424 lines in, parsed tag-routed rows out") {
     import org.apache.spark.sql.functions._
     // find a free port (bind ephemeral, note it, release)
