@@ -88,7 +88,17 @@ object Bench {
       System.gc()
       val first = timeOnce(fn)
       val extra = if (first >= 0 && first < 1.0) (runs + 2) else (runs - 1)
-      val times = (first +: (1 to extra).map(_ => timeOnce(fn))).sorted
+      // 1-5s tier: a predecessor's GC pause is a visible fraction of the
+      // measurement but the run count is small, so one pause can own the
+      // median — collect before EVERY run, not just the first (the r7
+      // p_labels 0.69→3.13 / f_otlp_ingest 1.28→3.63 "regressions" did
+      // not reproduce in isolated fresh-JVM 5-medians: 0.89 / 1.34 —
+      // pure in-suite attribution, see BASELINE.md r8 pin)
+      val midTier = first >= 1.0 && first < 5.0
+      val times = (first +: (1 to extra).map { _ =>
+        if (midTier) System.gc()
+        timeOnce(fn)
+      }).sorted
       name -> times(times.size / 2)
     }
     // Locale-pinned: the default-locale f"%.3f" emits "1,234" under

@@ -299,19 +299,29 @@ object Dedup {
       struct(i.as("pos"),
         array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")
           .as("chunk")))
+    // counting flows carry ONLY (doc_id, pos, 8-byte chunk hash) — the
+    // chunk text used to ride through the count join AND the per-doc
+    // reassembly shuffle (twice over the network); now it crosses once,
+    // in the final doc-keyed join, and the dup verdict comes back as a
+    // small sorted position list applied map-side
     val exploded = df
       .select(idCol.as("doc_id"), explode(chunks).as("c"))
       .select(col("doc_id"), col("c.pos").as("pos"),
-        col("c.chunk").as("chunk"), md5(col("c.chunk")).as("__h"))
+        xxhash64(col("c.chunk")).as("__h"))
     val counts = exploded.groupBy(col("__h"))
       .agg(count(lit(1)).as("__n"))
-    exploded.join(counts, "__h")
+    val verdict = exploded.join(counts, "__h")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("__n") > 1, 1L).otherwise(0L)).as("n_dup"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(when(col("__n") === 1,
-            struct(col("pos"), col("chunk"))))),
-          c => c.getField("chunk"))).as("cleaned"))
+        sort_array(collect_list(when(col("__n") > 1, col("pos"))))
+          .as("__dups"))
+    df.select(idCol.as("doc_id"), chunks.as("__cs"))
+      .join(verdict, "doc_id")
+      .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+        array_join(transform(
+          filter(col("__cs"), c =>
+            !array_contains(col("__dups"), c.getField("pos"))),
+          c => c.getField("chunk")), " ").as("cleaned"))
   }
 }

@@ -215,6 +215,94 @@ case class ByteDotProduct(left: Expression, right: Expression)
   override def prettyName: String = "byte_dot_product"
 }
 
+/** Per-cluster-cell nearest-neighbor cosine — the SemDeDup inner loop
+  * as ONE expression over the cell's collected vectors instead of a
+  * self-join: `array<struct<vec_id, ev>>` in, `array<struct<vec_id,
+  * nn_cos>>` out, where `nn_cos` is each vector's max cosine against
+  * its LOWER-id cell-mates (round-6, -1.0 when it has none — the
+  * SemDeDup "keep the first, flag the rest" orientation).
+  *
+  * Why not the join: a cell of m vectors joined with itself
+  * materializes m² rows each carrying BOTH dense vectors (~1 KB a
+  * pair — tens of GB at sf1) just to feed a dot product and a max.
+  * Here the m² loop runs over unpacked primitive arrays inside one
+  * eval per CELL; only m input and m output rows ever exist. State is
+  * the cell itself (the documented (n/k)² SemDeDup bound — pick k so
+  * n/k fits an executor, exactly as before).
+  */
+case class CellMaxCosine(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("nn_cos", DoubleType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: StructType, _) if s.length == 2 &&
+        s(0).dataType == LongType &&
+        s(1).dataType.isInstanceOf[ArrayType] => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cell_max_cosine expects array<struct<id bigint, vec array>>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val ids = new Array[Long](m)
+    val vecs = new Array[Array[Double]](m)
+    val norms = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      val row = arr.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      val v = row.getArray(1).toDoubleArray()
+      vecs(i) = v
+      var s = 0.0
+      var d = 0
+      while (d < v.length) { s += v(d) * v(d); d += 1 }
+      norms(i) = math.sqrt(s)
+      i += 1
+    }
+    val nn = Array.fill(m)(Double.NegativeInfinity)
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m) {
+        val a = vecs(i); val b = vecs(j)
+        var s = 0.0
+        var d = 0
+        val n = math.min(a.length, b.length)
+        while (d < n) { s += a(d) * b(d); d += 1 }
+        val c = s / (norms(i) * norms(j))
+        // the max-of-round equals round-of-max (rounding is monotone),
+        // so track the raw max and round once on output
+        if (ids(i) < ids(j)) { if (c > nn(j)) nn(j) = c }
+        else { if (c > nn(i)) nn(i) = c }
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](m)
+    i = 0
+    while (i < m) {
+      val v =
+        if (nn(i) == Double.NegativeInfinity) -1.0
+        else java.math.BigDecimal.valueOf(nn(i))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(ids(i), v)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CellMaxCosine =
+    copy(child = newChild)
+
+  override def prettyName: String = "cell_max_cosine"
+}
+
 object VectorFunctions {
   /** Codegen'd dot product of two dense vector columns. */
   def dotProduct(a: Column, b: Column): Column =
@@ -230,4 +318,8 @@ object VectorFunctions {
   /** Exact integer dot product over byte-packed quantized vectors. */
   def byteDotProduct(a: Column, b: Column): Column =
     shim.column(ByteDotProduct(shim.expression(a), shim.expression(b)))
+
+  /** SemDeDup cell pass: per-vector max cosine vs lower-id cell-mates. */
+  def cellMaxCosine(vs: Column): Column =
+    shim.column(CellMaxCosine(shim.expression(vs)))
 }

@@ -1040,8 +1040,171 @@ object OtlpProto {
     w.bytes(field, pk.result())
   }
 
+  /** Catalyst eval twin of [[encodeMetricsRequest]] — serializes one
+    * aggregated (rattrs, sname, sver, metrics) group row straight from
+    * the `InternalRow`, skipping the `.as[MetricGroupRow]` deserializer
+    * that rebuilt every data point as nested case classes (and whose
+    * allocation burst was the GC noise source in the sequential bench).
+    */
+  case class MetricsPbEncode(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.ArrayData
+
+    override def dataType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.BinaryType
+    override protected def withNewChildInternal(
+        newChild: org.apache.spark.sql.catalyst.expressions.Expression): MetricsPbEncode =
+      copy(child = newChild)
+
+    private def kvW(e: InternalRow): Writer = {
+      val w = new Writer
+      w.bytes(1, e.getUTF8String(0).getBytes)
+      val av = new Writer
+      av.bytes(1,
+        if (e.isNullAt(1)) Array.emptyByteArray else e.getUTF8String(1).getBytes)
+      w.msg(2, av)
+      w
+    }
+
+    private def labels(dp: InternalRow, w: Writer, field: Int): Unit =
+      if (!dp.isNullAt(0)) {
+        val ls = dp.getArray(0)
+        var i = 0
+        while (i < ls.numElements()) { w.msg(field, kvW(ls.getStruct(i, 2))); i += 1 }
+      }
+
+    // dp struct layout: labels(0), tsUnixNano(1), value(2), count(3),
+    // sum(4), bucketCounts(5), explicitBounds(6), quantiles(7)
+    private def numberDp(dp: InternalRow): Writer = {
+      val w = new Writer
+      if (!dp.isNullAt(1)) { val t = dp.getLong(1); if (t != 0L) w.fixed64(3, t) }
+      if (!dp.isNullAt(2)) w.double(4, dp.getDouble(2))
+      labels(dp, w, 7)
+      w
+    }
+
+    private def packed64(w: Writer, field: Int, arr: ArrayData,
+                         asBits: Boolean): Unit = {
+      val pk = new Writer
+      var i = 0
+      while (i < arr.numElements()) {
+        pk.rawFixed64(
+          if (asBits) java.lang.Double.doubleToLongBits(arr.getDouble(i))
+          else arr.getLong(i))
+        i += 1
+      }
+      w.bytes(field, pk.result())
+    }
+
+    private def histDp(dp: InternalRow): Writer = {
+      val w = new Writer
+      if (!dp.isNullAt(1)) { val t = dp.getLong(1); if (t != 0L) w.fixed64(3, t) }
+      w.fixed64(4, if (dp.isNullAt(3)) 0L else dp.getLong(3))
+      if (!dp.isNullAt(4)) w.double(5, dp.getDouble(4))
+      if (!dp.isNullAt(5)) {
+        val b = dp.getArray(5)
+        if (b.numElements() > 0) packed64(w, 6, b, asBits = false)
+      }
+      if (!dp.isNullAt(6)) {
+        val b = dp.getArray(6)
+        if (b.numElements() > 0) packed64(w, 7, b, asBits = true)
+      }
+      labels(dp, w, 9)
+      w
+    }
+
+    private def summDp(dp: InternalRow): Writer = {
+      val w = new Writer
+      if (!dp.isNullAt(1)) { val t = dp.getLong(1); if (t != 0L) w.fixed64(3, t) }
+      w.fixed64(4, if (dp.isNullAt(3)) 0L else dp.getLong(3))
+      if (!dp.isNullAt(4)) w.double(5, dp.getDouble(4))
+      if (!dp.isNullAt(7)) {
+        val qs = dp.getArray(7)
+        var i = 0
+        while (i < qs.numElements()) {
+          val q = qs.getStruct(i, 2)
+          val qw = new Writer
+          qw.double(1, if (q.isNullAt(0)) 0.0 else q.getDouble(0))
+          qw.double(2, if (q.isNullAt(1)) 0.0 else q.getDouble(1))
+          w.msg(6, qw)
+          i += 1
+        }
+      }
+      labels(dp, w, 7)
+      w
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val g = input.asInstanceOf[InternalRow]
+      val sm = new Writer
+      val sc = new Writer
+      if (!g.isNullAt(1)) sc.bytes(1, g.getUTF8String(1).getBytes)
+      if (!g.isNullAt(2)) sc.bytes(2, g.getUTF8String(2).getBytes)
+      sm.msg(1, sc)
+      if (!g.isNullAt(3)) {
+        val metrics = g.getArray(3)
+        var mi = 0
+        while (mi < metrics.numElements()) {
+          // metric struct: name(0), mtype(1), temporality(2),
+          // isMonotonic(3), dps(4)
+          val m = metrics.getStruct(mi, 5)
+          val mw = new Writer
+          if (!m.isNullAt(0)) mw.bytes(1, m.getUTF8String(0).getBytes)
+          val mtype = if (m.isNullAt(1)) null else m.getUTF8String(1).toString
+          val dps = if (m.isNullAt(4)) null else m.getArray(4)
+          def eachDp(f: InternalRow => Writer, into: Writer): Unit =
+            if (dps != null) {
+              var i = 0
+              while (i < dps.numElements()) {
+                into.msg(1, f(dps.getStruct(i, 8))); i += 1
+              }
+            }
+          mtype match {
+            case "gauge" =>
+              val w = new Writer
+              eachDp(numberDp, w)
+              mw.msg(5, w)
+            case "sum" =>
+              val w = new Writer
+              eachDp(numberDp, w)
+              if (!m.isNullAt(2)) w.int64(2, m.getInt(2).toLong)
+              if (!m.isNullAt(3)) w.bool(3, m.getBoolean(3))
+              mw.msg(7, w)
+            case "histogram" =>
+              val w = new Writer
+              eachDp(histDp, w)
+              if (!m.isNullAt(2)) w.int64(2, m.getInt(2).toLong)
+              mw.msg(9, w)
+            case "summary" =>
+              val w = new Writer
+              eachDp(summDp, w)
+              mw.msg(11, w)
+            case _ => ()
+          }
+          sm.msg(2, mw)
+          mi += 1
+        }
+      }
+      val res = new Writer
+      if (!g.isNullAt(0)) {
+        val arr = g.getArray(0)
+        var i = 0
+        while (i < arr.numElements()) { res.msg(1, kvW(arr.getStruct(i, 2))); i += 1 }
+      }
+      val rm = new Writer
+      rm.msg(1, res)
+      rm.msg(2, sm)
+      val req = new Writer
+      req.msg(1, rm)
+      req.result()
+    }
+  }
+
   /** Serialize one ExportMetricsServiceRequest — one resource, one
     * scope, the group's metrics with their typed data points.
+    * ([[MetricsPbEncode]] is the plan-side twin.)
     */
   def encodeMetricsRequest(g: MetricGroupRow): Array[Byte] = {
     def numberDp(d: MetricDpRow): Writer = {
@@ -1151,9 +1314,10 @@ object OtlpProto {
       .agg(F.collect_list(F.struct(F.col("name"), F.col("mtype"),
         F.col("temporality"), F.col("isMonotonic"), F.col("dps")))
         .as("metrics"))
-      .as[MetricGroupRow]
-      .map(encodeMetricsRequest)
-      .toDF("body")
+      .select(org.apache.spark.sql.graftshim.shim.column(MetricsPbEncode(
+        org.apache.spark.sql.graftshim.shim.expression(
+          F.struct(F.col("rattrs"), F.col("sname"), F.col("sver"),
+            F.col("metrics"))))).as("body"))
   }
 
   // ------------------------------------------------- pb encode: traces
@@ -1172,8 +1336,118 @@ object OtlpProto {
   final case class SpanGroupRow(rattrs: Seq[KvPair], sname: Option[String],
                                 sver: Option[String], spans: Seq[SpanRow])
 
+  /** Catalyst eval twin of [[encodeTracesRequest]] — one aggregated
+    * (rattrs, sname, sver, spans) group row serialized straight from
+    * the `InternalRow` (same rationale as [[MetricsPbEncode]]).
+    */
+  case class TracesPbEncode(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import org.apache.spark.sql.catalyst.InternalRow
+
+    override def dataType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.BinaryType
+    override protected def withNewChildInternal(
+        newChild: org.apache.spark.sql.catalyst.expressions.Expression): TracesPbEncode =
+      copy(child = newChild)
+
+    private def kvW(e: InternalRow): Writer = {
+      val w = new Writer
+      w.bytes(1, e.getUTF8String(0).getBytes)
+      val av = new Writer
+      av.bytes(1,
+        if (e.isNullAt(1)) Array.emptyByteArray else e.getUTF8String(1).getBytes)
+      w.msg(2, av)
+      w
+    }
+
+    private def idBytes(w: Writer, field: Int, row: InternalRow, ord: Int): Unit =
+      if (!row.isNullAt(ord)) {
+        val s = row.getUTF8String(ord).toString
+        if (s.nonEmpty) w.bytes(field, hexToBytes(s))
+      }
+
+    override def nullSafeEval(input: Any): Any = {
+      val g = input.asInstanceOf[InternalRow]
+      val ss = new Writer
+      val sc = new Writer
+      if (!g.isNullAt(1)) sc.bytes(1, g.getUTF8String(1).getBytes)
+      if (!g.isNullAt(2)) sc.bytes(2, g.getUTF8String(2).getBytes)
+      ss.msg(1, sc)
+      if (!g.isNullAt(3)) {
+        val spans = g.getArray(3)
+        var si = 0
+        while (si < spans.numElements()) {
+          // span struct: traceId(0), spanId(1), parentSpanId(2),
+          // traceState(3), name(4), kind(5), startUnixNano(6),
+          // endUnixNano(7), attributes(8), events(9), statusCode(10),
+          // statusMessage(11)
+          val sp = spans.getStruct(si, 12)
+          val w = new Writer
+          idBytes(w, 1, sp, 0)
+          idBytes(w, 2, sp, 1)
+          if (!sp.isNullAt(3)) w.bytes(3, sp.getUTF8String(3).getBytes)
+          idBytes(w, 4, sp, 2)
+          if (!sp.isNullAt(4)) w.bytes(5, sp.getUTF8String(4).getBytes)
+          if (!sp.isNullAt(5)) { val k = sp.getInt(5); if (k != 0) w.int64(6, k.toLong) }
+          if (!sp.isNullAt(6)) { val t = sp.getLong(6); if (t != 0L) w.fixed64(7, t) }
+          if (!sp.isNullAt(7)) { val t = sp.getLong(7); if (t != 0L) w.fixed64(8, t) }
+          if (!sp.isNullAt(8)) {
+            val as = sp.getArray(8)
+            var i = 0
+            while (i < as.numElements()) { w.msg(9, kvW(as.getStruct(i, 2))); i += 1 }
+          }
+          if (!sp.isNullAt(9)) {
+            val es = sp.getArray(9)
+            var i = 0
+            while (i < es.numElements()) {
+              // event struct: tsUnixNano(0), name(1), attributes(2)
+              val e = es.getStruct(i, 3)
+              val ew = new Writer
+              if (!e.isNullAt(0)) { val t = e.getLong(0); if (t != 0L) ew.fixed64(1, t) }
+              if (!e.isNullAt(1)) ew.bytes(2, e.getUTF8String(1).getBytes)
+              if (!e.isNullAt(2)) {
+                val eas = e.getArray(2)
+                var j = 0
+                while (j < eas.numElements()) { ew.msg(3, kvW(eas.getStruct(j, 2))); j += 1 }
+              }
+              w.msg(11, ew)
+              i += 1
+            }
+          }
+          // status emitted when a message is PRESENT (even empty) or
+          // the code is non-zero — the Option.nonEmpty semantics of the
+          // object-form encoder
+          val msg = if (sp.isNullAt(11)) null else sp.getUTF8String(11).toString
+          val code = if (sp.isNullAt(10)) 0 else sp.getInt(10)
+          if (msg != null || code != 0) {
+            val stw = new Writer
+            if (msg != null) stw.bytes(2, msg.getBytes("UTF-8"))
+            if (code != 0) stw.int64(3, code.toLong)
+            w.msg(15, stw)
+          }
+          ss.msg(2, w)
+          si += 1
+        }
+      }
+      val res = new Writer
+      if (!g.isNullAt(0)) {
+        val arr = g.getArray(0)
+        var i = 0
+        while (i < arr.numElements()) { res.msg(1, kvW(arr.getStruct(i, 2))); i += 1 }
+      }
+      val rs = new Writer
+      rs.msg(1, res)
+      rs.msg(2, ss)
+      val req = new Writer
+      req.msg(1, rs)
+      req.result()
+    }
+  }
+
   /** Serialize one ExportTraceServiceRequest — one resource, one scope,
     * the group's spans with events and status.
+    * ([[TracesPbEncode]] is the plan-side twin.)
     */
   def encodeTracesRequest(g: SpanGroupRow): Array[Byte] = {
     val ss = new Writer
@@ -1253,9 +1527,9 @@ object OtlpProto {
         scopeName.cast("string").as("sname"),
         scopeVersion.cast("string").as("sver"))
       .agg(collect_list(span).as("spans"))
-      .as[SpanGroupRow]
-      .map(encodeTracesRequest)
-      .toDF("body")
+      .select(org.apache.spark.sql.graftshim.shim.column(TracesPbEncode(
+        org.apache.spark.sql.graftshim.shim.expression(
+          struct(col("rattrs"), col("sname"), col("sver"), col("spans"))))).as("body"))
   }
 
 }

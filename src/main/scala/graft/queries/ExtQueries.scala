@@ -1669,6 +1669,99 @@ object ExtQueries {
                UNION ALL SELECT 4, pair, replace(pair,' ',''), c FROM m4)""")
     ),
 
+    // BPE ENCODE — apply the merges x_bpe_train learns to tokenize the
+    // corpus (the budget number a pipeline actually needs: how many
+    // tokens does each document cost under this tokenizer). The merge
+    // table is driver model state (4 rows); application is one map-only
+    // fold over the word array. The oracle re-derives the same 4 merges
+    // (the x_bpe_train chain) and replays the padded-replace encode per
+    // word.
+    GraftQuery(
+      "x_bpe_encode",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val merges = TextAnalysis.bpeTrain(docs, col("text"), merges = 4)
+          .collect().sortBy(_.getInt(0))
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        TextAnalysis.bpeApply(docs, col("doc_id"), col("text"), merges)
+      },
+      Some("""WITH w AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
+               FROM (SELECT unnest(string_split(text,' ')) AS tok
+                     FROM documents)
+               WHERE regexp_matches(tok, '^[a-z]+$') GROUP BY 1),
+             s0 AS (SELECT array_to_string(list_transform(
+                      range(1, len(word)+1), i -> word[i]), ' ') AS seg,
+                      cnt FROM w),
+             p1 AS (SELECT unnest(list_transform(range(1, len(l)),
+                      i -> l[i] || ' ' || l[i+1])) AS pair, cnt
+                    FROM (SELECT string_split(seg,' ') AS l, cnt FROM s0)),
+             k1 AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS c
+                    FROM p1 GROUP BY 1),
+             m1 AS (SELECT pair, c FROM k1 ORDER BY c DESC, pair LIMIT 1),
+             s1 AS (SELECT trim(replace(' '||seg||' ',
+                      ' '||(SELECT pair FROM m1)||' ',
+                      ' '||replace((SELECT pair FROM m1),' ','')||' ')) AS seg,
+                      cnt FROM s0),
+             p2 AS (SELECT unnest(list_transform(range(1, len(l)),
+                      i -> l[i] || ' ' || l[i+1])) AS pair, cnt
+                    FROM (SELECT string_split(seg,' ') AS l, cnt FROM s1)),
+             k2 AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS c
+                    FROM p2 GROUP BY 1),
+             m2 AS (SELECT pair, c FROM k2 ORDER BY c DESC, pair LIMIT 1),
+             s2 AS (SELECT trim(replace(' '||seg||' ',
+                      ' '||(SELECT pair FROM m2)||' ',
+                      ' '||replace((SELECT pair FROM m2),' ','')||' ')) AS seg,
+                      cnt FROM s1),
+             p3 AS (SELECT unnest(list_transform(range(1, len(l)),
+                      i -> l[i] || ' ' || l[i+1])) AS pair, cnt
+                    FROM (SELECT string_split(seg,' ') AS l, cnt FROM s2)),
+             k3 AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS c
+                    FROM p3 GROUP BY 1),
+             m3 AS (SELECT pair, c FROM k3 ORDER BY c DESC, pair LIMIT 1),
+             s3 AS (SELECT trim(replace(' '||seg||' ',
+                      ' '||(SELECT pair FROM m3)||' ',
+                      ' '||replace((SELECT pair FROM m3),' ','')||' ')) AS seg,
+                      cnt FROM s2),
+             p4 AS (SELECT unnest(list_transform(range(1, len(l)),
+                      i -> l[i] || ' ' || l[i+1])) AS pair, cnt
+                    FROM (SELECT string_split(seg,' ') AS l, cnt FROM s3)),
+             k4 AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS c
+                    FROM p4 GROUP BY 1),
+             m4 AS (SELECT pair, c FROM k4 ORDER BY c DESC, pair LIMIT 1),
+             dw AS (SELECT doc_id, unnest(string_split(text,' ')) AS word
+                    FROM documents),
+             fw AS (SELECT doc_id, word FROM dw
+                    WHERE regexp_matches(word, '^[a-z]+$')),
+             a0 AS (SELECT doc_id, word, array_to_string(list_transform(
+                      range(1, len(word)+1), i -> word[i]), ' ') AS seg
+                    FROM fw),
+             a1 AS (SELECT doc_id, word, trim(replace(' '||seg||' ',
+                      ' '||(SELECT pair FROM m1)||' ',
+                      ' '||replace((SELECT pair FROM m1),' ','')||' ')) AS seg
+                    FROM a0),
+             a2 AS (SELECT doc_id, word, trim(replace(' '||seg||' ',
+                      ' '||(SELECT pair FROM m2)||' ',
+                      ' '||replace((SELECT pair FROM m2),' ','')||' ')) AS seg
+                    FROM a1),
+             a3 AS (SELECT doc_id, word, trim(replace(' '||seg||' ',
+                      ' '||(SELECT pair FROM m3)||' ',
+                      ' '||replace((SELECT pair FROM m3),' ','')||' ')) AS seg
+                    FROM a2),
+             a4 AS (SELECT doc_id, word, trim(replace(' '||seg||' ',
+                      ' '||(SELECT pair FROM m4)||' ',
+                      ' '||replace((SELECT pair FROM m4),' ','')||' ')) AS seg
+                    FROM a3),
+             agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                            CAST(sum(len(word)) AS BIGINT) AS n_chars,
+                            CAST(sum(len(string_split(seg,' '))) AS BIGINT)
+                              AS n_symbols
+                     FROM a4 GROUP BY 1)
+             SELECT d.doc_id, coalesce(agg.n_words, 0) AS n_words,
+                    coalesce(agg.n_chars, 0) AS n_chars,
+                    coalesce(agg.n_symbols, 0) AS n_symbols
+             FROM documents d LEFT JOIN agg USING (doc_id)""")
+    ),
+
     // Deterministic per-language stratified downsampling: exact integer
     // Bernoulli(target/n) on the stable id hash; broadcast per-stratum
     // counts onto a map-only filter.

@@ -418,24 +418,32 @@ object Similarity {
   def semDedup(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
                iters: Int, dim: Int, threshold: Double): DataFrame = {
     val model = kmeansTrainModel(vecs, idCol, vecCol, k, iters, dim)
-    val assigned = kmeansAssign(vecs, idCol, vecCol, model)
-      .select("vec_id", "cell")
-    val v = vecs.select(col(idCol).cast("long").as("vec_id"),
+    // assignment inline (keeping the vector) so the cell id and the
+    // embedding travel together — no join, one shuffle to the cells
+    val base = vecs.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).cast("array<double>").as("ev"))
-      .withColumn("__n", norm(col("ev")))
-    val withVec = assigned.join(v, "vec_id")
-    val a = withVec.select(col("cell"), col("vec_id"),
-      col("ev").as("av"), col("__n").as("an"))
-    val b = withVec.select(col("cell"), col("vec_id").as("bid"),
-      col("ev").as("bv"), col("__n").as("bn"))
-    val nn = a.join(b, Seq("cell")).filter(col("bid") < col("vec_id"))
-      .withColumn("pcos",
-        round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6))
-      .groupBy(col("vec_id")).agg(max(col("pcos")).as("__nn"))
-    assigned.join(nn, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cell"),
-        coalesce(col("__nn"), lit(-1.0)).as("nn_cos"),
-        when(coalesce(col("__nn"), lit(-1.0)) >= threshold, 1).otherwise(0)
-          .as("is_dup"))
+      .withColumn("__vn", norm(col("ev")))
+    val scored = array(model.map { case (id, cv) =>
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      struct(
+        round(dot(col("ev"), typedLit(cv)) / (col("__vn") * lit(cn)), 6)
+          .as("cos"),
+        lit(-id).as("negid"))
+    }: _*)
+    val withCell = base.select(col("vec_id"), col("ev"),
+      (-array_max(scored).getField("negid")).as("cell"))
+    // per-cell nearest-neighbor via ONE expression over the collected
+    // cell ([[graft.functions.CellMaxCosine]]) — the m² loop runs over
+    // primitive arrays instead of materializing m² join rows carrying
+    // duplicated 0.5 KB vectors; the (n/k)² cell bound is unchanged
+    withCell
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("vec_id"), col("ev"))).as("__vs"))
+      .select(col("cell"),
+        explode(graft.functions.VectorFunctions.cellMaxCosine(col("__vs")))
+          .as("__r"))
+      .select(col("__r.vec_id").as("vec_id"), col("cell"),
+        col("__r.nn_cos").as("nn_cos"),
+        when(col("__r.nn_cos") >= threshold, 1).otherwise(0).as("is_dup"))
   }
 }

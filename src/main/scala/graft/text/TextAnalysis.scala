@@ -217,12 +217,19 @@ object TextAnalysis {
     */
   def dupNgramFraction(df: DataFrame, idCol: Column, text: Column,
                        n: Int = 13): DataFrame = {
+    // gram identity = 64-bit hash, taken in the SCAN stage: an 80-byte
+    // 13-gram string shrinks to 8 bytes before the distinct/count/join
+    // shuffles — gram text never crosses the network (the standard
+    // hashed-n-gram form of this gate; collisions at 2^-64 are far
+    // below the dup-detection noise floor)
     val g = df.select(idCol.as("doc_id"),
       explode(graft.functions.TextFunctions.wordShingles(text, n))
-        .as("ngram")).distinct()
-    val counts = g.groupBy(col("ngram"))
+        .as("ngram"))
+      .select(col("doc_id"), xxhash64(col("ngram")).as("__gh"))
+      .distinct()
+    val counts = g.groupBy(col("__gh"))
       .agg(count(lit(1)).as("__nd"))
-    val perDoc = g.join(counts, "ngram")
+    val perDoc = g.join(counts, "__gh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_dup"))
@@ -576,20 +583,30 @@ object TextAnalysis {
     */
   def lmScore(df: DataFrame, idCol: Column, text: Column): DataFrame = {
     val docs = df.select(idCol.as("doc_id"), text.as("text"))
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_uni"))
+    // token/bigram identity = 64-bit hashes taken in the scan stage —
+    // the LM is corpus-sized so its count tables MUST shuffle, but
+    // nothing says the shuffled keys have to be strings
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val uni = toks.select(xxhash64(col("tok")).as("__th"))
+      .groupBy(col("__th")).agg(count(lit(1)).as("c_uni"))
     val vocab = uni.agg(count(lit(1)).as("vsz"))
     val bi = docs.select(col("doc_id"),
         explode(graft.functions.TextFunctions.wordShingles(col("text"), 2))
           .as("bigram"))
-      .withColumn("pre", substring_index(col("bigram"), " ", 1))
-    val biCnt = bi.groupBy(col("bigram")).agg(count(lit(1)).as("c_bi"))
-    val scored = bi
-      .join(biCnt, "bigram")
-      .join(uni, bi("pre") === uni("tok"))
+      .select(col("doc_id"), xxhash64(col("bigram")).as("__bh"),
+        xxhash64(substring_index(col("bigram"), " ", 1)).as("__ph"))
+    // the credit (1e6·(c_bi+1)) div (c_uni+V) is constant per DISTINCT
+    // bigram — join the count tables at vocabulary cardinality and hit
+    // the instance stream ONCE with the finished credit, instead of
+    // dragging every bigram instance through two joins
+    val biCnt = bi.groupBy(col("__bh"))
+      .agg(count(lit(1)).as("c_bi"), first(col("__ph")).as("__ph"))
+    val biScore = biCnt
+      .join(uni, biCnt("__ph") === uni("__th"))
       .crossJoin(broadcast(vocab))
-      .select(col("doc_id"),
+      .select(col("__bh"),
         expr("(1000000L * (c_bi + 1)) DIV (c_uni + vsz)").as("s"))
+    val scored = bi.select(col("doc_id"), col("__bh")).join(biScore, "__bh")
     docs.select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .groupBy(col("doc_id"))
@@ -647,6 +664,35 @@ object TextAnalysis {
       import spark.implicits._
       out.result().toDF("step", "pair", "merged", "cnt")
     } finally vocab.unpersist()
+  }
+
+  /** Apply learned BPE merges — the tokenizer's ENCODE side, pairing
+    * [[bpeTrain]]: each `^[a-z]+$` word splits to characters and the k
+    * merge rules apply IN TRAINING ORDER (space-padded leftmost
+    * non-overlapping replace, the exact operation training used on the
+    * vocabulary — train and apply replay the same algebra). Per
+    * document: word count, raw char count, and post-merge symbol count
+    * (the "tokens this document costs" number a data pipeline budgets
+    * with).
+    *
+    * Scale shape: the merge table is driver-held model state (k rows);
+    * the application is ONE map-only projection folding over the word
+    * array — no explode, no shuffle, composable with the corpus scan.
+    */
+  def bpeApply(df: DataFrame, idCol: Column, text: Column,
+               merges: Seq[(String, String)]): DataFrame = {
+    val words = filter(split(text, " "), w => w.rlike("^[a-z]+$"))
+    def encode(w: Column): Column =
+      merges.foldLeft(concat_ws(" ", split(w, ""))) { case (seg, (p, m)) =>
+        trim(org.apache.spark.sql.functions.replace(
+          concat(lit(" "), seg, lit(" ")), lit(s" $p "), lit(s" $m ")))
+      }
+    df.select(idCol.as("doc_id"),
+      size(words).cast("long").as("n_words"),
+      aggregate(words, lit(0L), (acc, w) =>
+        acc + length(w).cast("long")).as("n_chars"),
+      aggregate(words, lit(0L), (acc, w) =>
+        acc + size(split(encode(w), " ")).cast("long")).as("n_symbols"))
   }
 
   /** Stratified downsampling to a per-stratum document target — the

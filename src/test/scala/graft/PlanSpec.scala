@@ -214,12 +214,17 @@ class PlanSpec extends AnyFunSuite {
       "running sum must partition by group, never globally sort")
   }
 
-  test("semantic dedup pairs only within a cluster cell (equi-join)") {
+  test("semantic dedup: no pair materialization, cell-bounded expression") {
     val plan = planOf("x_dedup_semantic")
     assert(!plan.contains("CartesianProduct"),
-      "pairwise cosine must be bounded by the cell equi-join:\n" +
-        plan.take(3000))
+      "pairwise cosine must stay bounded by the cell:\n" + plan.take(3000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the m² inner loop runs inside cell_max_cosine over the collected
+    // cell — the plan must contain NO self-join at all (the old shape
+    // materialized m² rows of duplicated vectors)
+    assert(plan.contains("cell_max_cosine"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"),
+      "cell pass must not self-join:\n" + plan.take(3000))
   }
 
   test("c4 line cleaning and gopher rules are map-only projections") {
@@ -306,11 +311,13 @@ class PlanSpec extends AnyFunSuite {
       plan.take(2500))
   }
 
-  test("paragraph dedup counts occurrences on the 16-byte hash") {
-    // the corpus-wide occurrence count must group on md5(chunk), so the
-    // counting shuffle carries hashes, not paragraph bodies
+  test("paragraph dedup counts occurrences on the 8-byte hash") {
+    // the corpus-wide occurrence count must group on xxhash64(chunk),
+    // so the counting shuffle carries 8-byte hashes, not paragraph
+    // bodies; the text crosses the network once, in the doc-keyed
+    // reassembly join
     val plan = planOf("x_dedup_paragraph")
-    assert(plan.contains("md5"), plan.take(2000))
+    assert(plan.contains("xxhash64"), plan.take(2000))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       plan.take(2000))
   }
