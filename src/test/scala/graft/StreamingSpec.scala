@@ -256,6 +256,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.length == 2) // whole trace, all spans
   }
 
+  test("lua filter on a stream: user script drops and rewrites records in flight") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.LuaContract
+    val in = MemoryStream[LuaContract.Record]
+    // same interpreter path as the batch gate (f_lua_script): the
+    // contract's flatMap is micro-batch-transparent, mirroring the
+    // reference's per-record cb_lua_filter call in stream context
+    val out = LuaContract.applyTo(spark, in.toDS())(LuaContract.script(
+      """function cb_filter(tag, timestamp, record)
+        |  if record["level"] == "debug" then return -1, timestamp, record end
+        |  record["via"] = "lua"
+        |  return 1, timestamp + 5, record
+        |end""".stripMargin))
+    val q = startToMemory(out, "lua_stream")
+    try {
+      in.addData(
+        LuaContract.Record("a", 10L, Map("level" -> "debug", "m" -> "drop me")),
+        LuaContract.Record("b", 20L, Map("level" -> "error", "m" -> "keep me")))
+      q.processAllAvailable() // stateless flatMap: safe
+    } finally q.stop()
+    val got = spark.table("lua_stream").as[LuaContract.Record].collect()
+    assert(got.length == 1)
+    assert(got.head.tsSec == 25L)
+    assert(got.head.body == Map("level" -> "error", "m" -> "keep me", "via" -> "lua"))
+  }
+
   test("rotating tail: appends resume mid-file, rename keeps the offset, truncation resets") {
     import java.nio.file.{Files, Paths, StandardOpenOption, StandardCopyOption}
     val dir = Files.createTempDirectory("graft_tail").toFile
