@@ -303,6 +303,70 @@ case class CellMaxCosine(child: Expression)
   override def prettyName: String = "cell_max_cosine"
 }
 
+/** Asymmetric-distance (ADC) scoring kernel for product-quantized
+  * search: `codes` is the corpus vector's byte-packed PQ code (one
+  * codeword index per subspace), `lut` the query's per-subspace
+  * lookup table of fixed-point inner products against every codeword
+  * (`array<array<bigint>>`, built once per query). The approximate
+  * score is the table-lookup sum — m lookups per pair instead of a
+  * dim-length dot product, the classic PQ fast path (Jégou et al.
+  * 2011). Fixed-point longs keep the sum order-independent and exact,
+  * so any engine replays it bit-for-bit; the loop is a tight primitive
+  * scan inside WholeStageCodegen.
+  */
+case class PqAdcScore(codes: Expression, lut: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = codes
+  override def right: Expression = lut
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (codes.dataType, lut.dataType) match {
+      case (org.apache.spark.sql.types.BinaryType,
+            ArrayType(ArrayType(org.apache.spark.sql.types.LongType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (c, l) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_score expects (binary, array<array<bigint>>), got " +
+          s"${c.sql} and ${l.sql}")
+    }
+
+  override def nullSafeEval(c: Any, l: Any): Any = {
+    val cs = c.asInstanceOf[Array[Byte]]
+    val luts = l.asInstanceOf[ArrayData]
+    val n = math.min(cs.length, luts.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += luts.getArray(i).getLong(cs(i) & 0xff)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($c.length, $l.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $l.getArray($i).getLong($c[$i] & 0xff);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(codes = newLeft, lut = newRight)
+
+  override def prettyName: String = "pq_adc_score"
+}
+
 object VectorFunctions {
   /** Codegen'd dot product of two dense vector columns. */
   def dotProduct(a: Column, b: Column): Column =
@@ -322,4 +386,10 @@ object VectorFunctions {
   /** SemDeDup cell pass: per-vector max cosine vs lower-id cell-mates. */
   def cellMaxCosine(vs: Column): Column =
     shim.column(CellMaxCosine(shim.expression(vs)))
+
+  /** PQ asymmetric-distance score: table-lookup sum of a byte-packed
+    * code against a per-query fixed-point LUT.
+    */
+  def pqAdcScore(codes: Column, lut: Column): Column =
+    shim.column(PqAdcScore(shim.expression(codes), shim.expression(lut)))
 }

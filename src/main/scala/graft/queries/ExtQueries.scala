@@ -534,6 +534,57 @@ object ExtQueries {
              WHERE rank <= 5""")
     ),
 
+    // Product-quantized ADC top-k (Jégou et al. 2011): 8 subspaces ×
+    // 16 deterministic codewords; encode = per-subspace fixed-point L2
+    // argmin byte-packed to 8 bytes/vector; search = per-query lookup
+    // tables summed by the codegen PqAdcScore kernel. The oracle
+    // replays codebook derivation, encode argmin (d² = |s|²−2sc+|c|²,
+    // identical operand order) and the integer LUT sum bit-for-bit.
+    GraftQuery(
+      "x_ann_pq",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+          m = 8, dsub = 8, k = 16, step = 3)
+        Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3),
+          "vec_id", "embedding", k = 5, books)
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev
+                         FROM embeddings),
+             ms AS (SELECT unnest(range(0, 8)) AS m),
+             cw AS (SELECT CAST(vec_id // 3 AS INT) AS j, ev AS w
+                    FROM v WHERE vec_id % 3 = 0 AND vec_id < 48),
+             sub AS (SELECT vec_id, ms.m,
+                            list_slice(ev, ms.m*8 + 1, ms.m*8 + 8) AS sv
+                     FROM v, ms),
+             cws AS (SELECT j, ms.m,
+                            list_slice(w, ms.m*8 + 1, ms.m*8 + 8) AS cv
+                     FROM cw, ms),
+             dist AS (SELECT s.vec_id, s.m, c.j,
+                      CAST(floor((list_dot_product(s.sv, s.sv)
+                            - 2.0*list_dot_product(s.sv, c.cv)
+                            + list_dot_product(c.cv, c.cv))*1000000 + 0.5)
+                        AS BIGINT) AS d
+                      FROM sub s JOIN cws c ON s.m = c.m),
+             codes AS (SELECT vec_id, m, j AS code FROM (
+                       SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d, j) AS rnk FROM dist)
+                       WHERE rnk = 1),
+             lut AS (SELECT s.vec_id AS qid, c.m, c.j,
+                     CAST(floor(list_dot_product(s.sv, c.cv)*1000000 + 0.5)
+                       AS BIGINT) AS ip
+                     FROM sub s JOIN cws c ON c.m = s.m WHERE s.vec_id < 3),
+             scored AS (SELECT l.qid, co.vec_id AS cid,
+                               CAST(sum(l.ip) AS BIGINT) AS score
+                        FROM codes co
+                        JOIN lut l ON l.m = co.m AND l.j = co.code
+                        WHERE co.vec_id <> l.qid GROUP BY 1, 2)
+             SELECT qid, cid, score, rank FROM (
+               SELECT *, row_number() OVER (PARTITION BY qid
+                         ORDER BY score DESC, cid) AS rank FROM scored)
+             WHERE rank <= 5""")
+    ),
+
     // Language ID (stopword-hit heuristic).
     GraftQuery(
       "x_text_langid",

@@ -446,4 +446,107 @@ object Similarity {
         col("__r.nn_cos").as("nn_cos"),
         when(col("__r.nn_cos") >= threshold, 1).otherwise(0).as("is_dup"))
   }
+
+  /** Product-quantization codebooks (Jégou et al. 2011, "Product
+    * quantization for nearest neighbor search"): the vector space is
+    * split into `m` subspaces of `dsub` dims; each subspace gets `k`
+    * codewords. Codewords are a deterministic corpus subset (every
+    * `step`-th vector id, `k` of them — the same reproducible-seed
+    * pattern as [[ivfAssign]]'s centroid subset), so every engine
+    * derives the identical codebooks. Model state: m·k·dsub doubles
+    * (8·16·8 = 1 KB at the defaults) — driver-held literals, never
+    * record data.
+    */
+  def pqCodebooks(vecs: DataFrame, idCol: String, vecCol: String,
+                  m: Int, dsub: Int, k: Int, step: Int): Array[Array[Array[Double]]] = {
+    val rows = vecs
+      .filter(col(idCol) % step === 0 && col(idCol) < k.toLong * step)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("ev"))
+      .collect()
+      .map(r => (r.getLong(0) / step, r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(rows.length == k,
+      s"pqCodebooks: expected $k codeword vectors, found ${rows.length}")
+    Array.tabulate(m)(mi =>
+      rows.map { case (_, ev) => ev.slice(mi * dsub, (mi + 1) * dsub) })
+  }
+
+  /** PQ ENCODE: map every vector to `m` codeword indices (nearest
+    * codeword per subspace by squared L2, ties to the lower index) and
+    * byte-pack them — a 64-dim double vector compresses to m = 8 bytes,
+    * the 64× memory cut that makes billion-vector indexes fit in RAM.
+    * Distances are fixed-point longs (`floor(d²·1e6 + 0.5)`) so the
+    * argmin is exact and engine-replayable; d² expands as
+    * |s|² − 2·s·c + |c|², each dot an in-order codegen loop, the
+    * codeword norm a driver-side literal. Map-only: no shuffle at any
+    * corpus size, composable with the scan.
+    */
+  def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
+               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val base = vecs.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("ev"))
+      // per-subspace squared norms, computed once (not once per codeword)
+      .withColumn("__sn", array((0 until m).map { mi =>
+        val sub = slice(col("ev"), mi * dsub + 1, dsub)
+        dot(sub, sub)
+      }: _*))
+    val codeCols = (0 until m).map { mi =>
+      val sub = slice(col("ev"), mi * dsub + 1, dsub)
+      val subN = element_at(col("__sn"), mi + 1)
+      val cands = array(codebooks(mi).zipWithIndex.map { case (cw, j) =>
+        val cc = cw.map(x => x * x).sum
+        struct(
+          floor((subN - lit(2.0) * dot(sub, typedLit(cw)) + lit(cc)) *
+            lit(1e6) + lit(0.5)).as("d"),
+          lit(j).as("j"))
+      }: _*)
+      array_min(cands).getField("j")
+    }
+    import graft.functions.VectorFunctions.quantizeBytes
+    base
+      .select(col("vec_id"),
+        array(codeCols: _*).cast("array<double>").as("__cd"))
+      .select(col("vec_id"),
+        quantizeBytes(col("__cd"), Array.fill(m)(0.0), Array.fill(m)(1.0))
+          .as("codes"))
+  }
+
+  /** PQ ADC top-k search: each (small, broadcast) query builds a
+    * per-subspace lookup table of fixed-point inner products against
+    * every codeword — m·k longs — and scoring a corpus vector is m
+    * byte-indexed table lookups ([[graft.functions.PqAdcScore]]), not a
+    * dim-length dot product. The corpus side streams its 8-byte codes
+    * map-only into the same WindowGroupLimit top-k as
+    * [[bruteForceTopK]]; nothing but the codes ever shuffles. This is
+    * the memory/bandwidth scale path: at 100 TB the quantized index is
+    * ~1/64th the raw embeddings and the score loop touches 8 bytes per
+    * candidate.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int,
+             codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val enc = pqEncode(corpus, idCol, vecCol, codebooks)
+      .withColumnRenamed("vec_id", "cid")
+    val lut = array((0 until m).map { mi =>
+      val sub = slice(col("qv"), mi * dsub + 1, dsub)
+      array(codebooks(mi).map(cw =>
+        floor(dot(sub, typedLit(cw)) * lit(1e6) + lit(0.5))): _*)
+    }: _*)
+    val qb = broadcast(queries
+      .select(col(idCol).cast("long").as("qid"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .select(col("qid"), lut.as("lut")))
+    import graft.functions.VectorFunctions.pqAdcScore
+    val scored = qb.join(enc, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        pqAdcScore(col("codes"), col("lut")).as("score"))
+    topKPerGroup(scored, "qid", k,
+      payload = Seq("cid", "score"),
+      orderAsc = Seq(negate(col("score")).as("__neg"), col("cid").as("__cid")))
+  }
 }

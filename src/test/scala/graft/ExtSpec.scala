@@ -45,6 +45,36 @@ class ExtSpec extends AnyFunSuite {
     assert(hamming12 < hamming14, s"near-dup hamming $hamming12 !< $hamming14")
   }
 
+  test("pq encode picks the nearest codeword per subspace, byte-packed") {
+    // m=2 subspaces of 2 dims; codeword 0 = x-axis, 1 = y-axis in each
+    val books: Array[Array[Array[Double]]] = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val vecs = Seq(
+      (0L, Array(0.9, 0.1, 0.1, 0.9)), // → codes (0, 1)
+      (1L, Array(0.1, 0.8, 0.9, 0.0))  // → codes (1, 0)
+    ).toDF("vec_id", "embedding")
+    val enc = Similarity.pqEncode(vecs, "vec_id", "embedding", books)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("codes")).toMap
+    assert(enc(0L).toSeq == Seq[Byte](0, 1), enc(0L).toSeq)
+    assert(enc(1L).toSeq == Seq[Byte](1, 0), enc(1L).toSeq)
+  }
+
+  test("pq ADC top-k ranks the aligned vector above the orthogonal one") {
+    val books: Array[Array[Array[Double]]] = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0, 1.0, 0.0)),
+      (1L, Array(0.9, 0.1, 0.8, 0.1)), // same cell as 0
+      (2L, Array(0.0, 1.0, 0.0, 1.0))  // orthogonal
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 2, books).orderBy("rank").collect()
+    assert(out(0).getAs[Long]("cid") == 1L, out.mkString(","))
+    assert(out(0).getAs[Long]("score") > out(1).getAs[Long]("score"))
+  }
+
   test("brute-force cosine top-k finds the planted neighbor first") {
     val vecs = Seq(
       (0L, Array(1.0, 0.0, 0.0)),

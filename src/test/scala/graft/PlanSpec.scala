@@ -132,6 +132,22 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("*("), "the scan must stay in whole-stage codegen")
   }
 
+  test("pq search scores 8-byte codes via the ADC kernel, broadcast query") {
+    val df = Registry.queries("x_ann_pq")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("quantize_bytes"),
+      "codes must byte-pack to m bytes per vector:\n" + plan.take(3000))
+    assert(plan.contains("pq_adc_score"),
+      "scoring must be the LUT-sum kernel, not a dot product:\n" + plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+           plan.contains("BroadcastExchange"),
+      "the query side must broadcast — the corpus never shuffles pre-topk:\n" +
+        plan.take(3000))
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+    assert(plan.contains("*("), "the code scan must stay in codegen")
+  }
+
   test("ngram census top-k is TakeOrdered, not a global sort") {
     val plan = planOf("x_text_ngrams")
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
