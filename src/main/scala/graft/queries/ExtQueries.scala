@@ -1188,6 +1188,61 @@ object ExtQueries {
              WHERE d.doc_id % 20 != 0""")
     ),
 
+    // Trained hashed naive-Bayes classifier (fastText-shaped): per-class
+    // hashed-unigram count tables trained on the corpus's own labels
+    // (lang = 'en' vs rest) collapse to fixed-point Bayes posteriors
+    // P(pos|token); scoring is a map-only fold against the one literal
+    // array, decision = average posterior above 1/2. Oracle retrains
+    // the tables and replays posterior, prior and comparison in
+    // HUGEINT. (On this synthetic corpus all languages share one
+    // vocabulary, so the model is honest about finding ~no signal —
+    // the unit spec shows it learning on separable data.)
+    GraftQuery(
+      "x_nb_classifier",
+      (s, dir) =>
+        TextAnalysis.nbClassifier(Tables.documents(s, dir),
+          col("doc_id"), col("text"), col("lang") === "en",
+          posName = "en", negName = "other"),
+      Some("""WITH t AS (SELECT doc_id, lang,
+                      unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+             g AS (SELECT doc_id, lang,
+                      ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS b
+                   FROM t),
+             cb AS (SELECT b,
+                    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS cp,
+                    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                      AS BIGINT) AS cn
+                    FROM g GROUP BY 1),
+             tot AS (SELECT CAST(coalesce(sum(cp), 0) AS BIGINT) + 1024 AS tp,
+                            CAST(coalesce(sum(cn), 0) AS BIGINT) + 1024 AS tn
+                     FROM cb),
+             post AS (SELECT b,
+                      CAST((1000000::HUGEINT * ((cp+1)::HUGEINT * (SELECT tn FROM tot))) //
+                           ((cp+1)::HUGEINT * (SELECT tn FROM tot) +
+                            (cn+1)::HUGEINT * (SELECT tp FROM tot)) AS BIGINT) AS p
+                      FROM cb),
+             nd AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                             AS BIGINT) AS np
+                    FROM documents),
+             pr AS (SELECT CAST((1000000*(np+1)) // (n+2) AS BIGINT) AS pp
+                    FROM nd),
+             sc AS (SELECT g.doc_id,
+                    CAST(sum(post.p) AS BIGINT) AS sw
+                    FROM g JOIN post USING (b) GROUP BY 1)
+             SELECT d.doc_id,
+                    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+                    CAST((SELECT pp FROM pr) + sc.sw AS BIGINT) AS score_pos,
+                    CAST(1000000*(len(string_split(d.text, ' ')) + 1) -
+                         ((SELECT pp FROM pr) + sc.sw) AS BIGINT) AS score_neg,
+                    CASE WHEN 2*((SELECT pp FROM pr) + sc.sw) >
+                              1000000*(len(string_split(d.text, ' ')) + 1)
+                         THEN 'en' ELSE 'other' END AS pred
+             FROM documents d JOIN sc ON d.doc_id = sc.doc_id""")
+    ),
+
     // C4/RefinedWeb-style per-domain quota: at most 20 docs per
     // `source` domain, hash-priority order, kept rows only (the window
     // collapses to a partial+final WindowGroupLimit — bounded state on
@@ -1658,6 +1713,62 @@ object ExtQueries {
                     CAST(coalesce(sum(sc.s), 0) AS BIGINT) AS lm_score
              FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
              GROUP BY 1""")
+    ),
+
+    // CCNet head/middle/tail perplexity split: thresholds derived from
+    // a bounded value histogram (never a global sort), broadcast onto a
+    // map-only label. Oracle rebuilds the LM, the histogram, the
+    // desc-cumulative rank thresholds and the label rule.
+    GraftQuery(
+      "x_lm_ppl_buckets",
+      (s, dir) =>
+        TextAnalysis.perplexityBuckets(Tables.documents(s, dir),
+          col("doc_id"), col("text")),
+      Some("""WITH toks AS (SELECT doc_id,
+                      unnest(string_split(text,' ')) AS tok,
+                      unnest(range(0, len(string_split(text,' ')))) AS pos
+               FROM documents),
+             c1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+                    FROM toks GROUP BY 1),
+             v AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM c1),
+             g AS (SELECT doc_id, tok || ' ' || lead(tok) OVER
+                     (PARTITION BY doc_id ORDER BY pos) AS bigram
+                   FROM toks),
+             g2 AS (SELECT doc_id, bigram,
+                           substr(bigram, 1, strpos(bigram,' ')-1) AS pre
+                    FROM g WHERE bigram IS NOT NULL),
+             c2 AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c
+                    FROM g2 GROUP BY 1),
+             sc AS (SELECT g2.doc_id,
+                           (1000000 * (c2.c + 1)) // (c1.c + (SELECT vsz FROM v)) AS s
+                    FROM g2 JOIN c2 USING (bigram)
+                            JOIN c1 ON g2.pre = c1.tok),
+             agg AS (SELECT d.doc_id,
+                    CAST(coalesce(count(sc.s), 0) AS BIGINT) AS n_bigrams,
+                    CAST(coalesce(sum(sc.s), 0) AS BIGINT) AS lm_score
+                    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+                    GROUP BY 1),
+             base AS (SELECT doc_id, n_bigrams,
+                      CAST(CASE WHEN n_bigrams > 0
+                           THEN lm_score // n_bigrams ELSE 0 END AS BIGINT)
+                        AS avg_credit FROM agg),
+             hist AS (SELECT avg_credit AS hv, CAST(count(*) AS BIGINT) AS c
+                      FROM base GROUP BY 1),
+             cum AS (SELECT hv, CAST(sum(c) OVER (ORDER BY hv DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS ge FROM hist),
+             n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM base),
+             th AS (SELECT
+                      max(CASE WHEN ge >= (SELECT (nn + 2) // 3 FROM n)
+                          THEN hv END) AS h,
+                      max(CASE WHEN ge >= (SELECT (2*nn + 2) // 3 FROM n)
+                          THEN hv END) AS m
+                    FROM cum)
+             SELECT doc_id, n_bigrams, avg_credit,
+                    CASE WHEN avg_credit >= (SELECT h FROM th) THEN 'head'
+                         WHEN avg_credit >= (SELECT m FROM th) THEN 'middle'
+                         ELSE 'tail' END AS bucket
+             FROM base""")
     ),
 
     // BPE merge induction over the word-count histogram: the first 4

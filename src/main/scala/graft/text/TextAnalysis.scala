@@ -316,6 +316,70 @@ object TextAnalysis {
           .otherwise("drop"))
   }
 
+  /** Trained hashed naive-Bayes text classifier — the fastText-shaped
+    * supervised gate (Joulin et al. 2017 reduced to a count model):
+    * TRAIN derives per-class hashed-unigram count tables (`buckets`
+    * longs per class — ONE aggregate, bounded model state like the DSIR
+    * tables) and collapses them into per-bucket POSTERIOR credits
+    * `P(pos | token)` in exact fixed point:
+    * `(1e6·(cp+1)·(tn+B)) DIV ((cp+1)·(tn+B) + (cn+1)·(tp+B))` — the
+    * add-one-smoothed Bayes posterior with the class-mass normalization
+    * built in (a raw per-class likelihood sum systematically favors the
+    * bigger class; the posterior ratio cancels it), computed in BigInt
+    * so 100 TB token counts cannot overflow. SCORE is map-only: each
+    * document folds its token array against the ONE literal credit
+    * array; prediction = average posterior (incl. the prior as one
+    * vote) above ½, by exact integer cross-multiplication — no float
+    * ever enters the hash. Unlike [[dsirWeights]] (corpus-vs-target
+    * importance reweighting), this is a supervised per-class model
+    * trained on in-corpus labels.
+    *
+    * Scale shape: train = one shuffle at bucket cardinality (≤ B rows);
+    * score = zero shuffles — the corpus streams through a projection.
+    */
+  def nbClassifier(df: DataFrame, idCol: Column, text: Column,
+                   isPos: Column, posName: String = "pos",
+                   negName: String = "neg",
+                   buckets: Int = 1024): DataFrame = {
+    def bucketOf(t: Column): Column =
+      (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % buckets)
+    val counts = df.select(isPos.as("__p"),
+        explode(split(text, " ")).as("tok"))
+      .groupBy(bucketOf(col("tok")).as("b"))
+      .agg(sum(when(col("__p"), 1L).otherwise(0L)).as("cp"),
+        sum(when(col("__p"), 0L).otherwise(1L)).as("cn"))
+      .collect()
+    val cPos = Array.fill(buckets)(0L)
+    val cNeg = Array.fill(buckets)(0L)
+    counts.foreach { r =>
+      cPos(r.getLong(0).toInt) = r.getLong(1)
+      cNeg(r.getLong(0).toInt) = r.getLong(2)
+    }
+    val tPos = BigInt(cPos.sum) + buckets
+    val tNeg = BigInt(cNeg.sum) + buckets
+    val post = Array.tabulate(buckets) { b =>
+      val np = (BigInt(cPos(b)) + 1) * tNeg
+      val nn = (BigInt(cNeg(b)) + 1) * tPos
+      (BigInt(1000000) * np / (np + nn)).toLong
+    }
+    val Seq(nDocs, nPos) = {
+      val r = df.agg(count(lit(1)), sum(when(isPos, 1L).otherwise(0L)))
+        .collect()(0)
+      Seq(r.getLong(0), r.getLong(1))
+    }
+    val prior = (1000000L * (nPos + 1)) / (nDocs + 2)
+    val words = split(text, " ")
+    val score = aggregate(words, lit(prior),
+      (acc, t) => acc + element_at(typedLit(post), bucketOf(t).cast("int") + 1))
+    df.select(idCol.as("doc_id"), size(words).cast("long").as("n_tokens"),
+      score.as("score_pos"))
+      // separate projection so the fold evaluates once, not re-inlined
+      .withColumn("score_neg",
+        lit(1000000L) * (col("n_tokens") + 1L) - col("score_pos"))
+      .withColumn("pred",
+        when(col("score_pos") > col("score_neg"), posName).otherwise(negName))
+  }
+
   /** C4/RefinedWeb-style per-domain quota: keep at most `cap` documents
     * per domain, chosen by a deterministic hash priority (md5 of the
     * doc id — a stable "random" order any engine replays). Emits only
@@ -612,6 +676,47 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(col("s")).as("n_bigrams"),
         coalesce(sum(col("s")), lit(0L)).as("lm_score"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): split the
+    * corpus into head / middle / tail thirds by language-model score —
+    * the standard "keep the head, maybe the middle, drop the tail"
+    * curation gate. The per-document signal is [[lmScore]]'s exact
+    * integer bigram credit averaged per bigram (`lm_score DIV
+    * n_bigrams` — higher = more fluent), so bucketing is deterministic
+    * across engines with no float percentile.
+    *
+    * Scale shape: thresholds come from a VALUE HISTOGRAM, not a global
+    * sort — the avg credit lives in [0, 1e6], so the histogram is a
+    * bounded aggregate (≤1e6+1 rows at ANY corpus size); one window
+    * pass over that tiny table finds the value at desc-rank ⌈n/3⌉ and
+    * ⌈2n/3⌉, and the thresholds broadcast back onto a map-only label.
+    * Boundary ties share a value so they share a bucket (all go to the
+    * better bucket) — thirds are exact up to value ties, the same
+    * contract CCNet's own histogram cutoffs have.
+    */
+  def perplexityBuckets(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    val scored = lmScore(df, idCol, text)
+      .withColumn("avg_credit",
+        when(col("n_bigrams") > 0, expr("lm_score DIV n_bigrams"))
+          .otherwise(lit(0L)))
+    val hist = scored.groupBy(col("avg_credit").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val tot = scored.agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val th = hist.withColumn("ge", sum(col("c")).over(w))
+      .crossJoin(broadcast(tot))
+      .agg(
+        max(when(col("ge") >= expr("(n + 2) DIV 3"), col("v"))).as("h"),
+        max(when(col("ge") >= expr("(2 * n + 2) DIV 3"), col("v"))).as("m"))
+    scored.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_credit"),
+        when(col("avg_credit") >= col("h"), "head")
+          .when(col("avg_credit") >= col("m"), "middle")
+          .otherwise("tail").as("bucket"))
   }
 
   /** BPE merge induction (Sennrich et al. 2016) — learn the first k

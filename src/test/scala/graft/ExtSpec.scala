@@ -272,6 +272,32 @@ class ExtSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, 0L))) // no bigrams, still present
   }
 
+  test("nb classifier: learns separable vocabularies, posterior decision") {
+    // two disjoint vocabularies; the model must classify every doc by
+    // its own class's tokens (trained and applied on the same corpus)
+    val d = Seq(
+      (1L, "alpha beta gamma alpha", true),
+      (2L, "beta alpha beta gamma", true),
+      (3L, "delta epsilon zeta zeta", false),
+      (4L, "epsilon delta delta zeta", false)
+    ).toDF("doc_id", "text", "is_en")
+    val out = TextAnalysis.nbClassifier(d, col("doc_id"), col("text"),
+      col("is_en"), posName = "pos", negName = "neg")
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out == Map(1L -> "pos", 2L -> "pos", 3L -> "neg", 4L -> "neg"),
+      out.toString)
+  }
+
+  test("perplexity buckets: thirds by avg credit, fluent doc lands head") {
+    // same fixture as the lm score test: avg credits 450000 / 500000 / 0
+    val d = Seq((1L, "a b a"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityBuckets(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out(2L) == ((500000L, "head")), out.toString)   // rank 1 of 3
+    assert(out(1L) == ((450000L, "middle")), out.toString) // rank 2
+    assert(out(3L) == ((0L, "tail")), out.toString)        // rank 3
+  }
+
   test("bpe train: greedy merges with deterministic tie-break") {
     val d = Seq((1L, "low low low lower")).toDF("doc_id", "text")
     val out = TextAnalysis.bpeTrain(d, col("text"), merges = 4)
