@@ -135,6 +135,41 @@ object Stateful {
         })
   }
 
+  final case class HashedDoc(hash: String, docId: Long)
+  final case class SeenState(keeperId: Long, dups: Long)
+
+  /** Streaming twin of [[graft.dedup.Dedup.exact]]: online exact
+    * deduplication — the first document carrying a given content hash
+    * survives, every later arrival (same batch or any future batch) is
+    * dropped. Within a micro-batch the lowest docId wins, matching the
+    * batch operator's canonical-representative rule, so replaying a
+    * batch dedups identically. State per DISTINCT hash is one (long,
+    * long) — the 16-byte key plus 16 bytes, never the document body,
+    * the same "shuffle hashes, not bodies" contract as the batch path.
+    * NoTimeout is deliberate: a hash's seen-flag IS the dedup contract
+    * and must survive the stream's lifetime (bounded retention = run
+    * per-epoch streams or snapshot-reset the checkpoint; an eviction
+    * timeout would silently re-admit duplicates).
+    */
+  def dedupStream(spark: SparkSession,
+                  docs: Dataset[HashedDoc]): Dataset[HashedDoc] = {
+    import spark.implicits._
+    docs.groupByKey(_.hash)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (hash: String, it: Iterator[HashedDoc],
+         state: GroupState[SeenState]) => {
+          val ids = it.map(_.docId).toSeq
+          state.getOption match {
+            case Some(s) =>
+              state.update(s.copy(dups = s.dups + ids.size))
+              Iterator.empty
+            case None =>
+              state.update(SeenState(ids.min, ids.size - 1L))
+              Iterator.single(HashedDoc(hash, ids.min))
+          }
+        })
+  }
+
   /** Deterministic hash-priority order with keys computed ONCE per
     * element — `sortBy(md5Hex(...))` would re-run the digest on every
     * comparison (O(n log n) digests per group per micro-batch).

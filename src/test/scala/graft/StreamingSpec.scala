@@ -121,6 +121,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(10L).tokBegin == 0L && got(10L).lastSeq == 1L)
   }
 
+  test("streaming exact dedup: first hash wins across batches, min-id in batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import Stateful.HashedDoc
+    val in = MemoryStream[HashedDoc]
+    // NoTimeout stateful query: processAllAvailable is safe (see header)
+    val out = Stateful.dedupStream(spark, in.toDS())
+    val q = startToMemory(out, "dedup_out")
+    try {
+      in.addData(HashedDoc("h1", 2L), HashedDoc("h1", 1L), HashedDoc("h2", 3L))
+      q.processAllAvailable()
+      in.addData(HashedDoc("h1", 4L), HashedDoc("h3", 5L)) // h1 already seen
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_out").as[HashedDoc].collect()
+      .map(d => d.hash -> d.docId).toMap
+    assert(got == Map("h1" -> 1L, "h2" -> 3L, "h3" -> 5L), got.toString)
+  }
+
   test("streaming warc segments: files become records, gzip inflates, path kept") {
     val dir = java.nio.file.Files.createTempDirectory("warcstream").toFile
     try {
