@@ -303,6 +303,111 @@ case class CellMaxCosine(child: Expression)
   override def prettyName: String = "cell_max_cosine"
 }
 
+/** PQ ENCODE kernel: nearest codeword per subspace (fixed-point squared
+  * L2, ties to the lower index), emitted as one byte per subspace. One
+  * expression replaces an m·k-struct argmin tree — a tree that big
+  * falls out of whole-stage codegen (64 KB method limit) and evaluates
+  * interpreted per codeword; here the m×k×dsub loop is a single
+  * primitive Java nest with the codebooks held as a reference object.
+  * Distance algebra matches the replayable form exactly:
+  * `floor((|s|² − 2·s·c + |c|²)·1e6 + 0.5)` with every dot an in-order
+  * loop and the codeword norms precomputed driver-side.
+  */
+case class PqEncodeBytes(child: Expression,
+                         books: Array[Array[Array[Double]]],
+                         norms: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode expects array<double>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val m = books.length
+    val dsub = books(0)(0).length
+    val out = new Array[Byte](m)
+    var mi = 0
+    while (mi < m) {
+      val base = mi * dsub
+      var sn = 0.0
+      var d = 0
+      while (d < dsub) { val x = v.getDouble(base + d); sn += x * x; d += 1 }
+      var best = Long.MaxValue
+      var bj = 0
+      var j = 0
+      while (j < books(mi).length) {
+        val cw = books(mi)(j)
+        var ip = 0.0
+        d = 0
+        while (d < dsub) { ip += v.getDouble(base + d) * cw(d); d += 1 }
+        val dist =
+          math.floor((sn - 2.0 * ip + norms(mi)(j)) * 1e6 + 0.5).toLong
+        if (dist < best) { best = dist; bj = j }
+        j += 1
+      }
+      out(mi) = bj.toByte
+      mi += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+    val normsRef = ctx.addReferenceObj("pqNorms", norms, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val m = books.length
+      val dsub = books(0)(0).length
+      val out = ctx.freshName("out")
+      val mi = ctx.freshName("mi")
+      val d = ctx.freshName("d")
+      val j = ctx.freshName("j")
+      val sn = ctx.freshName("sn")
+      val ip = ctx.freshName("ip")
+      val x = ctx.freshName("x")
+      val best = ctx.freshName("best")
+      val bj = ctx.freshName("bj")
+      val dist = ctx.freshName("dist")
+      val cw = ctx.freshName("cw")
+      val base = ctx.freshName("base")
+      s"""
+         |byte[] $out = new byte[$m];
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  int $base = $mi * $dsub;
+         |  double $sn = 0.0;
+         |  for (int $d = 0; $d < $dsub; $d++) {
+         |    double $x = $v.getDouble($base + $d);
+         |    $sn += $x * $x;
+         |  }
+         |  long $best = java.lang.Long.MAX_VALUE;
+         |  int $bj = 0;
+         |  for (int $j = 0; $j < $booksRef[$mi].length; $j++) {
+         |    double[] $cw = $booksRef[$mi][$j];
+         |    double $ip = 0.0;
+         |    for (int $d = 0; $d < $dsub; $d++) {
+         |      $ip += $v.getDouble($base + $d) * $cw[$d];
+         |    }
+         |    long $dist = (long) java.lang.Math.floor(
+         |      ($sn - 2.0 * $ip + $normsRef[$mi][$j]) * 1.0E6 + 0.5);
+         |    if ($dist < $best) { $best = $dist; $bj = $j; }
+         |  }
+         |  $out[$mi] = (byte) $bj;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "pq_encode"
+}
+
 /** Asymmetric-distance (ADC) scoring kernel for product-quantized
   * search: `codes` is the corpus vector's byte-packed PQ code (one
   * codeword index per subspace), `lut` the query's per-subspace
@@ -392,4 +497,10 @@ object VectorFunctions {
     */
   def pqAdcScore(codes: Column, lut: Column): Column =
     shim.column(PqAdcScore(shim.expression(codes), shim.expression(lut)))
+
+  /** PQ encode: nearest codeword per subspace, one byte each. */
+  def pqEncodeBytes(v: Column, books: Array[Array[Array[Double]]]): Column = {
+    val norms = books.map(_.map(cw => cw.map(x => x * x).sum))
+    shim.column(PqEncodeBytes(shim.expression(v), books, norms))
+  }
 }

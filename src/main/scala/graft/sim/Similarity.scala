@@ -484,34 +484,9 @@ object Similarity {
     */
   def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
                codebooks: Array[Array[Array[Double]]]): DataFrame = {
-    val m = codebooks.length
-    val dsub = codebooks(0)(0).length
-    val base = vecs.select(col(idCol).cast("long").as("vec_id"),
-      col(vecCol).cast("array<double>").as("ev"))
-      // per-subspace squared norms, computed once (not once per codeword)
-      .withColumn("__sn", array((0 until m).map { mi =>
-        val sub = slice(col("ev"), mi * dsub + 1, dsub)
-        dot(sub, sub)
-      }: _*))
-    val codeCols = (0 until m).map { mi =>
-      val sub = slice(col("ev"), mi * dsub + 1, dsub)
-      val subN = element_at(col("__sn"), mi + 1)
-      val cands = array(codebooks(mi).zipWithIndex.map { case (cw, j) =>
-        val cc = cw.map(x => x * x).sum
-        struct(
-          floor((subN - lit(2.0) * dot(sub, typedLit(cw)) + lit(cc)) *
-            lit(1e6) + lit(0.5)).as("d"),
-          lit(j).as("j"))
-      }: _*)
-      array_min(cands).getField("j")
-    }
-    import graft.functions.VectorFunctions.quantizeBytes
-    base
-      .select(col("vec_id"),
-        array(codeCols: _*).cast("array<double>").as("__cd"))
-      .select(col("vec_id"),
-        quantizeBytes(col("__cd"), Array.fill(m)(0.0), Array.fill(m)(1.0))
-          .as("codes"))
+    import graft.functions.VectorFunctions.pqEncodeBytes
+    vecs.select(col(idCol).cast("long").as("vec_id"),
+      pqEncodeBytes(col(vecCol).cast("array<double>"), codebooks).as("codes"))
   }
 
   /** PQ ADC top-k search: each (small, broadcast) query builds a

@@ -696,13 +696,21 @@ object TextAnalysis {
     * contract CCNet's own histogram cutoffs have.
     */
   def perplexityBuckets(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    // three consumers (histogram, total, final label) share the LM
+    // scoring subtree; without a persist each would recompute the full
+    // four-shuffle lmScore DAG — cache the (doc_id, counts) result,
+    // which is doc-count-sized, never token-sized
     val scored = lmScore(df, idCol, text)
       .withColumn("avg_credit",
         when(col("n_bigrams") > 0, expr("lm_score DIV n_bigrams"))
           .otherwise(lit(0L)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hist = scored.groupBy(col("avg_credit").as("v"))
       .agg(count(lit(1)).as("c"))
-    val tot = scored.agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // doc total = Σ histogram counts — derived from the tiny hist, not a
+    // third pass over the scored subtree
+    val tot = hist.agg(sum(col("c")).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("v").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

@@ -136,7 +136,7 @@ class PlanSpec extends AnyFunSuite {
     val df = Registry.queries("x_ann_pq")(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("quantize_bytes"),
+    assert(plan.contains("pq_encode"),
       "codes must byte-pack to m bytes per vector:\n" + plan.take(3000))
     assert(plan.contains("pq_adc_score"),
       "scoring must be the LUT-sum kernel, not a dot product:\n" + plan.take(3000))
