@@ -408,6 +408,99 @@ case class PqEncodeBytes(child: Expression,
   override def prettyName: String = "pq_encode"
 }
 
+/** Coarse-quantizer assignment kernel: nearest centroid by fixed-point
+  * cosine (`floor(cos·1e6 + 0.5)`, ties to the lower centroid id) with
+  * the centroid matrix held as a codegen reference object — the
+  * unbounded-k companion to the literal-argmax trick
+  * [[graft.sim.Similarity.kmeansAssign]] uses (a k-struct expression
+  * tree stops fitting whole-stage codegen past a few dozen centroids,
+  * and a broadcast cross-join materializes |corpus|·k pair rows each
+  * carrying BOTH dense vectors). Here assignment is a primitive k×dim
+  * loop per row: the corpus pass stays map-only at any cell count.
+  * Fixed-point floor (not `round()`) keeps the comparison primitive in
+  * Java and bit-replayable via the same floor formula in SQL.
+  */
+case class NearestCell(child: Expression, cents: Array[Array[Double]],
+                       norms: Array[Double], ids: Array[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cell expects array<double>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    var sn = 0.0
+    var d = 0
+    while (d < dim) { val x = v.getDouble(d); sn += x * x; d += 1 }
+    val vn = math.sqrt(sn)
+    var best = Long.MinValue
+    var bid = 0L
+    var j = 0
+    while (j < cents.length) {
+      val cw = cents(j)
+      var ip = 0.0
+      d = 0
+      while (d < dim && d < cw.length) { ip += v.getDouble(d) * cw(d); d += 1 }
+      val s = math.floor((ip / (vn * norms(j))) * 1e6 + 0.5).toLong
+      if (s > best) { best = s; bid = ids(j) }
+      j += 1
+    }
+    bid
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cells", cents, "double[][]")
+    val normsRef = ctx.addReferenceObj("cellNorms", norms, "double[]")
+    val idsRef = ctx.addReferenceObj("cellIds", ids, "long[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val dim = ctx.freshName("dim")
+      val sn = ctx.freshName("sn")
+      val vn = ctx.freshName("vn")
+      val ip = ctx.freshName("ip")
+      val x = ctx.freshName("x")
+      val d = ctx.freshName("d")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val best = ctx.freshName("best")
+      val bid = ctx.freshName("bid")
+      val cw = ctx.freshName("cw")
+      s"""
+         |int $dim = $v.numElements();
+         |double $sn = 0.0;
+         |for (int $d = 0; $d < $dim; $d++) {
+         |  double $x = $v.getDouble($d);
+         |  $sn += $x * $x;
+         |}
+         |double $vn = java.lang.Math.sqrt($sn);
+         |long $best = java.lang.Long.MIN_VALUE;
+         |long $bid = 0L;
+         |for (int $j = 0; $j < $centsRef.length; $j++) {
+         |  double[] $cw = $centsRef[$j];
+         |  double $ip = 0.0;
+         |  for (int $d = 0; $d < $dim && $d < $cw.length; $d++) {
+         |    $ip += $v.getDouble($d) * $cw[$d];
+         |  }
+         |  long $s = (long) java.lang.Math.floor(
+         |    ($ip / ($vn * $normsRef[$j])) * 1.0E6 + 0.5);
+         |  if ($s > $best) { $best = $s; $bid = $idsRef[$j]; }
+         |}
+         |${ev.value} = $bid;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "nearest_cell"
+}
+
 /** Asymmetric-distance (ADC) scoring kernel for product-quantized
   * search: `codes` is the corpus vector's byte-packed PQ code (one
   * codeword index per subspace), `lut` the query's per-subspace
@@ -502,5 +595,18 @@ object VectorFunctions {
   def pqEncodeBytes(v: Column, books: Array[Array[Array[Double]]]): Column = {
     val norms = books.map(_.map(cw => cw.map(x => x * x).sum))
     shim.column(PqEncodeBytes(shim.expression(v), books, norms))
+  }
+
+  /** Map-only coarse-cell assignment against driver-held centroids
+    * (`(id, vector)` pairs, iterated in ascending id order — ties go to
+    * the lower id).
+    */
+  def nearestCell(v: Column, cents: Array[(Long, Array[Double])]): Column = {
+    val sorted = cents.sortBy(_._1)
+    val norms = sorted.map { case (_, c) =>
+      math.sqrt(c.map(x => x * x).sum)
+    }
+    shim.column(NearestCell(shim.expression(v), sorted.map(_._2),
+      norms, sorted.map(_._1)))
   }
 }

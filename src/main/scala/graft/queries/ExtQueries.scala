@@ -585,6 +585,80 @@ object ExtQueries {
              WHERE rank <= 5""")
     ),
 
+    // IVF-PQ search (faiss IVFx,PQy layout, by_residual=false): coarse
+    // cells bound the candidate set (nprobe=2), 8-byte PQ codes bound
+    // memory, ADC table lookups score. Oracle composes the x_ann_ivf
+    // assignment/probe chain with the x_ann_pq codebook/code/LUT chain.
+    GraftQuery(
+      "x_ann_ivfpq",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+          m = 8, dsub = 8, k = 16, step = 3)
+        Similarity.ivfPqTopK(
+          emb.withColumn("embedding", col("embedding").cast("array<double>")),
+          emb.filter(col("vec_id") % 100 === 0)
+            .withColumn("embedding", col("embedding").cast("array<double>")),
+          emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+          k = 5, nprobe = 2, books)
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev
+                         FROM embeddings),
+             ms AS (SELECT unnest(range(0, 8)) AS m),
+             cwb AS (SELECT CAST(vec_id // 3 AS INT) AS j, ev AS w
+                     FROM v WHERE vec_id % 3 = 0 AND vec_id < 48),
+             sub AS (SELECT vec_id, ms.m,
+                            list_slice(ev, ms.m*8 + 1, ms.m*8 + 8) AS sv
+                     FROM v, ms),
+             cws AS (SELECT j, ms.m,
+                            list_slice(w, ms.m*8 + 1, ms.m*8 + 8) AS cv
+                     FROM cwb, ms),
+             dist AS (SELECT s.vec_id, s.m, c.j,
+                      CAST(floor((list_dot_product(s.sv, s.sv)
+                            - 2.0*list_dot_product(s.sv, c.cv)
+                            + list_dot_product(c.cv, c.cv))*1000000 + 0.5)
+                        AS BIGINT) AS d
+                      FROM sub s JOIN cws c ON s.m = c.m),
+             codes AS (SELECT vec_id, m, j AS code FROM (
+                       SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d, j) AS rnk FROM dist)
+                       WHERE rnk = 1),
+             lut AS (SELECT s.vec_id AS qid, c.m, c.j,
+                     CAST(floor(list_dot_product(s.sv, c.cv)*1000000 + 0.5)
+                       AS BIGINT) AS ip
+                     FROM sub s JOIN cws c ON c.m = s.m WHERE s.vec_id < 3),
+             cent AS (SELECT vec_id AS cent_id, ev AS cv
+                      FROM v WHERE vec_id % 100 = 0),
+             ascore AS (SELECT v.vec_id, c.cent_id,
+                        CAST(floor((list_dot_product(v.ev, c.cv) /
+                              (sqrt(list_dot_product(v.ev, v.ev)) *
+                               sqrt(list_dot_product(c.cv, c.cv))))*1000000
+                              + 0.5) AS BIGINT) AS fs
+                        FROM v, cent c),
+             assign AS (SELECT vec_id, cent_id AS cell FROM (
+                        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY fs DESC, cent_id) AS rnk
+                        FROM ascore) WHERE rnk = 1),
+             probes AS (SELECT vec_id AS qid, cent_id AS cell FROM (
+                        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY fs DESC, cent_id) AS rnk
+                        FROM ascore WHERE vec_id < 3)
+                        WHERE rnk <= 2),
+             scored AS (SELECT p.qid, a.vec_id AS cid, a.cell,
+                               CAST(sum(l.ip) AS BIGINT) AS score
+                        FROM probes p
+                        JOIN assign a ON a.cell = p.cell
+                        JOIN codes co ON co.vec_id = a.vec_id
+                        JOIN lut l ON l.qid = p.qid AND l.m = co.m
+                                  AND l.j = co.code
+                        WHERE a.vec_id <> p.qid
+                        GROUP BY 1, 2, 3)
+             SELECT qid, cid, cell, score, rank FROM (
+               SELECT *, row_number() OVER (PARTITION BY qid
+                         ORDER BY score DESC, cid) AS rank FROM scored)
+             WHERE rank <= 5""")
+    ),
+
     // Language ID (stopword-hit heuristic).
     GraftQuery(
       "x_text_langid",

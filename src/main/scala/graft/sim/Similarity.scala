@@ -524,4 +524,73 @@ object Similarity {
       payload = Seq("cid", "score"),
       orderAsc = Seq(negate(col("score")).as("__neg"), col("cid").as("__cid")))
   }
+
+  /** IVF-PQ search — the billion-scale index layout (faiss `IVFx,PQy`
+    * with `by_residual=false`): the coarse quantizer ([[ivfAssign]])
+    * partitions the corpus into cells so a query touches only its
+    * `nprobe` probe cells' candidates, and every candidate is scored from
+    * its 8-byte PQ code by the ADC table-lookup kernel — candidates
+    * bounded by IVF, bytes-per-candidate bounded by PQ. Corpus side:
+    * two map-only argmax passes (cell + codes, no shuffle), one
+    * equi-join against the broadcast (query × probe-cell) table, then
+    * the WindowGroupLimit top-k. At 100 TB the scan reads cell + 8
+    * bytes per vector and a probe touches nprobe/k_cells of them.
+    */
+  def ivfPqTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int, nprobe: Int,
+                codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    import graft.functions.VectorFunctions.{nearestCell, pqAdcScore, pqEncodeBytes}
+    // centroids are driver-held model state (ncells is an index design
+    // parameter, bounded by construction — faiss sizes it ~sqrt(n));
+    // collecting them makes the corpus pass MAP-ONLY: cell + code in one
+    // projection, no join, no window, zero corpus shuffle before top-k.
+    // (A broadcast cross-join here materializes |corpus|·k pair rows
+    // each carrying both dense vectors — the sf1 measurement of that
+    // shape was 10× the yardstick.)
+    val cents = centroids
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val c = corpus.select(col(idCol).cast("long").as("cid"),
+      col(vecCol).cast("array<double>").as("ev"))
+      .select(col("cid"),
+        nearestCell(col("ev"), cents).as("cell"),
+        pqEncodeBytes(col("ev"), codebooks).as("codes"))
+    val qvecs = queries.select(col(idCol).cast("long").as("qid"),
+      col(vecCol).cast("array<double>").as("qv"))
+    // probe ranking uses the same fixed-point floor cosine as the
+    // assignment kernel; queries × centroids is a broadcast-sized
+    // cross-product (both sides are small), so the pair materialization
+    // that ruled this shape out for the corpus is irrelevant here
+    val centDf = broadcast(centroids
+      .select(col(idCol).cast("long").as("cell"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", norm(col("cv"))))
+    val probeScored = qvecs.join(centDf, lit(true))
+      .select(col("qid"), col("qv"),
+        floor(dot(col("qv"), col("cv")) / (norm(col("qv")) * col("cn")) *
+          lit(1e6) + lit(0.5)).as("fs"),
+        col("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("fs").desc, col("cell"))
+    val probes = probeScored
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= nprobe)
+      .select(col("qid"), col("qv"), col("cell"))
+    val lut = array((0 until m).map { mi =>
+      val sub = slice(col("qv"), mi * dsub + 1, dsub)
+      array(codebooks(mi).map(cw =>
+        floor(dot(sub, typedLit(cw)) * lit(1e6) + lit(0.5))): _*)
+    }: _*)
+    val q = broadcast(probes.select(col("qid"), col("cell"), lut.as("lut")))
+    val scored = q.join(c, Seq("cell")).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("cell"),
+        pqAdcScore(col("codes"), col("lut")).as("score"))
+    topKPerGroup(scored, "qid", k,
+      payload = Seq("cid", "cell", "score"),
+      orderAsc = Seq(negate(col("score")).as("__neg"), col("cid").as("__cid")))
+  }
 }

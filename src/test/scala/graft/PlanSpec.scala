@@ -148,6 +148,22 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("*("), "the code scan must stay in codegen")
   }
 
+  test("ivf-pq fuses encode into the assignment pass: one corpus window") {
+    val df = Registry.queries("x_ann_ivfpq")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pq_encode") && plan.contains("pq_adc_score"),
+      plan.take(3000))
+    // the code must ride the assignment window as payload — a separate
+    // encode pass joined back on id would be a second corpus shuffle
+    val nJoins = "SortMergeJoin".r.findAllIn(plan).size +
+      "ShuffledHashJoin".r.findAllIn(plan).size
+    assert(nJoins == 0,
+      s"corpus must not shuffle-join with itself ($nJoins found):\n" +
+        plan.take(3000))
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
   test("ngram census top-k is TakeOrdered, not a global sort") {
     val plan = planOf("x_text_ngrams")
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
