@@ -1017,6 +1017,57 @@ object ExtQueries {
              FROM documents""")
     ),
 
+    // Video-style frame sampling over opaque binary payloads: every-4th
+    // 16-byte slice as a "frame", pure codegen expressions (sequence /
+    // transform / binary substring — no UDF). Frames are emitted as
+    // sha-256 so the gate compares content, not array encodings.
+    GraftQuery(
+      "x_multimodal_framesample",
+      (s, dir) => {
+        val media = graft.multimodal.Multimodal.ingest(
+          Tables.documents(s, dir), "doc_id", "text", "text/plain")
+        graft.multimodal.Multimodal.frameSample(media,
+          frameBytes = 16, everyN = 4)
+          .select(col("media_id"),
+            posexplode(col("frames")).as(Seq("frame_no", "frame")))
+          .select(col("media_id"),
+            col("frame_no").cast("long").as("frame_no"),
+            sha2(col("frame"), 256).as("frame_sha"))
+      },
+      Some("""WITH f AS (SELECT doc_id, text,
+                    unnest(range(0, octet_length(encode(text)) // 64 + 1))
+                      AS i
+               FROM documents)
+             SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_no,
+                    sha256(substring(text, CAST(i*64 + 1 AS INT), 16))
+                      AS frame_sha
+             FROM f""")
+    ),
+
+    // Feature extraction through the mapPartitions decode path (the
+    // real-codec plumbing: repartition by id, per-partition batch loop,
+    // deterministic stub decoder). Gated on the exact byte statistics
+    // the decode loop computes; the float feature vector stays
+    // spec-level (float accumulation is not hash-replayable).
+    GraftQuery(
+      "x_multimodal_features",
+      (s, dir) => {
+        val media = graft.multimodal.Multimodal.ingest(
+          Tables.documents(s, dir), "doc_id", "text", "text/plain")
+        graft.multimodal.Multimodal.extractFeatures(s, media)
+          .toDF().select(col("media_id"), col("size_bytes"), col("mean_byte"))
+      },
+      Some("""WITH b AS (SELECT doc_id,
+                    CAST(octet_length(encode(text)) AS BIGINT) AS n,
+                    list_sum(list_transform(range(1, length(text) + 1),
+                      i -> ascii(text[i:i]))) AS s
+               FROM documents)
+             SELECT doc_id AS media_id, n AS size_bytes,
+                    CASE WHEN n = 0 THEN 0.0
+                         ELSE CAST(s AS DOUBLE) / n END AS mean_byte
+             FROM b""")
+    ),
+
     // Image header sniffing without codecs (MediaHeader codegen
     // expression): real PNG/JPEG/GIF/BMP container headers are
     // synthesized byte-exact from `documents` values (big/little-endian
