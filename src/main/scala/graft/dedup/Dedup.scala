@@ -324,4 +324,45 @@ object Dedup {
             !array_contains(col("__dups"), c.getField("pos"))),
           c => c.getField("chunk")), " ").as("cleaned"))
   }
+
+  /** Exact-substring duplicate detection (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * the ExactSubstr mode, stride-sampled): every document samples
+    * `win`-char windows at `stride`, and a window is DUPLICATED iff its
+    * exact content occurs anywhere else in the corpus. Unlike the
+    * word-level [[graft.text.TextAnalysis.dupNgramFraction]], this
+    * catches verbatim reuse that crosses token boundaries (boilerplate,
+    * license blocks, templated spans). The suffix-array of the paper
+    * collapses to a count over sampled window identities — the standard
+    * distributed approximation; stride trades recall for cost
+    * (stride ≤ win/2 guarantees every duplicated span ≥ win+stride
+    * chars still hits a sampled window in both copies).
+    *
+    * Scale: windows shuffle as 60-bit md5-prefix hashes (8 bytes, never
+    * text — collisions only ever MERGE counts, identically in any
+    * engine replaying the same hash); two keyed aggregates, no join of
+    * document bodies. Flag rule is an exact integer cross-multiply
+    * (≥ 20% of sampled windows duplicated).
+    */
+  def substringDup(df: DataFrame, idCol: Column, text: Column,
+                   win: Int = 64, stride: Int = 16): DataFrame = {
+    val len = length(text)
+    // positive operands: double-divide + int cast == floor division
+    val nw = when(len <= win, lit(1))
+      .otherwise(((len - lit(win)) / lit(stride)).cast("int") + 1)
+    val windows = df
+      .select(idCol.as("doc_id"), text.as("__t"),
+        explode(sequence(lit(0), nw.cast("int") - 1)).as("__i"))
+      .select(col("doc_id"),
+        (conv(substring(md5(substring(col("__t"),
+          (col("__i") * stride + 1).cast("int"), lit(win))), 1, 15), 16, 10))
+          .cast("long").as("__h"))
+    val counts = windows.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+    windows.join(counts, "__h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__n") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("flagged",
+        when(col("n_dup") * 5 >= col("n_windows"), 1).otherwise(0))
+  }
 }

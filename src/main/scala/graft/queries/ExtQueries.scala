@@ -244,6 +244,38 @@ object ExtQueries {
         GROUP BY p.doc_a, p.doc_b""")
     ),
 
+    // Exact-substring duplicate detection (ExactSubstr, Lee et al.
+    // 2022): stride-sampled 64-char windows, duplicated iff the exact
+    // content recurs anywhere in the corpus; windows shuffle as 60-bit
+    // md5-prefix hashes, never text. Catches verbatim reuse that
+    // crosses token boundaries (license blocks, boilerplate).
+    GraftQuery(
+      "x_dedup_substring",
+      (s, dir) =>
+        Dedup.substringDup(Tables.documents(s, dir), col("doc_id"),
+          col("text")),
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS len
+                         FROM documents),
+             w AS (SELECT doc_id, text,
+                    unnest(range(0, CASE WHEN len <= 64 THEN 1
+                                    ELSE (len - 64) // 16 + 1 END)) AS i
+                   FROM d),
+             g AS (SELECT doc_id,
+                    ('0x' || substr(md5(substring(text,
+                        CAST(i*16 + 1 AS INT), 64)), 1, 15))::BIGINT AS h
+                   FROM w),
+             c AS (SELECT h, CAST(count(*) AS BIGINT) AS cnt
+                   FROM g GROUP BY 1),
+             s AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+                    CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_dup
+                   FROM g JOIN c USING (h) GROUP BY 1)
+             SELECT doc_id, n_windows, n_dup,
+                    CASE WHEN n_dup*5 >= n_windows THEN 1 ELSE 0 END
+                      AS flagged
+             FROM s""")
+    ),
+
     // Exact n-gram Jaccard, computed only on LSH candidates (the scale
     // path: never O(n²)).
     GraftQuery(

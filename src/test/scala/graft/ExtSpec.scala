@@ -272,6 +272,20 @@ class ExtSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, 0L))) // no bigrams, still present
   }
 
+  test("substring dup: verbatim reuse flags, unique text does not") {
+    val shared = ("x" * 200) // a 200-char verbatim block shared by 1 and 2
+    val d = Seq(
+      (1L, shared + " unique tail one"),
+      (2L, shared + " other ending here"),
+      (3L, (1 to 40).map(i => s"w$i").mkString(" ")) // all-unique windows
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDup(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
+    assert(out(1L)._2 == 1, out.toString) // flagged: shared windows dup
+    assert(out(2L)._2 == 1, out.toString)
+    assert(out(3L) == ((0L, 0)), out.toString) // no dup windows at all
+  }
+
   test("nb classifier: learns separable vocabularies, posterior decision") {
     // two disjoint vocabularies; the model must classify every doc by
     // its own class's tokens (trained and applied on the same corpus)
