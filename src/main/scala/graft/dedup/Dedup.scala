@@ -346,22 +346,33 @@ object Dedup {
     */
   def substringDup(df: DataFrame, idCol: Column, text: Column,
                    win: Int = 64, stride: Int = 16): DataFrame = {
-    val len = length(text)
-    // positive operands: double-divide + int cast == floor division
-    val nw = when(len <= win, lit(1))
-      .otherwise(((len - lit(win)) / lit(stride)).cast("int") + 1)
+    // single-pass codegen kernel emits the 64-bit md5 window identities
+    // directly (the md5→hex→substr→conv Column chain allocated three
+    // strings per window — allocation, not hashing, dominated at 13M
+    // windows). The window table feeds both the count build and the
+    // probe pass; it is RECOMPUTED, not persisted — at stride 16 the
+    // (doc, hash) table is roughly corpus-sized, so caching it trades
+    // executor memory for a cheap stateless re-scan (the kernel re-runs
+    // at parquet-scan speed).
     val windows = df
-      .select(idCol.as("doc_id"), text.as("__t"),
-        explode(sequence(lit(0), nw.cast("int") - 1)).as("__i"))
-      .select(col("doc_id"),
-        (conv(substring(md5(substring(col("__t"),
-          (col("__i") * stride + 1).cast("int"), lit(win))), 1, 15), 16, 10))
-          .cast("long").as("__h"))
+      .select(idCol.as("doc_id"),
+        explode(graft.functions.TextFunctions.windowMd5(text, win, stride))
+          .as("__h"))
     val counts = windows.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
-    windows.join(counts, "__h")
+    // only the DUPLICATED hashes flow back — in a mostly-unique corpus
+    // that set is a small fraction of the window table, so it broadcasts
+    // and the per-window dup test is a map-side join: the corpus-sized
+    // window table shuffles ONCE (the count aggregate), never for a
+    // corpus×corpus equi-join. (A pathologically duplicate-saturated
+    // corpus would grow the broadcast — at that point the plain shuffled
+    // join is the fallback, but then the dedup verdict is "most of the
+    // corpus", which the cheap exact pass discovers first anyway.)
+    val dup = broadcast(counts.filter(col("__n") > 1)
+      .select(col("__h"), lit(1L).as("__d")))
+    windows.join(dup, Seq("__h"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("__n") > 1, 1L).otherwise(0L)).as("n_dup"))
+        coalesce(sum(col("__d")), lit(0L)).as("n_dup"))
       .withColumn("flagged",
         when(col("n_dup") * 5 >= col("n_windows"), 1).otherwise(0))
   }

@@ -56,6 +56,74 @@ object WordShingles {
   }
 }
 
+/** Stride-sampled window hashes for exact-substring dedup: one pass
+  * emits the 64-bit md5 identity of every `win`-char window at `stride`
+  * — no per-window hex string, no substring Column round trips (the
+  * md5→hex→substr→conv chain allocated three strings per window: at
+  * 95M windows that allocation, not the hashing, dominated). The value
+  * matches DuckDB's `md5_number_lower` (little-endian uint64 of md5
+  * bytes 8..15) so the oracle replays identities with its own
+  * string-free kernel. Windows slice by CHARACTER (UTF8String
+  * substring), matching SQL substring semantics on non-ASCII text.
+  */
+case class WindowMd5(child: Expression, win: Int, stride: Int)
+    extends UnaryExpression {
+  require(win >= 1 && stride >= 1)
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    WindowMd5.compute(input.asInstanceOf[UTF8String], win, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WindowMd5.compute($c, $win, $stride);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "window_md5"
+}
+
+object WindowMd5 {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Static entry shared by eval and generated code. */
+  def compute(s: UTF8String, win: Int, stride: Int): ArrayData = {
+    val n = s.numChars()
+    val nw = if (n <= win) 1 else (n - win) / stride + 1
+    val out = new Array[Long](nw)
+    val md = digest.get()
+    // ASCII fast path (byte count == char count): hash byte slices of
+    // ONE materialized array — zero per-window allocations. Multi-byte
+    // text falls back to char-correct substringSQL.
+    val ascii = s.numBytes() == n
+    val bytes = if (ascii) s.getBytes else null
+    var w = 0
+    while (w < nw) {
+      md.reset()
+      if (ascii) {
+        val from = w * stride
+        md.update(bytes, from, math.min(win, n - from))
+      } else {
+        md.update(s.substringSQL(w * stride + 1, win).getBytes)
+      }
+      val d = md.digest()
+      // little-endian uint64 of md5 bytes 8..15 == DuckDB md5_number_lower
+      var h = 0L
+      var i = 15
+      while (i >= 8) { h = (h << 8) | (d(i) & 0xffL); i -= 1 }
+      out(w) = h
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** `escaped_utf8` parser decoder as a native expression — single-pass
   * scanner faithful to `src/flb_unescape.c:186` flb_unescape_string_utf8:
   * simple escapes (\" \' \\ \/ \n \b \t \f \r, plus v/a via the escape
@@ -557,6 +625,10 @@ object TextFunctions {
   /** Unicode NFC normalization (UAX #15), ASCII fast-pathed. */
   def nfcNormalize(s: Column): Column =
     shim.column(NfcNormalize(shim.expression(s)))
+
+  /** 64-bit md5 identities of stride-sampled char windows (one pass). */
+  def windowMd5(text: Column, win: Int, stride: Int): Column =
+    shim.column(WindowMd5(shim.expression(text), win, stride))
 
   /** HTML entity decoding (named + numeric refs), malformed-verbatim. */
   def htmlUnescape(s: Column): Column =

@@ -261,8 +261,8 @@ object ExtQueries {
                                     ELSE (len - 64) // 16 + 1 END)) AS i
                    FROM d),
              g AS (SELECT doc_id,
-                    ('0x' || substr(md5(substring(text,
-                        CAST(i*16 + 1 AS INT), 64)), 1, 15))::BIGINT AS h
+                    md5_number_lower(substring(text,
+                        CAST(i*16 + 1 AS INT), 64)) AS h
                    FROM w),
              c AS (SELECT h, CAST(count(*) AS BIGINT) AS cnt
                    FROM g GROUP BY 1),
