@@ -341,6 +341,39 @@ object TextAnalysis {
                    isPos: Column, posName: String = "pos",
                    negName: String = "neg",
                    buckets: Int = 1024): DataFrame = {
+    val (post, prior) = nbTrain(df, text, isPos, buckets)
+    nbApply(df, idCol, text, post, prior, posName, negName)
+  }
+
+  /** Apply a trained [[nbClassifier]] model (the posterior credit array
+    * + prior — bounded literal model state) to any batch OR streaming
+    * DataFrame: the scoring fold is a pure projection, so the same
+    * model gates a 100 TB batch curation pass and a live document
+    * stream (train offline, score in-flight — the lambda-architecture
+    * split every production quality filter runs).
+    */
+  def nbApply(df: DataFrame, idCol: Column, text: Column,
+              post: Array[Long], prior: Long,
+              posName: String = "pos", negName: String = "neg"): DataFrame = {
+    val buckets = post.length
+    def bucketOf(t: Column): Column =
+      (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % buckets)
+    val words = split(text, " ")
+    val score = aggregate(words, lit(prior),
+      (acc, t) => acc + element_at(typedLit(post), bucketOf(t).cast("int") + 1))
+    df.select(idCol.as("doc_id"), size(words).cast("long").as("n_tokens"),
+      score.as("score_pos"))
+      // separate projection so the fold evaluates once, not re-inlined
+      .withColumn("score_neg",
+        lit(1000000L) * (col("n_tokens") + 1L) - col("score_pos"))
+      .withColumn("pred",
+        when(col("score_pos") > col("score_neg"), posName).otherwise(negName))
+  }
+
+  /** The trained model of [[nbClassifier]] as carryable state:
+    * (posterior credit array, prior credit). */
+  def nbTrain(df: DataFrame, text: Column, isPos: Column,
+              buckets: Int = 1024): (Array[Long], Long) = {
     def bucketOf(t: Column): Column =
       (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % buckets)
     val counts = df.select(isPos.as("__p"),
@@ -362,22 +395,9 @@ object TextAnalysis {
       val nn = (BigInt(cNeg(b)) + 1) * tPos
       (BigInt(1000000) * np / (np + nn)).toLong
     }
-    val Seq(nDocs, nPos) = {
-      val r = df.agg(count(lit(1)), sum(when(isPos, 1L).otherwise(0L)))
-        .collect()(0)
-      Seq(r.getLong(0), r.getLong(1))
-    }
-    val prior = (1000000L * (nPos + 1)) / (nDocs + 2)
-    val words = split(text, " ")
-    val score = aggregate(words, lit(prior),
-      (acc, t) => acc + element_at(typedLit(post), bucketOf(t).cast("int") + 1))
-    df.select(idCol.as("doc_id"), size(words).cast("long").as("n_tokens"),
-      score.as("score_pos"))
-      // separate projection so the fold evaluates once, not re-inlined
-      .withColumn("score_neg",
-        lit(1000000L) * (col("n_tokens") + 1L) - col("score_pos"))
-      .withColumn("pred",
-        when(col("score_pos") > col("score_neg"), posName).otherwise(negName))
+    val r = df.agg(count(lit(1)), sum(when(isPos, 1L).otherwise(0L)))
+      .collect()(0)
+    (post, (1000000L * (r.getLong(1) + 1)) / (r.getLong(0) + 2))
   }
 
   /** C4/RefinedWeb-style per-domain quota: keep at most `cap` documents

@@ -121,6 +121,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(10L).tokBegin == 0L && got(10L).lastSeq == 1L)
   }
 
+  test("batch-trained nb model gates a document stream map-only") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // train offline on separable vocabularies...
+    val train = Seq(
+      (1L, "alpha beta gamma alpha", true),
+      (2L, "beta alpha beta gamma", true),
+      (3L, "delta epsilon zeta zeta", false),
+      (4L, "epsilon delta delta zeta", false)
+    ).toDF("doc_id", "text", "is_pos")
+    val (post, prior) = graft.text.TextAnalysis.nbTrain(
+      train, col("text"), col("is_pos"))
+    // ...score in-flight: the literal model makes scoring a pure
+    // projection, legal on a streaming DataFrame with no state store
+    val in = MemoryStream[(Long, String)]
+    val scored = graft.text.TextAnalysis.nbApply(
+      in.toDS().toDF("doc_id", "text"), col("doc_id"), col("text"),
+      post, prior)
+    val q = startToMemory(scored, "nb_stream")
+    try {
+      in.addData((10L, "alpha gamma beta"), (11L, "zeta delta epsilon"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("nb_stream").collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(got == Map(10L -> "pos", 11L -> "neg"), got.toString)
+  }
+
   test("streaming exact dedup: first hash wins across batches, min-id in batch") {
     implicit val sqlCtx = spark.sqlContext
     import Stateful.HashedDoc
