@@ -691,6 +691,45 @@ object ExtQueries {
              WHERE rank <= 5""")
     ),
 
+    // Count-min sketch (Cormode & Muthukrishnan 2005): 4×1024 counters
+    // built in one bounded-cardinality aggregate, probed map-only
+    // against the literal sketch; the gate checks every estimate and
+    // the one-sided bound (est >= exact) against exact counts.
+    GraftQuery(
+      "x_sketch_countmin",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val cms = graft.sketch.Sketches.countMinBuild(docs, col("text"))
+        val probe = docs.filter(col("doc_id") < 5)
+          .select(explode(split(col("text"), " ")).as("token"))
+        graft.sketch.Sketches.countMinEstimate(docs, col("text"), probe, cms)
+      },
+      Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+                            FROM documents),
+             rws AS (SELECT unnest(range(0, 4)) AS r),
+             cms AS (SELECT r,
+                      ('0x' || substr(md5(tok || '#' || CAST(r AS VARCHAR)),
+                        1, 8))::BIGINT % 1024 AS b,
+                      CAST(count(*) AS BIGINT) AS c
+                     FROM toks, rws GROUP BY 1, 2),
+             probe AS (SELECT DISTINCT unnest(string_split(text, ' '))
+                         AS token
+                       FROM documents WHERE doc_id < 5),
+             tc AS (SELECT tok AS token, CAST(count(*) AS BIGINT)
+                      AS true_cnt
+                    FROM toks GROUP BY 1),
+             est AS (SELECT p.token, CAST(min(c.c) AS BIGINT) AS est
+                     FROM probe p
+                     JOIN rws r2 ON TRUE
+                     JOIN cms c ON c.r = r2.r AND c.b =
+                       ('0x' || substr(md5(p.token || '#' ||
+                          CAST(r2.r AS VARCHAR)), 1, 8))::BIGINT % 1024
+                     GROUP BY 1)
+             SELECT t.token, e.est, t.true_cnt,
+                    e.est >= t.true_cnt AS ok
+             FROM tc t JOIN est e USING (token)""")
+    ),
+
     // Language ID (stopword-hit heuristic).
     GraftQuery(
       "x_text_langid",

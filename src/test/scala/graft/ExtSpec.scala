@@ -272,6 +272,20 @@ class ExtSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, 0L))) // no bigrams, still present
   }
 
+  test("count-min sketch: estimates never undercount, exact when sparse") {
+    val d = Seq((1L, "a a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val cms = graft.sketch.Sketches.countMinBuild(d, col("text"))
+    assert(cms.map(_.sum).toSeq == Seq.fill(4)(7L)) // each row sees all 7 tokens
+    val probe = Seq("a", "b", "c").toDF("token")
+    val out = graft.sketch.Sketches
+      .countMinEstimate(d, col("text"), probe, cms)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    // 3 tokens in 4096 cells: no collisions, estimates exact
+    assert(out == Map("a" -> ((4L, 4L, true)), "b" -> ((2L, 2L, true)),
+      "c" -> ((1L, 1L, true))), out.toString)
+  }
+
   test("substring dup: verbatim reuse flags, unique text does not") {
     val shared = ("x" * 200) // a 200-char verbatim block shared by 1 and 2
     val d = Seq(
