@@ -691,6 +691,32 @@ object ExtQueries {
              WHERE rank <= 5""")
     ),
 
+    // TF-IDF keyword extraction: exact fixed-point IDF, top-3 terms per
+    // document via WindowGroupLimit. Oracle replays tf, df, the integer
+    // idf credit and the (score desc, token) ranking.
+    GraftQuery(
+      "x_tfidf_keywords",
+      (s, dir) =>
+        TextAnalysis.tfidfKeywords(Tables.documents(s, dir),
+          col("doc_id"), col("text"), k = 3),
+      Some("""WITH toks AS (SELECT doc_id,
+                      unnest(string_split(text, ' ')) AS token
+               FROM documents),
+             tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                    FROM toks GROUP BY 1, 2),
+             dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS dfc
+                     FROM tf GROUP BY 1),
+             n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+             sc AS (SELECT tf.doc_id, tf.token, tf.tf,
+                     CAST(tf.tf * ((1000000 * (SELECT nn FROM n)) // dfq.dfc)
+                       AS BIGINT) AS score
+                    FROM tf JOIN dfq USING (token))
+             SELECT doc_id, token, tf, score, rank FROM (
+               SELECT *, row_number() OVER (PARTITION BY doc_id
+                         ORDER BY score DESC, token) AS rank FROM sc)
+             WHERE rank <= 3""")
+    ),
+
     // Count-min sketch (Cormode & Muthukrishnan 2005): 4×1024 counters
     // built in one bounded-cardinality aggregate, probed map-only
     // against the literal sketch; the gate checks every estimate and

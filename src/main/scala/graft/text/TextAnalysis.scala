@@ -828,6 +828,36 @@ object TextAnalysis {
         acc + size(split(encode(w), " ")).cast("long")).as("n_symbols"))
   }
 
+  /** TF-IDF keyword extraction — the classic per-document topic signal
+    * (used in curation for domain tagging and near-topic grouping).
+    * IDF stays in exact fixed point (`(1e6·N) DIV df` — the repo's
+    * integer-credit rule; the log shaping of textbook IDF changes
+    * ranking only where df ratios are extreme, and a float log would
+    * leave the hash), score = tf · idf, top-`k` terms per document via
+    * the partial+final WindowGroupLimit (bounded map-side heap per
+    * doc). Shuffle shape: token text crosses the network exactly once
+    * (the tf aggregate); document frequency aggregates the tf table at
+    * vocabulary cardinality; N broadcasts as a one-row aggregate.
+    */
+  def tfidfKeywords(df: DataFrame, idCol: Column, text: Column,
+                    k: Int = 3): DataFrame = {
+    val tf = df.select(idCol.as("doc_id"),
+        explode(split(text, " ")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"),
+        (col("tf") * expr("(1000000L * __n) DIV __df")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Stratified downsampling to a per-stratum document target — the
     * "don't let the head language drown the tail" mixing gate every
     * multilingual pipeline runs. Deterministic: a document is kept iff

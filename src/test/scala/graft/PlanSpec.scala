@@ -164,6 +164,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan.take(3000))
   }
 
+  test("tfidf per-doc top-k is WindowGroupLimit, not a global sort") {
+    val plan = planOf("x_tfidf_keywords")
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    assert(!plan.contains("rangepartitioning"),
+      "per-doc ranking must not trigger a global sort:\n" + plan.take(2000))
+  }
+
   test("ngram census top-k is TakeOrdered, not a global sort") {
     val plan = planOf("x_text_ngrams")
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
