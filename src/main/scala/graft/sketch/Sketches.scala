@@ -24,10 +24,16 @@ object Sketches {
     * string — the repo's reproducible-seed pattern, replayable by any
     * engine.
     */
-  def countMinBuild(df: DataFrame, text: Column, d: Int = 4,
-                    w: Int = 1024): Array[Array[Long]] = {
-    val rows = df
-      .select(explode(split(text, " ")).as("tok"))
+  /** The sketch's cell aggregation as a DataFrame — `(r, b, c)` rows,
+    * key cardinality ≤ d·w. On a STREAMING input this is the sketch as
+    * state: the state store holds at most d·w counters regardless of
+    * stream volume, and every micro-batch's tokens fold in by cell-wise
+    * addition (count-min is a linear sketch, so micro-batch merge IS
+    * the sketch merge).
+    */
+  def countMinCells(df: DataFrame, text: Column, d: Int = 4,
+                    w: Int = 1024): DataFrame =
+    df.select(explode(split(text, " ")).as("tok"))
       .select(col("tok"),
         explode(typedLit((0 until d).toArray)).as("r"))
       .groupBy(col("r"),
@@ -35,7 +41,10 @@ object Sketches {
           col("r").cast("string"))), 1, 8), 16, 10).cast("long") % w)
           .as("b"))
       .agg(count(lit(1)).as("c"))
-      .collect()
+
+  def countMinBuild(df: DataFrame, text: Column, d: Int = 4,
+                    w: Int = 1024): Array[Array[Long]] = {
+    val rows = countMinCells(df, text, d, w).collect()
     val cms = Array.fill(d, w)(0L)
     rows.foreach(r => cms(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
     cms

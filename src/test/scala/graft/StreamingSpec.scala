@@ -149,6 +149,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map(10L -> "pos", 11L -> "neg"), got.toString)
   }
 
+  test("streaming count-min: micro-batches fold into bounded sketch state") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val in = MemoryStream[String]
+    val cells = graft.sketch.Sketches.countMinCells(
+      in.toDS().toDF("text"), col("text"))
+    // complete mode: the sink mirrors the state store — at most d·w rows
+    val q = cells.writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      in.addData("a a b")
+      q.processAllAvailable()
+      in.addData("a c")
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("cms_stream").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.keys.map(_._1).toSet == Set(0, 1, 2, 3))
+    // each hash row has seen all 5 tokens across both batches
+    (0 until 4).foreach { r =>
+      assert(rows.collect { case ((`r`, _), c) => c }.sum == 5L, rows)
+    }
+    // reconstruct and point-query: est(a) >= 3 (one-sided bound)
+    val cms = Array.fill(4, 1024)(0L)
+    rows.foreach { case ((r, b), c) => cms(r)(b.toInt) = c }
+    val est = (0 until 4).map { r =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"a#$r".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      cms(r)((java.lang.Long.parseLong(hex, 16) % 1024).toInt)
+    }.min
+    assert(est >= 3L, s"est(a)=$est")
+  }
+
   test("streaming exact dedup: first hash wins across batches, min-id in batch") {
     implicit val sqlCtx = spark.sqlContext
     import Stateful.HashedDoc
