@@ -756,6 +756,41 @@ object ExtQueries {
              FROM tc t JOIN est e USING (token)""")
     ),
 
+    // HyperLogLog distinct sketch (Flajolet et al. 2007): 256 registers
+    // over a bounded-cardinality aggregate; the integer-exact harmonic
+    // estimator is replayed verbatim by the oracle, and `ok` asserts
+    // the ±20% (≈3σ) accuracy bound against the exact count.
+    GraftQuery(
+      "x_sketch_hll",
+      (s, dir) =>
+        graft.sketch.Sketches.hllEstimate(Tables.lineitem(s, dir),
+          col("l_orderkey")),
+      Some("""WITH h AS (SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+                        1, 8))::BIGINT AS h FROM lineitem),
+             r AS (SELECT h % 256 AS bucket,
+                          CASE WHEN h // 256 = 0 THEN 25
+                               ELSE 25 - length(bin(h // 256)) END AS rho
+                   FROM h),
+             regs AS (SELECT bucket, max(rho) AS register FROM r GROUP BY 1),
+             agg AS (SELECT CAST(count(*) AS BIGINT) AS nb,
+                            CAST(sum(1::BIGINT << (25 - register)) AS BIGINT)
+                              AS s_present
+                     FROM regs),
+             ex AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+                      AS exact_cnt FROM lineitem),
+             fin AS (SELECT nb,
+                      s_present + (256 - nb) * (1::BIGINT << 25) AS s_scaled,
+                      exact_cnt
+                     FROM agg, ex),
+             est AS (SELECT *,
+                      (71827 * ((CAST(256 * 256 AS BIGINT) * (1::BIGINT << 25))
+                        // s_scaled)) // 100000 AS est
+                     FROM fin)
+             SELECT 256 AS m, nb AS nonzero_buckets, s_scaled, est, exact_cnt,
+                    abs(est - exact_cnt) * 5 <= exact_cnt AS ok
+             FROM est""")
+    ),
+
     // Language ID (stopword-hit heuristic).
     GraftQuery(
       "x_text_langid",

@@ -76,4 +76,76 @@ object Sketches {
       .select(col("token"), col("est"), col("true_cnt"),
         (col("est") >= col("true_cnt")).as("ok"))
   }
+
+  /** HyperLogLog distinct-count sketch (Flajolet, Fusy, Gandouet &
+    * Meunier 2007): `m = 2^p` registers, each holding the max leading-
+    * zero rank seen in its hash bucket. The whole corpus folds into a
+    * bounded-cardinality aggregate exactly like [[countMinCells]]: the
+    * map side combines to at most `m` (bucket → max rank) partial rows
+    * per partition, so at ANY corpus size the shuffle carries ≤
+    * m·partitions tiny rows and the sketch itself is `m` bytes of model
+    * state. Registers merge by element-wise max, which is what makes
+    * the sketch distributable (and what the mergeability spec pins).
+    *
+    * Hash = first 8 md5 hex chars (32 bits, the repo's replayable-seed
+    * pattern): low `p` bits pick the bucket, the remaining `w = 32-p`
+    * bits feed the rank `rho = (leading zeros in w bits) + 1 =
+    * w+1 - bitlength(v)`. Bit length is computed as the LENGTH OF THE
+    * BASE-2 STRING (`conv(v,10,2)` here, `bin(v)` in the oracle) — an
+    * integer-exact formulation both engines replay byte-identically,
+    * with no floating log2 at the power-of-two edges.
+    */
+  def hllRegisters(df: DataFrame, key: Column, p: Int = 8): DataFrame = {
+    val m = 1 << p
+    val w = 32 - p
+    val h = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    df.select(h.as("h"))
+      .select((col("h") % m).as("bucket"),
+        floor(col("h") / m).cast("long").as("v"))
+      .select(col("bucket"),
+        when(col("v") === 0, lit(w + 1))
+          .otherwise(lit(w + 1) - length(conv(col("v").cast("string"), 10, 2)))
+          .cast("int").as("rho"))
+      .groupBy(col("bucket"))
+      .agg(max(col("rho")).as("register"))
+  }
+
+  /** One-row estimate + gate: the harmonic-mean estimator kept ENTIRELY
+    * in integer arithmetic so the DuckDB oracle replays it bit-exactly.
+    * `S = Σ_buckets 2^(w+1-M_b)` (scaled by 2^(w+1) so every term —
+    * including empty buckets at M=0 — is a whole number),
+    * `est = α_m·m²·2^(w+1)/S` with `α_256 ≈ 0.71827` as the rational
+    * 71827/100000 and the division done in two guarded integer steps
+    * that never overflow a BIGINT. The truncation the integer divisions
+    * introduce is ~1e-4 relative — three orders below the sketch's own
+    * 1.04/√m ≈ 6.5% standard error, which is what the `ok` column
+    * asserts (|est−exact| ≤ 20%·exact ≈ 3σ).
+    *
+    * The exact `countDistinct` alongside is the comparator a sketch
+    * exists to avoid — here it doubles as the gate's ground truth, as
+    * in [[countMinEstimate]].
+    */
+  def hllEstimate(df: DataFrame, key: Column, p: Int = 8): DataFrame = {
+    require(p == 8, "estimator constant α is instantiated for p=8")
+    val m = 1 << p
+    val w = 32 - p
+    // 2^(w+1-register) via a literal power table — integer-exact and
+    // free of shift-signature pitfalls; register ∈ [1, w+1]
+    val pows = (0 to w + 1).map(i => 1L << ((w + 1) - i)).toArray
+    val regs = hllRegisters(df, key, p)
+    val aggd = regs.agg(
+      count(lit(1)).as("nb"),
+      sum(element_at(typedLit(pows), col("register") + 1)).as("s_present"))
+    val exact = df.agg(countDistinct(key).as("exact_cnt"))
+    aggd.crossJoin(exact)
+      .withColumn("s_scaled",
+        col("s_present") + (lit(m.toLong) - col("nb")) * (1L << (w + 1)))
+      .withColumn("q1",
+        expr(s"CAST(${m.toLong * m * (1L << (w + 1))} AS BIGINT) div s_scaled"))
+      .withColumn("est", expr("(71827 * q1) div 100000"))
+      .select(lit(m).as("m"), col("nb").as("nonzero_buckets"),
+        col("s_scaled"), col("est"), col("exact_cnt"),
+        (abs(col("est") - col("exact_cnt")) * 5 <= col("exact_cnt")).as("ok"))
+  }
 }

@@ -286,6 +286,25 @@ class ExtSpec extends AnyFunSuite {
       "c" -> ((1L, 1L, true))), out.toString)
   }
 
+  test("hll: register merge of halves equals registers of the union") {
+    import graft.sketch.Sketches
+    val a = (0L until 400L).map(i => Tuple1(s"k$i")).toDF("k")
+    val b = (200L until 600L).map(i => Tuple1(s"k$i")).toDF("k")
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(df, col("k")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val (ra, rb) = (regs(a), regs(b))
+    // element-wise max of the halves' registers IS the union's sketch —
+    // the property that makes HLL shuffle-mergeable at any scale
+    val merged = (ra.keySet ++ rb.keySet).map(k =>
+      k -> math.max(ra.getOrElse(k, 0), rb.getOrElse(k, 0))).toMap
+    assert(merged == regs(a.union(b)))
+    // estimate lands within the 3-sigma gate the oracle asserts
+    val est = Sketches.hllEstimate(a.union(b), col("k"))
+      .select("est", "ok").collect().head
+    assert(est.getBoolean(1), s"estimate ${est.getLong(0)} off >20% from 600")
+  }
+
   test("substring dup: verbatim reuse flags, unique text does not") {
     val shared = ("x" * 200) // a 200-char verbatim block shared by 1 and 2
     val d = Seq(
