@@ -376,4 +376,49 @@ object Dedup {
       .withColumn("flagged",
         when(col("n_dup") * 5 >= col("n_windows"), 1).otherwise(0))
   }
+
+  /** Edit-distance (Levenshtein) fuzzy join with q-gram candidate
+    * pruning — the record-linkage companion to [[minhashLsh]]: emit
+    * every id pair whose strings are within `maxDist` edits, without
+    * ever forming the id×id cross product. Candidates come from a
+    * positional-gram equi-join (pigeonhole: two strings of length ≥
+    * L within d edits share at least L−q+1−d·q common q-grams, > 0 at
+    * the defaults for L ≥ 23 — so the prefilter admits every true
+    * pair), then codegen `levenshtein` verifies exactly.
+    *
+    * Scale shape: explode→equi-join→distinct, the LSH-band pattern —
+    * the join key is the gram, so work is proportional to collisions,
+    * not pairs of rows. Grams touching more than `hotGramCap` distinct
+    * ids are dropped on BOTH sides before the join (an anti-join
+    * against the few hot keys, broadcast by construction): a stop-gram
+    * guard so one degenerate shared substring cannot quadratically
+    * explode a single join key. A length prefilter runs before the
+    * O(n·m) distance kernel.
+    */
+  def editDistanceJoin(df: DataFrame, idCol: Column, strCol: Column,
+                       q: Int = 8, maxDist: Int = 2,
+                       hotGramCap: Int = 64): DataFrame = {
+    val base = df.select(idCol.cast("long").as("id"), strCol.as("s"))
+    val grams = base.filter(length(col("s")) >= q)
+      .select(col("id"), col("s"),
+        explode(array_distinct(expr(
+          s"transform(sequence(1, length(s) - ${q - 1}), i -> substring(s, i, $q))")))
+          .as("gram"))
+    val hot = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("id")).as("__c"))
+      .filter(col("__c") > hotGramCap)
+      .select(col("gram"))
+    val kept = grams.join(broadcast(hot), Seq("gram"), "left_anti")
+    val cand = kept.as("a")
+      .join(kept.as("b"),
+        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.s").as("s_a"), col("b.s").as("s_b"))
+      .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
+      .distinct()
+    cand
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

@@ -276,6 +276,43 @@ object ExtQueries {
              FROM s""")
     ),
 
+    // Edit-distance fuzzy join (record linkage): q-gram equi-join
+    // prefilter (pigeonhole-complete at these lengths) + stop-gram skew
+    // guard + codegen levenshtein verify — near-identical content
+    // fingerprints surface as pairs without an id×id cross product.
+    // Strings are md5-derived version-suffixed fingerprints built from
+    // orders, so near pairs share a 32-char prefix and differ in the
+    // version digit (edit distance <= 1) while cross-class grams
+    // almost never collide.
+    GraftQuery(
+      "x_fuzzy_join",
+      (s, dir) => {
+        val strs = Tables.orders(s, dir).select(
+          col("o_orderkey").as("id"),
+          concat(md5((col("o_orderkey") % 3000).cast("string")), lit("-"),
+            (col("o_orderkey") % 7).cast("string")).as("s"))
+        Dedup.editDistanceJoin(strs, col("id"), col("s"))
+      },
+      Some("""WITH s AS (SELECT o_orderkey AS id,
+                     md5(CAST(o_orderkey % 3000 AS VARCHAR)) || '-' ||
+                     CAST(o_orderkey % 7 AS VARCHAR) AS s
+                   FROM orders),
+             g0 AS (SELECT id, s,
+                     unnest(list_distinct([substr(s, i, 8)
+                       FOR i IN range(1, length(s) - 6)])) AS gram
+                    FROM s WHERE length(s) >= 8),
+             hot AS (SELECT gram FROM
+                      (SELECT gram, count(DISTINCT id) AS c
+                       FROM g0 GROUP BY 1) WHERE c > 64),
+             g AS (SELECT g0.* FROM g0 ANTI JOIN hot USING (gram)),
+             cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                             a.s AS s_a, b.s AS s_b
+                      FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id
+                      WHERE abs(length(a.s) - length(b.s)) <= 2)
+             SELECT id_a, id_b, CAST(levenshtein(s_a, s_b) AS INT) AS dist
+             FROM cand WHERE levenshtein(s_a, s_b) <= 2""")
+    ),
+
     // Exact n-gram Jaccard, computed only on LSH candidates (the scale
     // path: never O(n²)).
     GraftQuery(
@@ -1383,6 +1420,41 @@ object ExtQueries {
                     CAST(count(*) AS BIGINT) AS n_events,
                     CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum
              FROM y GROUP BY user_id, sid""")
+    ),
+
+    // As-of join (backward, inclusive): each click joins the user's
+    // most recent purchase at or before it — the merge-asof pattern
+    // (union + one keyed window, NO join node, no range explode; a
+    // skewed user costs one sort, not a quadratic probe). Oracle is
+    // DuckDB's native ASOF LEFT JOIN.
+    GraftQuery(
+      "x_asof_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("ts").as("purchase_ts"),
+            col("value").as("purchase_value"))
+        graft.ops.AsofJoin.asofBackward(clicks, purchases,
+            key = "user_id", ts = "ts",
+            payload = Seq("purchase_ts", "purchase_value"))
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("click_us"),
+            unix_micros(col("purchase_ts")).as("purchase_us"),
+            col("purchase_value"))
+      },
+      Some("""WITH c AS (SELECT event_id, user_id, ts FROM events
+                         WHERE event_type = 'click'),
+             p AS (SELECT user_id, ts, value FROM events
+                   WHERE event_type = 'purchase')
+             SELECT c.event_id, c.user_id,
+                    epoch_us(c.ts) AS click_us,
+                    epoch_us(p.ts) AS purchase_us,
+                    p.value AS purchase_value
+             FROM c ASOF LEFT JOIN p
+               ON c.user_id = p.user_id AND c.ts >= p.ts""")
     ),
 
     // SemDeDup-style semantic dedup: k-means clusters the embedding

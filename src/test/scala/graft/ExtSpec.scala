@@ -286,6 +286,50 @@ class ExtSpec extends AnyFunSuite {
       "c" -> ((1L, 1L, true))), out.toString)
   }
 
+  test("asof join: latest-at-or-before semantics, null before first right") {
+    import graft.ops.AsofJoin
+    val mk = java.sql.Timestamp.valueOf(_: String)
+    val left = Seq(
+      (1L, 7L, mk("2026-01-01 10:00:00")), // before any purchase → null
+      (2L, 7L, mk("2026-01-01 10:05:00")), // exact tie with p@10:05 → match
+      (3L, 7L, mk("2026-01-01 10:30:00")), // after both → latest (10:20)
+      (4L, 8L, mk("2026-01-01 11:00:00"))  // other key, no rights → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (7L, mk("2026-01-01 10:05:00"), 5.0),
+      (7L, mk("2026-01-01 10:20:00"), 9.0)
+    ).toDF("user_id", "ts", "v")
+      .select(col("user_id"), col("ts"), col("ts").as("p_ts"), col("v").as("p_v"))
+    val out = AsofJoin.asofBackward(left, right, "user_id", "ts",
+        Seq("p_ts", "p_v"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.toString), Option(r.get(4)))).toMap
+    assert(out(1L) == ((None, None)), out.toString)
+    assert(out(2L)._2.contains(5.0), out.toString)
+    assert(out(3L)._2.contains(9.0), out.toString)
+    assert(out(4L) == ((None, None)), out.toString)
+  }
+
+  test("fuzzy join: near pairs surface, far pairs and hot grams do not") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps here"),
+      (2L, "the quick brown fox jumps hare"),  // dist 1 from 1
+      (3L, "a completely unrelated sentence x"),
+      (4L, "the quick brown fox jumps heri")   // dist 1 from 1, 2 from 2
+    ).toDF("id", "s")
+    val out = Dedup.editDistanceJoin(d, col("id"), col("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out == Map((1L, 2L) -> 1, (1L, 4L) -> 1, (2L, 4L) -> 2),
+      out.toString)
+    // a gram shared by more ids than the cap is a stop-gram: with cap 2
+    // the three-way common prefix dies, so only pairs that ALSO share a
+    // sub-cap gram survive — (1,4) agree through "...her" (grams with
+    // id-count 2), while every gram (1,2) share is prefix-only
+    val capped = Dedup.editDistanceJoin(d, col("id"), col("s"), hotGramCap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 4L)), capped.toString)
+  }
+
   test("hll: register merge of halves equals registers of the union") {
     import graft.sketch.Sketches
     val a = (0L until 400L).map(i => Tuple1(s"k$i")).toDF("k")

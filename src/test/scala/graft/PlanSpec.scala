@@ -350,6 +350,25 @@ class PlanSpec extends AnyFunSuite {
       plan.take(2500))
   }
 
+  test("asof join is a merge: one keyed window, no join node at all") {
+    // the range-join formulation would show a BroadcastNestedLoop or a
+    // per-key quadratic probe; the merge formulation is union → ONE
+    // hash exchange on the key → one Window carrying the payload
+    val plan = planOf("x_asof_join")
+    assert(!plan.contains("Join"), plan.take(2500))
+    assert(plan.contains("Window"), plan.take(2500))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected one key exchange, got $exchanges:\n" +
+      plan.take(2500))
+  }
+
+  test("fuzzy join prunes through the gram equi-join, never a cross product") {
+    val plan = planOf("x_fuzzy_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan.take(2500))
+    assert(plan.contains("levenshtein"), plan.take(2500))
+  }
+
   test("paragraph dedup counts occurrences on the 8-byte hash") {
     // the corpus-wide occurrence count must group on xxhash64(chunk),
     // so the counting shuffle carries 8-byte hashes, not paragraph
