@@ -77,6 +77,30 @@ COPY (
 ) TO '{out}/events.parquet' (FORMAT PARQUET)
 """)
 
-for t in ("documents", "embeddings", "events"):
+# orders/lineitem: disjoint key spaces per replica (keys shift by
+# r*1e7), preserving per-order line structure — feeds the HLL distinct
+# sketch (distinct orderkeys scale linearly) and the fuzzy join (the
+# %3000 fingerprint classes grow with scale, a deliberately harder
+# linkage workload — quadratic pair growth is the workload's nature).
+con.sql(f"""
+COPY (
+  SELECT o_orderkey + r * 10000000 AS o_orderkey,
+         o_custkey + r * 1000000 AS o_custkey,
+         o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM read_parquet('{src}/orders.parquet'),
+       (SELECT unnest(range({replicas})) AS r)
+) TO '{out}/orders.parquet' (FORMAT PARQUET)
+""")
+con.sql(f"""
+COPY (
+  SELECT l_orderkey + r * 10000000 AS l_orderkey,
+         l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+         l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+  FROM read_parquet('{src}/lineitem.parquet'),
+       (SELECT unnest(range({replicas})) AS r)
+) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
+""")
+
+for t in ("documents", "embeddings", "events", "orders", "lineitem"):
     n = con.sql(f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')").fetchone()[0]
     print(f"{out}/{t}.parquet: {n} rows")

@@ -399,24 +399,38 @@ object Dedup {
                        q: Int = 8, maxDist: Int = 2,
                        hotGramCap: Int = 64): DataFrame = {
     val base = df.select(idCol.cast("long").as("id"), strCol.as("s"))
+    // gram rows carry (id, len, gram) — the string BODY never rides the
+    // candidate stream: the gram join, the length prefilter and the
+    // pair-dedup all run on ids + a 4-byte length, so the wide shuffle
+    // moves ~16-byte rows no matter how long the strings are (titles,
+    // URLs, fingerprints). Bodies come back in two id-keyed joins only
+    // for the surviving pairs' distance verify.
     val grams = base.filter(length(col("s")) >= q)
-      .select(col("id"), col("s"),
+      .select(col("id"), length(col("s")).as("len"),
         explode(array_distinct(expr(
           s"transform(sequence(1, length(s) - ${q - 1}), i -> substring(s, i, $q))")))
           .as("gram"))
-    val hot = grams.groupBy(col("gram"))
-      .agg(countDistinct(col("id")).as("__c"))
-      .filter(col("__c") > hotGramCap)
-      .select(col("gram"))
-    val kept = grams.join(broadcast(hot), Seq("gram"), "left_anti")
-    val cand = kept.as("a")
-      .join(kept.as("b"),
-        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.s").as("s_a"), col("b.s").as("s_b"))
-      .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
+    // ONE gram-keyed shuffle generates the candidates: group the gram's
+    // members and expand pairs inside the group. A self equi-join would
+    // shuffle-and-sort the gram stream TWICE; the aggregate form moves
+    // it once, and `hotGramCap` — enforced on the collected group
+    // before expansion — is simultaneously the skew guard and the
+    // memory bound (≤ cap members per group, ≤ cap²/2 pairs), so no
+    // single degenerate substring can quadratically own a task.
+    val cand = grams.groupBy(col("gram"))
+      .agg(collect_list(struct(col("id"), col("len"))).as("members"))
+      .filter(size(col("members")) <= hotGramCap)
+      .select(posexplode(col("members")).as(Seq("i", "a")),
+        col("members"))
+      .select(col("a"),
+        explode(expr("slice(members, i + 2, size(members))")).as("b"))
+      .filter(abs(col("a.len") - col("b.len")) <= maxDist)
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
       .distinct()
     cand
+      .join(base.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         levenshtein(col("s_a"), col("s_b")).as("dist"))
       .filter(col("dist") <= maxDist)

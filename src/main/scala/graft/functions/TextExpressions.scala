@@ -124,6 +124,91 @@ object WindowMd5 {
   }
 }
 
+/** HyperLogLog (bucket, rank) of a key in one digest pass, packed as
+  * `bucket*64 + rho` in a single int. The composable form
+  * (`conv(substring(md5(k),1,8),16,10)` + a base-2 string for the bit
+  * length) allocates a hex string, a decimal string and a binary string
+  * per row; this kernel reads the first four digest bytes directly —
+  * value-identical to the oracle's `('0x'||substr(md5(k),1,8))::BIGINT`
+  * split, byte for byte. Stays inside whole-stage codegen.
+  */
+case class HllBucketRank(child: Expression, p: Int) extends UnaryExpression {
+  require(p >= 4 && p <= 16, s"precision must be in [4,16], got $p")
+  // def, not val: dataType is unavailable until the child resolves
+  private def isLong =
+    child.dataType == org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    if (isLong) HllBucketRank.computeLong(input.asInstanceOf[Long], p)
+    else HllBucketRank.compute(input.asInstanceOf[UTF8String], p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      if (isLong)
+        s"${ev.value} = graft.functions.HllBucketRank.computeLong($c, $p);"
+      else
+        s"${ev.value} = graft.functions.HllBucketRank.compute($c, $p);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "hll_bucket_rank"
+}
+
+object HllBucketRank {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val longBuf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](20)
+  }
+
+  /** LongType fast path: decimal digits rendered into a reusable
+    * buffer — value-identical to md5(CAST(k AS VARCHAR)) with zero
+    * per-row allocation (the string cast allocated a UTF8String per
+    * row and dominated the 60M-row scan).
+    */
+  def computeLong(k: Long, p: Int): Int = {
+    if (k < 0) return compute(UTF8String.fromString(k.toString), p)
+    val buf = longBuf.get()
+    var i = 20
+    var v = k
+    do { i -= 1; buf(i) = ('0' + (v % 10)).toByte; v /= 10 } while (v != 0)
+    val md = digest.get()
+    md.reset()
+    md.update(buf, i, 20 - i)
+    finish(md.digest(), p)
+  }
+
+  /** Static entry shared by eval and generated code. */
+  def compute(s: UTF8String, p: Int): Int = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    finish(d, p)
+  }
+
+  /** first 8 md5 hex chars as an unsigned 32-bit value = first 4 bytes
+    * big-endian (the repo's replayable-seed hash), split into bucket
+    * (low p bits) and rank over the remaining 32-p bits.
+    */
+  private def finish(d: Array[Byte], p: Int): Int = {
+    val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    val bucket = (h & ((1L << p) - 1)).toInt // h % 2^p
+    val v = h >>> p                          // remaining 32-p bits
+    val w = 32 - p
+    val rho =
+      if (v == 0L) w + 1
+      else w + 1 - (64 - java.lang.Long.numberOfLeadingZeros(v))
+    bucket * 64 + rho
+  }
+}
+
 /** `escaped_utf8` parser decoder as a native expression — single-pass
   * scanner faithful to `src/flb_unescape.c:186` flb_unescape_string_utf8:
   * simple escapes (\" \' \\ \/ \n \b \t \f \r, plus v/a via the escape

@@ -281,21 +281,24 @@ object ExtQueries {
     // guard + codegen levenshtein verify — near-identical content
     // fingerprints surface as pairs without an id×id cross product.
     // Strings are md5-derived version-suffixed fingerprints built from
-    // orders, so near pairs share a 32-char prefix and differ in the
-    // version digit (edit distance <= 1) while cross-class grams
-    // almost never collide.
+    // orders (class = orderkey div 5, so linkage groups stay 5 wide at
+    // EVERY scale — pair count grows linearly with the table): near
+    // pairs share a 32-char prefix and differ in the version digits
+    // (edit distance 1-2) while cross-class grams almost never collide.
     GraftQuery(
       "x_fuzzy_join",
       (s, dir) => {
         val strs = Tables.orders(s, dir).select(
           col("o_orderkey").as("id"),
-          concat(md5((col("o_orderkey") % 3000).cast("string")), lit("-"),
-            (col("o_orderkey") % 7).cast("string")).as("s"))
+          concat(md5(expr("o_orderkey div 5").cast("string")), lit("-"),
+            (col("o_orderkey") % 5).cast("string"),
+            (col("o_orderkey") % 3).cast("string")).as("s"))
         Dedup.editDistanceJoin(strs, col("id"), col("s"))
       },
       Some("""WITH s AS (SELECT o_orderkey AS id,
-                     md5(CAST(o_orderkey % 3000 AS VARCHAR)) || '-' ||
-                     CAST(o_orderkey % 7 AS VARCHAR) AS s
+                     md5(CAST(o_orderkey // 5 AS VARCHAR)) || '-' ||
+                     CAST(o_orderkey % 5 AS VARCHAR) ||
+                     CAST(o_orderkey % 3 AS VARCHAR) AS s
                    FROM orders),
              g0 AS (SELECT id, s,
                      unnest(list_distinct([substr(s, i, 8)
@@ -826,6 +829,24 @@ object ExtQueries {
              SELECT 256 AS m, nb AS nonzero_buckets, s_scaled, est, exact_cnt,
                     abs(est - exact_cnt) * 5 <= exact_cnt AS ok
              FROM est""")
+    ),
+
+    // The sketch's production path in isolation: the register table
+    // itself (≤ 256 rows), with no exact comparator anywhere — the
+    // shape a 100 TB distinct-count actually runs (one scan, map-side
+    // max, a 256-row shuffle). Yardstick twin of x_sketch_hll.
+    GraftQuery(
+      "x_sketch_hll_build",
+      (s, dir) =>
+        graft.sketch.Sketches.hllRegisters(Tables.lineitem(s, dir),
+          col("l_orderkey")),
+      Some("""WITH h AS (SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+                        1, 8))::BIGINT AS h FROM lineitem)
+             SELECT h % 256 AS bucket,
+                    CAST(max(CASE WHEN h // 256 = 0 THEN 25
+                             ELSE 25 - length(bin(h // 256)) END) AS INT)
+                      AS register
+             FROM h GROUP BY 1""")
     ),
 
     // Language ID (stopword-hit heuristic).

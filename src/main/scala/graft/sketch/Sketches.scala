@@ -96,19 +96,19 @@ object Sketches {
     * with no floating log2 at the power-of-two edges.
     */
   def hllRegisters(df: DataFrame, key: Column, p: Int = 8): DataFrame = {
-    val m = 1 << p
-    val w = 32 - p
-    val h = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
-      .cast("long")
-    df.select(h.as("h"))
-      .select((col("h") % m).as("bucket"),
-        floor(col("h") / m).cast("long").as("v"))
-      .select(col("bucket"),
-        when(col("v") === 0, lit(w + 1))
-          .otherwise(lit(w + 1) - length(conv(col("v").cast("string"), 10, 2)))
-          .cast("int").as("rho"))
-      .groupBy(col("bucket"))
-      .agg(max(col("rho")).as("register"))
+    // one codegen digest pass emits bucket*64+rho packed in an int —
+    // the hex/decimal/binary string chain this replaces allocated three
+    // strings per row and dominated the scan (see HllBucketRank; long
+    // keys skip even the string cast via the digit-buffer fast path)
+    val isLong = df.select(key.as("__k")).schema.head.dataType ==
+      org.apache.spark.sql.types.LongType
+    val packed = org.apache.spark.sql.graftshim.shim.column(
+      graft.functions.HllBucketRank(
+        org.apache.spark.sql.graftshim.shim.expression(
+          if (isLong) key else key.cast("string")), p))
+    df.select(packed.as("pk"))
+      .groupBy(expr("CAST(pk div 64 AS BIGINT)").as("bucket"))
+      .agg(max(expr("CAST(pk % 64 AS INT)")).as("register"))
   }
 
   /** One-row estimate + gate: the harmonic-mean estimator kept ENTIRELY
@@ -126,26 +126,41 @@ object Sketches {
     * exists to avoid — here it doubles as the gate's ground truth, as
     * in [[countMinEstimate]].
     */
-  def hllEstimate(df: DataFrame, key: Column, p: Int = 8): DataFrame = {
+  /** Production path: one-row (m, nonzero_buckets, s_scaled, est) from
+    * a register table — no exact pass anywhere.
+    */
+  def hllEstimateFromRegs(regs: DataFrame, p: Int = 8): DataFrame = {
     require(p == 8, "estimator constant α is instantiated for p=8")
     val m = 1 << p
     val w = 32 - p
     // 2^(w+1-register) via a literal power table — integer-exact and
     // free of shift-signature pitfalls; register ∈ [1, w+1]
     val pows = (0 to w + 1).map(i => 1L << ((w + 1) - i)).toArray
-    val regs = hllRegisters(df, key, p)
-    val aggd = regs.agg(
-      count(lit(1)).as("nb"),
-      sum(element_at(typedLit(pows), col("register") + 1)).as("s_present"))
-    val exact = df.agg(countDistinct(key).as("exact_cnt"))
-    aggd.crossJoin(exact)
+    regs.agg(
+        count(lit(1)).as("nb"),
+        sum(element_at(typedLit(pows), col("register") + 1)).as("s_present"))
       .withColumn("s_scaled",
         col("s_present") + (lit(m.toLong) - col("nb")) * (1L << (w + 1)))
       .withColumn("q1",
         expr(s"CAST(${m.toLong * m * (1L << (w + 1))} AS BIGINT) div s_scaled"))
       .withColumn("est", expr("(71827 * q1) div 100000"))
       .select(lit(m).as("m"), col("nb").as("nonzero_buckets"),
-        col("s_scaled"), col("est"), col("exact_cnt"),
+        col("s_scaled"), col("est"))
+  }
+
+  /** Estimate + the exact comparator a sketch exists to avoid — the
+    * gate's ground truth (production drops it and keeps
+    * [[hllEstimateFromRegs]]). The comparator's exact-distinct shuffle
+    * is ~70% of this query's cost at sf10 — which is the point of the
+    * sketch: the register build alone (`x_sketch_hll_build`) is the
+    * production path and the honest yardstick.
+    */
+  def hllEstimate(df: DataFrame, key: Column, p: Int = 8): DataFrame = {
+    val est = hllEstimateFromRegs(hllRegisters(df, key, p), p)
+    val exact = df.agg(countDistinct(key).as("exact_cnt"))
+    est.crossJoin(exact)
+      .select(col("m"), col("nonzero_buckets"), col("s_scaled"), col("est"),
+        col("exact_cnt"),
         (abs(col("est") - col("exact_cnt")) * 5 <= col("exact_cnt")).as("ok"))
   }
 }

@@ -350,6 +350,17 @@ class PlanSpec extends AnyFunSuite {
       plan.take(2500))
   }
 
+  test("hll register build: codegen kernel, one bounded exchange") {
+    // the production sketch path: hll_bucket_rank inline in the scan
+    // projection, partial max per partition, and the only exchange
+    // carries ≤ m rows per partition — no key-cardinality shuffle
+    val plan = planOf("x_sketch_hll_build")
+    assert(plan.contains("hll_bucket_rank"), plan.take(3000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected one bounded exchange, got $exchanges:\n" +
+      plan.take(3000))
+  }
+
   test("asof join is a merge: one keyed window, no join node at all") {
     // the range-join formulation would show a BroadcastNestedLoop or a
     // per-key quadratic probe; the merge formulation is union → ONE

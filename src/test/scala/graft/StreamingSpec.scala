@@ -183,6 +183,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(est >= 3L, s"est(a)=$est")
   }
 
+  test("streaming hll: registers are bounded state, estimate from the sink") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val in = MemoryStream[String]
+    // complete mode: the sink mirrors the state store — at most m=256
+    // (bucket → max rank) rows at ANY stream volume, and micro-batch
+    // max-merge IS the sketch merge (same property ExtSpec pins batchwise)
+    val regs = graft.sketch.Sketches.hllRegisters(
+      in.toDS().toDF("k"), col("k"))
+    val q = regs.writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      in.addData((0 until 300).map(i => s"k$i"): _*)
+      q.processAllAvailable()
+      in.addData((200 until 600).map(i => s"k$i"): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("hll_stream").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed.size <= 256)
+    // the streamed registers equal a batch build over the union
+    val batch = graft.sketch.Sketches.hllRegisters(
+      (0 until 600).map(i => Tuple1(s"k$i")).toDF("k"), col("k"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed == batch, "streamed registers diverge from batch build")
+  }
+
   test("streaming exact dedup: first hash wins across batches, min-id in batch") {
     implicit val sqlCtx = spark.sqlContext
     import Stateful.HashedDoc
