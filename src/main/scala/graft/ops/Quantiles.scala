@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distributed quantiles over a BOUNDED-cardinality value domain —
+  * the observability percentile path (p50/p90/p99/p999 of a latency or
+  * size column that is integral or pre-bucketed, as the reference's
+  * log_to_metrics histogram mode buckets it).
+  *
+  * Shape: ONE value-keyed count aggregate collapses the corpus to its
+  * histogram (map-side combine makes the shuffle ≤ |domain| rows per
+  * partition), then a window cumulative-sum over the |domain|-row
+  * histogram finds the smallest value whose cumulative count reaches
+  * each target rank. The window is single-partition BY CONSTRUCTION —
+  * it sorts the histogram, never the data; that is exactly why this is
+  * exact AND scale-free for bounded domains, where a global data sort
+  * would be the naive formulation. Continuous domains must quantize
+  * first (then this returns exact quantiles of the quantized
+  * distribution); unbounded-cardinality exact quantiles at 100 TB do
+  * not exist without a sort — that is what sketches are for.
+  *
+  * Ranks are computed entirely in integers: `needed = ⌈N·num/den⌉ =
+  * (N·num + den − 1) div den` — replayable bit-exactly by any engine.
+  */
+object Quantiles {
+
+  val DefaultQs: Seq[(String, Int, Int)] =
+    Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100), ("p999", 999, 1000))
+
+  def exactQuantiles(df: DataFrame, value: Column,
+                     qs: Seq[(String, Int, Int)] = DefaultQs): DataFrame = {
+    val counts = df.groupBy(value.cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("total", sum(col("cnt")).over(wAll))
+      .select(col("v"), col("cum"), col("total"),
+        explode(typedLit(qs)).as("q"))
+      .withColumn("needed", expr("(total * q._2 + q._3 - 1) div q._3"))
+      .filter(col("cum") >= col("needed"))
+      .groupBy(col("q._1").as("q"))
+      .agg(min(col("needed")).as("rank_needed"), min(col("v")).as("value"))
+      .select(col("q"), col("rank_needed"), col("value"))
+  }
+}

@@ -2290,6 +2290,71 @@ object ExtQueries {
                     % 10000) * c.cnt < 100 * 10000""")
     ),
 
+    // Exact p50/p90/p99/p999 over a bounded value domain: the corpus
+    // collapses to its histogram in one keyed aggregate, a window
+    // cumsum over the |domain|-row histogram picks the smallest value
+    // reaching each integer-ceiling rank — exact quantiles with no
+    // data sort, the shape that survives 100 TB for bucketed metrics.
+    GraftQuery(
+      "x_quantiles_exact",
+      (s, dir) =>
+        graft.ops.Quantiles.exactQuantiles(Tables.lineitem(s, dir),
+          col("l_quantity")),
+      Some("""WITH c AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+                     CAST(count(*) AS BIGINT) AS cnt
+                   FROM lineitem GROUP BY 1),
+             cc AS (SELECT v,
+                      sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                        AS cum,
+                      sum(cnt) OVER () AS total
+                    FROM c),
+             q AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+                     ('p99', 99, 100), ('p999', 999, 1000))
+                     AS t(q, num, den)),
+             j AS (SELECT q.q,
+                     (cc.total * q.num + q.den - 1) // q.den AS needed,
+                     cc.v, cc.cum
+                   FROM cc, q)
+             SELECT q, CAST(min(needed) AS BIGINT) AS rank_needed,
+                    CAST(min(v) AS BIGINT) AS value
+             FROM j WHERE cum >= needed GROUP BY q""")
+    ),
+
+    // Temperature-flattened domain mixture (UniMax/mT5 α=0.5): keep
+    // probability ∝ √n_d/n_d damps head domains; integer-exact weights
+    // (⌊√n⌋, integer normalizer, precomputed integer thresholds) make
+    // the draw replayable in any engine. Domains derived skewed from
+    // doc_id (sizes ∝ 2k+1) since the table's own source field is
+    // uniform. Broadcast thresholds, map-only keep — corpus never
+    // shuffles.
+    GraftQuery(
+      "x_mix_temperature",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).withColumn("dom",
+          concat(lit("d"), expr(
+            "CAST(floor(sqrt(CAST(doc_id % 256 AS DOUBLE))) AS BIGINT)")
+            .cast("string")))
+        TextAnalysis.temperatureMix(docs, col("doc_id"), col("dom"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+                     'd' || CAST(CAST(floor(sqrt(CAST(doc_id % 256 AS DOUBLE)))
+                       AS BIGINT) AS VARCHAR) AS domain
+                   FROM documents),
+             c AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_d,
+                     CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)
+                       AS s_d
+                   FROM d GROUP BY 1),
+             n AS (SELECT CAST(sum(s_d) AS BIGINT) AS s_sum,
+                          CAST(sum(n_d) AS BIGINT) AS n_total FROM c),
+             t AS (SELECT domain, n_d,
+                     ((n_total // 4) * 1048576 * s_d) // (s_sum * n_d) AS thr
+                   FROM c, n)
+             SELECT d.doc_id, d.domain, t.n_d, t.thr,
+                    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 5))::BIGINT
+                      < t.thr AS kept
+             FROM d JOIN t USING (domain)""")
+    ),
+
     // RAG chunking: 64-token windows at stride 48 (16-token overlap),
     // tail-clamped; map-only generate.
     GraftQuery(

@@ -878,6 +878,42 @@ object TextAnalysis {
       .select(idCol.as("doc_id"), stratumCol.as("lang"))
   }
 
+  /** Temperature-flattened domain mixture (the UniMax / mT5 α=0.5
+    * resampling gate): re-weight a skewed domain distribution toward
+    * uniform by keeping each domain's documents with probability
+    * ∝ √n_d / n_d — head domains are damped, tail domains survive. All
+    * arithmetic stays integer-exact and replayable: the per-domain
+    * weight is `s_d = ⌊√n_d⌋` (IEEE sqrt is correctly rounded, floor of
+    * it deterministic in any engine), the normalizer is the INTEGER sum
+    * Σs (immune to float summation order), and the keep test compares
+    * a 20-bit id hash against the precomputed integer threshold
+    * `t_d = (budget·2^20·s_d) div (Σs·n_d)` — products bounded well
+    * inside BIGINT at any corpus size.
+    *
+    * Plan: two tiny aggregates (|domains| rows) broadcast back onto a
+    * map-only keep filter — the corpus never shuffles, the same shape
+    * as [[stratifiedSample]] and the DSIR scorer.
+    */
+  def temperatureMix(df: DataFrame, idCol: Column,
+                     domainCol: Column): DataFrame = {
+    val counts = df.groupBy(domainCol.as("domain"))
+      .agg(count(lit(1)).as("n_d"))
+      .withColumn("s_d",
+        expr("CAST(floor(sqrt(CAST(n_d AS DOUBLE))) AS BIGINT)"))
+    val norm = counts.agg(sum(col("s_d")).as("s_sum"),
+      sum(col("n_d")).as("n_total"))
+    val thr = counts.crossJoin(norm)
+      .withColumn("thr",
+        expr(s"((n_total div 4) * ${1L << 20} * s_d) div (s_sum * n_d)"))
+      .select(col("domain"), col("n_d"), col("thr"))
+    val h = conv(substring(md5(idCol.cast("string")), 1, 5), 16, 10)
+      .cast("long")
+    df.select(idCol.as("doc_id"), domainCol.as("domain"))
+      .join(broadcast(thr), "domain")
+      .select(col("doc_id"), col("domain"), col("n_d"), col("thr"),
+        (h < col("thr")).as("kept"))
+  }
+
   /** RAG-style chunking: overlapping token windows of `win` tokens at
     * `stride` (< win ⇒ `win - stride` tokens of overlap), the unit every
     * retrieval/embedding pipeline feeds downstream. Tail chunks are

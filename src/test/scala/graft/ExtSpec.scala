@@ -330,6 +330,74 @@ class ExtSpec extends AnyFunSuite {
     assert(capped == Set((1L, 4L)), capped.toString)
   }
 
+  test("property: fuzzy join equals brute-force levenshtein pairs") {
+    // pigeonhole completeness holds for len >= q*(d+1)-1 = 23 at the
+    // defaults — generate above it and the gram prefilter must lose
+    // NOTHING: output == exhaustive all-pairs under the threshold.
+    // A 3-letter alphabet forces heavy gram collisions (the prefilter's
+    // worst case) so candidates >> true pairs.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val strGen = Gen.choose(23, 32).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    // half fresh strings, half 1-2 edit mutants of a base — guarantees
+    // true pairs exist in most rounds
+    val corpusGen = Gen.listOfN(6, strGen).flatMap { bases =>
+      Gen.sequence[List[String], String](bases.flatMap { b =>
+        List(Gen.const(b),
+          Gen.choose(0, b.length - 1).map(i => b.updated(i, 'x')))
+      })
+    }
+    (1 to 6).foreach { seed =>
+      val strs = corpusGen(Gen.Parameters.default, Seed(seed.toLong)).get
+        .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val expected = (for {
+        (ia, sa) <- strs; (ib, sb) <- strs
+        if ia < ib && lev(sa, sb) <= 2
+      } yield (ia, ib, lev(sa, sb))).toSet
+      val got = Dedup.editDistanceJoin(strs.toDF("id", "s"), col("id"),
+          col("s"), hotGramCap = 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == expected, s"seed $seed: got ${got.size}, " +
+        s"expected ${expected.size}; diff ${(expected -- got).take(3)}")
+    }
+  }
+
+  test("exact quantiles: integer-ceiling ranks on a known histogram") {
+    import graft.ops.Quantiles
+    // 1..100 once each: p50=50, p90=90, p99=99, p999=⌈99.9⌉=100
+    val d = (1 to 100).map(v => Tuple1(v)).toDF("v")
+    val out = Quantiles.exactQuantiles(d, col("v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map("p50" -> ((50L, 50L)), "p90" -> ((90L, 90L)),
+      "p99" -> ((99L, 99L)), "p999" -> ((100L, 100L))), out.toString)
+  }
+
+  test("temperature mix: tail domains keep proportionally more than head") {
+    val d = ((1 to 900).map(i => (i.toLong, "head")) ++
+      (1 to 100).map(i => (1000L + i, "tail"))).toDF("doc_id", "dom")
+    val out = TextAnalysis.temperatureMix(d, col("doc_id"), col("dom"))
+    val kept = out.filter(col("kept")).groupBy("domain").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val headRate = kept.getOrElse("head", 0L).toDouble / 900
+    val tailRate = kept.getOrElse("tail", 0L).toDouble / 100
+    // α=0.5: tail keep-rate should be ≈ 3× head (√900/900 vs √100/100)
+    assert(tailRate > headRate * 1.8,
+      s"tail $tailRate not flattened above head $headRate")
+    // thresholds are deterministic: same input → same keep set
+    val again = TextAnalysis.temperatureMix(d, col("doc_id"), col("dom"))
+      .filter(col("kept")).count()
+    assert(again == kept.values.sum)
+  }
+
   test("hll: register merge of halves equals registers of the union") {
     import graft.sketch.Sketches
     val a = (0L until 400L).map(i => Tuple1(s"k$i")).toDF("k")
