@@ -497,6 +497,39 @@ object Stdlib {
       Seq(LNum(math.pow(numArg(a, 0, "pow"), numArg(a, 1, "pow"))))))
     mt.set(LStr("huge"), LNum(Double.PositiveInfinity))
     mt.set(LStr("pi"), LNum(math.Pi))
+    // math.random/randomseed with Lua 5.1 range semantics over a
+    // deterministic xorshift64* stream — sampling filters (the common
+    // filter_lua use) replay identically across retries and executors;
+    // randomseed(s) restarts the stream from s.
+    val rngState = new java.util.concurrent.atomic.AtomicLong(
+      0x2545F4914F6CDD1dL)
+    def nextU01(): Double = {
+      var x = rngState.get()
+      var next = 0L
+      do {
+        x = rngState.get()
+        next = x ^ (x << 13); next ^= next >>> 7; next ^= next << 17
+      } while (!rngState.compareAndSet(x, next))
+      ((next >>> 11).toDouble) / (1L << 53).toDouble
+    }
+    mt.set(LStr("random"), fn("random") { a =>
+      val u = nextU01()
+      a.size match {
+        case 0 => Seq(LNum(u))
+        case 1 =>
+          val m = numArg(a, 0, "random").toLong
+          Seq(LNum(1 + (u * m).toLong.min(m - 1).toDouble))
+        case _ =>
+          val lo = numArg(a, 0, "random").toLong
+          val hi = numArg(a, 1, "random").toLong
+          Seq(LNum(lo + (u * (hi - lo + 1)).toLong.min(hi - lo).toDouble))
+      }
+    })
+    mt.set(LStr("randomseed"), fn("randomseed") { a =>
+      val s = numArg(a, 0, "randomseed").toLong
+      rngState.set(if (s == 0) 0x9E3779B97F4A7C15L else s)
+      Seq.empty
+    })
     g.define("math", mt)
 
     // ----------------------------------------------------------------- os
@@ -506,7 +539,92 @@ object Stdlib {
       Seq(LNum(System.currentTimeMillis() / 1000.0))))
     ot.set(LStr("clock"), fn("clock")(_ =>
       Seq(LNum(System.nanoTime() / 1e9))))
+    // os.date: the strftime subset timestamp-shaping filters actually
+    // use (lua.c scripts format record times constantly). Leading '!'
+    // selects UTC per Lua; "*t"/"!*t" return the broken-down table.
+    ot.set(LStr("date"), fn("date") { a =>
+      val raw = arg(a, 0) match {
+        case LStr(s) => s
+        case LNil => "%c"
+        case v => v.toString
+      }
+      val utc = raw.startsWith("!")
+      val fmt = if (utc) raw.substring(1) else raw
+      val tSec = optNumArg(a, 1, System.currentTimeMillis() / 1000.0)
+      val zone: java.time.ZoneId =
+        if (utc) java.time.ZoneOffset.UTC else java.time.ZoneId.systemDefault()
+      val z = java.time.Instant.ofEpochSecond(tSec.toLong).atZone(zone)
+      if (fmt == "*t") {
+        val t = new LTable
+        t.set(LStr("year"), LNum(z.getYear))
+        t.set(LStr("month"), LNum(z.getMonthValue))
+        t.set(LStr("day"), LNum(z.getDayOfMonth))
+        t.set(LStr("hour"), LNum(z.getHour))
+        t.set(LStr("min"), LNum(z.getMinute))
+        t.set(LStr("sec"), LNum(z.getSecond))
+        t.set(LStr("wday"), LNum(z.getDayOfWeek.getValue % 7 + 1)) // 1=Sunday
+        t.set(LStr("yday"), LNum(z.getDayOfYear))
+        t.set(LStr("isdst"), LBool(false))
+        Seq(t)
+      } else Seq(LStr(strftime(fmt, z)))
+    })
     g.define("os", ot)
+  }
+
+  private val MonShort = Array("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+  private val MonLong = Array("January", "February", "March", "April",
+    "May", "June", "July", "August", "September", "October", "November",
+    "December")
+  private val DayShort = Array("Sun", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat")
+  private val DayLong = Array("Sunday", "Monday", "Tuesday", "Wednesday",
+    "Thursday", "Friday", "Saturday")
+
+  /** C-locale strftime subset (the codes fluent-bit's parsers.conf and
+    * lua filters use). Unknown codes pass through verbatim, as glibc
+    * does.
+    */
+  private def strftime(fmt: String, z: java.time.ZonedDateTime): String = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    val wdaySun0 = z.getDayOfWeek.getValue % 7
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c != '%' || i + 1 >= fmt.length) { sb.append(c); i += 1 }
+      else {
+        fmt.charAt(i + 1) match {
+          case 'Y' => sb.append(f"${z.getYear}%04d")
+          case 'y' => sb.append(f"${z.getYear % 100}%02d")
+          case 'm' => sb.append(f"${z.getMonthValue}%02d")
+          case 'd' => sb.append(f"${z.getDayOfMonth}%02d")
+          case 'e' => sb.append(f"${z.getDayOfMonth}%2d")
+          case 'H' => sb.append(f"${z.getHour}%02d")
+          case 'I' =>
+            val h12 = z.getHour % 12; sb.append(f"${if (h12 == 0) 12 else h12}%02d")
+          case 'M' => sb.append(f"${z.getMinute}%02d")
+          case 'S' => sb.append(f"${z.getSecond}%02d")
+          case 'j' => sb.append(f"${z.getDayOfYear}%03d")
+          case 'w' => sb.append(wdaySun0)
+          case 'p' => sb.append(if (z.getHour < 12) "AM" else "PM")
+          case 'a' => sb.append(DayShort(wdaySun0))
+          case 'A' => sb.append(DayLong(wdaySun0))
+          case 'b' | 'h' => sb.append(MonShort(z.getMonthValue - 1))
+          case 'B' => sb.append(MonLong(z.getMonthValue - 1))
+          case 'c' => sb.append(strftime("%a %b %e %H:%M:%S %Y", z))
+          case 'x' => sb.append(strftime("%m/%d/%y", z))
+          case 'X' => sb.append(strftime("%H:%M:%S", z))
+          case 's' => sb.append(z.toEpochSecond)
+          case 'z' =>
+            val off = z.getOffset.getTotalSeconds
+            sb.append(f"${if (off < 0) "-" else "+"}%s${math.abs(off) / 3600}%02d${math.abs(off) % 3600 / 60}%02d")
+          case 'Z' => sb.append(z.getZone.getId)
+          case '%' => sb.append('%')
+          case other => sb.append('%').append(other)
+        }
+        i += 2
+      }
+    }
+    sb.toString
   }
 
   private val nextFn: LFunc = fn("next") { a =>

@@ -33,6 +33,27 @@ class LuaSpec extends AnyFunSuite {
     case other => fail(s"expected string, got $other")
   }
 
+  test("os.date: strftime subset, UTC bang, *t table; math.random stream") {
+    assert(str("os.date('!%Y-%m-%dT%H:%M:%SZ', 0)") == "1970-01-01T00:00:00Z")
+    assert(str("os.date('!%a %b %e %H:%M:%S %Y', 1000000000)") ==
+      "Sun Sep  9 01:46:40 2001")
+    assert(str("os.date('!%I%p %j %w %y', 1000000000)") == "01AM 252 0 01")
+    assert(num("os.date('!*t', 1000000000).year") == 2001)
+    assert(num("os.date('!*t', 1000000000).wday") == 1) // 1 = Sunday
+    assert(num("os.date('!*t', 1000000000).yday") == 252)
+    assert(str("os.date('!%%s literal %q', 0)") == "%s literal %q")
+    val r = eval("math.randomseed(7) return math.random(10)").head match {
+      case LNum(d) => d
+      case other => fail(s"expected number, got $other")
+    }
+    assert(r >= 1 && r <= 10 && r == math.floor(r), r.toString)
+    // reseeding restarts the deterministic stream
+    assert(eval("math.randomseed(7) local a = math.random() " +
+      "math.randomseed(7) return a == math.random()").head == LBool(true))
+    assert(evalOne("local x = math.random(3, 5) " +
+      "return x >= 3 and x <= 5") == LBool(true))
+  }
+
   // ------------------------------------------------------------- language
   test("arithmetic, precedence, concat, comparison, logic") {
     assert(num("1 + 2 * 3") == 7)
