@@ -371,6 +371,56 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("property: asof join equals brute-force latest-at-or-before") {
+    import graft.ops.AsofJoin
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowGen = for {
+      k <- Gen.choose(1L, 4L); t <- Gen.choose(0L, 50L)
+    } yield (k, t)
+    (1 to 5).foreach { seed =>
+      val ls = Gen.listOfN(30, rowGen)(Gen.Parameters.default,
+        Seed(seed.toLong)).get.distinct.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, new java.sql.Timestamp(t * 1000)) }
+      val rs = Gen.listOfN(20, rowGen)(Gen.Parameters.default,
+        Seed(seed + 100L)).get.distinct  // distinct (k, t): ties are ill-defined
+        .map { case (k, t) => (k, new java.sql.Timestamp(t * 1000), k * 1000 + t) }
+      val left = ls.toDF("event_id", "k", "ts")
+      val right = rs.toDF("k", "ts", "pay")
+        .select(col("k"), col("ts"), col("ts").as("p_ts"), col("pay").as("p_v"))
+      val got = AsofJoin.asofBackward(left, right, "k", "ts",
+          Seq("p_ts", "p_v"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(4))).toMap
+      val expected = ls.map { case (id, k, ts) =>
+        val cands = rs.filter(r => r._1 == k && !r._2.after(ts))
+        id -> (if (cands.isEmpty) None
+               else Some(cands.maxBy(_._2.getTime)._3))
+      }.toMap
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
+  test("property: exact quantiles equal sorted-list indexing") {
+    import graft.ops.Quantiles
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    (1 to 5).foreach { seed =>
+      val vs = Gen.listOfN(200, Gen.choose(1, 30))(Gen.Parameters.default,
+        Seed(seed.toLong)).get
+      val sorted = vs.sorted
+      val got = Quantiles.exactQuantiles(vs.map(Tuple1(_)).toDF("v"),
+          col("v"))
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      def at(num: Int, den: Int): Long =
+        sorted((vs.size.toLong * num + den - 1) / den - 1 match {
+          case i => i.toInt
+        }).toLong
+      val expected = Map("p50" -> at(1, 2), "p90" -> at(9, 10),
+        "p99" -> at(99, 100), "p999" -> at(999, 1000))
+      assert(got == expected, s"seed $seed: $got vs $expected")
+    }
+  }
+
   test("exact quantiles: integer-ceiling ranks on a known histogram") {
     import graft.ops.Quantiles
     // 1..100 once each: p50=50, p90=90, p99=99, p999=⌈99.9⌉=100
