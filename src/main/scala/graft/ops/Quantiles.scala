@@ -29,6 +29,32 @@ object Quantiles {
   val DefaultQs: Seq[(String, Int, Int)] =
     Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100), ("p999", 999, 1000))
 
+  /** Per-group exact quantiles — p50/p99 latency PER SERVICE, the shape
+    * observability actually queries. Identical histogram-cumsum spine,
+    * but the window partitions by the group key, so histogram rows
+    * spread across the cluster by group and no single-partition sort
+    * exists anywhere: scale-out follows the group count.
+    */
+  def groupedQuantiles(df: DataFrame, group: Column, value: Column,
+                       qs: Seq[(String, Int, Int)] = DefaultQs): DataFrame = {
+    val counts = df.groupBy(group.as("g"), value.cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("total", sum(col("cnt")).over(wAll))
+      .select(col("g"), col("v"), col("cum"), col("total"),
+        explode(typedLit(qs)).as("q"))
+      .withColumn("needed", expr("(total * q._2 + q._3 - 1) div q._3"))
+      .filter(col("cum") >= col("needed"))
+      .groupBy(col("g"), col("q._1").as("q"))
+      .agg(min(col("needed")).as("rank_needed"), min(col("v")).as("value"))
+      .select(col("g"), col("q"), col("rank_needed"), col("value"))
+  }
+
   def exactQuantiles(df: DataFrame, value: Column,
                      qs: Seq[(String, Int, Int)] = DefaultQs): DataFrame = {
     val counts = df.groupBy(value.cast("long").as("v"))

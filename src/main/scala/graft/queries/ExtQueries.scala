@@ -2320,6 +2320,80 @@ object ExtQueries {
              FROM j WHERE cum >= needed GROUP BY q""")
     ),
 
+    // Grouped HLL: COUNT(DISTINCT orderkey) per returnflag as sketches
+    // — aggregate key cardinality ≤ |groups|·m at ANY row count, one
+    // row per group out. `ok` gates each group's estimate at the same
+    // ±20% ≈ 3σ bound against its exact count.
+    GraftQuery(
+      "x_sketch_hll_grouped",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val est = graft.sketch.Sketches.hllGroupedEstimate(li,
+          col("l_returnflag"), col("l_orderkey"))
+        val exact = li.groupBy(col("l_returnflag").as("g"))
+          .agg(countDistinct(col("l_orderkey")).as("exact_cnt"))
+        est.join(exact, "g")
+          .select(col("g"), col("nonzero_buckets"), col("s_scaled"),
+            col("est"), col("exact_cnt"),
+            (abs(col("est") - col("exact_cnt")) * 5 <= col("exact_cnt"))
+              .as("ok"))
+      },
+      Some("""WITH h AS (SELECT l_returnflag AS g,
+                     ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+                       1, 8))::BIGINT AS h
+                   FROM lineitem),
+             regs AS (SELECT g, h % 256 AS bucket,
+                       max(CASE WHEN h // 256 = 0 THEN 25
+                           ELSE 25 - length(bin(h // 256)) END) AS register
+                      FROM h GROUP BY 1, 2),
+             agg AS (SELECT g, CAST(count(*) AS BIGINT) AS nb,
+                       CAST(sum(1::BIGINT << (25 - register)) AS BIGINT)
+                         AS s_present
+                     FROM regs GROUP BY 1),
+             fin AS (SELECT g, nb,
+                       s_present + (256 - nb) * (1::BIGINT << 25) AS s_scaled
+                     FROM agg),
+             est AS (SELECT *,
+                       (71827 * ((CAST(256 * 256 AS BIGINT) *
+                         (1::BIGINT << 25)) // s_scaled)) // 100000 AS est
+                     FROM fin),
+             ex AS (SELECT l_returnflag AS g,
+                      CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_cnt
+                    FROM lineitem GROUP BY 1)
+             SELECT est.g, nb AS nonzero_buckets, s_scaled, est, exact_cnt,
+                    abs(est - exact_cnt) * 5 <= exact_cnt AS ok
+             FROM est JOIN ex USING (g)""")
+    ),
+
+    // Per-service percentiles: the grouped twin of x_quantiles_exact —
+    // the window partitions by group, so histogram rows spread across
+    // the cluster and no single-partition sort exists anywhere.
+    GraftQuery(
+      "x_quantiles_grouped",
+      (s, dir) =>
+        graft.ops.Quantiles.groupedQuantiles(Tables.events(s, dir),
+          col("event_type"), floor(col("value"))),
+      Some("""WITH c AS (SELECT event_type AS g,
+                     CAST(floor(value) AS BIGINT) AS v,
+                     CAST(count(*) AS BIGINT) AS cnt
+                   FROM events GROUP BY 1, 2),
+             cc AS (SELECT g, v,
+                      sum(cnt) OVER (PARTITION BY g ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+                      sum(cnt) OVER (PARTITION BY g) AS total
+                    FROM c),
+             q AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+                     ('p99', 99, 100), ('p999', 999, 1000))
+                     AS t(q, num, den)),
+             j AS (SELECT cc.g, q.q,
+                     (cc.total * q.num + q.den - 1) // q.den AS needed,
+                     cc.v, cc.cum
+                   FROM cc, q)
+             SELECT g, q, CAST(min(needed) AS BIGINT) AS rank_needed,
+                    CAST(min(v) AS BIGINT) AS value
+             FROM j WHERE cum >= needed GROUP BY g, q""")
+    ),
+
     // Temperature-flattened domain mixture (UniMax/mT5 α=0.5): keep
     // probability ∝ √n_d/n_d damps head domains; integer-exact weights
     // (⌊√n⌋, integer normalizer, precomputed integer thresholds) make

@@ -148,6 +148,40 @@ object Sketches {
         col("s_scaled"), col("est"))
   }
 
+  /** Grouped HLL — `COUNT(DISTINCT key) GROUP BY g` as sketches, the
+    * workhorse cardinality shape (distinct users per service, distinct
+    * URLs per domain). One aggregate with key cardinality ≤
+    * |groups|·m: partial max per (group, bucket) map-side, so the
+    * shuffle is bounded by the sketch size times the group count no
+    * matter how many rows or distinct keys flow in. Output one row per
+    * group with the same integer-exact estimator as [[hllEstimateFromRegs]].
+    */
+  def hllGroupedEstimate(df: DataFrame, group: Column, key: Column,
+                         p: Int = 8): DataFrame = {
+    require(p == 8, "estimator constant α is instantiated for p=8")
+    val m = 1 << p
+    val w = 32 - p
+    val pows = (0 to w + 1).map(i => 1L << ((w + 1) - i)).toArray
+    val isLong = df.select(key.as("__k")).schema.head.dataType ==
+      org.apache.spark.sql.types.LongType
+    val packed = org.apache.spark.sql.graftshim.shim.column(
+      graft.functions.HllBucketRank(
+        org.apache.spark.sql.graftshim.shim.expression(
+          if (isLong) key else key.cast("string")), p))
+    df.select(group.as("g"), packed.as("pk"))
+      .groupBy(col("g"), expr("pk div 64").as("bucket"))
+      .agg(max(expr("CAST(pk % 64 AS INT)")).as("register"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("nb"),
+        sum(element_at(typedLit(pows), col("register") + 1)).as("s_present"))
+      .withColumn("s_scaled",
+        col("s_present") + (lit(m.toLong) - col("nb")) * (1L << (w + 1)))
+      .withColumn("q1",
+        expr(s"CAST(${m.toLong * m * (1L << (w + 1))} AS BIGINT) div s_scaled"))
+      .select(col("g"), col("nb").as("nonzero_buckets"), col("s_scaled"),
+        expr("(71827 * q1) div 100000").as("est"))
+  }
+
   /** Estimate + the exact comparator a sketch exists to avoid — the
     * gate's ground truth (production drops it and keeps
     * [[hllEstimateFromRegs]]). The comparator's exact-distinct shuffle

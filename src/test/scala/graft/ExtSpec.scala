@@ -448,6 +448,28 @@ class ExtSpec extends AnyFunSuite {
     assert(again == kept.values.sum)
   }
 
+  test("grouped hll and grouped quantiles match their per-group builds") {
+    import graft.sketch.Sketches
+    import graft.ops.Quantiles
+    val d = ((0 until 900).map(i => ("a", s"k$i")) ++
+      (0 until 400).map(i => ("b", s"j$i"))).toDF("g", "k")
+    val grouped = Sketches.hllGroupedEstimate(d, col("g"), col("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // each group's estimate equals the ungrouped estimator on its slice
+    Seq("a", "b").foreach { g =>
+      val solo = Sketches.hllEstimateFromRegs(
+        Sketches.hllRegisters(d.filter(col("g") === g), col("k")))
+        .collect().head.getLong(3)
+      assert(grouped(g) == solo, s"group $g: ${grouped(g)} vs $solo")
+    }
+    val gq = Quantiles.groupedQuantiles(
+      ((1 to 100).map(v => ("a", v)) ++ (1 to 10).map(v => ("b", v * 10)))
+        .toDF("g", "v"), col("g"), col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(gq(("a", "p50")) == 50L && gq(("a", "p99")) == 99L, gq.toString)
+    assert(gq(("b", "p50")) == 50L && gq(("b", "p999")) == 100L, gq.toString)
+  }
+
   test("hll: register merge of halves equals registers of the union") {
     import graft.sketch.Sketches
     val a = (0L until 400L).map(i => Tuple1(s"k$i")).toDF("k")
