@@ -82,6 +82,14 @@ object GraftExtensions {
       two("vec_dot")(DotProduct)),
     (FunctionIdentifier("byte_dot"),
       info("byte_dot", "byte_dot(a, b) - packed-byte integer dot product"),
-      two("byte_dot")(ByteDotProduct))
+      two("byte_dot")(ByteDotProduct)),
+    (FunctionIdentifier("hll_bucket_rank"),
+      info("hll_bucket_rank",
+        "hll_bucket_rank(key, p) - HLL bucket*64+rank of md5(key)"),
+      { args: Seq[Expression] => args match {
+          case Seq(c, Literal(p: Int, IntegerType)) => HllBucketRank(c, p)
+          case _ => throw new IllegalArgumentException(
+            "hll_bucket_rank expects (key, int-literal p)")
+        } })
   )
 }

@@ -26,6 +26,14 @@ class ExtensionsSpec extends AnyFunSuite {
     val mh = r.getStruct(5)
     assert(mh.getString(0).toLowerCase.contains("png"), mh.toString)
     assert(mh.getInt(1) == 1 && mh.getInt(2) == 2)
+    // hll_bucket_rank: SQL surface equals the kernel, both input types
+    val hll = spark.sql(
+      """SELECT hll_bucket_rank('42', 8) AS s,
+                hll_bucket_rank(CAST(42 AS BIGINT), 8) AS l""")
+      .collect().head
+    assert(hll.getInt(0) == graft.functions.HllBucketRank.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("42"), 8))
+    assert(hll.getInt(0) == hll.getInt(1)) // long fast path = string path
   }
 
   test("warc_scan and gzip_compress compose in SQL") {
