@@ -316,6 +316,57 @@ object ExtQueries {
              FROM cand WHERE levenshtein(s_a, s_b) <= 2""")
     ),
 
+    // Fuzzy-pair clustering: the edit-distance join's survivors feed
+    // the star-contraction components — near-identical fingerprints
+    // collapse to one canonical id per linkage group (the record-
+    // linkage endgame: verify pairs, then resolve entities). Oracle
+    // replays the pairs and closes them with a recursive CTE.
+    GraftQuery(
+      "x_fuzzy_cluster",
+      (s, dir) => {
+        val strs = Tables.orders(s, dir).select(
+          col("o_orderkey").as("id"),
+          concat(md5(expr("o_orderkey div 5").cast("string")), lit("-"),
+            (col("o_orderkey") % 5).cast("string"),
+            (col("o_orderkey") % 3).cast("string")).as("s"))
+        val pairs = Dedup.editDistanceJoin(strs, col("id"), col("s"))
+        graft.dedup.Components.clusters(strs, col("id"), pairs,
+          "id_a", "id_b")
+      },
+      Some("""WITH RECURSIVE s AS (SELECT o_orderkey AS id,
+                     md5(CAST(o_orderkey // 5 AS VARCHAR)) || '-' ||
+                     CAST(o_orderkey % 5 AS VARCHAR) ||
+                     CAST(o_orderkey % 3 AS VARCHAR) AS s
+                   FROM orders),
+             g0 AS (SELECT id, s,
+                     unnest(list_distinct([substr(s, i, 8)
+                       FOR i IN range(1, length(s) - 6)])) AS gram
+                    FROM s WHERE length(s) >= 8),
+             hot AS (SELECT gram FROM
+                      (SELECT gram, count(DISTINCT id) AS c
+                       FROM g0 GROUP BY 1) WHERE c > 64),
+             g AS (SELECT g0.* FROM g0 ANTI JOIN hot USING (gram)),
+             cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                             a.s AS s_a, b.s AS s_b
+                      FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id
+                      WHERE abs(length(a.s) - length(b.s)) <= 2),
+             pairs AS (SELECT id_a, id_b FROM cand
+                       WHERE levenshtein(s_a, s_b) <= 2),
+             edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                       UNION SELECT id_b, id_a FROM pairs),
+             reach AS (SELECT id, id AS comp FROM s
+                       UNION
+                       SELECT e.dst AS id, reach.comp AS comp
+                       FROM reach JOIN edges e ON e.src = reach.id),
+             comp AS (SELECT id, min(comp) AS component FROM reach
+                      GROUP BY id)
+             SELECT id AS doc_id, component,
+                    CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+                      AS cluster_size,
+                    id = component AS is_canonical
+             FROM comp""")
+    ),
+
     // Exact n-gram Jaccard, computed only on LSH candidates (the scale
     // path: never O(n²)).
     GraftQuery(

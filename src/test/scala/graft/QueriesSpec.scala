@@ -10,6 +10,9 @@ object TestSpark {
     .config("spark.sql.codegen.maxFields", "256") // k=128 minhash agg stays codegen'd
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // bucketed-table specs saveAsTable into a throwaway warehouse
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
     .withExtensions(new GraftExtensions) // SQL surface under test too
     .getOrCreate()
   val sf: String = "/root/testdata/sf0.001"
