@@ -324,7 +324,13 @@ object ExtQueries {
     GraftQuery(
       "x_fuzzy_cluster",
       (s, dir) => {
-        val strs = Tables.orders(s, dir).select(
+        // a quarter of the linkage classes, kept INTACT (filter on the
+        // class id, not the row id) — the resolution mechanics are the
+        // subject here; x_fuzzy_join already pays the full-table pair
+        // bill in the same suite
+        val strs = Tables.orders(s, dir)
+          .filter(expr("(o_orderkey div 5) % 4 = 0"))
+          .select(
           col("o_orderkey").as("id"),
           concat(md5(expr("o_orderkey div 5").cast("string")), lit("-"),
             (col("o_orderkey") % 5).cast("string"),
@@ -337,7 +343,8 @@ object ExtQueries {
                      md5(CAST(o_orderkey // 5 AS VARCHAR)) || '-' ||
                      CAST(o_orderkey % 5 AS VARCHAR) ||
                      CAST(o_orderkey % 3 AS VARCHAR) AS s
-                   FROM orders),
+                   FROM orders
+                   WHERE (o_orderkey // 5) % 4 = 0),
              g0 AS (SELECT id, s,
                      unnest(list_distinct([substr(s, i, 8)
                        FOR i IN range(1, length(s) - 6)])) AS gram
