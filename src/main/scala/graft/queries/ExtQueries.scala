@@ -2423,6 +2423,26 @@ object ExtQueries {
              FROM est JOIN ex USING (g)""")
     ),
 
+    // The grouped sketch's production path in isolation (register
+    // tables per group, ≤ |groups|·m rows, no exact pass) — yardstick
+    // twin of x_sketch_hll_grouped, as x_sketch_hll_build is for the
+    // ungrouped gate.
+    GraftQuery(
+      "x_sketch_hll_grouped_build",
+      (s, dir) =>
+        graft.sketch.Sketches.hllGroupedRegisters(Tables.lineitem(s, dir),
+          col("l_returnflag"), col("l_orderkey")),
+      Some("""WITH h AS (SELECT l_returnflag AS g,
+                     ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+                       1, 8))::BIGINT AS h
+                   FROM lineitem)
+             SELECT g, h % 256 AS bucket,
+                    CAST(max(CASE WHEN h // 256 = 0 THEN 25
+                             ELSE 25 - length(bin(h // 256)) END) AS INT)
+                      AS register
+             FROM h GROUP BY 1, 2""")
+    ),
+
     // Per-service percentiles: the grouped twin of x_quantiles_exact —
     // the window partitions by group, so histogram rows spread across
     // the cluster and no single-partition sort exists anywhere.

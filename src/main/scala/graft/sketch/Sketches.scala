@@ -148,6 +148,23 @@ object Sketches {
         col("s_scaled"), col("est"))
   }
 
+  /** Per-group register tables — the production half of
+    * [[hllGroupedEstimate]] in isolation: ≤ |groups|·m rows out, one
+    * map-side-combined aggregate, no exact pass anywhere.
+    */
+  def hllGroupedRegisters(df: DataFrame, group: Column, key: Column,
+                          p: Int = 8): DataFrame = {
+    val isLong = df.select(key.as("__k")).schema.head.dataType ==
+      org.apache.spark.sql.types.LongType
+    val packed = org.apache.spark.sql.graftshim.shim.column(
+      graft.functions.HllBucketRank(
+        org.apache.spark.sql.graftshim.shim.expression(
+          if (isLong) key else key.cast("string")), p))
+    df.select(group.as("g"), packed.as("pk"))
+      .groupBy(col("g"), expr("CAST(pk div 64 AS BIGINT)").as("bucket"))
+      .agg(max(expr("CAST(pk % 64 AS INT)")).as("register"))
+  }
+
   /** Grouped HLL — `COUNT(DISTINCT key) GROUP BY g` as sketches, the
     * workhorse cardinality shape (distinct users per service, distinct
     * URLs per domain). One aggregate with key cardinality ≤
@@ -162,15 +179,7 @@ object Sketches {
     val m = 1 << p
     val w = 32 - p
     val pows = (0 to w + 1).map(i => 1L << ((w + 1) - i)).toArray
-    val isLong = df.select(key.as("__k")).schema.head.dataType ==
-      org.apache.spark.sql.types.LongType
-    val packed = org.apache.spark.sql.graftshim.shim.column(
-      graft.functions.HllBucketRank(
-        org.apache.spark.sql.graftshim.shim.expression(
-          if (isLong) key else key.cast("string")), p))
-    df.select(group.as("g"), packed.as("pk"))
-      .groupBy(col("g"), expr("pk div 64").as("bucket"))
-      .agg(max(expr("CAST(pk % 64 AS INT)")).as("register"))
+    hllGroupedRegisters(df, group, key, p)
       .groupBy(col("g"))
       .agg(count(lit(1)).as("nb"),
         sum(element_at(typedLit(pows), col("register") + 1)).as("s_present"))
