@@ -111,23 +111,17 @@ object Sketches {
       .agg(max(expr("CAST(pk % 64 AS INT)")).as("register"))
   }
 
-  /** One-row estimate + gate: the harmonic-mean estimator kept ENTIRELY
-    * in integer arithmetic so the DuckDB oracle replays it bit-exactly.
-    * `S = Σ_buckets 2^(w+1-M_b)` (scaled by 2^(w+1) so every term —
-    * including empty buckets at M=0 — is a whole number),
-    * `est = α_m·m²·2^(w+1)/S` with `α_256 ≈ 0.71827` as the rational
-    * 71827/100000 and the division done in two guarded integer steps
-    * that never overflow a BIGINT. The truncation the integer divisions
-    * introduce is ~1e-4 relative — three orders below the sketch's own
-    * 1.04/√m ≈ 6.5% standard error, which is what the `ok` column
-    * asserts (|est−exact| ≤ 20%·exact ≈ 3σ).
-    *
-    * The exact `countDistinct` alongside is the comparator a sketch
-    * exists to avoid — here it doubles as the gate's ground truth, as
-    * in [[countMinEstimate]].
-    */
   /** Production path: one-row (m, nonzero_buckets, s_scaled, est) from
-    * a register table — no exact pass anywhere.
+    * a register table — no exact pass anywhere. The harmonic-mean
+    * estimator stays ENTIRELY in integer arithmetic so the DuckDB
+    * oracle replays it bit-exactly: `S = Σ_buckets 2^(w+1-M_b)` (scaled
+    * by 2^(w+1) so every term — including empty buckets at M=0 — is a
+    * whole number), `est = α_m·m²·2^(w+1)/S` with `α_256 ≈ 0.71827` as
+    * the rational 71827/100000 and the division done in two guarded
+    * integer steps that never overflow a BIGINT. The truncation those
+    * divisions introduce is ~1e-4 relative — three orders below the
+    * sketch's own 1.04/√m ≈ 6.5% standard error, which is what the
+    * gate's `ok` column asserts (|est−exact| ≤ 20%·exact ≈ 3σ).
     */
   def hllEstimateFromRegs(regs: DataFrame, p: Int = 8): DataFrame = {
     require(p == 8, "estimator constant α is instantiated for p=8")
