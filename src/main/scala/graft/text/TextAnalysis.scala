@@ -894,25 +894,39 @@ object TextAnalysis {
     * map-only keep filter — the corpus never shuffles, the same shape
     * as [[stratifiedSample]] and the DSIR scorer.
     */
-  def temperatureMix(df: DataFrame, idCol: Column,
-                     domainCol: Column): DataFrame = {
+  /** The per-domain integer thresholds alone — bounded model state
+    * (|domains| rows). On a STREAM, train these on a batch corpus and
+    * apply with [[temperatureApply]]: the keep test is then a pure
+    * stream-static broadcast join + filter, no state store at all.
+    */
+  def temperatureThresholds(df: DataFrame, domainCol: Column): DataFrame = {
     val counts = df.groupBy(domainCol.as("domain"))
       .agg(count(lit(1)).as("n_d"))
       .withColumn("s_d",
         expr("CAST(floor(sqrt(CAST(n_d AS DOUBLE))) AS BIGINT)"))
     val norm = counts.agg(sum(col("s_d")).as("s_sum"),
       sum(col("n_d")).as("n_total"))
-    val thr = counts.crossJoin(norm)
+    counts.crossJoin(norm)
       .withColumn("thr",
         expr(s"((n_total div 4) * ${1L << 20} * s_d) div (s_sum * n_d)"))
       .select(col("domain"), col("n_d"), col("thr"))
+  }
+
+  /** Apply trained thresholds to any (possibly streaming) frame. */
+  def temperatureApply(df: DataFrame, idCol: Column, domainCol: Column,
+                       thresholds: DataFrame): DataFrame = {
     val h = conv(substring(md5(idCol.cast("string")), 1, 5), 16, 10)
       .cast("long")
     df.select(idCol.as("doc_id"), domainCol.as("domain"))
-      .join(broadcast(thr), "domain")
+      .join(broadcast(thresholds), "domain")
       .select(col("doc_id"), col("domain"), col("n_d"), col("thr"),
         (h < col("thr")).as("kept"))
   }
+
+  def temperatureMix(df: DataFrame, idCol: Column,
+                     domainCol: Column): DataFrame =
+    temperatureApply(df, idCol, domainCol,
+      temperatureThresholds(df, domainCol))
 
   /** RAG-style chunking: overlapping token windows of `win` tokens at
     * `stride` (< win ⇒ `win - stride` tokens of overlap), the unit every

@@ -210,6 +210,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, "streamed registers diverge from batch build")
   }
 
+  test("streaming temperature mix: batch thresholds gate a live stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // train on a skewed batch corpus: thresholds are |domains| rows of
+    // model state, so the streaming side is a stream-static broadcast
+    // join + filter — zero state store, any stream volume
+    val corpus = ((1 to 900).map(i => (i.toLong, "head")) ++
+      (1 to 100).map(i => (1000L + i, "tail"))).toDF("doc_id", "dom")
+    val thr = graft.text.TextAnalysis.temperatureThresholds(corpus, col("dom"))
+    val in = MemoryStream[(Long, String)]
+    val out = graft.text.TextAnalysis.temperatureApply(
+      in.toDS().toDF("doc_id", "dom"), col("doc_id"), col("dom"), thr)
+    val q = startToMemory(out, "tmix_stream")
+    try {
+      in.addData((1 to 200).map(i => (i.toLong, "head")) ++
+        (1 to 50).map(i => (1000L + i.toLong, "tail")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("tmix_stream").collect()
+      .map(r => (r.getString(1), r.getBoolean(4)))
+    assert(rows.length == 250) // every event judged, kept or not
+    val keptRate = rows.groupBy(_._1).map { case (g, xs) =>
+      g -> xs.count(_._2).toDouble / xs.size }
+    // streamed keep decisions equal the batch operator's on the same ids
+    val batchKept = graft.text.TextAnalysis.temperatureApply(
+      corpus, col("doc_id"), col("dom"), thr)
+      .filter(col("kept")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val streamKept = spark.table("tmix_stream").filter(col("kept"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamKept == batchKept.filter(id =>
+      (id >= 1 && id <= 200) || (id >= 1001 && id <= 1050)))
+    assert(keptRate("tail") > keptRate("head"), keptRate.toString)
+  }
+
   test("streaming exact dedup: first hash wins across batches, min-id in batch") {
     implicit val sqlCtx = spark.sqlContext
     import Stateful.HashedDoc
