@@ -104,3 +104,42 @@ object LogToMetrics {
       .withColumn("metric_type", lit("histogram"))
   }
 }
+
+/** Time-series OHLC downsampling — the TSDB rollup shape (a raw metric
+  * stream compacts to per-bucket open/high/low/close/sum rows before
+  * long-term storage; every metrics backend the reference exports to
+  * stores rollups of this form). One epoch-aligned `window()` aggregate
+  * per (series, bucket): partial min/max/min_by/max_by combine
+  * map-side, so the shuffle carries one partial row per (series,
+  * bucket, partition) regardless of raw point volume.
+  *
+  * First/last points are selected by `min_by`/`max_by` over a
+  * zero-padded (ts, id) string key — total order even under timestamp
+  * collisions, replayable as DuckDB's `arg_min/arg_max(v, VARCHAR)`.
+  * The sum folds in DECIMAL so the result is addition-order-free.
+  */
+object OhlcDownsample {
+  import org.apache.spark.sql.functions._
+
+  def apply(df: DataFrame, key: Column, tsCol: Column,
+            idCol: Column, valueCol: Column,
+            bucket: String = "1 minute"): DataFrame = {
+    // micro precision on both sides: DuckDB reads TIMESTAMP(NANOS)
+    // truncated to micros, so a nano-precision key would order
+    // micro-tied points differently in the two engines
+    val ord = concat(
+      lpad(unix_micros(tsCol).cast("string"), 20, "0"),
+      lpad(idCol.cast("string"), 12, "0"))
+    df.groupBy(key.as("k"), window(tsCol, bucket).as("w"))
+      .agg(
+        min_by(valueCol, ord).as("open"),
+        max(valueCol).as("high"),
+        min(valueCol).as("low"),
+        max_by(valueCol, ord).as("close"),
+        count(lit(1)).as("n_points"),
+        sum(valueCol.cast("decimal(28,6)")).cast("double").as("value_sum"))
+      .select(col("k"), unix_micros(col("w.start")).as("bucket_us"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_points"), col("value_sum"))
+  }
+}

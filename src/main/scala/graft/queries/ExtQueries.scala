@@ -1536,6 +1536,36 @@ object ExtQueries {
                ON c.user_id = p.user_id AND c.ts >= p.ts""")
     ),
 
+    // TSDB-style OHLC rollup: the raw metric stream compacts to
+    // per-(series, minute) open/high/low/close/sum rows — one
+    // epoch-aligned window aggregate, partials combine map-side, the
+    // shuffle carries one row per (series, bucket, partition) at any
+    // point volume. First/last by a total-order (ts, id) key,
+    // replayable as DuckDB arg_min/arg_max.
+    GraftQuery(
+      "x_series_ohlc",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        graft.ops.OhlcDownsample(ev, col("event_type"), col("ts"),
+          col("event_id"), col("value"))
+      },
+      Some("""WITH e AS (SELECT event_type AS k,
+                     (epoch_us(ts) // 60000000) * 60000000 AS bucket_us,
+                     value,
+                     lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+                     lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+                   FROM events)
+             SELECT k, bucket_us,
+                    arg_min(value, ord) AS open,
+                    max(value) AS high,
+                    min(value) AS low,
+                    arg_max(value, ord) AS close,
+                    CAST(count(*) AS BIGINT) AS n_points,
+                    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                      AS value_sum
+             FROM e GROUP BY 1, 2""")
+    ),
+
     // SemDeDup-style semantic dedup: k-means clusters the embedding
     // space, pairwise cosine runs only WITHIN a cluster, and a vector
     // is a duplicate when a lower-id cluster-mate is within the cosine

@@ -421,6 +421,26 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("ohlc rollup: first/last by time, extremes, order-free sum") {
+    import graft.ops.OhlcDownsample
+    val mk = java.sql.Timestamp.valueOf(_: String)
+    val d = Seq(
+      (1L, "m", mk("2026-01-01 10:00:05"), 3.0),
+      (2L, "m", mk("2026-01-01 10:00:01"), 7.0),  // earliest → open
+      (3L, "m", mk("2026-01-01 10:00:59"), 1.0),  // latest → close, low
+      (4L, "m", mk("2026-01-01 10:01:10"), 9.0)   // next bucket
+    ).toDF("event_id", "k", "ts", "v")
+    val out = OhlcDownsample(d, col("k"), col("ts"), col("event_id"),
+        col("v"))
+      .collect().map(r => r.getLong(1) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6))).toMap
+    val b0 = java.time.Instant.parse("2026-01-01T10:00:00Z")
+      .toEpochMilli * 1000
+    assert(out(b0) == ((7.0, 7.0, 1.0, 1.0, 3L)), out.toString)
+    assert(out(b0 + 60000000L) == ((9.0, 9.0, 9.0, 9.0, 1L)), out.toString)
+  }
+
   test("exact quantiles: integer-ceiling ranks on a known histogram") {
     import graft.ops.Quantiles
     // 1..100 once each: p50=50, p90=90, p99=99, p999=⌈99.9⌉=100
