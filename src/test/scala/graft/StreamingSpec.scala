@@ -210,6 +210,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, "streamed registers diverge from batch build")
   }
 
+  test("streaming ohlc rollup: min_by/max_by fold in watermarked windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[(Long, String, java.sql.Timestamp, Double)]
+    val ord = concat(lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 12, "0"))
+    val rolled = Streams.windowedAgg(
+      in.toDS().toDF("event_id", "k", "ts", "v"),
+      tsCol = "ts", watermark = "5 seconds", size = "1 minute",
+      advance = None, groupKeys = Seq("k"),
+      aggs = Seq(min_by(col("v"), ord).as("open"), max(col("v")).as("high"),
+        min(col("v")).as("low"), max_by(col("v"), ord).as("close"),
+        count(lit(1)).as("n")))
+    val q = rolled.writeStream.format("memory").queryName("ohlc_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    val mk = java.sql.Timestamp.valueOf(_: String)
+    try {
+      in.addData(
+        (1L, "m", mk("2026-01-01 10:00:05"), 3.0),
+        (2L, "m", mk("2026-01-01 10:00:01"), 7.0),
+        (3L, "m", mk("2026-01-01 10:00:59"), 1.0))
+      q.processAllAvailable()
+      // advance the watermark past the first bucket so it emits final
+      in.addData((4L, "m", mk("2026-01-01 10:02:30"), 9.0))
+      q.processAllAvailable()
+      awaitRows("ohlc_stream", 1)
+    } finally q.stop()
+    val r = spark.table("ohlc_stream").collect().head
+    // append mode emitted the CLOSED first bucket with batch semantics
+    assert(r.getAs[Double]("open") == 7.0 && r.getAs[Double]("close") == 1.0)
+    assert(r.getAs[Double]("high") == 7.0 && r.getAs[Double]("low") == 1.0)
+    assert(r.getAs[Long]("n") == 3L)
+  }
+
   test("streaming temperature mix: batch thresholds gate a live stream") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
