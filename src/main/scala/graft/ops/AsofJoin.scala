@@ -22,6 +22,26 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** Interval (range) join: every (left, right) pair with equal keys
+    * whose right timestamp falls in `[left_ts − range, left_ts]` — the
+    * "all correlated events in the window" companion to the as-of
+    * join's "just the latest". The key equality keeps the physical
+    * plan an equi-join (sort-merge/shuffled-hash on the key, the range
+    * as a post-join filter) — never a cartesian or a broadcast
+    * nested loop. On STREAMS the same condition is Spark's
+    * stream-stream join: with watermarks on both sides the time bound
+    * doubles as the state-retention bound (each side's buffered rows
+    * evict once the other's watermark passes the range), which is what
+    * keeps two infinite streams joinable in bounded memory.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: Column, rightKey: Column,
+                   leftTs: Column, rightTs: Column,
+                   range: String): DataFrame =
+    left.join(right,
+      leftKey === rightKey &&
+        rightTs <= leftTs && rightTs >= leftTs - expr(s"INTERVAL $range"))
+
   /** Backward (inclusive) as-of join. `left` keeps all its columns;
     * `right` contributes `payload` columns, null where no right row at
     * or before the left row's `ts` exists (LEFT OUTER semantics).

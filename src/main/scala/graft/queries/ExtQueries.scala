@@ -1566,6 +1566,40 @@ object ExtQueries {
              FROM e GROUP BY 1, 2""")
     ),
 
+    // Interval join: every purchase within 6 hours BEFORE each click of
+    // the same user — key equality keeps the plan an equi-join with the
+    // range as a filter (plan-pinned: no cartesian/BNLJ); the streaming
+    // twin is the watermarked stream-stream join where the same bound
+    // is the state-retention bound.
+    GraftQuery(
+      "x_interval_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("cts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("pts"),
+            col("value").as("purchase_value"))
+        graft.ops.AsofJoin.intervalJoin(clicks, purchases,
+            col("user_id"), col("p_user"), col("cts"), col("pts"),
+            "6 HOURS")
+          .select(col("click_id"), col("user_id"),
+            unix_micros(col("cts")).as("click_us"),
+            unix_micros(col("pts")).as("purchase_us"),
+            col("purchase_value"))
+      },
+      Some("""WITH c AS (SELECT event_id AS click_id, user_id, ts AS cts
+                   FROM events WHERE event_type = 'click'),
+             p AS (SELECT user_id AS p_user, ts AS pts,
+                     value AS purchase_value
+                   FROM events WHERE event_type = 'purchase')
+             SELECT click_id, user_id, epoch_us(cts) AS click_us,
+                    epoch_us(pts) AS purchase_us, purchase_value
+             FROM c JOIN p ON user_id = p_user
+               AND pts <= cts AND pts >= cts - INTERVAL 6 HOUR""")
+    ),
+
     // SemDeDup-style semantic dedup: k-means clusters the embedding
     // space, pairwise cosine runs only WITHIN a cluster, and a vector
     // is a duplicate when a lower-id cluster-mate is within the cosine

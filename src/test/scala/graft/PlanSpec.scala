@@ -350,6 +350,12 @@ class PlanSpec extends AnyFunSuite {
       plan.take(2500))
   }
 
+  test("interval join stays an equi-join: range is a filter, never BNLJ") {
+    val plan = planOf("x_interval_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan.take(2500))
+  }
+
   test("hll register build: codegen kernel, one bounded exchange") {
     // the production sketch path: hll_bucket_rank inline in the scan
     // projection, partial max per partition, and the only exchange

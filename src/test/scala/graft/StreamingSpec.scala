@@ -210,6 +210,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, "streamed registers diverge from batch build")
   }
 
+  test("stream-stream interval join: watermarks bound state, pairs emit") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = graft.ops.AsofJoin.intervalJoin(
+      clicks.toDS().toDF("click_id", "user_id", "cts")
+        .withWatermark("cts", "10 seconds"),
+      purchases.toDS().toDF("p_user", "pts", "v")
+        .withWatermark("pts", "10 seconds"),
+      col("user_id"), col("p_user"), col("cts"), col("pts"),
+      "30 SECONDS")
+    val q = joined.writeStream.format("memory").queryName("ivj_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    val mk = java.sql.Timestamp.valueOf(_: String)
+    try {
+      purchases.addData((7L, mk("2026-01-01 10:00:00"), 5.0),
+        (7L, mk("2026-01-01 09:58:00"), 1.0)) // outside the 30s window
+      clicks.addData((1L, 7L, mk("2026-01-01 10:00:20")),
+        (2L, 8L, mk("2026-01-01 10:00:20"))) // no purchases for user 8
+      q.processAllAvailable()
+      awaitRows("ivj_stream", 1)
+    } finally q.stop()
+    val rows = spark.table("ivj_stream").collect()
+      .map(r => (r.getLong(0), r.getDouble(5)))
+    assert(rows.toSeq == Seq((1L, 5.0)), rows.mkString(","))
+  }
+
   test("streaming ohlc rollup: min_by/max_by fold in watermarked windows") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
