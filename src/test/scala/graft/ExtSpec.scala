@@ -468,6 +468,28 @@ class ExtSpec extends AnyFunSuite {
     assert(again == kept.values.sum)
   }
 
+  test("partition-layout invariance: same results under any repartition") {
+    // the integer-exact designs (floor-sqrt weights, register max,
+    // integer-ceiling ranks) must be immune to partitioning — a float
+    // normalizer or order-sensitive sum would break this under skew
+    import graft.sketch.Sketches
+    import graft.ops.Quantiles
+    val d = ((1 to 700).map(i => (i.toLong, "head", i % 40)) ++
+      (1 to 90).map(i => (1000L + i, "tail", i % 25)))
+      .toDF("doc_id", "dom", "v")
+    def run(df: org.apache.spark.sql.DataFrame) = (
+      TextAnalysis.temperatureMix(df, col("doc_id"), col("dom"))
+        .filter(col("kept")).select("doc_id").collect().map(_.getLong(0)).toSet,
+      Sketches.hllRegisters(df, col("doc_id")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap,
+      Quantiles.exactQuantiles(df, col("v")).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap)
+    val a = run(d.repartition(1))
+    val b = run(d.repartition(13, col("v")))
+    val c = run(d.repartition(5, col("dom")))
+    assert(a == b && b == c)
+  }
+
   test("grouped hll and grouped quantiles match their per-group builds") {
     import graft.sketch.Sketches
     import graft.ops.Quantiles
