@@ -126,10 +126,10 @@ object OhlcDownsample {
             bucket: String = "1 minute"): DataFrame = {
     // micro precision on both sides: DuckDB reads TIMESTAMP(NANOS)
     // truncated to micros, so a nano-precision key would order
-    // micro-tied points differently in the two engines
-    val ord = concat(
-      lpad(unix_micros(tsCol).cast("string"), 20, "0"),
-      lpad(idCol.cast("string"), 12, "0"))
+    // micro-tied points differently in the two engines. A STRUCT key
+    // ((ts, id) lexicographic) selects identically to the oracle's
+    // zero-padded string while allocating nothing per row.
+    val ord = struct(unix_micros(tsCol).as("t"), idCol.as("i"))
     df.groupBy(key.as("k"), window(tsCol, bucket).as("w"))
       .agg(
         min_by(valueCol, ord).as("open"),

@@ -400,6 +400,34 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("property: interval join equals brute-force range filtering") {
+    import graft.ops.AsofJoin
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowGen = for { k <- Gen.choose(1L, 3L); t <- Gen.choose(0L, 120L) }
+      yield (k, t)
+    (1 to 4).foreach { seed =>
+      val ls = Gen.listOfN(20, rowGen)(Gen.Parameters.default,
+        Seed(seed.toLong)).get.distinct.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, new java.sql.Timestamp(t * 1000)) }
+      val rs = Gen.listOfN(15, rowGen)(Gen.Parameters.default,
+        Seed(seed + 50L)).get.distinct
+        .map { case (k, t) => (k, new java.sql.Timestamp(t * 1000), k * 1000 + t) }
+      val got = AsofJoin.intervalJoin(
+          ls.toDF("lid", "k", "lts"),
+          rs.toDF("rk", "rts", "pay"),
+          col("k"), col("rk"), col("lts"), col("rts"), "30 SECONDS")
+        .select("lid", "pay").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (for {
+        (lid, k, lts) <- ls; (rk, rts, pay) <- rs
+        if rk == k && !rts.after(lts) &&
+          rts.getTime >= lts.getTime - 30000L
+      } yield (lid, pay)).toSet
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("property: exact quantiles equal sorted-list indexing") {
     import graft.ops.Quantiles
     import org.scalacheck.Gen
