@@ -1,0 +1,277 @@
+package graft.obs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Observability analytics over the engine's log/metric/trace rows — the
+  * query side of the reference's telemetry pipeline (the reference ships
+  * the data with out_prometheus_exporter / out_opentelemetry and leaves
+  * analysis to a TSDB; here the engine answers those queries itself,
+  * Spark-first).
+  *
+  * Semantics follow the public art: PromQL counter `rate`/`increase`
+  * reset handling (Prometheus docs; the reference's
+  * plugins/filter_log_to_metrics + processor cumulative_to_delta produce
+  * exactly such counters — cmt_counter in cmetrics), HDR-histogram-style
+  * base-2 bucketing (hdrhistogram.org public spec), Drain-style log
+  * template mining (He et al., ICWS 2017), the two-window SLO burn-rate
+  * alert (Google SRE Workbook ch. 5, public), and the OTLP span
+  * parent→child service graph (reference
+  * plugins/in_opentelemetry/opentelemetry_prot.c span model).
+  *
+  * Every operator is integer-exact (cents / nanoseconds / cross-
+  * multiplied ratios) so a SQL oracle replays results bit-for-bit.
+  *
+  * Scale notes are per-operator; the common spine is: one keyed window
+  * shuffle (the TSDB series layout) or one keyed equi-join, partial
+  * aggregation map-side, and never a driver-side collect of record data.
+  */
+object Observability {
+
+  /** Exact integer cents from a 2-decimal DOUBLE column (DECIMAL round-trip
+    * — replayed by `CAST(CAST(v AS DECIMAL(18,2))*100 AS BIGINT)`).
+    */
+  def cents(value: Column): Column =
+    (value.cast("decimal(18,2)") * lit(100)).cast("long")
+
+  /** PromQL-style counter increase/rate per (series, bucket).
+    *
+    * Input rows are monotone-counter SAMPLES (series, orderNs, orderId,
+    * counter). Reset rule (Prometheus): delta = counter - prev; a negative
+    * delta means the counter restarted from zero, so the increase
+    * contributed is the post-reset value itself. The first sample of a
+    * series contributes 0 (no extrapolation — the exact-arithmetic subset
+    * of PromQL's rate()).
+    *
+    * Scale: ONE window shuffle keyed by series — the classic TSDB series
+    * sharding; series cardinality is the parallelism, per-series state is
+    * a sort. Bucket aggregation after it is map-side (rows already
+    * series-local). rate_per_sec = increase/bucket_seconds on identical
+    * integer operands → identical IEEE doubles in any engine.
+    */
+  def counterRate(samples: DataFrame, series: Column, tsNs: Column,
+                  ordId: Column, counter: Column,
+                  bucketUs: Long): DataFrame = {
+    val withPrev = samples.select(
+        series.as("series"), tsNs.as("ts_ns"), ordId.as("ord"),
+        counter.as("counter"))
+      .withColumn("prev", lag(col("counter"), 1).over(
+        Window.partitionBy(col("series")).orderBy(col("ts_ns"), col("ord"))))
+    val inc = when(col("prev").isNull, lit(0L))
+      .when(col("counter") < col("prev"), col("counter"))
+      .otherwise(col("counter") - col("prev"))
+    withPrev
+      .withColumn("bucket_us",
+        expr(s"(ts_ns div 1000 div $bucketUs) * $bucketUs"))
+      .groupBy(col("series"), col("bucket_us"))
+      .agg(sum(inc).as("increase_cents"),
+        count(lit(1)).as("n_samples"))
+      .withColumn("rate_per_sec",
+        col("increase_cents").cast("double") / lit(bucketUs / 1000000.0 * 100.0))
+  }
+
+  /** HDR-histogram-style sketch quantiles per series.
+    *
+    * Bucket = value with all but the top (1+subBits) significant bits
+    * zeroed: shift = max(bitlen(v) - 1 - subBits, 0), lo = (v>>shift)<<shift
+    * — pure integer math, replayable in SQL via
+    * `length(format('{:b}', v))` for bitlen. 2^subBits sub-buckets per
+    * octave bounds relative error at 2^-subBits.
+    *
+    * Scale: the histogram compacts to ≤ 64·2^subBits rows per series
+    * BEFORE the shuffle (partial agg map-side); the quantile select is the
+    * exact-rank cum/total pattern over those bounded rows — no global
+    * sort of raw values anywhere, and the sketch rows are mergeable
+    * across shards/time by summing counts.
+    */
+  def hdrQuantiles(df: DataFrame, series: Column, v: Column,
+                   subBits: Int = 4,
+                   qs: Seq[(String, Int, Int)] =
+                     Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+      : DataFrame = {
+    val clamped = greatest(v.cast("long"), lit(0L))
+    val bucketed = df.select(series.as("series"), clamped.as("v"))
+      .withColumn("shift",
+        greatest(expr("length(bin(v))") - lit(1 + subBits), lit(0)))
+      .withColumn("lo", expr("shiftleft(shiftright(v, shift), shift)"))
+    val counts = bucketed.groupBy(col("series"), col("lo"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("series")).orderBy(col("lo"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("series")).orderBy(col("lo"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("total", sum(col("cnt")).over(wAll))
+      .select(col("series"), col("lo"), col("cum"), col("total"),
+        explode(typedLit(qs)).as("q"))
+      .withColumn("needed", expr("(total * q._2 + q._3 - 1) div q._3"))
+      .filter(col("cum") >= col("needed"))
+      .groupBy(col("series"), col("q._1").as("q"))
+      .agg(min(col("needed")).as("rank_needed"),
+        min(col("lo")).as("bucket_lo"))
+  }
+
+  /** Drain-style log template mining: mask the variable tokens (long hex
+    * runs, then digit runs), group identical masks. The mask pass is
+    * map-only codegen regexp; the groupBy shuffles one row per
+    * (template, partition) thanks to partial aggregation — template
+    * cardinality, not line count, crosses the wire.
+    */
+  def logTemplates(df: DataFrame, line: Column, user: Column): DataFrame = {
+    val template = regexp_replace(
+      regexp_replace(line, "[0-9a-f]{20,}", "<HEX>"), "[0-9]+", "<N>")
+    df.select(template.as("template"), line.as("line"), user.as("u"))
+      .groupBy(col("template"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("u")).as("n_users"),
+        min(col("line")).as("first_line"))
+  }
+
+  /** Service dependency graph from spans: child joins its parent span on
+    * (trace_id, parent_span_id = span_id) — the arrival-order-free way
+    * OTLP span trees are assembled — then edges aggregate to
+    * (client_service, server_service) with call counts and latency sums.
+    *
+    * Scale: ONE shuffle equi-join keyed by (trace_id, span_id); traces
+    * are small and uniformly hashed so no skew; edge agg is map-side
+    * partial (edge cardinality = |services|²).
+    */
+  def serviceGraph(spans: DataFrame): DataFrame = {
+    val parents = spans.select(col("trace_id").as("p_trace"),
+      col("span_id").as("p_span"), col("service").as("client"),
+      col("ts_ns").as("p_ts_ns"))
+    val children = spans.filter(col("parent_span_id").isNotNull)
+      .select(col("trace_id"), col("parent_span_id"),
+        col("service").as("server"), col("ts_ns"))
+    children.join(parents,
+        col("trace_id") === col("p_trace") &&
+          col("parent_span_id") === col("p_span"))
+      .groupBy(col("client"), col("server"))
+      .agg(count(lit(1)).as("n_calls"),
+        sum(expr("(ts_ns - p_ts_ns) div 1000")).as("latency_us_sum"))
+  }
+
+  /** Two-window SLO burn-rate alert (SRE Workbook): per (service, 30-min
+    * bucket) error counts, plus the rolling 12-bucket (6 h) sums; a page
+    * fires when BOTH windows burn faster than the error budget.
+    * budget = budgetNum/budgetDen (e.g. 1/50 = 2%); the comparison is the
+    * integer cross-multiply errors·den > total·num — no ratio division.
+    *
+    * Scale: bucket partials are map-side; the rolling window is keyed by
+    * service over ALREADY-AGGREGATED bucket rows (≤ |services|·buckets),
+    * so the second shuffle carries partials, never events.
+    */
+  def sloBurn(df: DataFrame, service: Column, tsNs: Column, isError: Column,
+              bucketUs: Long = 1800000000L, budgetNum: Int = 1,
+              budgetDen: Int = 50, longBuckets: Int = 12): DataFrame = {
+    val buckets = df.select(service.as("service"), tsNs.as("ts_ns"),
+        isError.cast("long").as("err"))
+      .withColumn("bucket_us",
+        expr(s"(ts_ns div 1000 div $bucketUs) * $bucketUs"))
+      .groupBy(col("service"), col("bucket_us"))
+      .agg(count(lit(1)).as("total"), sum(col("err")).as("errors"))
+    val wLong = Window.partitionBy(col("service")).orderBy(col("bucket_us"))
+      .rowsBetween(-(longBuckets - 1), Window.currentRow)
+    buckets
+      .withColumn("long_total", sum(col("total")).over(wLong))
+      .withColumn("long_errors", sum(col("errors")).over(wLong))
+      .withColumn("burn_short",
+        col("errors") * budgetDen > col("total") * budgetNum)
+      .withColumn("burn_long",
+        col("long_errors") * budgetDen > col("long_total") * budgetNum)
+      .withColumn("page", col("burn_short") && col("burn_long"))
+  }
+
+  /** Ordered conversion funnel stage1→stage2→stage3, each step within
+    * `horizonNs` of the previous: t1 = first stage1 event, t2 = first
+    * stage2 in (t1, t1+h], t3 = first stage3 in (t2, t2+h]. Emits one row
+    * per funnel depth with user counts and exact step-latency sums.
+    *
+    * Scale: all three stage times are conditional-min WINDOW aggregates
+    * over the SAME user partition — one exchange, one sort, three window
+    * passes (each references the previous pass's column); the per-user
+    * collapse reuses that partitioning and the final depth rollup is
+    * four rows.
+    */
+  def funnel(df: DataFrame, user: Column, tsNs: Column, stage: Column,
+             s1: String, s2: String, s3: String, horizonNs: Long): DataFrame = {
+    val w = Window.partitionBy(col("u"))
+    val staged = df.select(user.as("u"), tsNs.as("t"), stage.as("st"))
+      .withColumn("t1", min(when(col("st") === s1, col("t"))).over(w))
+      .withColumn("t2", min(when(col("st") === s2 &&
+        col("t") > col("t1") && col("t") <= col("t1") + horizonNs,
+        col("t"))).over(w))
+      .withColumn("t3", min(when(col("st") === s3 &&
+        col("t") > col("t2") && col("t") <= col("t2") + horizonNs,
+        col("t"))).over(w))
+    val perUser = staged.groupBy(col("u"))
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"),
+        min(col("t3")).as("t3"))
+    perUser
+      .withColumn("depth",
+        when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1).otherwise(0))
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("t2") - col("t1")).as("step12_ns_sum"),
+        sum(col("t3") - col("t2")).as("step23_ns_sum"))
+  }
+
+  /** Retention cohorts: cohort = the user's first active day; one output
+    * row per (cohort_day, day_offset) with distinct active users.
+    *
+    * Scale: the first-day window and the (user, day) dedup share the
+    * user-keyed partitioning (one exchange feeds both); the final rollup
+    * aggregates the deduped pairs — bounded by users·active-days, with
+    * map-side partials.
+    */
+  def retentionCohorts(df: DataFrame, user: Column, tsNs: Column): DataFrame = {
+    val w = Window.partitionBy(col("u"))
+    df.select(user.as("u"), tsNs.as("tn"))
+      .withColumn("day", expr("tn div 86400000000000"))
+      .withColumn("cohort_day", min(col("day")).over(w))
+      .groupBy(col("u"), col("cohort_day"), col("day")).agg(count(lit(1)).as("_n"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Median / MAD (median absolute deviation) outlier detection per group
+    * — the robust z-score: flag v where |v - median| > k·MAD. Lower
+    * medians (rank ⌈n/2⌉) keep everything integer-exact.
+    *
+    * Scale: both medians run on VALUE-HISTOGRAM rows (groupBy (g, v)
+    * count — bounded by distinct values, partial-agg'd map-side), the
+    * exact-rank select is the same cum/total pattern as
+    * [[graft.ops.Quantiles]]; the two model joins carry one row per
+    * group and broadcast under AQE.
+    */
+  def anomalyMad(df: DataFrame, group: Column, v: Column,
+                 k: Int = 5): DataFrame = {
+    def medianOf(in: DataFrame): DataFrame = {
+      val counts = in.groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("g")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      counts
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("total", sum(col("cnt")).over(wAll))
+        .withColumn("needed", expr("(total + 1) div 2"))
+        .filter(col("cum") >= col("needed"))
+        .groupBy(col("g")).agg(min(col("v")).as("med"))
+    }
+    val base = df.select(group.as("g"), v.cast("long").as("v"))
+    val med = medianOf(base)
+    val withMed = base.join(med, "g")
+    val dev = withMed.select(col("g"), abs(col("v") - col("med")).as("v"))
+    val mad = medianOf(dev).withColumnRenamed("med", "mad")
+    withMed.join(mad, "g")
+      .groupBy(col("g").as("service"))
+      .agg(min(col("med")).as("median_v"), min(col("mad")).as("mad_v"),
+        count(lit(1)).as("n_total"),
+        sum((abs(col("v") - col("med")) > col("mad") * k).cast("long"))
+          .as("n_outliers"))
+  }
+}

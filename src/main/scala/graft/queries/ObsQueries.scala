@@ -1,0 +1,307 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.obs.Observability
+
+/** Observability-analytics gates: the queries a fluent-bit user runs
+  * DOWNSTREAM of the shipper (PromQL counter math, histogram quantiles,
+  * log template mining, trace service graphs, SRE burn-rate alerts,
+  * product funnels/retention, robust outliers) answered by the engine
+  * itself. All integer-exact; every gate hash-matches a DuckDB replay.
+  */
+object ObsQueries {
+
+  private def eventsWithCents(s: org.apache.spark.sql.SparkSession,
+                              dir: String) =
+    Tables.events(s, dir)
+      .withColumn("cents", Observability.cents(col("value")))
+
+  /** Shared oracle prelude: events with exact integer cents + ns time. */
+  private val S =
+    """WITH s AS (SELECT event_type, event_id, user_id, ts, props,
+                   epoch_ns(ts) AS ts_ns,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                 FROM events)"""
+
+  def all: Seq[GraftQuery] = Seq(
+
+    // PromQL rate()/increase() with counter-reset handling. The counter
+    // is synthesized as a running sum mod 1e6 cents — the modulo plants
+    // genuine resets for the reset rule (delta<0 ⇒ counter restarted,
+    // contribute the post-reset value) to handle; reference counters come
+    // from plugins/filter_log_to_metrics (cmt_counter) and
+    // processor cumulative_to_delta ships the same delta semantics.
+    GraftQuery(
+      "x_obs_rate",
+      (s, dir) => {
+        val wCum = Window.partitionBy(col("series"))
+          .orderBy(col("ts_ns"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val samples = eventsWithCents(s, dir)
+          .select(col("event_type").as("series"), col("ts_ns"),
+            col("event_id"), col("cents"))
+          .withColumn("counter", sum(col("cents")).over(wCum) % 1000000L)
+        Observability.counterRate(samples, col("series"), col("ts_ns"),
+          col("event_id"), col("counter"), bucketUs = 600000000L)
+      },
+      Some(S + """,
+             c AS (SELECT event_type AS series, ts_ns, event_id,
+                     CAST(sum(cents) OVER (PARTITION BY event_type
+                       ORDER BY ts_ns, event_id ROWS UNBOUNDED PRECEDING)
+                       % 1000000 AS BIGINT) AS counter
+                   FROM s),
+             d AS (SELECT series, ts_ns, counter,
+                     lag(counter) OVER (PARTITION BY series
+                       ORDER BY ts_ns, event_id) AS prev
+                   FROM c)
+             SELECT series,
+                    (ts_ns // 1000 // 600000000) * 600000000 AS bucket_us,
+                    CAST(sum(CASE WHEN prev IS NULL THEN 0
+                             WHEN counter < prev THEN counter
+                             ELSE counter - prev END) AS BIGINT)
+                      AS increase_cents,
+                    CAST(count(*) AS BIGINT) AS n_samples,
+                    CAST(sum(CASE WHEN prev IS NULL THEN 0
+                             WHEN counter < prev THEN counter
+                             ELSE counter - prev END) AS DOUBLE) / 60000.0
+                      AS rate_per_sec
+             FROM d GROUP BY 1, 2""")
+    ),
+
+    // HDR-histogram quantiles: base-2 buckets with 16 sub-buckets per
+    // octave (bitlen via the binary-format length — exact in both
+    // engines), exact-rank select over the compacted histogram.
+    GraftQuery(
+      "x_obs_hdr_quantiles",
+      (s, dir) =>
+        Observability.hdrQuantiles(eventsWithCents(s, dir),
+          col("event_type"), col("cents")),
+      Some("""WITH s AS (SELECT event_type AS series,
+                     greatest(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT), 0) AS v
+                   FROM events),
+             b AS (SELECT series, v,
+                     greatest(length(format('{:b}', v)) - 5, 0) AS sh
+                   FROM s),
+             l AS (SELECT series, CAST((v >> sh) << sh AS BIGINT) AS lo
+                   FROM b),
+             c AS (SELECT series, lo, CAST(count(*) AS BIGINT) AS cnt
+                   FROM l GROUP BY 1, 2),
+             cc AS (SELECT series, lo,
+                      sum(cnt) OVER (PARTITION BY series ORDER BY lo
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+                      sum(cnt) OVER (PARTITION BY series) AS total
+                    FROM c),
+             q AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+                     ('p99', 99, 100)) AS t(q, num, den)),
+             j AS (SELECT cc.series, q.q,
+                     (cc.total * q.num + q.den - 1) // q.den AS needed,
+                     cc.lo, cc.cum
+                   FROM cc, q)
+             SELECT series, q, CAST(min(needed) AS BIGINT) AS rank_needed,
+                    CAST(min(lo) AS BIGINT) AS bucket_lo
+             FROM j WHERE cum >= needed GROUP BY 1, 2""")
+    ),
+
+    // Drain-style template mining over synthesized log lines (the line
+    // shapes mimic the reference's own engine logs); variable tokens
+    // (hex ids, numbers) mask to <HEX>/<N>, identical masks group.
+    GraftQuery(
+      "x_obs_log_templates",
+      (s, dir) => {
+        val ev = eventsWithCents(s, dir)
+        val k = regexp_extract(col("props"), "[0-9]+", 0)
+        val msg = when(col("event_type") === "error",
+            concat(lit("failed to flush chunk "), col("event_id"),
+              lit(" retries="), k))
+          .when(col("event_type") === "click",
+            concat(lit("GET /api/item/"), col("event_id"),
+              lit(" status=200 bytes="), col("cents")))
+          .when(col("event_type") === "purchase",
+            concat(lit("order "), col("event_id"), lit(" amount_cents="),
+              col("cents"), lit(" user="), col("user_id")))
+          .when(col("event_type") === "signup",
+            concat(lit("new user "), col("user_id"), lit(" ref="),
+              md5(col("user_id").cast("string"))))
+          .otherwise(concat(lit("GET /page/"), k, lit(" user="),
+            col("user_id")))
+        val line = concat(lit("["), expr("ts_ns div 1000"), lit("] "), msg)
+        Observability.logTemplates(ev.withColumn("line", line),
+          col("line"), col("user_id"))
+      },
+      Some(S + """,
+             l AS (SELECT user_id,
+                     '[' || CAST(ts_ns // 1000 AS VARCHAR) || '] ' ||
+                     CASE event_type
+                       WHEN 'error' THEN 'failed to flush chunk ' ||
+                         event_id || ' retries=' ||
+                         regexp_extract(props, '[0-9]+')
+                       WHEN 'click' THEN 'GET /api/item/' || event_id ||
+                         ' status=200 bytes=' || cents
+                       WHEN 'purchase' THEN 'order ' || event_id ||
+                         ' amount_cents=' || cents || ' user=' || user_id
+                       WHEN 'signup' THEN 'new user ' || user_id ||
+                         ' ref=' || md5(CAST(user_id AS VARCHAR))
+                       ELSE 'GET /page/' ||
+                         regexp_extract(props, '[0-9]+') ||
+                         ' user=' || user_id END AS line
+                   FROM s)
+             SELECT regexp_replace(regexp_replace(line,
+                      '[0-9a-f]{20,}', '<HEX>', 'g'),
+                      '[0-9]+', '<N>', 'g') AS template,
+                    CAST(count(*) AS BIGINT) AS n_lines,
+                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                    min(line) AS first_line
+             FROM l GROUP BY 1""")
+    ),
+
+    // OTLP-shaped service dependency graph: spans assemble child→parent
+    // by (trace_id, parent_span_id) equi-join — never by arrival order —
+    // and aggregate to service edges with exact latency sums.
+    GraftQuery(
+      "x_obs_service_graph",
+      (s, dir) => {
+        val spans = Tables.events(s, dir)
+          .select(col("user_id").as("trace_id"),
+            col("event_id").as("span_id"),
+            col("event_type").as("service"), col("ts_ns"))
+          .withColumn("parent_span_id",
+            lag(col("span_id"), 1).over(Window.partitionBy(col("trace_id"))
+              .orderBy(col("ts_ns"), col("span_id"))))
+        Observability.serviceGraph(spans)
+      },
+      Some("""WITH sp AS (SELECT user_id AS trace_id, event_id AS span_id,
+                     event_type AS service, epoch_ns(ts) AS ts_ns,
+                     lag(event_id) OVER (PARTITION BY user_id
+                       ORDER BY epoch_ns(ts), event_id) AS parent_span_id
+                   FROM events)
+             SELECT p.service AS client, c.service AS server,
+                    CAST(count(*) AS BIGINT) AS n_calls,
+                    CAST(sum((c.ts_ns - p.ts_ns) // 1000) AS BIGINT)
+                      AS latency_us_sum
+             FROM sp c JOIN sp p ON c.trace_id = p.trace_id
+               AND c.parent_span_id = p.span_id
+             GROUP BY 1, 2""")
+    ),
+
+    // Two-window SLO burn-rate alert (SRE Workbook): 30-min buckets,
+    // 6-h rolling sums, 2% error budget; alert = both windows burn.
+    // Integer cross-multiply — no ratio division anywhere.
+    GraftQuery(
+      "x_obs_slo_burn",
+      (s, dir) =>
+        Observability.sloBurn(Tables.events(s, dir),
+          concat(lit("svc"), col("user_id") % 4), col("ts_ns"),
+          col("event_type") === "error"),
+      Some("""WITH s AS (SELECT 'svc' || CAST(user_id % 4 AS VARCHAR)
+                       AS service,
+                     epoch_ns(ts) AS ts_ns,
+                     CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS err
+                   FROM events),
+             b AS (SELECT service,
+                     (ts_ns // 1000 // 1800000000) * 1800000000 AS bucket_us,
+                     CAST(count(*) AS BIGINT) AS total,
+                     CAST(sum(err) AS BIGINT) AS errors
+                   FROM s GROUP BY 1, 2),
+             r AS (SELECT *,
+                     CAST(sum(total) OVER w AS BIGINT) AS long_total,
+                     CAST(sum(errors) OVER w AS BIGINT) AS long_errors
+                   FROM b WINDOW w AS (PARTITION BY service
+                     ORDER BY bucket_us ROWS 11 PRECEDING))
+             SELECT service, bucket_us, total, errors, long_total,
+                    long_errors,
+                    errors * 50 > total AS burn_short,
+                    long_errors * 50 > long_total AS burn_long,
+                    (errors * 50 > total) AND
+                      (long_errors * 50 > long_total) AS page
+             FROM r""")
+    ),
+
+    // Ordered conversion funnel signup→click→purchase, each step within
+    // 7 days of the previous; one exchange drives all three stage
+    // windows AND the per-user collapse.
+    GraftQuery(
+      "x_obs_funnel",
+      (s, dir) =>
+        Observability.funnel(Tables.events(s, dir), col("user_id"),
+            col("ts_ns"), col("event_type"),
+            "signup", "click", "purchase", horizonNs = 604800000000000L)
+          .withColumn("depth", col("depth").cast("long")),
+      Some("""WITH e AS (SELECT user_id AS u, epoch_ns(ts) AS t,
+                     event_type AS st FROM events),
+             w1 AS (SELECT *, min(CASE WHEN st = 'signup' THEN t END)
+                      OVER (PARTITION BY u) AS t1 FROM e),
+             w2 AS (SELECT *, min(CASE WHEN st = 'click' AND t > t1
+                      AND t <= t1 + 604800000000000 THEN t END)
+                      OVER (PARTITION BY u) AS t2 FROM w1),
+             w3 AS (SELECT *, min(CASE WHEN st = 'purchase' AND t > t2
+                      AND t <= t2 + 604800000000000 THEN t END)
+                      OVER (PARTITION BY u) AS t3 FROM w2),
+             pu AS (SELECT u, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+                    FROM w3 GROUP BY 1)
+             SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                         WHEN t2 IS NOT NULL THEN 2
+                         WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+                      AS depth,
+                    CAST(count(*) AS BIGINT) AS n_users,
+                    CAST(sum(t2 - t1) AS BIGINT) AS step12_ns_sum,
+                    CAST(sum(t3 - t2) AS BIGINT) AS step23_ns_sum
+             FROM pu GROUP BY 1""")
+    ),
+
+    // Retention cohorts: cohort = first active day per user; distinct
+    // active users per (cohort, day-offset) cell.
+    GraftQuery(
+      "x_obs_retention",
+      (s, dir) =>
+        Observability.retentionCohorts(Tables.events(s, dir),
+          col("user_id"), col("ts_ns")),
+      Some("""WITH e AS (SELECT user_id AS u,
+                     epoch_ns(ts) // 86400000000000 AS day FROM events),
+             c AS (SELECT *, min(day) OVER (PARTITION BY u) AS cohort_day
+                   FROM e),
+             d AS (SELECT DISTINCT u, cohort_day, day FROM c)
+             SELECT cohort_day, day - cohort_day AS day_offset,
+                    CAST(count(*) AS BIGINT) AS n_users
+             FROM d GROUP BY 1, 2""")
+    ),
+
+    // Robust outlier detection: per-service median/MAD (lower medians,
+    // integer-exact), outlier = |v - med| > 5·MAD.
+    GraftQuery(
+      "x_obs_anomaly_mad",
+      (s, dir) =>
+        Observability.anomalyMad(eventsWithCents(s, dir),
+          col("event_type"), col("cents"), k = 5),
+      Some("""WITH s AS (SELECT event_type AS g,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+                   FROM events),
+             c1 AS (SELECT g, v, count(*) AS cnt FROM s GROUP BY 1, 2),
+             cc1 AS (SELECT g, v,
+                       sum(cnt) OVER (PARTITION BY g ORDER BY v
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+                       sum(cnt) OVER (PARTITION BY g) AS total
+                     FROM c1),
+             m1 AS (SELECT g, min(v) AS med FROM cc1
+                    WHERE cum >= (total + 1) // 2 GROUP BY 1),
+             dv AS (SELECT s.g, abs(s.v - m1.med) AS v
+                    FROM s JOIN m1 USING (g)),
+             c2 AS (SELECT g, v, count(*) AS cnt FROM dv GROUP BY 1, 2),
+             cc2 AS (SELECT g, v,
+                       sum(cnt) OVER (PARTITION BY g ORDER BY v
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+                       sum(cnt) OVER (PARTITION BY g) AS total
+                     FROM c2),
+             m2 AS (SELECT g, min(v) AS mad FROM cc2
+                    WHERE cum >= (total + 1) // 2 GROUP BY 1)
+             SELECT s.g AS service, CAST(min(m1.med) AS BIGINT) AS median_v,
+                    CAST(min(m2.mad) AS BIGINT) AS mad_v,
+                    CAST(count(*) AS BIGINT) AS n_total,
+                    CAST(sum(CASE WHEN abs(s.v - m1.med) > m2.mad * 5
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             FROM s JOIN m1 USING (g) JOIN m2 USING (g) GROUP BY 1""")
+    )
+  )
+}
