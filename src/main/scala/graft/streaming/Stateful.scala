@@ -292,4 +292,46 @@ object Stateful {
           }
         })
   }
+
+  // ------------------------------------------------------- counter rate
+
+  final case class CounterSample(series: String, tsNs: Long, ord: Long,
+                                 counter: Long)
+  final case class RateOut(series: String, tsNs: Long, ord: Long,
+                           increase: Long)
+  final case class LastCounter(tsNs: Long, ord: Long, counter: Long)
+
+  /** Streaming twin of [[graft.obs.Observability.counterRate]]: each
+    * arriving counter sample emits its PromQL-style increase (reset ⇒
+    * contribute the post-reset value, first sample of a series ⇒ 0)
+    * against the last sample seen across ALL previous micro-batches.
+    * State is one (ts, ord, counter) triple per series — bounded by
+    * construction, so NoTimeout is safe (the last sample IS the rate
+    * baseline and must survive; dropping it would re-zero the series).
+    * Within a micro-batch, samples apply in (tsNs, ord) order, matching
+    * the batch operator's window order, so batch and stream agree on
+    * ordered input.
+    */
+  def rateStream(spark: SparkSession,
+                 samples: Dataset[CounterSample]): Dataset[RateOut] = {
+    import spark.implicits._
+    samples.groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (series: String, it: Iterator[CounterSample],
+         state: GroupState[LastCounter]) => {
+          var prev = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[RateOut]()
+          it.toSeq.sortBy(s => (s.tsNs, s.ord)).foreach { s =>
+            val inc = prev match {
+              case None => 0L
+              case Some(p) =>
+                if (s.counter < p.counter) s.counter else s.counter - p.counter
+            }
+            out += RateOut(series, s.tsNs, s.ord, inc)
+            prev = Some(LastCounter(s.tsNs, s.ord, s.counter))
+          }
+          prev.foreach(state.update)
+          out.iterator
+        })
+  }
 }

@@ -1,0 +1,165 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.obs.Observability
+import graft.queries.Registry
+
+/** Unit fixtures + plan-shape pins for the observability-analytics
+  * family (graft.obs). The DuckDB hash gates prove the math; these
+  * specs pin the semantic corner cases (counter resets, lower medians,
+  * funnel ordering) on hand-built data and the plan shapes that decide
+  * scale behavior.
+  */
+class ObsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // --- counter rate ------------------------------------------------------
+
+  test("counterRate: reset contributes the post-reset value, first sample 0") {
+    // counter 5 → 8 → 3 (reset) → 10: increases 0, 3, 3, 7 = 13
+    val samples = Seq(
+      ("a", 1000000000L, 1L, 5L), ("a", 2000000000L, 2L, 8L),
+      ("a", 3000000000L, 3L, 3L), ("a", 4000000000L, 4L, 10L)
+    ).toDF("series", "ts_ns", "ord", "counter")
+    val out = Observability.counterRate(samples, col("series"), col("ts_ns"),
+      col("ord"), col("counter"), bucketUs = 600000000L).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("increase_cents") == 13L)
+    assert(out.head.getAs[Long]("n_samples") == 4L)
+  }
+
+  test("counterRate: increases are never negative at sf") {
+    val neg = Registry.queries("x_obs_rate")(spark, sf)
+      .filter(col("increase_cents") < 0).count()
+    assert(neg == 0)
+  }
+
+  // --- HDR quantiles -----------------------------------------------------
+
+  test("hdrQuantiles: p50 bucket brackets the exact median, width ≤ lo/16") {
+    val ev = graft.model.Tables.events(spark, sf)
+      .withColumn("cents", Observability.cents(col("value")))
+    val hdr = Registry.queries("x_obs_hdr_quantiles")(spark, sf)
+      .filter(col("q") === "p50").collect()
+      .map(r => r.getAs[String]("series") -> r.getAs[Long]("bucket_lo")).toMap
+    val exact = graft.ops.Quantiles.groupedQuantiles(ev, col("event_type"),
+        col("cents"), Seq(("p50", 1, 2))).collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Long]("value")).toMap
+    for ((series, lo) <- hdr) {
+      val med = exact(series)
+      val shift = math.max(java.lang.Long.toBinaryString(math.max(lo, 1)).length - 5, 0)
+      val width = 1L << shift
+      assert(lo <= med && med < lo + width,
+        s"$series: p50 bucket [$lo, ${lo + width}) misses exact median $med")
+    }
+  }
+
+  // --- log templates -----------------------------------------------------
+
+  test("logTemplates: masks digits and long hex, groups identical shapes") {
+    val df = Seq(
+      (1L, "GET /api/item/42 bytes=100"),
+      (2L, "GET /api/item/9000 bytes=7"),
+      (3L, "ref=0123456789abcdef0123456789abcdef done")
+    ).toDF("u", "line")
+    val out = Observability.logTemplates(df, col("line"), col("u"))
+      .collect().map(r => r.getAs[String]("template") -> r.getAs[Long]("n_lines")).toMap
+    assert(out("GET /api/item/<N> bytes=<N>") == 2L)
+    assert(out("ref=<HEX> done") == 1L)
+  }
+
+  // --- service graph -----------------------------------------------------
+
+  test("serviceGraph: chain spans yield (events - traces) edges") {
+    val ev = graft.model.Tables.events(spark, sf)
+    val nEvents = ev.count()
+    val nTraces = ev.select("user_id").distinct().count()
+    val edges = Registry.queries("x_obs_service_graph")(spark, sf)
+      .agg(sum("n_calls")).collect().head.getLong(0)
+    assert(edges == nEvents - nTraces)
+  }
+
+  test("serviceGraph plan: equi-join only, no cartesian/BNLJ") {
+    val plan = Registry.queries("x_obs_service_graph")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  // --- SLO burn ----------------------------------------------------------
+
+  test("sloBurn: page implies both windows burn; rolling ≥ bucket counts") {
+    val rows = Registry.queries("x_obs_slo_burn")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("long_total") >= r.getAs[Long]("total"))
+      assert(r.getAs[Long]("long_errors") >= r.getAs[Long]("errors"))
+      if (r.getAs[Boolean]("page"))
+        assert(r.getAs[Boolean]("burn_short") && r.getAs[Boolean]("burn_long"))
+    }
+  }
+
+  // --- funnel ------------------------------------------------------------
+
+  test("funnel: ordering and horizon gate stage credit") {
+    val h = 100L
+    val df = Seq(
+      // u1 completes in order within horizon
+      (1L, 10L, "signup"), (1L, 50L, "click"), (1L, 120L, "purchase"),
+      // u2 clicks BEFORE signup → depth 1
+      (2L, 50L, "click"), (2L, 60L, "signup"),
+      // u3 clicks after horizon → depth 1
+      (3L, 10L, "signup"), (3L, 200L, "click"),
+      // u4 never signs up → depth 0
+      (4L, 10L, "purchase")
+    ).toDF("u", "t", "st")
+    val out = Observability.funnel(df, col("u"), col("t"), col("st"),
+        "signup", "click", "purchase", horizonNs = h)
+      .collect().map(r => r.getAs[Int]("depth") -> r.getAs[Long]("n_users")).toMap
+    assert(out(3) == 1L && out(1) == 2L && out(0) == 1L)
+  }
+
+  test("funnel: depth groups partition the user base") {
+    val nUsers = graft.model.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    val total = Registry.queries("x_obs_funnel")(spark, sf)
+      .agg(sum("n_users")).collect().head.getLong(0)
+    assert(total == nUsers)
+  }
+
+  test("funnel plan: one user-keyed exchange drives windows AND collapse") {
+    val plan = graft.obs.Observability.funnel(
+        graft.model.Tables.events(spark, sf), col("user_id"), col("ts_ns"),
+        col("event_type"), "signup", "click", "purchase", 604800000000000L)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // one exchange for the user partition (windows + per-user agg reuse
+    // it), one for the 4-row depth rollup
+    assert(exchanges <= 2, s"$exchanges exchanges:\n${plan.take(3000)}")
+  }
+
+  // --- retention ---------------------------------------------------------
+
+  test("retention: every cohort is active at offset 0") {
+    val rows = Registry.queries("x_obs_retention")(spark, sf).collect()
+    val cohorts = rows.map(_.getAs[Long]("cohort_day")).distinct
+    val atZero = rows.filter(_.getAs[Long]("day_offset") == 0L)
+      .map(_.getAs[Long]("cohort_day")).distinct
+    assert(rows.forall(_.getAs[Long]("day_offset") >= 0L))
+    assert(cohorts.sorted.sameElements(atZero.sorted))
+  }
+
+  // --- MAD ---------------------------------------------------------------
+
+  test("anomalyMad: lower median, MAD 0 flags every deviation") {
+    val df = Seq(("g", 1L), ("g", 1L), ("g", 1L), ("g", 100L))
+      .toDF("s", "v")
+    val out = Observability.anomalyMad(df, col("s"), col("v"), k = 5)
+      .collect().head
+    assert(out.getAs[Long]("median_v") == 1L)
+    assert(out.getAs[Long]("mad_v") == 0L)
+    assert(out.getAs[Long]("n_outliers") == 1L)
+  }
+}

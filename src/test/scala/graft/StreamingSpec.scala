@@ -96,6 +96,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exists(_.body == "other_key")) // independent bucket
   }
 
+  test("streaming counter rate: reset rule holds across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import Stateful.{CounterSample, RateOut}
+    val in = MemoryStream[CounterSample]
+    // NoTimeout stateful query: processAllAvailable is safe (see header)
+    val out = Stateful.rateStream(spark, in.toDS())
+    val q = startToMemory(out, "rate_out")
+    try {
+      in.addData(CounterSample("a", 1L, 1L, 5L), CounterSample("a", 2L, 2L, 8L))
+      q.processAllAvailable()
+      // batch 2: counter fell 8 → 3 = reset (contribute 3), then 3 → 10
+      in.addData(CounterSample("a", 3L, 3L, 3L), CounterSample("a", 4L, 4L, 10L),
+        CounterSample("b", 1L, 5L, 100L)) // new series: first sample = 0
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("rate_out").as[RateOut].collect()
+      .map(r => r.ord -> r.increase).toMap
+    assert(got == Map(1L -> 0L, 2L -> 3L, 3L -> 3L, 4L -> 7L, 5L -> 0L))
+  }
+
   test("streaming sequence packing: shard cursors survive across batches") {
     implicit val sqlCtx = spark.sqlContext
     import Stateful.{Doc, PackedDoc}
