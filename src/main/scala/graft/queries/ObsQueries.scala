@@ -268,6 +268,99 @@ object ObsQueries {
              FROM d GROUP BY 1, 2""")
     ),
 
+    // URL canonicalization dedup (C4/RefinedWeb provenance pass): messy
+    // variants — scheme/host case, default ports, fragments, utm_*
+    // params, param order — collapse to one canonical URL; keeper =
+    // lowest doc_id. Synthesis plants 4-doc variant groups via K=doc_id/4.
+    GraftQuery(
+      "x_url_canonicalize",
+      (s, dir) => {
+        val k = expr("doc_id div 4")
+        val schemeRaw = when(col("doc_id") % 3 === 0, "HTTP")
+          .when(col("doc_id") % 3 === 1, "https").otherwise("http")
+        val hostBase = concat(lit("www.example"), k % 7, lit(".com"))
+        val hostRaw = when(col("doc_id") % 2 === 0, upper(hostBase))
+          .otherwise(hostBase)
+        val portRaw = when(col("doc_id") % 5 === 0,
+            when(lower(schemeRaw) === "http", ":80").otherwise(":443"))
+          .when(col("doc_id") % 5 === 1, lit(":8080")).otherwise(lit(""))
+        val qRaw = when(col("doc_id") % 4 === 0,
+            concat(lit("?utm_source=feed&id="), k))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("?id="), k, lit("&utm_medium=email")))
+          .when(col("doc_id") % 4 === 2, concat(lit("?id="), k))
+          .otherwise(lit(""))
+        val frag = when(col("doc_id") % 3 === 0, "#sec2").otherwise("")
+        val docs = Tables.documents(s, dir).withColumn("url",
+          concat(schemeRaw, lit("://"), hostRaw, portRaw, lit("/p/"), k,
+            qRaw, frag))
+        graft.text.UrlCanon.dedupByCanonical(docs, col("doc_id"), col("url"))
+      },
+      Some("""WITH u AS (SELECT doc_id,
+                     (CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'
+                        ELSE 'http' END) || '://' ||
+                     (CASE WHEN doc_id % 2 = 0
+                        THEN upper('www.example' ||
+                          CAST((doc_id // 4) % 7 AS VARCHAR) || '.com')
+                        ELSE 'www.example' ||
+                          CAST((doc_id // 4) % 7 AS VARCHAR) || '.com' END) ||
+                     (CASE WHEN doc_id % 5 = 0 THEN
+                        (CASE WHEN doc_id % 3 = 0 OR doc_id % 3 = 2
+                           THEN ':80' ELSE ':443' END)
+                       WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END) ||
+                     '/p/' || CAST(doc_id // 4 AS VARCHAR) ||
+                     (CASE doc_id % 4
+                        WHEN 0 THEN '?utm_source=feed&id=' ||
+                          CAST(doc_id // 4 AS VARCHAR)
+                        WHEN 1 THEN '?id=' || CAST(doc_id // 4 AS VARCHAR) ||
+                          '&utm_medium=email'
+                        WHEN 2 THEN '?id=' || CAST(doc_id // 4 AS VARCHAR)
+                        ELSE '' END) ||
+                     (CASE WHEN doc_id % 3 = 0 THEN '#sec2' ELSE '' END)
+                       AS url
+                   FROM documents),
+             c AS (SELECT doc_id, url,
+                     lower(substr(url, 1, strpos(url, '://') - 1)) AS scheme,
+                     substr(url, strpos(url, '://') + 3) AS rest
+                   FROM u),
+             f AS (SELECT *, string_split(rest, '#')[1] AS rest2 FROM c),
+             hp AS (SELECT *, string_split(rest2, '/')[1] AS hostport,
+                      substr(rest2,
+                        length(string_split(rest2, '/')[1]) + 1) AS pathq
+                    FROM f),
+             h AS (SELECT *, lower(string_split(hostport, ':')[1]) AS host,
+                     CASE WHEN strpos(hostport, ':') > 0
+                       THEN substr(hostport, strpos(hostport, ':') + 1)
+                       ELSE '' END AS port
+                   FROM hp),
+             p AS (SELECT *, string_split(pathq, '?')[1] AS path,
+                     CASE WHEN strpos(pathq, '?') > 0
+                       THEN substr(pathq,
+                         length(string_split(pathq, '?')[1]) + 2)
+                       ELSE '' END AS q
+                   FROM h),
+             canon AS (SELECT doc_id, url,
+                 scheme || '://' || host ||
+                 (CASE WHEN port = '' THEN ''
+                       WHEN scheme = 'http' AND port = '80' THEN ''
+                       WHEN scheme = 'https' AND port = '443' THEN ''
+                       ELSE ':' || port END) ||
+                 path ||
+                 (CASE WHEN len(list_filter(string_split(q, '&'),
+                        x -> x <> '' AND substr(x, 1, 4) <> 'utm_')) = 0
+                       THEN ''
+                       ELSE '?' || array_to_string(
+                         list_sort(list_filter(string_split(q, '&'),
+                           x -> x <> '' AND substr(x, 1, 4) <> 'utm_')),
+                         '&') END) AS canon
+               FROM p)
+             SELECT doc_id, url, canon,
+                    doc_id = min(doc_id) OVER (PARTITION BY canon) AS kept,
+                    CAST(count(*) OVER (PARTITION BY canon) AS BIGINT)
+                      AS n_variants
+             FROM canon""")
+    ),
+
     // Robust outlier detection: per-service median/MAD (lower medians,
     // integer-exact), outlier = |v - med| > 5·MAD.
     GraftQuery(

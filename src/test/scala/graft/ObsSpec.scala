@@ -151,6 +151,32 @@ class ObsSpec extends AnyFunSuite {
     assert(cohorts.sorted.sameElements(atZero.sorted))
   }
 
+  // --- URL canonicalization ---------------------------------------------
+
+  test("urlCanon: case/port/utm/fragment variants collapse to one keeper") {
+    val rows = Registry.queries("x_url_canonicalize")(spark, sf)
+      .filter(col("doc_id") < 4).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("canon"), r.getAs[Boolean]("kept"),
+          r.getAs[Long]("n_variants"))).toMap
+    // K=0 group: ids 0 (HTTP, UPPER host, :80, utm_) and 2 (http, plain)
+    // canonicalize identically; id 1 keeps its :8080; id 3 has no query
+    assert(rows(0L)._1 == "http://www.example0.com/p/0?id=0")
+    assert(rows(2L)._1 == "http://www.example0.com/p/0?id=0")
+    assert(rows(0L)._2 && !rows(2L)._2, "lowest doc_id is the keeper")
+    assert(rows(0L)._3 == 2L)
+    assert(rows(1L)._1 == "https://www.example0.com:8080/p/0?id=0")
+    assert(rows(3L)._1 == "http://www.example0.com/p/0")
+  }
+
+  test("urlCanon plan: canonicalization is map-only before the one window") {
+    val plan = Registry.queries("x_url_canonicalize")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"$exchanges exchanges:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), "no join anywhere in the canonical pass")
+  }
+
   // --- MAD ---------------------------------------------------------------
 
   test("anomalyMad: lower median, MAD 0 flags every deviation") {
