@@ -27,7 +27,8 @@ object Registry {
   def all: Seq[GraftQuery] =
     SpQueries.all ++ OpsQueries.all ++ OpsQueries2.all ++ ParseQueries.all ++
       FqlQueries.all ++ ExtQueries.all ++ IngestQueries.all ++
-      SaasQueries.all ++ SaasQueries2.all ++ ObsQueries.all
+      SaasQueries.all ++ SaasQueries2.all ++ ObsQueries.all ++
+      SearchQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.text.Search
+import graft.graph.PageRank
+
+/** Search-and-graph gates: positional inverted index, phrase and boolean
+  * retrieval over `documents`, and fixed-point PageRank over a planted
+  * link graph. All oracle-replayable (positions as sorted CSV strings,
+  * ranks as scale-10⁶ integers).
+  */
+object SearchQueries {
+
+  /** Oracle token stream: 0-based word offsets, empties dropped. */
+  private val T =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
+                  FROM documents),
+             ix AS (SELECT doc_id, l, unnest(range(0, len(l))) AS i FROM d),
+             t AS (SELECT doc_id, l[i+1] AS term, i AS pos FROM ix
+                   WHERE l[i+1] <> '')"""
+
+  def all: Seq[GraftQuery] = Seq(
+
+    // Positional inverted index: (term, doc) postings with tf and the
+    // sorted position list; shuffled by term, partial-agg'd map-side.
+    GraftQuery(
+      "x_search_postings",
+      (s, dir) =>
+        Search.postings(Tables.documents(s, dir), col("doc_id"),
+            col("text"))
+          .withColumn("tf", col("tf").cast("long")),
+      Some(T + """
+             SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+                    CAST(min(pos) AS BIGINT) AS first_pos,
+                    array_to_string(list_sort(list(pos)), ',') AS positions
+             FROM t GROUP BY 1, 2""")
+    ),
+
+    // Exact phrase search: "table value" adjacency via a doc-keyed
+    // position join (pos₂ = pos₁+1) — an equi-join, never a cross join.
+    GraftQuery(
+      "x_search_phrase",
+      (s, dir) =>
+        Search.phrase(Tables.documents(s, dir), col("doc_id"), col("text"),
+          "table", "value"),
+      Some(T + """
+             SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+                    CAST(min(a.pos) AS BIGINT) AS first_pos
+             FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             WHERE a.term = 'table' AND b.term = 'value'
+             GROUP BY 1""")
+    ),
+
+    // Boolean retrieval spark AND join AND NOT slow: one doc-keyed
+    // aggregate over presence flags — no join anywhere.
+    GraftQuery(
+      "x_search_boolean",
+      (s, dir) =>
+        Search.boolean(Tables.documents(s, dir), col("doc_id"), col("text"),
+          all = Seq("spark", "join"), none = Seq("slow")),
+      Some(T + """
+             SELECT doc_id FROM t GROUP BY 1
+             HAVING max(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) = 1
+                AND max(CASE WHEN term = 'join' THEN 1 ELSE 0 END) = 1
+                AND max(CASE WHEN term = 'slow' THEN 1 ELSE 0 END) = 0""")
+    ),
+
+    // Fixed-point PageRank, 5 iterations, over a planted 3-out-degree
+    // link graph (dst = (id·(k+2)+k) mod n, k=1..3). Integer arithmetic
+    // end-to-end; the oracle unrolls the same five join-sum rounds.
+    GraftQuery(
+      "x_graph_pagerank",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val nodes = docs.select(col("doc_id").as("id"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val edges = nodes.crossJoin(broadcast(n))
+          .select(col("id").as("src"), explode(array(
+            expr("(id * 3 + 1) % n"), expr("(id * 4 + 2) % n"),
+            expr("(id * 5 + 3) % n"))).as("dst"))
+        PageRank.run(edges, nodes, iters = 5)
+      },
+      Some {
+        val head =
+          """WITH nodes AS (SELECT doc_id AS id FROM documents),
+             nn AS (SELECT count(*) AS n FROM documents),
+             e AS (SELECT id AS src, (id * 3 + 1) % n AS dst FROM nodes, nn
+                   UNION ALL
+                   SELECT id, (id * 4 + 2) % n FROM nodes, nn
+                   UNION ALL
+                   SELECT id, (id * 5 + 3) % n FROM nodes, nn),
+             deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e
+                     GROUP BY 1),
+             r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
+        val iters = (1 to 5).map { i =>
+          s""",
+             c$i AS (SELECT e.dst AS id, sum(r.r // deg.deg) AS s
+                     FROM e JOIN deg USING (src)
+                       JOIN r${i - 1} r ON r.id = e.src
+                     GROUP BY 1),
+             r$i AS (SELECT n.id,
+                       CAST(150000 + (850000 * coalesce(c$i.s, 0)) // 1000000
+                         AS BIGINT) AS r
+                     FROM nodes n LEFT JOIN c$i USING (id))"""
+        }.mkString
+        head + iters + """
+             SELECT id, r AS rank_fp FROM r5"""
+      }
+    )
+  )
+}

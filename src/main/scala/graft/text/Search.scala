@@ -1,0 +1,76 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Full-text search over the corpus: positional inverted index, phrase
+  * queries, and boolean retrieval — the query side of shipping logs into
+  * a search backend (the reference's out_es/out_opensearch send documents
+  * TO such an index; here the engine IS the index).
+  *
+  * Spark-first shapes:
+  *   - the positional index is one Generate (posexplode) + one
+  *     (term, doc) aggregate — shuffled by term so hot terms spread by
+  *     doc within a term's hash partition, and partial aggregation
+  *     compacts (term, doc) pairs map-side;
+  *   - phrase matching joins the two terms' position lists doc-by-doc
+  *     (adjacency = pos₂ = pos₁+1) — a keyed equi-join on doc_id, never
+  *     a cross join, with the rarer term filtered FIRST so the join's
+  *     left side is the smaller posting list;
+  *   - boolean AND/NOT needs NO join at all: one doc-keyed aggregate
+  *     computes per-doc term-presence flags (max of indicator), the
+  *     predicate is a map-side filter over the flags.
+  *
+  * Positions serialize as comma-joined strings (deterministic sort) so
+  * any engine hashes them identically.
+  */
+object Search {
+
+  /** (doc_id, term, pos) token stream; pos is the 0-based word offset. */
+  def tokens(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"),
+        posexplode(split(text, " ")).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+      .withColumn("pos", col("pos").cast("long"))
+
+  /** Positional postings: one row per (term, doc) with tf, first
+    * position, and the full sorted position list.
+    */
+  def postings(docs: DataFrame, id: Column, text: Column): DataFrame =
+    tokens(docs, id, text)
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), min(col("pos")).as("first_pos"),
+        array_join(sort_array(collect_list(col("pos"))), ",")
+          .as("positions"))
+
+  /** Exact phrase search (two-term): docs where `t2` immediately follows
+    * `t1`, with match count and first match position.
+    */
+  def phrase(docs: DataFrame, id: Column, text: Column,
+             t1: String, t2: String): DataFrame = {
+    val toks = tokens(docs, id, text)
+    val a = toks.filter(col("term") === t1)
+      .select(col("doc_id"), col("pos").as("p1"))
+    val b = toks.filter(col("term") === t2)
+      .select(col("doc_id").as("doc_b"), col("pos").as("p2"))
+    a.join(b, col("doc_id") === col("doc_b") && col("p2") === col("p1") + 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("p1")).as("first_pos"))
+  }
+
+  /** Boolean retrieval: docs containing ALL of `all`, NONE of `none` —
+    * one doc-keyed aggregate over presence flags, zero joins.
+    */
+  def boolean(docs: DataFrame, id: Column, text: Column,
+              all: Seq[String], none: Seq[String]): DataFrame = {
+    val toks = tokens(docs, id, text)
+    val flags =
+      all.map(t => max((col("term") === t).cast("long")).as(s"has_$t")) ++
+        none.map(t => max((col("term") === t).cast("long")).as(s"not_$t"))
+    val agg = toks.groupBy(col("doc_id"))
+      .agg(flags.head, flags.tail: _*)
+    val pred = (all.map(t => col(s"has_$t") === 1L) ++
+      none.map(t => col(s"not_$t") === 0L)).reduce(_ && _)
+    agg.filter(pred).select(col("doc_id"))
+  }
+}
