@@ -20,7 +20,10 @@ object Bench {
     "x_crawl_pipeline", "x_ann_kmeans", "x_ann_quantized", "x_ann_pq",
     "x_ann_ivfpq", "x_contamination_bloom", "x_lm_ngram_score",
     "x_lm_ppl_buckets", "x_nb_classifier", "x_pack_sequences",
-    "x_bpe_train", "x_dsir_weights"
+    "x_bpe_train", "x_dsir_weights",
+    // round 9: observability/search/graph flagships
+    "x_obs_service_graph", "x_obs_rate", "x_search_postings",
+    "x_graph_pagerank"
   )
   private def isHeadline(n: String): Boolean = headline(n)
 
