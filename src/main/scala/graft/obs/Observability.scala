@@ -138,8 +138,17 @@ object Observability {
     * are small and uniformly hashed so no skew; edge agg is map-side
     * partial (edge cardinality = |services|²).
     */
-  def serviceGraph(spans: DataFrame): DataFrame = {
-    val parents = spans.select(col("trace_id").as("p_trace"),
+  def serviceGraph(spans: DataFrame): DataFrame =
+    serviceGraph(spans, spans)
+
+  /** Two-sided variant: when `spans`' parent_span_id column is derived
+    * through an expensive subtree (a window, a parse), pass the raw span
+    * table as `parentSide` so the parent branch skips that work —
+    * Catalyst does not share the subtree across the self-join, so
+    * without this the derivation runs twice.
+    */
+  def serviceGraph(spans: DataFrame, parentSide: DataFrame): DataFrame = {
+    val parents = parentSide.select(col("trace_id").as("p_trace"),
       col("span_id").as("p_span"), col("service").as("client"),
       col("ts_ns").as("p_ts_ns"))
     val children = spans.filter(col("parent_span_id").isNotNull)
@@ -215,8 +224,12 @@ object Observability {
           .when(col("t1").isNotNull, 1).otherwise(0))
       .groupBy(col("depth"))
       .agg(count(lit(1)).as("n_users"),
-        sum(col("t2") - col("t1")).as("step12_ns_sum"),
-        sum(col("t3") - col("t2")).as("step23_ns_sum"))
+        // ns sums overflow Long past ~9.2e18 (≈5M user-weeks); DECIMAL(38)
+        // keeps the sum exact at any corpus size
+        sum((col("t2") - col("t1")).cast("decimal(38,0)"))
+          .as("step12_ns_sum"),
+        sum((col("t3") - col("t2")).cast("decimal(38,0)"))
+          .as("step23_ns_sum"))
   }
 
   /** Retention cohorts: cohort = the user's first active day; one output

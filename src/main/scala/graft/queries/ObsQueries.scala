@@ -163,14 +163,16 @@ object ObsQueries {
     GraftQuery(
       "x_obs_service_graph",
       (s, dir) => {
-        val spans = Tables.events(s, dir)
+        val base = Tables.events(s, dir)
           .select(col("user_id").as("trace_id"),
             col("event_id").as("span_id"),
             col("event_type").as("service"), col("ts_ns"))
-          .withColumn("parent_span_id",
-            lag(col("span_id"), 1).over(Window.partitionBy(col("trace_id"))
-              .orderBy(col("ts_ns"), col("span_id"))))
-        Observability.serviceGraph(spans)
+        val spans = base.withColumn("parent_span_id",
+          lag(col("span_id"), 1).over(Window.partitionBy(col("trace_id"))
+            .orderBy(col("ts_ns"), col("span_id"))))
+        // raw base as the parent side: the lag synthesis would otherwise
+        // run on BOTH branches of the self-join (measured 2× at sf10)
+        Observability.serviceGraph(spans, base)
       },
       Some("""WITH sp AS (SELECT user_id AS trace_id, event_id AS span_id,
                      event_type AS service, epoch_ns(ts) AS ts_ns,
@@ -246,8 +248,8 @@ object ObsQueries {
                          WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
                       AS depth,
                     CAST(count(*) AS BIGINT) AS n_users,
-                    CAST(sum(t2 - t1) AS BIGINT) AS step12_ns_sum,
-                    CAST(sum(t3 - t2) AS BIGINT) AS step23_ns_sum
+                    CAST(sum(t2 - t1) AS DECIMAL(38,0)) AS step12_ns_sum,
+                    CAST(sum(t3 - t2) AS DECIMAL(38,0)) AS step23_ns_sum
              FROM pu GROUP BY 1""")
     ),
 
