@@ -250,6 +250,70 @@ object Observability {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Trending top-k: per time bucket, the k keys with the highest event
+    * count, total-ordered (count desc, key asc) so ties are stable.
+    *
+    * Scale: the count aggregate partial-combines map-side (the shuffle
+    * carries (bucket, key) partials, not events); the rank window runs
+    * over ALREADY-AGGREGATED rows and Spark's WindowGroupLimit pushes
+    * the k-cutoff map-side below the rank exchange — a hot bucket costs
+    * a bounded heap, never a full sort of its keys.
+    */
+  def trending(df: DataFrame, key: Column, tsNs: Column,
+               bucketNs: Long = 86400000000000L, k: Int = 3): DataFrame = {
+    val counts = df.select(key.as("key"), tsNs.as("tn"))
+      .withColumn("day", expr(s"tn div $bucketNs"))
+      .groupBy(col("day"), col("key")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("day"))
+      .orderBy(col("cnt").desc, col("key"))
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("day"), col("rk"), col("key"), col("cnt"))
+  }
+
+  /** HDR sketch rollup: fine-granularity histogram rows merge to coarse
+    * buckets by SUMMING counts — the TSDB compaction story (a linear
+    * sketch: merge of shards/windows is cell-wise addition, so 10-min
+    * sketch rows roll into 1-hour quantiles without touching raw data).
+    * Output: exact-rank quantiles per (series, coarse window) computed
+    * from the MERGED histogram.
+    */
+  def hdrRollup(df: DataFrame, series: Column, tsNs: Column, v: Column,
+                subBits: Int = 4, fineUs: Long = 600000000L,
+                factor: Int = 6,
+                qs: Seq[(String, Int, Int)] =
+                  Seq(("p50", 1, 2), ("p99", 99, 100))): DataFrame = {
+    val clamped = greatest(v.cast("long"), lit(0L))
+    val fine = df.select(series.as("series"), tsNs.as("tn"),
+        clamped.as("v"))
+      .withColumn("fine", expr(s"tn div 1000 div $fineUs"))
+      .withColumn("shift",
+        greatest(expr("length(bin(v))") - lit(1 + subBits), lit(0)))
+      .withColumn("lo", expr("shiftleft(shiftright(v, shift), shift)"))
+      .groupBy(col("series"), col("fine"), col("lo"))
+      .agg(count(lit(1)).as("cnt")) // the 10-min sketch rows
+    val coarse = fine
+      .withColumn("hour_us", expr(s"(fine div $factor) * $factor * $fineUs"))
+      .groupBy(col("series"), col("hour_us"), col("lo"))
+      .agg(sum(col("cnt")).as("cnt")) // sketch merge = cell-wise add
+    val wCum = Window.partitionBy(col("series"), col("hour_us"))
+      .orderBy(col("lo"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("series"), col("hour_us"))
+      .orderBy(col("lo"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    coarse
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("total", sum(col("cnt")).over(wAll))
+      .select(col("series"), col("hour_us"), col("lo"), col("cum"),
+        col("total"), explode(typedLit(qs)).as("q"))
+      .withColumn("needed", expr("(total * q._2 + q._3 - 1) div q._3"))
+      .filter(col("cum") >= col("needed"))
+      .groupBy(col("series"), col("hour_us"), col("q._1").as("q"))
+      .agg(min(col("needed")).as("rank_needed"),
+        min(col("lo")).as("bucket_lo"))
+  }
+
   /** Median / MAD (median absolute deviation) outlier detection per group
     * — the robust z-score: flag v where |v - median| > k·MAD. Lower
     * medians (rank ⌈n/2⌉) keep everything integer-exact.

@@ -270,6 +270,95 @@ object ObsQueries {
              FROM d GROUP BY 1, 2""")
     ),
 
+    // Trending top-k: per day, the 3 busiest event types, total-ordered
+    // (count desc, key) — rank over aggregated partials only.
+    GraftQuery(
+      "x_obs_trending",
+      (s, dir) =>
+        Observability.trending(Tables.events(s, dir), col("event_type"),
+          col("ts_ns")),
+      Some("""WITH c AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+                     event_type AS key, CAST(count(*) AS BIGINT) AS cnt
+                   FROM events GROUP BY 1, 2),
+             r AS (SELECT *, row_number() OVER (PARTITION BY day
+                     ORDER BY cnt DESC, key) AS rk FROM c)
+             SELECT day, CAST(rk AS BIGINT) AS rk, key, cnt
+             FROM r WHERE rk <= 3""")
+    ),
+
+    // HDR sketch rollup: 10-min histogram rows MERGE (cell-wise count
+    // add) into 1-hour quantiles — the TSDB compaction path; raw values
+    // are touched exactly once, at fine granularity.
+    GraftQuery(
+      "x_obs_hdr_rollup",
+      (s, dir) =>
+        Observability.hdrRollup(eventsWithCents(s, dir), col("event_type"),
+          col("ts_ns"), col("cents")),
+      Some("""WITH s AS (SELECT event_type AS series, epoch_ns(ts) AS tn,
+                     greatest(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT), 0) AS v
+                   FROM events),
+             b AS (SELECT series, tn // 1000 // 600000000 AS fine, v,
+                     greatest(length(format('{:b}', v)) - 5, 0) AS sh
+                   FROM s),
+             f AS (SELECT series, fine, CAST((v >> sh) << sh AS BIGINT)
+                       AS lo,
+                     CAST(count(*) AS BIGINT) AS cnt
+                   FROM b GROUP BY 1, 2, 3),
+             c AS (SELECT series, (fine // 6) * 6 * 600000000 AS hour_us,
+                     lo, CAST(sum(cnt) AS BIGINT) AS cnt
+                   FROM f GROUP BY 1, 2, 3),
+             cc AS (SELECT series, hour_us, lo,
+                      sum(cnt) OVER (PARTITION BY series, hour_us
+                        ORDER BY lo ROWS UNBOUNDED PRECEDING) AS cum,
+                      sum(cnt) OVER (PARTITION BY series, hour_us) AS total
+                    FROM c),
+             q AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p99', 99, 100))
+                     AS t(q, num, den)),
+             j AS (SELECT cc.series, cc.hour_us, q.q,
+                     (cc.total * q.num + q.den - 1) // q.den AS needed,
+                     cc.lo, cc.cum
+                   FROM cc, q)
+             SELECT series, hour_us, q,
+                    CAST(min(needed) AS BIGINT) AS rank_needed,
+                    CAST(min(lo) AS BIGINT) AS bucket_lo
+             FROM j WHERE cum >= needed GROUP BY 1, 2, 3""")
+    ),
+
+    // Two-pass heavy hitters (φ=1%): deterministic md5 row-sample pass
+    // elects candidates, exact pass counts ONLY those — full key
+    // cardinality never crosses the wire. Key synthesis plants 7 heavy
+    // keys over a 9973-key light tail.
+    GraftQuery(
+      "x_topk_heavyhitters",
+      (s, dir) => {
+        val rows = Tables.lineitem(s, dir)
+          .select(concat(lit("k"), col("l_partkey") %
+              when(col("l_orderkey") % 4 === 0, 7).otherwise(9973))
+              .as("key"),
+            (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"))
+        graft.sketch.Sketches.heavyHitters(rows, col("key"), col("rid"))
+      },
+      Some("""WITH r AS (SELECT 'k' || CAST(l_partkey %
+                       (CASE WHEN l_orderkey % 4 = 0 THEN 7 ELSE 9973 END)
+                       AS VARCHAR) AS key,
+                     l_orderkey * 10 + l_linenumber AS rid
+                   FROM lineitem),
+             nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+             sm AS (SELECT key FROM r
+                    WHERE ('0x' || substr(md5(key || '#' ||
+                      CAST(rid AS VARCHAR)), 1, 8))::BIGINT % 8 = 0),
+             sc AS (SELECT key, CAST(count(*) AS BIGINT) AS scnt
+                    FROM sm GROUP BY 1),
+             cand AS (SELECT key, scnt FROM sc, nn
+                      WHERE scnt * 1600 >= n),
+             ex AS (SELECT r.key, CAST(count(*) AS BIGINT) AS cnt,
+                      min(cand.scnt) AS scnt
+                    FROM r JOIN cand USING (key) GROUP BY 1)
+             SELECT ex.key, ex.cnt, ex.scnt, nn.n
+             FROM ex, nn WHERE ex.cnt * 100 >= nn.n""")
+    ),
+
     // URL canonicalization dedup (C4/RefinedWeb provenance pass): messy
     // variants — scheme/host case, default ports, fragments, utm_*
     // params, param order — collapse to one canonical URL; keeper =

