@@ -132,6 +132,46 @@ object WindowMd5 {
   * value-identical to the oracle's `('0x'||substr(md5(k),1,8))::BIGINT`
   * split, byte for byte. Stays inside whole-stage codegen.
   */
+/** Deterministic sampling hash: first 4 md5 digest bytes (big-endian,
+  * unsigned) mod `m` — value-identical to the oracle's
+  * `('0x'||substr(md5(CAST(k AS VARCHAR)),1,8))::BIGINT % m`, sharing
+  * [[HllBucketRank]]'s zero-allocation long fast path. The Column-level
+  * md5(concat(...)) chain it replaces allocated a concat string, a hex
+  * string and a decimal string per row — at 60M rows that allocation,
+  * not the hashing, dominated the sample pass.
+  */
+case class Md5Mod(child: Expression, m: Int) extends UnaryExpression {
+  require(m > 0, s"modulus must be positive, got $m")
+  private def isLong =
+    child.dataType == org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(input: Any): Any =
+    if (isLong) Md5Mod.computeLong(input.asInstanceOf[Long], m)
+    else Md5Mod.compute(input.asInstanceOf[UTF8String], m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      if (isLong)
+        s"${ev.value} = graft.functions.Md5Mod.computeLong($c, $m);"
+      else
+        s"${ev.value} = graft.functions.Md5Mod.compute($c, $m);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "md5_mod"
+}
+
+object Md5Mod {
+  def computeLong(k: Long, m: Int): Long =
+    Integer.toUnsignedLong(HllBucketRank.first32Long(k)) % m
+
+  def compute(s: UTF8String, m: Int): Long =
+    Integer.toUnsignedLong(HllBucketRank.first32(s)) % m
+}
+
 case class HllBucketRank(child: Expression, p: Int) extends UnaryExpression {
   require(p >= 4 && p <= 16, s"precision must be in [4,16], got $p")
   // def, not val: dataType is unavailable until the child resolves
@@ -172,8 +212,18 @@ object HllBucketRank {
     * per-row allocation (the string cast allocated a UTF8String per
     * row and dominated the 60M-row scan).
     */
-  def computeLong(k: Long, p: Int): Int = {
-    if (k < 0) return compute(UTF8String.fromString(k.toString), p)
+  def computeLong(k: Long, p: Int): Int =
+    finish(first32Long(k), p)
+
+  /** Static entry shared by eval and generated code. */
+  def compute(s: UTF8String, p: Int): Int =
+    finish(first32(s), p)
+
+  /** First 4 md5 digest bytes of the decimal rendering of `k`, packed
+    * big-endian — the repo's replayable 32-bit seed hash, zero-alloc.
+    */
+  def first32Long(k: Long): Int = {
+    if (k < 0) return first32(UTF8String.fromString(k.toString))
     val buf = longBuf.get()
     var i = 20
     var v = k
@@ -181,24 +231,25 @@ object HllBucketRank {
     val md = digest.get()
     md.reset()
     md.update(buf, i, 20 - i)
-    finish(md.digest(), p)
+    pack(md.digest())
   }
 
-  /** Static entry shared by eval and generated code. */
-  def compute(s: UTF8String, p: Int): Int = {
+  def first32(s: UTF8String): Int = {
     val md = digest.get()
     md.reset()
-    val d = md.digest(s.getBytes)
-    finish(d, p)
+    pack(md.digest(s.getBytes))
   }
+
+  private def pack(d: Array[Byte]): Int =
+    ((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) |
+      ((d(2) & 0xff) << 8) | (d(3) & 0xff)
 
   /** first 8 md5 hex chars as an unsigned 32-bit value = first 4 bytes
     * big-endian (the repo's replayable-seed hash), split into bucket
     * (low p bits) and rank over the remaining 32-p bits.
     */
-  private def finish(d: Array[Byte], p: Int): Int = {
-    val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  private def finish(h32: Int, p: Int): Int = {
+    val h = Integer.toUnsignedLong(h32)
     val bucket = (h & ((1L << p) - 1)).toInt // h % 2^p
     val v = h >>> p                          // remaining 32-p bits
     val w = 32 - p

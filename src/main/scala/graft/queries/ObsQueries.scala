@@ -332,22 +332,24 @@ object ObsQueries {
     GraftQuery(
       "x_topk_heavyhitters",
       (s, dir) => {
+        // numeric keys: a string key costs an allocation per row per
+        // pass (120M at sf10) on BOTH engines for zero semantic value
         val rows = Tables.lineitem(s, dir)
-          .select(concat(lit("k"), col("l_partkey") %
+          .select((col("l_partkey") %
               when(col("l_orderkey") % 4 === 0, 7).otherwise(9973))
-              .as("key"),
+              .cast("long").as("key"),
             (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"))
         graft.sketch.Sketches.heavyHitters(rows, col("key"), col("rid"))
       },
-      Some("""WITH r AS (SELECT 'k' || CAST(l_partkey %
+      Some("""WITH r AS (SELECT CAST(l_partkey %
                        (CASE WHEN l_orderkey % 4 = 0 THEN 7 ELSE 9973 END)
-                       AS VARCHAR) AS key,
+                       AS BIGINT) AS key,
                      l_orderkey * 10 + l_linenumber AS rid
                    FROM lineitem),
              nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
              sm AS (SELECT key FROM r
-                    WHERE ('0x' || substr(md5(key || '#' ||
-                      CAST(rid AS VARCHAR)), 1, 8))::BIGINT % 8 = 0),
+                    WHERE ('0x' || substr(md5(CAST(rid AS VARCHAR)),
+                      1, 8))::BIGINT % 8 = 0),
              sc AS (SELECT key, CAST(count(*) AS BIGINT) AS scnt
                     FROM sm GROUP BY 1),
              cand AS (SELECT key, scnt FROM sc, nn
