@@ -43,7 +43,18 @@ object Explain {
     "x_dedup_substring" -> "exact-substring dup detection (stride-sampled windows shuffled as 60-bit hashes)",
     "x_sketch_hll" -> "HyperLogLog distinct estimate (bounded-cardinality register aggregate, integer-exact estimator)",
     "x_fuzzy_join" -> "edit-distance fuzzy join (gram-grouped pair expansion, id-only candidate stream, levenshtein verify)",
-    "x_asof_join" -> "as-of join (merge form: union + one keyed window, zero join nodes)"
+    "x_asof_join" -> "as-of join (merge form: union + one keyed window, zero join nodes)",
+    "x_obs_rate" -> "PromQL counter rate (one series-keyed window; bucket agg partial-combines map-side)",
+    "x_obs_service_graph" -> "span service graph (raw parents join lag-derived children — single window, keyed equi-join)",
+    "x_obs_funnel" -> "3-stage funnel (one user exchange drives all three conditional-min windows + collapse)",
+    "x_obs_hdr_rollup" -> "HDR sketch rollup (fine histogram → cell-wise merge → exact-rank quantiles; raw values touched once)",
+    "x_topk_heavyhitters" -> "two-pass heavy hitters (Md5Mod sample → candidate broadcast → exact verify; full key set never shuffles)",
+    "x_search_postings" -> "positional inverted index (posexplode → term-sharded HashAggregate)",
+    "x_search_boolean" -> "boolean retrieval (presence-flag aggregate, zero joins)",
+    "x_graph_pagerank" -> "fixed-point PageRank (5 join-sum rounds, O(|V|) rank state)",
+    "x_url_canonicalize" -> "URL canonicalization dedup (codegen string tree, one canonical-key window)",
+    "x_scd2_join" -> "SCD2 dimension join (version-range filter on a keyed equi-join)",
+    "x_olap_pivot" -> "pivot table (bounded column fan-out, map-side partials)"
   )
 
   def main(args: Array[String]): Unit = {

@@ -90,6 +90,14 @@ object GraftExtensions {
           case Seq(c, Literal(p: Int, IntegerType)) => HllBucketRank(c, p)
           case _ => throw new IllegalArgumentException(
             "hll_bucket_rank expects (key, int-literal p)")
+        } }),
+    (FunctionIdentifier("md5_mod"),
+      info("md5_mod",
+        "md5_mod(key, m) - first 4 md5 digest bytes (unsigned) mod m"),
+      { args: Seq[Expression] => args match {
+          case Seq(c, Literal(m: Int, IntegerType)) => Md5Mod(c, m)
+          case _ => throw new IllegalArgumentException(
+            "md5_mod expects (key, int-literal m)")
         } })
   )
 }

@@ -314,6 +314,51 @@ object Observability {
         min(col("lo")).as("bucket_lo"))
   }
 
+  /** Burst detection: a bucket bursts when its event count exceeds
+    * `num/den` × the trailing `lookback`-bucket average — compared by
+    * integer cross-multiply against the ACTUAL trailing count (so the
+    * warm-up buckets scale correctly instead of comparing against
+    * zero-padded history). Rolling window runs over aggregated bucket
+    * rows, never events.
+    */
+  def burst(df: DataFrame, service: Column, tsNs: Column,
+            bucketUs: Long = 600000000L, num: Int = 3, den: Int = 1,
+            lookback: Int = 12): DataFrame = {
+    val buckets = df.select(service.as("service"), tsNs.as("ts_ns"))
+      .withColumn("bucket_us",
+        expr(s"(ts_ns div 1000 div $bucketUs) * $bucketUs"))
+      .groupBy(col("service"), col("bucket_us"))
+      .agg(count(lit(1)).as("cnt"))
+    val wPrev = Window.partitionBy(col("service")).orderBy(col("bucket_us"))
+      .rowsBetween(-lookback, -1)
+    buckets
+      .withColumn("prev_sum", sum(col("cnt")).over(wPrev))
+      .withColumn("prev_n", count(col("cnt")).over(wPrev))
+      .withColumn("is_burst",
+        col("prev_n") > 0 &&
+          col("cnt") * col("prev_n") * den > col("prev_sum") * num)
+      .withColumn("prev_sum", coalesce(col("prev_sum"), lit(0L)))
+  }
+
+  /** Apdex score (the public Apdex spec): satisfied ≤ T, tolerating ≤ 4T,
+    * frustrated above; score = (sat + tol/2) / total, carried as the
+    * exact integer fraction (2·sat + tol) / 2·total plus the IEEE
+    * division of those exact operands. One aggregate, map-side partials.
+    */
+  def apdex(df: DataFrame, service: Column, v: Column, t: Long): DataFrame =
+    df.select(service.as("service"), v.as("v"))
+      .groupBy(col("service"))
+      .agg(
+        sum((col("v") <= t).cast("long")).as("satisfied"),
+        sum((col("v") > t && col("v") <= 4 * t).cast("long"))
+          .as("tolerating"),
+        sum((col("v") > 4 * t).cast("long")).as("frustrated"),
+        count(lit(1)).as("total"))
+      .withColumn("score_num", col("satisfied") * 2 + col("tolerating"))
+      .withColumn("score_den", col("total") * 2)
+      .withColumn("apdex",
+        col("score_num").cast("double") / col("score_den").cast("double"))
+
   /** Median / MAD (median absolute deviation) outlier detection per group
     * — the robust z-score: flag v where |v - median| > k·MAD. Lower
     * medians (rank ⌈n/2⌉) keep everything integer-exact.

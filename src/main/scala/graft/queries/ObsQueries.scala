@@ -270,6 +270,57 @@ object ObsQueries {
              FROM d GROUP BY 1, 2""")
     ),
 
+    // Burst detection: bucket count vs trailing-12 average, integer
+    // cross-multiplied against the actual trailing count.
+    GraftQuery(
+      "x_obs_burst",
+      (s, dir) =>
+        Observability.burst(Tables.events(s, dir),
+          concat(lit("svc"), col("user_id") % 4), col("ts_ns")),
+      Some("""WITH s AS (SELECT 'svc' || CAST(user_id % 4 AS VARCHAR)
+                       AS service, epoch_ns(ts) AS ts_ns FROM events),
+             b AS (SELECT service,
+                     (ts_ns // 1000 // 600000000) * 600000000 AS bucket_us,
+                     CAST(count(*) AS BIGINT) AS cnt
+                   FROM s GROUP BY 1, 2),
+             r AS (SELECT *,
+                     CAST(sum(cnt) OVER w AS BIGINT) AS prev_sum,
+                     CAST(count(cnt) OVER w AS BIGINT) AS prev_n
+                   FROM b WINDOW w AS (PARTITION BY service
+                     ORDER BY bucket_us
+                     ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING))
+             SELECT service, bucket_us, cnt,
+                    coalesce(prev_sum, 0) AS prev_sum, prev_n,
+                    prev_n > 0 AND cnt * prev_n > prev_sum * 3 AS is_burst
+             FROM r""")
+    ),
+
+    // Apdex score at T=500 cents: exact integer fraction + the IEEE
+    // division of those exact operands.
+    GraftQuery(
+      "x_obs_apdex",
+      (s, dir) =>
+        Observability.apdex(eventsWithCents(s, dir),
+          col("event_type"), col("cents"), t = 500L),
+      Some(S + """
+             SELECT event_type AS service,
+                    CAST(sum(CASE WHEN cents <= 500 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS satisfied,
+                    CAST(sum(CASE WHEN cents > 500 AND cents <= 2000
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tolerating,
+                    CAST(sum(CASE WHEN cents > 2000 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS frustrated,
+                    CAST(count(*) AS BIGINT) AS total,
+                    CAST(sum(CASE WHEN cents <= 500 THEN 2
+                             WHEN cents <= 2000 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS score_num,
+                    CAST(count(*) * 2 AS BIGINT) AS score_den,
+                    CAST(sum(CASE WHEN cents <= 500 THEN 2
+                             WHEN cents <= 2000 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(count(*) * 2 AS DOUBLE) AS apdex
+             FROM s GROUP BY 1""")
+    ),
+
     // Trending top-k: per day, the 3 busiest event types, total-ordered
     // (count desc, key) — rank over aggregated partials only.
     GraftQuery(

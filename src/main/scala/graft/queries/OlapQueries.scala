@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Warehouse-surface gates: SCD2 dimension joins, ROLLUP subtotal trees,
+  * and pivot tables — the OLAP idioms a user points at the engine's
+  * tables once logs/metrics land as columns.
+  */
+object OlapQueries {
+
+  def all: Seq[GraftQuery] = Seq(
+
+    // SCD2 (type-2 slowly-changing dimension) join: each fact row joins
+    // the dimension VERSION valid at its event time — customer-keyed
+    // equi-join with the validity range as a post-join filter (never a
+    // range-only join, so the plan is a hash/sort-merge equi-join; a
+    // fact row matches exactly one version by construction).
+    GraftQuery(
+      "x_scd2_join",
+      (s, dir) => {
+        val dim = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey"))
+          .withColumn("v", explode(typedLit(Seq(0, 1, 2))))
+          .withColumn("vfrom",
+            when(col("v") === 0, "1995-01-01")
+              .when(col("v") === 1, "1997-01-01")
+              .otherwise("1999-01-01").cast("timestamp"))
+          .withColumn("vto",
+            when(col("v") === 0, "1997-01-01")
+              .when(col("v") === 1, "1999-01-01")
+              .otherwise("2100-01-01").cast("timestamp"))
+        Tables.orders(s, dir).join(dim,
+            col("o_custkey") === col("c_custkey") &&
+              col("o_orderdate") >= col("vfrom") &&
+              col("o_orderdate") < col("vto"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            concat(lit("v"), col("v")).as("seg"), col("c_nationkey"))
+      },
+      Some("""WITH dim AS (SELECT c_custkey, c_nationkey, v,
+                     CASE v WHEN 0 THEN TIMESTAMP '1995-01-01'
+                            WHEN 1 THEN TIMESTAMP '1997-01-01'
+                            ELSE TIMESTAMP '1999-01-01' END AS vfrom,
+                     CASE v WHEN 0 THEN TIMESTAMP '1997-01-01'
+                            WHEN 1 THEN TIMESTAMP '1999-01-01'
+                            ELSE TIMESTAMP '2100-01-01' END AS vto
+                   FROM customer, (SELECT unnest(range(0, 3)) AS v))
+             SELECT o_orderkey, o_custkey,
+                    'v' || CAST(v AS VARCHAR) AS seg, c_nationkey
+             FROM orders JOIN dim ON o_custkey = c_custkey
+               AND o_orderdate >= vfrom AND o_orderdate < vto""")
+    ),
+
+    // ROLLUP subtotal tree over (year, priority): Spark's native rollup
+    // operator vs SQL GROUP BY ROLLUP — NULL group keys mark subtotal
+    // rows identically in both engines.
+    GraftQuery(
+      "x_olap_rollup",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .select(year(col("o_orderdate")).cast("long").as("yr"),
+            col("o_orderpriority").as("prio"),
+            col("o_totalprice"))
+          .rollup(col("yr"), col("prio"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(28,6)")).cast("double")
+              .as("revenue")),
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                    o_orderpriority AS prio,
+                    CAST(count(*) AS BIGINT) AS n_orders,
+                    CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+                      AS DOUBLE) AS revenue
+             FROM orders
+             GROUP BY ROLLUP (CAST(year(o_orderdate) AS BIGINT),
+               o_orderpriority)""")
+    ),
+
+    // Pivot: per-day event counts spread into one column per type —
+    // Spark's pivot operator with explicit values (a bounded column
+    // fan-out; the aggregate partial-combines map-side like any groupBy).
+    GraftQuery(
+      "x_olap_pivot",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(expr("ts_ns div 86400000000000").as("day"),
+            col("event_type"))
+          .groupBy(col("day"))
+          .pivot("event_type",
+            Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L,
+            Seq("click", "error", "purchase", "signup", "view")),
+      Some("""WITH e AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+                     event_type FROM events)
+             SELECT day,
+                    CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+                      AS BIGINT) AS click,
+                    CAST(count(CASE WHEN event_type = 'error' THEN 1 END)
+                      AS BIGINT) AS error,
+                    CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                      AS BIGINT) AS purchase,
+                    CAST(count(CASE WHEN event_type = 'signup' THEN 1 END)
+                      AS BIGINT) AS signup,
+                    CAST(count(CASE WHEN event_type = 'view' THEN 1 END)
+                      AS BIGINT) AS view
+             FROM e GROUP BY 1""")
+    )
+  )
+}

@@ -34,6 +34,14 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(hll.getInt(0) == graft.functions.HllBucketRank.compute(
       org.apache.spark.unsafe.types.UTF8String.fromString("42"), 8))
     assert(hll.getInt(0) == hll.getInt(1)) // long fast path = string path
+    // md5_mod: SQL surface = kernel = the oracle's hex-prefix formula
+    val mm = spark.sql(
+      """SELECT md5_mod('42', 8) AS s, md5_mod(CAST(42 AS BIGINT), 8) AS l,
+                ('0x' || substr(md5('42'), 1, 8)) AS hexs""")
+      .collect().head
+    assert(mm.getLong(0) == mm.getLong(1))
+    assert(mm.getLong(0) ==
+      java.lang.Long.parseLong(mm.getString(2).drop(2), 16) % 8)
   }
 
   test("warc_scan and gzip_compress compose in SQL") {

@@ -220,6 +220,61 @@ class ObsSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), "no join anywhere in the canonical pass")
   }
 
+  // --- burst / apdex / OLAP ---------------------------------------------
+
+  test("burst: planted spike flags, warm-up buckets scale by actual count") {
+    // service s: buckets 0..3 have 2 events each, bucket 4 has 10 → burst
+    val rows = (0 to 3).flatMap(b => Seq(
+        ("s", b * 600000000000L), ("s", b * 600000000000L + 1))) ++
+      (1 to 10).map(i => ("s", 4 * 600000000000L + i))
+    val df = rows.toDF("svc", "tn")
+    val out = Observability.burst(df, col("svc"), col("tn"))
+      .collect().map(r => r.getAs[Long]("bucket_us") -> r).toMap
+    assert(out(4L * 600000000L).getAs[Boolean]("is_burst"))
+    // bucket 1 vs only bucket 0 history (2 vs 2): no burst
+    assert(!out(1L * 600000000L).getAs[Boolean]("is_burst"))
+    // bucket 0 has no history: never a burst
+    assert(!out(0L).getAs[Boolean]("is_burst"))
+  }
+
+  test("apdex: fraction is consistent and within [0,1]") {
+    val rows = Registry.queries("x_obs_apdex")(spark, sf).collect()
+    for (r <- rows) {
+      assert(r.getAs[Long]("score_num") ==
+        r.getAs[Long]("satisfied") * 2 + r.getAs[Long]("tolerating"))
+      assert(r.getAs[Long]("score_den") == r.getAs[Long]("total") * 2)
+      val a = r.getAs[Double]("apdex")
+      assert(a >= 0.0 && a <= 1.0)
+      assert(r.getAs[Long]("satisfied") + r.getAs[Long]("tolerating") +
+        r.getAs[Long]("frustrated") == r.getAs[Long]("total"))
+    }
+  }
+
+  test("scd2: every order matches exactly one dimension version") {
+    val nOrders = graft.model.Tables.orders(spark, sf).count()
+    val out = Registry.queries("x_scd2_join")(spark, sf)
+    assert(out.count() == nOrders)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("olap rollup: grand total row aggregates everything") {
+    val rows = Registry.queries("x_olap_rollup")(spark, sf).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    val leaves = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(grand.head.getAs[Long]("n_orders") ==
+      leaves.map(_.getAs[Long]("n_orders")).sum)
+  }
+
+  test("olap pivot: row sums equal per-day event counts") {
+    val rows = Registry.queries("x_olap_pivot")(spark, sf).collect()
+    val total = rows.map(r => Seq("click", "error", "purchase", "signup",
+      "view").map(c => r.getAs[Long](c)).sum).sum
+    assert(total == graft.model.Tables.events(spark, sf).count())
+  }
+
   // --- MAD ---------------------------------------------------------------
 
   test("anomalyMad: lower median, MAD 0 flags every deviation") {
