@@ -75,6 +75,102 @@ object OlapQueries {
                o_orderpriority)""")
     ),
 
+    // Semi-structured VARIANT path (Spark 4): parse_json once, typed
+    // variant_get extraction of nested fields and array elements — the
+    // engine-native answer to fluent-bit's JSON-first record model.
+    GraftQuery(
+      "x_json_variant",
+      (s, dir) => {
+        val k = regexp_extract(col("props"), "[0-9]+", 0)
+        val js = concat(lit("{\"k\":"), k,
+          lit(",\"user\":{\"id\":"), col("user_id"),
+          lit(",\"tier\":\"t"), col("user_id") % 3,
+          lit("\"},\"tags\":[\"a\",\"e\"]}"))
+        Tables.events(s, dir).withColumn("js", js)
+          .select(col("event_id"),
+            expr("variant_get(parse_json(js), '$.k', 'long')").as("k"),
+            expr("variant_get(parse_json(js), '$.user.tier', 'string')")
+              .as("tier"),
+            expr("variant_get(parse_json(js), '$.tags[1]', 'string')")
+              .as("tag1"))
+      },
+      Some("""WITH j AS (SELECT event_id,
+                     '{"k":' || regexp_extract(props, '[0-9]+') ||
+                     ',"user":{"id":' || user_id ||
+                     ',"tier":"t' || CAST(user_id % 3 AS VARCHAR) ||
+                     '"},"tags":["a","e"]}' AS js
+                   FROM events)
+             SELECT event_id,
+                    CAST(json_extract(js, '$.k') AS BIGINT) AS k,
+                    json_extract_string(js, '$.user.tier') AS tier,
+                    json_extract_string(js, '$.tags[1]') AS tag1
+             FROM j""")
+    ),
+
+    // k=v pair mining with regexp_extract_all: every pair in every line
+    // explodes to (key, value) and aggregates — the generic structured-
+    // field harvest over free-form logs.
+    GraftQuery(
+      "x_parse_kv_pairs",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("cents", graft.obs.Observability.cents(col("value")))
+        ev.withColumn("p",
+            explode(expr(
+              "regexp_extract_all(" +
+                "concat('sev=', user_id % 5, ' bytes=', cents, " +
+                "' retry=', regexp_extract(props, '[0-9]+', 0)), " +
+                "'[a-z]+=[0-9]+', 0)")))
+          .select(substring_index(col("p"), "=", 1).as("key"),
+            expr("CAST(substring(p, instr(p, '=') + 1) AS BIGINT)")
+              .as("v"))
+          .groupBy(col("key"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("vsum"))
+      },
+      Some("""WITH s AS (SELECT 'sev=' || CAST(user_id % 5 AS VARCHAR) ||
+                     ' bytes=' || CAST(CAST(CAST(value AS DECIMAL(18,2))
+                       * 100 AS BIGINT) AS VARCHAR) ||
+                     ' retry=' || regexp_extract(props, '[0-9]+') AS line
+                   FROM events),
+             p AS (SELECT unnest(regexp_extract_all(line,
+                     '[a-z]+=[0-9]+')) AS p FROM s)
+             SELECT string_split(p, '=')[1] AS key,
+                    CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CAST(string_split(p, '=')[2] AS BIGINT))
+                      AS BIGINT) AS vsum
+             FROM p GROUP BY 1""")
+    ),
+
+    // Window-function parity suite: lead/lag/ntile/percent_rank/
+    // cume_dist over the same total-ordered series partition — rank
+    // ratios are IEEE divisions of identical integers, so doubles match
+    // bit-for-bit.
+    GraftQuery(
+      "x_olap_window_suite",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("ts_ns"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"), col("ts_ns"))
+          .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+          .withColumn("next_id", lead(col("event_id"), 1).over(w))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .withColumn("pr", percent_rank().over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .drop("ts_ns")
+      },
+      Some("""SELECT event_type, event_id,
+                    lag(event_id) OVER w AS prev_id,
+                    lead(event_id) OVER w AS next_id,
+                    CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                    percent_rank() OVER w AS pr,
+                    cume_dist() OVER w AS cd
+             FROM events
+             WINDOW w AS (PARTITION BY event_type
+               ORDER BY epoch_ns(ts), event_id)""")
+    ),
+
     // Pivot: per-day event counts spread into one column per type —
     // Spark's pivot operator with explicit values (a bounded column
     // fan-out; the aggregate partial-combines map-side like any groupBy).

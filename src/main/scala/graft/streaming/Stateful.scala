@@ -334,4 +334,51 @@ object Stateful {
           out.iterator
         })
   }
+
+  // ------------------------------------------------------------- burst
+
+  final case class BucketCount(service: String, bucketUs: Long, n: Long)
+  final case class BurstOut(service: String, bucketUs: Long, cnt: Long,
+                            prevSum: Long, prevN: Long, isBurst: Boolean)
+  final case class BurstState(buckets: List[(Long, Long)])
+
+  /** Streaming twin of [[graft.obs.Observability.burst]]: per-service
+    * state keeps the newest `lookback`+1 (bucket, count) cells — bounded
+    * by construction — and every arriving pre-bucketed count merges in
+    * and re-emits its bucket's evaluation against the trailing cells
+    * (same integer cross-multiply as the batch operator). Late counts
+    * for a retained bucket accumulate and re-evaluate; buckets older
+    * than the window are dropped, which IS the retention policy.
+    */
+  def burstStream(spark: SparkSession, counts: Dataset[BucketCount],
+                  num: Int = 3, den: Int = 1,
+                  lookback: Int = 12): Dataset[BurstOut] = {
+    import spark.implicits._
+    counts.groupByKey(_.service)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (service: String, it: Iterator[BucketCount],
+         state: GroupState[BurstState]) => {
+          val cur = scala.collection.mutable.Map[Long, Long]()
+          state.getOption.foreach(_.buckets.foreach { case (b, c) =>
+            cur(b) = c })
+          val touched = scala.collection.mutable.SortedSet[Long]()
+          it.foreach { bc =>
+            cur(bc.bucketUs) = cur.getOrElse(bc.bucketUs, 0L) + bc.n
+            touched += bc.bucketUs
+          }
+          val kept = cur.toList.sortBy(-_._1).take(lookback + 1)
+          state.update(BurstState(kept))
+          val byBucket = kept.toMap
+          touched.iterator.filter(byBucket.contains).map { b =>
+            // trailing = the newest `lookback` retained buckets older
+            // than b — the streaming analogue of ROWS -lookback..-1
+            val trail = kept.filter(_._1 < b).sortBy(-_._1).take(lookback)
+            val prevSum = trail.map(_._2).sum
+            val prevN = trail.size.toLong
+            val cnt = byBucket(b)
+            BurstOut(service, b, cnt, prevSum, prevN,
+              prevN > 0 && cnt * prevN * den > prevSum * num)
+          }.toList.iterator
+        })
+  }
 }

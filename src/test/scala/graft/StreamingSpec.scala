@@ -116,6 +116,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 2L -> 3L, 3L -> 3L, 4L -> 7L, 5L -> 0L))
   }
 
+  test("streaming burst: trailing cells persist and late counts re-evaluate") {
+    implicit val sqlCtx = spark.sqlContext
+    import Stateful.{BucketCount, BurstOut}
+    val in = MemoryStream[BucketCount]
+    // NoTimeout stateful query: processAllAvailable is safe (see header)
+    val out = Stateful.burstStream(spark, in.toDS())
+    val q = startToMemory(out, "burst_out")
+    try {
+      in.addData((0L to 3L).map(b => BucketCount("s", b, 2L)): _*)
+      q.processAllAvailable()
+      // batch 2: a late +6 for bucket 3 re-evaluates it (8 vs avg 2),
+      // and bucket 4 spikes to 12 — evaluated against the POST-merge
+      // trail (8+2+2+2=14): 12·4 > 14·3 → burst
+      in.addData(BucketCount("s", 4L, 12L), BucketCount("s", 3L, 6L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("burst_out").as[BurstOut].collect()
+    val batch2 = got.filter(r => r.prevN > 0 || r.bucketUs == 0L)
+    val spike = got.filter(r => r.bucketUs == 4L).last
+    assert(spike.isBurst && spike.cnt == 12L && spike.prevN == 4L)
+    assert(spike.prevSum == 14L)
+    val late = got.filter(r => r.bucketUs == 3L).last
+    assert(late.cnt == 8L && late.isBurst) // 8*3 > (2+2+2)*3
+    val first = got.filter(r => r.bucketUs == 0L).head
+    assert(!first.isBurst && first.prevN == 0L) // no history, never bursts
+    assert(batch2.nonEmpty)
+  }
+
   test("streaming sequence packing: shard cursors survive across batches") {
     implicit val sqlCtx = spark.sqlContext
     import Stateful.{Doc, PackedDoc}
