@@ -314,6 +314,27 @@ object Observability {
         min(col("lo")).as("bucket_lo"))
   }
 
+  /** Next-event transition matrix (first-order Markov over user
+    * journeys): P(next=b | cur=a) per ordered event pair, carried as the
+    * exact integer fraction n_ab / n_a·(out-transitions). One user-keyed
+    * lag window (same exchange family as sessionize/funnel), then a
+    * pair aggregate over |stages|² keys.
+    */
+  def transitions(df: DataFrame, user: Column, tsNs: Column,
+                  stage: Column): DataFrame = {
+    val w = Window.partitionBy(col("u")).orderBy(col("tn"))
+    val ordered = df.select(user.as("u"), tsNs.as("tn"), stage.as("cur"))
+      .withColumn("nxt", lead(col("cur"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+    val counts = ordered.groupBy(col("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n_pair"))
+    val wTot = Window.partitionBy(col("cur"))
+    counts
+      .withColumn("n_from", sum(col("n_pair")).over(wTot))
+      .withColumn("p",
+        col("n_pair").cast("double") / col("n_from").cast("double"))
+  }
+
   /** Burst detection: a bucket bursts when its event count exceeds
     * `num/den` × the trailing `lookback`-bucket average — compared by
     * integer cross-multiply against the ACTUAL trailing count (so the

@@ -270,6 +270,29 @@ object ObsQueries {
              FROM d GROUP BY 1, 2""")
     ),
 
+    // First-order Markov journey matrix: P(next | current) per event
+    // pair as the exact n_pair/n_from fraction (IEEE division of
+    // identical integers).
+    GraftQuery(
+      "x_obs_transitions",
+      (s, dir) =>
+        Observability.transitions(Tables.events(s, dir), col("user_id"),
+          col("ts_ns"), col("event_type")),
+      Some("""WITH e AS (SELECT user_id AS u, epoch_ns(ts) AS tn,
+                     event_type AS cur FROM events),
+             o AS (SELECT *, lead(cur) OVER (PARTITION BY u ORDER BY tn)
+                     AS nxt FROM e),
+             c AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n_pair
+                   FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2)
+             SELECT cur, nxt, n_pair,
+                    CAST(sum(n_pair) OVER (PARTITION BY cur) AS BIGINT)
+                      AS n_from,
+                    CAST(n_pair AS DOUBLE) /
+                      CAST(sum(n_pair) OVER (PARTITION BY cur) AS DOUBLE)
+                      AS p
+             FROM c""")
+    ),
+
     // Burst detection: bucket count vs trailing-12 average, integer
     // cross-multiplied against the actual trailing count.
     GraftQuery(

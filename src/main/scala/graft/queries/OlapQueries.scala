@@ -75,6 +75,67 @@ object OlapQueries {
                o_orderpriority)""")
     ),
 
+    // CDC latest-wins merge: a synthesized change log (1-3 versions per
+    // order, some ending in a delete) folds to final table state with
+    // ONE struct-max aggregate — no window, no sort, deletes erased.
+    GraftQuery(
+      "x_cdc_merge",
+      (s, dir) => {
+        val changes = Tables.orders(s, dir)
+          .withColumn("k", explode(typedLit(Seq(0, 1, 2))))
+          .filter(col("k") === 0 ||
+            (col("k") === 1 && col("o_orderkey") % 3 === 0) ||
+            (col("k") === 2 && col("o_orderkey") % 9 === 0))
+          .select(col("o_orderkey"), col("k").cast("long").as("seq"),
+            when(col("k") === 2 && col("o_orderkey") % 18 === 0, "D")
+              .otherwise("U").as("op"),
+            ((col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long") + col("k")).as("val"))
+        graft.ops.Cdc.merge(changes, col("o_orderkey"), col("seq"),
+            col("op"), col("val"))
+          .withColumnRenamed("key", "o_orderkey")
+          .withColumnRenamed("payload", "val")
+      },
+      Some("""WITH ch AS (SELECT o_orderkey, CAST(k AS BIGINT) AS seq,
+                     CASE WHEN k = 2 AND o_orderkey % 18 = 0 THEN 'D'
+                          ELSE 'U' END AS op,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) + k AS val
+                   FROM orders, (SELECT unnest(range(0, 3)) AS k)
+                   WHERE k = 0 OR (k = 1 AND o_orderkey % 3 = 0)
+                      OR (k = 2 AND o_orderkey % 9 = 0))
+             SELECT o_orderkey, CAST(max(seq) AS BIGINT) AS seq,
+                    CAST(arg_max(val, seq) AS BIGINT) AS val
+             FROM ch GROUP BY 1
+             HAVING arg_max(op, seq) <> 'D'""")
+    ),
+
+    // Higher-order array functions: per-doc token stats via
+    // transform/aggregate/filter — NO explode, so the plan has no
+    // Generate and the row count never inflates.
+    GraftQuery(
+      "x_array_hof",
+      (s, dir) =>
+        Tables.documents(s, dir).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          expr("aggregate(transform(split(text, ' '), x -> length(x)), " +
+            "0L, (a, x) -> a + x)").as("chars_sum"),
+          expr("CAST(array_max(transform(split(text, ' '), " +
+            "x -> length(x))) AS BIGINT)").as("max_len"),
+          expr("CAST(size(filter(split(text, ' '), " +
+            "x -> length(x) >= 6)) AS BIGINT)").as("n_long")),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
+                         FROM documents)
+             SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+                    CAST(list_aggregate(list_transform(l,
+                      x -> length(x)), 'sum') AS BIGINT) AS chars_sum,
+                    CAST(list_aggregate(list_transform(l,
+                      x -> length(x)), 'max') AS BIGINT) AS max_len,
+                    CAST(len(list_filter(l, x -> length(x) >= 6))
+                      AS BIGINT) AS n_long
+             FROM d""")
+    ),
+
     // Semi-structured VARIANT path (Spark 4): parse_json once, typed
     // variant_get extraction of nested fields and array elements — the
     // engine-native answer to fluent-bit's JSON-first record model.

@@ -275,6 +275,45 @@ class ObsSpec extends AnyFunSuite {
     assert(total == graft.model.Tables.events(spark, sf).count())
   }
 
+  // --- transitions / CDC / HOF ------------------------------------------
+
+  test("transitions: per-source probabilities sum to one") {
+    val rows = Registry.queries("x_obs_transitions")(spark, sf).collect()
+    for ((_, rs) <- rows.groupBy(_.getAs[String]("cur"))) {
+      assert(rs.map(_.getAs[Long]("n_pair")).sum ==
+        rs.head.getAs[Long]("n_from"))
+      assert(math.abs(rs.map(_.getAs[Double]("p")).sum - 1.0) < 1e-9)
+    }
+  }
+
+  test("cdc merge: latest version wins and deletes erase the key") {
+    val rows = Registry.queries("x_cdc_merge")(spark, sf).collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Long]("seq")).toMap
+    val orders = graft.model.Tables.orders(spark, sf)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    for (k <- orders) {
+      if (k % 18 == 0) assert(!rows.contains(k), s"deleted key $k survived")
+      else if (k % 9 == 0) assert(rows(k) == 2L)
+      else if (k % 3 == 0) assert(rows(k) == 1L)
+      else assert(rows(k) == 0L)
+    }
+  }
+
+  test("array hof: no Generate in the plan, stats check out on a fixture") {
+    val plan = Registry.queries("x_array_hof")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), "token stats must not explode")
+    val one = Seq((1L, "aa bbb cccccc")).toDF("doc_id", "text")
+    val r = one.select(
+      org.apache.spark.sql.functions.expr(
+        "aggregate(transform(split(text, ' '), x -> length(x)), 0L, " +
+          "(a, x) -> a + x)").as("cs"),
+      org.apache.spark.sql.functions.expr(
+        "size(filter(split(text, ' '), x -> length(x) >= 6))").as("nl"))
+      .collect().head
+    assert(r.getAs[Long]("cs") == 11L && r.getAs[Int]("nl") == 1)
+  }
+
   // --- MAD ---------------------------------------------------------------
 
   test("anomalyMad: lower median, MAD 0 flags every deviation") {
