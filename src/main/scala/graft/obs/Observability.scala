@@ -361,6 +361,33 @@ object Observability {
       .withColumn("prev_sum", coalesce(col("prev_sum"), lit(0L)))
   }
 
+  /** Alert hysteresis (flap suppression): an alert FIRES after
+    * `fireAfter`=3 consecutive bursting buckets and RESOLVES after
+    * `resolveAfter`=2 consecutive quiet ones; `active` holds between.
+    * The state machine is expressed as pure window algebra — fire/
+    * resolve events from lag conjunctions, then "most recent event
+    * wins" as two running maxima compared — so it is deterministic,
+    * SQL-replayable, and needs only the one service-keyed exchange the
+    * bucket rows already have.
+    */
+  def alertHysteresis(flags: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("service")).orderBy(col("bucket_us"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val b = col("is_burst")
+    flags
+      .withColumn("fire", coalesce(b && lag(b, 1).over(w) &&
+        lag(b, 2).over(w), lit(false)))
+      .withColumn("resolve", coalesce(!b && !lag(b, 1).over(w), lit(false)))
+      .withColumn("fired_at",
+        max(when(col("fire"), col("bucket_us"))).over(wCum))
+      .withColumn("resolved_at",
+        max(when(col("resolve"), col("bucket_us"))).over(wCum))
+      .withColumn("active", col("fired_at").isNotNull &&
+        (col("resolved_at").isNull || col("fired_at") > col("resolved_at")))
+      .select(col("service"), col("bucket_us"), b.as("is_burst"),
+        col("fired_at"), col("resolved_at"), col("active"))
+  }
+
   /** Apdex score (the public Apdex spec): satisfied ≤ T, tolerating ≤ 4T,
     * frustrated above; score = (sat + tol/2) / total, carried as the
     * exact integer fraction (2·sat + tol) / 2·total plus the IEEE

@@ -318,6 +318,52 @@ object ObsQueries {
              FROM r""")
     ),
 
+    // Alert hysteresis over the burst flags: fire after 3 consecutive
+    // bursting buckets, resolve after 2 quiet ones — the state machine
+    // as window algebra (most-recent-event-wins running maxima).
+    GraftQuery(
+      "x_obs_alert_hysteresis",
+      (s, dir) =>
+        Observability.alertHysteresis(
+          Observability.burst(Tables.events(s, dir),
+              concat(lit("svc"), col("user_id") % 4), col("ts_ns"))
+            .select(col("service"), col("bucket_us"), col("is_burst"))),
+      Some("""WITH s AS (SELECT 'svc' || CAST(user_id % 4 AS VARCHAR)
+                       AS service, epoch_ns(ts) AS ts_ns FROM events),
+             b AS (SELECT service,
+                     (ts_ns // 1000 // 600000000) * 600000000 AS bucket_us,
+                     CAST(count(*) AS BIGINT) AS cnt
+                   FROM s GROUP BY 1, 2),
+             r AS (SELECT *,
+                     CAST(sum(cnt) OVER w AS BIGINT) AS prev_sum,
+                     CAST(count(cnt) OVER w AS BIGINT) AS prev_n
+                   FROM b WINDOW w AS (PARTITION BY service
+                     ORDER BY bucket_us
+                     ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)),
+             f AS (SELECT service, bucket_us,
+                     prev_n > 0 AND cnt * prev_n > prev_sum * 3 AS is_burst
+                   FROM r),
+             ev AS (SELECT *,
+                      coalesce(is_burst
+                        AND lag(is_burst, 1) OVER w2
+                        AND lag(is_burst, 2) OVER w2, false) AS fire,
+                      coalesce(NOT is_burst
+                        AND NOT lag(is_burst, 1) OVER w2, false) AS resolve
+                    FROM f WINDOW w2 AS (PARTITION BY service
+                      ORDER BY bucket_us)),
+             st AS (SELECT service, bucket_us, is_burst,
+                      max(CASE WHEN fire THEN bucket_us END) OVER w3
+                        AS fired_at,
+                      max(CASE WHEN resolve THEN bucket_us END) OVER w3
+                        AS resolved_at
+                    FROM ev WINDOW w3 AS (PARTITION BY service
+                      ORDER BY bucket_us ROWS UNBOUNDED PRECEDING))
+             SELECT service, bucket_us, is_burst, fired_at, resolved_at,
+                    fired_at IS NOT NULL AND (resolved_at IS NULL
+                      OR fired_at > resolved_at) AS active
+             FROM st""")
+    ),
+
     // Apdex score at T=500 cents: exact integer fraction + the IEEE
     // division of those exact operands.
     GraftQuery(

@@ -75,6 +75,32 @@ object OlapQueries {
                o_orderpriority)""")
     ),
 
+    // Salted skew join: half the fact rows share ONE key; the salt
+    // spreads that key over 8 lanes while the result stays exactly the
+    // plain join's (the oracle IS the plain join).
+    GraftQuery(
+      "x_join_salted",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val fact = ev.select(col("event_id"),
+          when(col("event_id") % 2 === 0, 0L).otherwise(col("user_id"))
+            .as("jk"))
+        val dim = ev.select(col("user_id").as("dkey")).distinct()
+          .withColumn("grp", concat(lit("g"), col("dkey") % 5))
+        graft.ops.SkewJoin.saltedJoin(fact, dim, col("jk"), col("dkey"),
+            col("event_id"), salt = 8)
+          .select(col("event_id"), col("jk"), col("grp"))
+      },
+      Some("""WITH f AS (SELECT event_id,
+                     CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id END
+                       AS jk FROM events),
+             d AS (SELECT DISTINCT user_id AS dkey FROM events),
+             dd AS (SELECT dkey, 'g' || CAST(dkey % 5 AS VARCHAR) AS grp
+                    FROM d)
+             SELECT f.event_id, f.jk, dd.grp
+             FROM f JOIN dd ON f.jk = dd.dkey""")
+    ),
+
     // CDC latest-wins merge: a synthesized change log (1-3 versions per
     // order, some ending in a delete) folds to final table state with
     // ONE struct-max aggregate — no window, no sort, deletes erased.

@@ -335,6 +335,34 @@ object Stateful {
         })
   }
 
+  // --------------------------------------------------------------- cdc
+
+  final case class Change(key: Long, seq: Long, op: String, payload: Long)
+  final case class CdcRowState(seq: Long, op: String, payload: Long)
+
+  /** Streaming twin of [[graft.ops.Cdc.merge]] — the continuously
+    * materialized replica: per-key state holds the winning (seq, op,
+    * payload) and a batch emits a key's row only when a HIGHER sequence
+    * arrives (stale/out-of-order changes are absorbed silently; a
+    * winning delete emits its tombstone so downstream sinks can erase).
+    * State is one row per live key — the materialized view itself, the
+    * irreducible minimum for CDC.
+    */
+  def cdcStream(spark: SparkSession,
+                changes: Dataset[Change]): Dataset[Change] = {
+    import spark.implicits._
+    changes.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[Change], state: GroupState[CdcRowState]) => {
+          val best = it.maxBy(_.seq)
+          val cur = state.getOption
+          if (cur.forall(_.seq < best.seq)) {
+            state.update(CdcRowState(best.seq, best.op, best.payload))
+            Iterator.single(Change(key, best.seq, best.op, best.payload))
+          } else Iterator.empty
+        })
+  }
+
   // ------------------------------------------------------------- burst
 
   final case class BucketCount(service: String, bucketUs: Long, n: Long)

@@ -275,6 +275,37 @@ class ObsSpec extends AnyFunSuite {
     assert(total == graft.model.Tables.events(spark, sf).count())
   }
 
+  // --- hysteresis / salted join -----------------------------------------
+
+  test("alertHysteresis: fires after 3 bursts, resolves after 2 quiet") {
+    val flags = Seq(
+      ("s", 0L, false), ("s", 1L, true), ("s", 2L, true), ("s", 3L, true),
+      ("s", 4L, true), ("s", 5L, false), ("s", 6L, false), ("s", 7L, true)
+    ).toDF("service", "bucket_us", "is_burst")
+    val out = Observability.alertHysteresis(flags).collect()
+      .map(r => r.getAs[Long]("bucket_us") -> r.getAs[Boolean]("active"))
+      .toMap
+    assert(!out(0L) && !out(1L) && !out(2L)) // not yet 3 consecutive
+    assert(out(3L) && out(4L))               // fired at 3, holds
+    assert(out(5L))                          // one quiet bucket: still on
+    assert(!out(6L))                         // two quiet: resolved
+    assert(!out(7L))                         // single burst: no re-fire
+  }
+
+  test("salted join: result set identical to the plain join") {
+    val salted = Registry.queries("x_join_salted")(spark, sf)
+    val ev = graft.model.Tables.events(spark, sf)
+    val fact = ev.select(col("event_id"),
+      when(col("event_id") % 2 === 0, 0L).otherwise(col("user_id"))
+        .as("jk"))
+    val dim = ev.select(col("user_id").as("dkey")).distinct()
+      .withColumn("grp", concat(lit("g"), col("dkey") % 5))
+    val plain = fact.join(dim, col("jk") === col("dkey"))
+      .select(col("event_id"), col("jk"), col("grp"))
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
   // --- transitions / CDC / HOF ------------------------------------------
 
   test("transitions: per-source probabilities sum to one") {

@@ -116,6 +116,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 2L -> 3L, 3L -> 3L, 4L -> 7L, 5L -> 0L))
   }
 
+  test("streaming cdc: higher seq wins, stale changes absorbed, tombstones emit") {
+    implicit val sqlCtx = spark.sqlContext
+    import Stateful.Change
+    val in = MemoryStream[Change]
+    // NoTimeout stateful query: processAllAvailable is safe (see header)
+    val out = Stateful.cdcStream(spark, in.toDS())
+    val q = startToMemory(out, "cdc_out")
+    try {
+      in.addData(Change(1L, 0L, "U", 10L), Change(2L, 0L, "U", 20L))
+      q.processAllAvailable()
+      // key 1: seq 2 wins over an in-batch seq 1; key 2: stale seq 0 dup
+      // is absorbed; key 3 arrives deleted
+      in.addData(Change(1L, 2L, "U", 12L), Change(1L, 1L, "U", 11L),
+        Change(2L, 0L, "U", 99L), Change(3L, 5L, "D", 0L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cdc_out").as[Change].collect()
+    val k1 = got.filter(_.key == 1L).map(c => (c.seq, c.payload)).sorted
+    assert(k1.toSeq == Seq((0L, 10L), (2L, 12L))) // seq1 never surfaced
+    assert(got.count(_.key == 2L) == 1) // stale duplicate absorbed
+    val k3 = got.filter(_.key == 3L)
+    assert(k3.length == 1 && k3.head.op == "D") // tombstone emitted
+  }
+
   test("streaming burst: trailing cells persist and late counts re-evaluate") {
     implicit val sqlCtx = spark.sqlContext
     import Stateful.{BucketCount, BurstOut}
