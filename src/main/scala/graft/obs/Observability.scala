@@ -361,6 +361,74 @@ object Observability {
       .withColumn("prev_sum", coalesce(col("prev_sum"), lit(0L)))
   }
 
+  /** Position-based multi-touch attribution (the 40/20/40 model):
+    * each conversion credits its lookback-window touches — 4000 bp to
+    * the first, 4000 bp to the last, the middle 2000 bp split evenly
+    * (integer floor; a single touch takes all 10000). The touch set
+    * per conversion comes from a keyed interval join (equi-join on
+    * user with the window as a filter — never a range-only join), and
+    * first/last/count are three window expressions over ONE
+    * conversion-keyed exchange.
+    */
+  def attribution(touches: DataFrame, conversions: DataFrame,
+                  horizonNs: Long): DataFrame = {
+    val joined = touches.join(conversions,
+      col("t_user") === col("c_user") &&
+        col("t_ts") < col("c_ts") &&
+        col("t_ts") >= col("c_ts") - horizonNs)
+    val w = Window.partitionBy(col("conv_id"))
+    val wAsc = w.orderBy(col("t_ts"), col("touch_id"))
+    val wDesc = w.orderBy(col("t_ts").desc, col("touch_id").desc)
+    joined
+      .withColumn("rk_first", row_number().over(wAsc))
+      .withColumn("rk_last", row_number().over(wDesc))
+      .withColumn("n_touches", count(lit(1)).over(w))
+      .withColumn("role",
+        when(col("n_touches") === 1, "only")
+          .when(col("rk_first") === 1, "first")
+          .when(col("rk_last") === 1, "last")
+          .otherwise("middle"))
+      .withColumn("credit_bp",
+        when(col("role") === "only", 10000L)
+          .when(col("role") === "middle",
+            expr("2000 div (n_touches - 2)"))
+          .otherwise(4000L))
+      .select(col("conv_id"), col("touch_id"), col("role"),
+        col("credit_bp"), col("n_touches"))
+  }
+
+  /** Top-N-plus-other rollup: the dashboard cut — per bucket keep the
+    * N busiest keys by name and fold the tail into 'other'. Rank runs
+    * over aggregated partials; the re-aggregate touches ≤ |keys| rows.
+    */
+  def topNOther(df: DataFrame, key: Column, tsNs: Column,
+                bucketNs: Long = 86400000000000L, n: Int = 3): DataFrame = {
+    val ranked = trending(df, key, tsNs, bucketNs, k = Int.MaxValue)
+    ranked
+      .withColumn("label", when(col("rk") <= n, col("key"))
+        .otherwise(lit("other")))
+      .groupBy(col("day"), col("label"))
+      .agg(sum(col("cnt")).as("cnt"), count(lit(1)).as("n_keys"))
+  }
+
+  /** Share-of-total and day-over-day share shift, in integer basis
+    * points: share_bp = cnt·10⁴ div day_total; delta vs the key's
+    * previous bucket via lag. Two window passes over aggregated rows.
+    */
+  def shareShift(df: DataFrame, key: Column, tsNs: Column,
+                 bucketNs: Long = 86400000000000L): DataFrame = {
+    val counts = df.select(key.as("key"), tsNs.as("tn"))
+      .withColumn("day", expr(s"tn div $bucketNs"))
+      .groupBy(col("day"), col("key")).agg(count(lit(1)).as("cnt"))
+    val wDay = Window.partitionBy(col("day"))
+    val wKey = Window.partitionBy(col("key")).orderBy(col("day"))
+    counts
+      .withColumn("day_total", sum(col("cnt")).over(wDay))
+      .withColumn("share_bp", expr("(cnt * 10000) div day_total"))
+      .withColumn("prev_share_bp", lag(col("share_bp"), 1).over(wKey))
+      .withColumn("delta_bp", col("share_bp") - col("prev_share_bp"))
+  }
+
   /** Alert hysteresis (flap suppression): an alert FIRES after
     * `fireAfter`=3 consecutive bursting buckets and RESOLVES after
     * `resolveAfter`=2 consecutive quiet ones; `active` holds between.

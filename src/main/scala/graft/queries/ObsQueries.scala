@@ -318,6 +318,96 @@ object ObsQueries {
              FROM r""")
     ),
 
+    // Position-based (40/20/40) multi-touch attribution: clicks in the
+    // 7-day lookback of each purchase take integer basis-point credit
+    // by role; one conversion-keyed exchange drives all three windows.
+    GraftQuery(
+      "x_attribution_position",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val touches = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("touch_id"),
+            col("user_id").as("t_user"), col("ts_ns").as("t_ts"))
+        val convs = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("conv_id"),
+            col("user_id").as("c_user"), col("ts_ns").as("c_ts"))
+        Observability.attribution(touches, convs,
+          horizonNs = 604800000000000L)
+      },
+      Some("""WITH t AS (SELECT event_id AS touch_id, user_id AS t_user,
+                     epoch_ns(ts) AS t_ts FROM events
+                   WHERE event_type = 'click'),
+             c AS (SELECT event_id AS conv_id, user_id AS c_user,
+                     epoch_ns(ts) AS c_ts FROM events
+                   WHERE event_type = 'purchase'),
+             j AS (SELECT * FROM t JOIN c ON t_user = c_user
+                   AND t_ts < c_ts AND t_ts >= c_ts - 604800000000000),
+             r AS (SELECT *,
+                     row_number() OVER (PARTITION BY conv_id
+                       ORDER BY t_ts, touch_id) AS rk_first,
+                     row_number() OVER (PARTITION BY conv_id
+                       ORDER BY t_ts DESC, touch_id DESC) AS rk_last,
+                     CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT)
+                       AS n_touches
+                   FROM j),
+             rr AS (SELECT conv_id, touch_id,
+                      CASE WHEN n_touches = 1 THEN 'only'
+                           WHEN rk_first = 1 THEN 'first'
+                           WHEN rk_last = 1 THEN 'last'
+                           ELSE 'middle' END AS role,
+                      n_touches
+                    FROM r)
+             SELECT conv_id, touch_id, role,
+                    CAST(CASE role WHEN 'only' THEN 10000
+                         WHEN 'middle' THEN 2000 // (n_touches - 2)
+                         ELSE 4000 END AS BIGINT) AS credit_bp,
+                    n_touches
+             FROM rr""")
+    ),
+
+    // Top-N-plus-other: per day keep the 3 busiest types, fold the tail
+    // into 'other' — rank + re-aggregate over key-cardinality rows.
+    GraftQuery(
+      "x_obs_topn_other",
+      (s, dir) =>
+        Observability.topNOther(Tables.events(s, dir), col("event_type"),
+          col("ts_ns")),
+      Some("""WITH c AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+                     event_type AS key, CAST(count(*) AS BIGINT) AS cnt
+                   FROM events GROUP BY 1, 2),
+             r AS (SELECT *, row_number() OVER (PARTITION BY day
+                     ORDER BY cnt DESC, key) AS rk FROM c)
+             SELECT day,
+                    CASE WHEN rk <= 3 THEN key ELSE 'other' END AS label,
+                    CAST(sum(cnt) AS BIGINT) AS cnt,
+                    CAST(count(*) AS BIGINT) AS n_keys
+             FROM r GROUP BY 1, 2""")
+    ),
+
+    // Share-of-total + day-over-day share shift in integer basis points.
+    GraftQuery(
+      "x_obs_share_shift",
+      (s, dir) =>
+        Observability.shareShift(Tables.events(s, dir), col("event_type"),
+          col("ts_ns")),
+      Some("""WITH c AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+                     event_type AS key, CAST(count(*) AS BIGINT) AS cnt
+                   FROM events GROUP BY 1, 2),
+             s2 AS (SELECT *,
+                      CAST(sum(cnt) OVER (PARTITION BY day) AS BIGINT)
+                        AS day_total
+                    FROM c),
+             s3 AS (SELECT *, (cnt * 10000) // day_total AS share_bp
+                    FROM s2)
+             SELECT day, key, cnt, day_total,
+                    CAST(share_bp AS BIGINT) AS share_bp,
+                    CAST(lag(share_bp) OVER (PARTITION BY key ORDER BY day)
+                      AS BIGINT) AS prev_share_bp,
+                    CAST(share_bp - lag(share_bp) OVER (PARTITION BY key
+                      ORDER BY day) AS BIGINT) AS delta_bp
+             FROM s3""")
+    ),
+
     // Alert hysteresis over the burst flags: fire after 3 consecutive
     // bursting buckets, resolve after 2 quiet ones — the state machine
     // as window algebra (most-recent-event-wins running maxima).

@@ -75,6 +75,86 @@ object OlapQueries {
                o_orderpriority)""")
     ),
 
+    // Table profiler (Deequ-shaped): per-column row/null/distinct
+    // counts and lexicographic min/max via ONE stack + ONE aggregate —
+    // column count, not row count, sets the output size.
+    GraftQuery(
+      "x_profile_table",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .select(expr(
+            "stack(4, 'l_orderkey', CAST(l_orderkey AS STRING), " +
+              "'l_linenumber', CAST(l_linenumber AS STRING), " +
+              "'l_returnflag', l_returnflag, " +
+              "'l_linestatus', l_linestatus) AS (col_name, val)"))
+          .groupBy(col("col_name"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("val").isNull.cast("long")).as("n_null"),
+            countDistinct(col("val")).as("n_distinct"),
+            min(col("val")).as("vmin"), max(col("val")).as("vmax")),
+      Some("""WITH u AS (
+               SELECT 'l_orderkey' AS col_name,
+                      CAST(l_orderkey AS VARCHAR) AS val FROM lineitem
+               UNION ALL SELECT 'l_linenumber',
+                      CAST(l_linenumber AS VARCHAR) FROM lineitem
+               UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+               UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem)
+             SELECT col_name, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_null,
+                    CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+                    min(val) AS vmin, max(val) AS vmax
+             FROM u GROUP BY 1""")
+    ),
+
+    // Incremental aggregation maintenance: merge yesterday's partials
+    // with today's delta partials by RE-AGGREGATING THE PARTIALS —
+    // never rescanning the base — and prove equality with the full
+    // recompute (the `ok` column the oracle replays).
+    GraftQuery(
+      "x_incremental_agg",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("cents", graft.obs.Observability.cents(col("value")))
+          .withColumn("day", expr("ts_ns div 86400000000000"))
+        def partials(f: org.apache.spark.sql.DataFrame) =
+          f.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sc"))
+        val merged = partials(ev.filter(col("day") < lit(19733L)))
+          .union(partials(ev.filter(col("day") >= lit(19733L))))
+          .groupBy(col("event_type"))
+          .agg(sum(col("cnt")).as("cnt"), sum(col("sc")).as("sum_cents"))
+        val full = partials(ev)
+          .select(col("event_type").as("ft"), col("cnt").as("fcnt"),
+            col("sc").as("fsc"))
+        merged.join(full, col("event_type") === col("ft"))
+          .select(col("event_type"), col("cnt"), col("sum_cents"),
+            (col("cnt") === col("fcnt") &&
+              col("sum_cents") === col("fsc")).as("ok"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+                     epoch_ns(ts) // 86400000000000 AS day,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents
+                   FROM events),
+             p1 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+                      CAST(sum(cents) AS BIGINT) AS sc
+                    FROM e WHERE day < 19733 GROUP BY 1),
+             p2 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+                      CAST(sum(cents) AS BIGINT) AS sc
+                    FROM e WHERE day >= 19733 GROUP BY 1),
+             m AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS cnt,
+                     CAST(sum(sc) AS BIGINT) AS sum_cents
+                   FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+                   GROUP BY 1),
+             f AS (SELECT event_type, CAST(count(*) AS BIGINT) AS fcnt,
+                     CAST(sum(cents) AS BIGINT) AS fsc
+                   FROM e GROUP BY 1)
+             SELECT m.event_type, m.cnt, m.sum_cents,
+                    m.cnt = f.fcnt AND m.sum_cents = f.fsc AS ok
+             FROM m JOIN f USING (event_type)""")
+    ),
+
     // Salted skew join: half the fact rows share ONE key; the salt
     // spreads that key over 8 lanes while the result stays exactly the
     // plain join's (the oracle IS the plain join).

@@ -306,6 +306,65 @@ class ObsSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  // --- attribution / shares / profiling ---------------------------------
+
+  test("attribution: per-conversion credit follows the 40/20/40 formula") {
+    val rows = Registry.queries("x_attribution_position")(spark, sf)
+      .collect()
+    for ((_, rs) <- rows.groupBy(_.getAs[Long]("conv_id"))) {
+      val n = rs.head.getAs[Long]("n_touches")
+      val total = rs.map(_.getAs[Long]("credit_bp")).sum
+      val expected =
+        if (n == 1) 10000L
+        else if (n == 2) 8000L
+        else 8000L + (n - 2) * (2000L / (n - 2))
+      assert(total == expected, s"conv with $n touches credited $total")
+      if (n > 1) {
+        assert(rs.count(_.getAs[String]("role") == "first") == 1)
+        assert(rs.count(_.getAs[String]("role") == "last") == 1)
+      }
+    }
+  }
+
+  test("topNOther: day totals preserved, tail folds to one label") {
+    val rows = Registry.queries("x_obs_topn_other")(spark, sf).collect()
+    val perDay = rows.groupBy(_.getAs[Long]("day"))
+    val evPerDay = graft.model.Tables.events(spark, sf)
+      .groupBy(expr("ts_ns div 86400000000000").as("day"))
+      .count().collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Long]("count")).toMap
+    for ((day, rs) <- perDay) {
+      assert(rs.map(_.getAs[Long]("cnt")).sum == evPerDay(day))
+      val other = rs.filter(_.getAs[String]("label") == "other")
+      assert(other.length <= 1)
+      other.foreach(o => assert(o.getAs[Long]("n_keys") == 2L)) // 5 types - 3
+    }
+  }
+
+  test("shareShift: day shares sum to within flooring of 10000 bp") {
+    val rows = Registry.queries("x_obs_share_shift")(spark, sf).collect()
+    for ((_, rs) <- rows.groupBy(_.getAs[Long]("day"))) {
+      val s = rs.map(_.getAs[Long]("share_bp")).sum
+      assert(s <= 10000L && s > 10000L - rs.length)
+    }
+  }
+
+  test("profile: every column profiled over every row") {
+    val n = graft.model.Tables.lineitem(spark, sf).count()
+    val rows = Registry.queries("x_profile_table")(spark, sf).collect()
+    assert(rows.length == 4)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("n_null") == 0L)
+      assert(r.getAs[String]("vmin") <= r.getAs[String]("vmax"))
+    }
+  }
+
+  test("incremental agg: merged partials equal the full recompute") {
+    val rows = Registry.queries("x_incremental_agg")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("ok")))
+  }
+
   // --- transitions / CDC / HOF ------------------------------------------
 
   test("transitions: per-source probabilities sum to one") {
