@@ -318,6 +318,126 @@ object ObsQueries {
              FROM r""")
     ),
 
+    // Logs-explain-metrics correlation: for every bursting bucket, the
+    // error kind that dominates it — burst flags equi-join the
+    // per-(service, bucket, kind) error counts, rank-1 per bucket.
+    // The cross-signal composition every on-call asks for.
+    GraftQuery(
+      "x_obs_burst_explain",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val service = concat(lit("svc"), col("user_id") % 4)
+        val bursts = Observability.burst(ev, service, col("ts_ns"))
+          .select(col("service"), col("bucket_us"), col("cnt"),
+            col("is_burst"))
+        val errs = ev.filter(col("event_type") === "error")
+          .select(service.as("service"),
+            expr("(ts_ns div 1000 div 600000000) * 600000000")
+              .as("bucket_us"),
+            concat(lit("E"),
+              expr("CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) % 4"))
+              .as("kind"))
+          .groupBy(col("service"), col("bucket_us"), col("kind"))
+          .agg(count(lit(1)).as("kind_n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("service"), col("bucket_us"))
+          .orderBy(col("kind_n").desc, col("kind"))
+        bursts.join(errs, Seq("service", "bucket_us"), "left")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("service"), col("bucket_us"), col("cnt"),
+            col("is_burst"), col("kind").as("top_kind"),
+            col("kind_n").as("top_kind_n"))
+      },
+      Some("""WITH s AS (SELECT 'svc' || CAST(user_id % 4 AS VARCHAR)
+                       AS service, epoch_ns(ts) AS ts_ns, event_type,
+                       props
+                   FROM events),
+             b AS (SELECT service,
+                     (ts_ns // 1000 // 600000000) * 600000000 AS bucket_us,
+                     CAST(count(*) AS BIGINT) AS cnt
+                   FROM s GROUP BY 1, 2),
+             r AS (SELECT *,
+                     CAST(sum(cnt) OVER w AS BIGINT) AS prev_sum,
+                     CAST(count(cnt) OVER w AS BIGINT) AS prev_n
+                   FROM b WINDOW w AS (PARTITION BY service
+                     ORDER BY bucket_us
+                     ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)),
+             bb AS (SELECT service, bucket_us, cnt,
+                      prev_n > 0 AND cnt * prev_n > prev_sum * 3
+                        AS is_burst
+                    FROM r),
+             e AS (SELECT service,
+                     (ts_ns // 1000 // 600000000) * 600000000 AS bucket_us,
+                     'E' || CAST(CAST(regexp_extract(props, '[0-9]+')
+                       AS BIGINT) % 4 AS VARCHAR) AS kind
+                   FROM s WHERE event_type = 'error'),
+             ec AS (SELECT service, bucket_us, kind,
+                      CAST(count(*) AS BIGINT) AS kind_n
+                    FROM e GROUP BY 1, 2, 3),
+             j AS (SELECT bb.service, bb.bucket_us, bb.cnt, bb.is_burst,
+                     ec.kind, ec.kind_n,
+                     row_number() OVER (PARTITION BY bb.service,
+                       bb.bucket_us ORDER BY ec.kind_n DESC, ec.kind)
+                       AS rk
+                   FROM bb LEFT JOIN ec ON bb.service = ec.service
+                     AND bb.bucket_us = ec.bucket_us)
+             SELECT service, bucket_us, cnt, is_burst, kind AS top_kind,
+                    kind_n AS top_kind_n
+             FROM j WHERE rk = 1""")
+    ),
+
+    // Train/val/test leakage matrix: distinct 5-gram shingles per hash
+    // split, pairwise shared-gram counts via a gram-hash equi-join —
+    // the decontamination audit a random document split needs.
+    GraftQuery(
+      "x_split_leakage",
+      (s, dir) => {
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("long") % 10
+        val lbl = when(h <= 7, "train").when(h === 8, "val")
+          .otherwise("test")
+        val shingles = org.apache.spark.sql.graftshim.shim.column(
+          graft.functions.WordShingles(
+            org.apache.spark.sql.graftshim.shim.expression(col("text")), 5))
+        val grams = Tables.documents(s, dir)
+          .select(lbl.as("split"), explode(shingles).as("g"))
+          .select(col("split"),
+            conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
+              .as("gh"))
+          .distinct()
+        val b = grams.select(col("split").as("sb"), col("gh").as("ghb"))
+        grams.join(b, col("gh") === col("ghb") && col("split") < col("sb"))
+          .groupBy(col("split").as("sa"), col("sb"))
+          .agg(countDistinct(col("gh")).as("shared_grams"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l,
+                     CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                            1, 8))::BIGINT % 10 <= 7 THEN 'train'
+                          WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                            1, 8))::BIGINT % 10 = 8 THEN 'val'
+                          ELSE 'test' END AS split
+                   FROM documents),
+             ix AS (SELECT doc_id, split, l,
+                      unnest(range(0, len(l))) AS i FROM d),
+             t AS (SELECT doc_id, split, l[i+1] AS term, i AS pos
+                   FROM ix WHERE l[i+1] <> ''),
+             g0 AS (SELECT doc_id, split,
+                      term || ' ' || lead(term, 1) OVER w || ' ' ||
+                      lead(term, 2) OVER w || ' ' ||
+                      lead(term, 3) OVER w || ' ' ||
+                      lead(term, 4) OVER w AS g
+                    FROM t WINDOW w AS (PARTITION BY doc_id
+                      ORDER BY pos)),
+             g1 AS (SELECT DISTINCT split,
+                      ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+                    FROM g0 WHERE g IS NOT NULL)
+             SELECT a.split AS sa, b.split AS sb,
+                    CAST(count(DISTINCT a.gh) AS BIGINT) AS shared_grams
+             FROM g1 a JOIN g1 b ON a.gh = b.gh AND a.split < b.split
+             GROUP BY 1, 2""")
+    ),
+
     // Position-based (40/20/40) multi-touch attribution: clicks in the
     // 7-day lookback of each purchase take integer basis-point credit
     // by role; one conversion-keyed exchange drives all three windows.

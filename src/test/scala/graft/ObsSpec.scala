@@ -306,6 +306,26 @@ class ObsSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  // --- burst explain / leakage ------------------------------------------
+
+  test("burstExplain: one row per bucket, top kind bounded by its count") {
+    val rows = Registry.queries("x_obs_burst_explain")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(r =>
+      (r.getAs[String]("service"), r.getAs[Long]("bucket_us")))
+    assert(keys.distinct.length == keys.length)
+    for (r <- rows if !r.isNullAt(r.fieldIndex("top_kind_n")))
+      assert(r.getAs[Long]("top_kind_n") <= r.getAs[Long]("cnt"))
+  }
+
+  test("splitLeakage: pairs ordered, overlap positive where reported") {
+    val rows = Registry.queries("x_split_leakage")(spark, sf).collect()
+    for (r <- rows) {
+      assert(r.getAs[String]("sa") < r.getAs[String]("sb"))
+      assert(r.getAs[Long]("shared_grams") > 0L)
+    }
+  }
+
   // --- attribution / shares / profiling ---------------------------------
 
   test("attribution: per-conversion credit follows the 40/20/40 formula") {
