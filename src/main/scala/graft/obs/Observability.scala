@@ -321,9 +321,12 @@ object Observability {
     * pair aggregate over |stages|² keys.
     */
   def transitions(df: DataFrame, user: Column, tsNs: Column,
-                  stage: Column): DataFrame = {
-    val w = Window.partitionBy(col("u")).orderBy(col("tn"))
-    val ordered = df.select(user.as("u"), tsNs.as("tn"), stage.as("cur"))
+                  ordId: Column, stage: Column): DataFrame = {
+    // (tn, oid) is a TOTAL order — a duplicate timestamp within a user
+    // must not make the lead nondeterministic
+    val w = Window.partitionBy(col("u")).orderBy(col("tn"), col("oid"))
+    val ordered = df.select(user.as("u"), tsNs.as("tn"), ordId.as("oid"),
+        stage.as("cur"))
       .withColumn("nxt", lead(col("cur"), 1).over(w))
       .filter(col("nxt").isNotNull)
     val counts = ordered.groupBy(col("cur"), col("nxt"))

@@ -277,11 +277,11 @@ object ObsQueries {
       "x_obs_transitions",
       (s, dir) =>
         Observability.transitions(Tables.events(s, dir), col("user_id"),
-          col("ts_ns"), col("event_type")),
+          col("ts_ns"), col("event_id"), col("event_type")),
       Some("""WITH e AS (SELECT user_id AS u, epoch_ns(ts) AS tn,
-                     event_type AS cur FROM events),
-             o AS (SELECT *, lead(cur) OVER (PARTITION BY u ORDER BY tn)
-                     AS nxt FROM e),
+                     event_id AS oid, event_type AS cur FROM events),
+             o AS (SELECT *, lead(cur) OVER (PARTITION BY u
+                     ORDER BY tn, oid) AS nxt FROM e),
              c AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n_pair
                    FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2)
              SELECT cur, nxt, n_pair,
@@ -397,19 +397,32 @@ object ObsQueries {
           16, 10).cast("long") % 10
         val lbl = when(h <= 7, "train").when(h === 8, "val")
           .otherwise("test")
-        val shingles = org.apache.spark.sql.graftshim.shim.column(
-          graft.functions.WordShingles(
-            org.apache.spark.sql.graftshim.shim.expression(col("text")), 5))
-        val grams = Tables.documents(s, dir)
-          .select(lbl.as("split"), explode(shingles).as("g"))
-          .select(col("split"),
-            conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
-              .as("gh"))
-          .distinct()
-        val b = grams.select(col("split").as("sb"), col("gh").as("ghb"))
-        grams.join(b, col("gh") === col("ghb") && col("split") < col("sb"))
-          .groupBy(col("split").as("sa"), col("sb"))
-          .agg(countDistinct(col("gh")).as("shared_grams"))
+        val hashes = org.apache.spark.sql.graftshim.shim.column(
+          graft.functions.ShingleHash(
+            org.apache.spark.sql.graftshim.shim.expression(col("text")),
+            5, 15))
+        // no distinct, no self-join: ONE gh-keyed aggregate folds each
+        // gram to per-split presence flags (map-side partials collapse
+        // repeats), and the pair counts are three flag-product sums
+        val flags = Tables.documents(s, dir)
+          .select(lbl.as("split"), explode(hashes).as("gh"))
+          .groupBy(col("gh"))
+          .agg(max((col("split") === "train").cast("long")).as("ht"),
+            max((col("split") === "val").cast("long")).as("hv"),
+            max((col("split") === "test").cast("long")).as("hs"))
+        flags.agg(
+            sum(col("hs") * col("ht")).as("c_test_train"),
+            sum(col("hs") * col("hv")).as("c_test_val"),
+            sum(col("ht") * col("hv")).as("c_train_val"))
+          .select(explode(array(
+            struct(lit("test").as("sa"), lit("train").as("sb"),
+              col("c_test_train").as("shared_grams")),
+            struct(lit("test").as("sa"), lit("val").as("sb"),
+              col("c_test_val").as("shared_grams")),
+            struct(lit("train").as("sa"), lit("val").as("sb"),
+              col("c_train_val").as("shared_grams")))).as("r"))
+          .select(col("r.sa"), col("r.sb"), col("r.shared_grams"))
+          .filter(col("shared_grams") > 0)
       },
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l,
                      CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
