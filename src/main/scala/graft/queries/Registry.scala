@@ -28,7 +28,7 @@ object Registry {
     SpQueries.all ++ OpsQueries.all ++ OpsQueries2.all ++ ParseQueries.all ++
       FqlQueries.all ++ ExtQueries.all ++ IngestQueries.all ++
       SaasQueries.all ++ SaasQueries2.all ++ ObsQueries.all ++
-      SearchQueries.all ++ OlapQueries.all
+      SearchQueries.all ++ OlapQueries.all ++ TsQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.obs.{Observability, Timeseries}
+
+/** Time-series resampling gates: the events stream bucketed onto a 10-min
+  * grid, then gap-filled (LOCF), linearly interpolated, EWMA-smoothed,
+  * CUSUM change-pointed, and seasonally profiled — the fill/smooth layer a
+  * TSDB runs downstream of the shipper's windowed aggregates
+  * (reference src/stream_processor/flb_sp_window.c stops at the window).
+  * All integer-exact; every gate hash-matches a DuckDB replay.
+  */
+object TsQueries {
+
+  private val B = 600000000L // 10-min bucket, microseconds
+
+  private def buckets(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Timeseries.bucketize(
+      Tables.events(s, dir).withColumn("cents",
+        Observability.cents(col("value"))),
+      col("event_type"), col("ts_ns"), col("cents"), B)
+
+  /** Shared oracle prelude: observed (series, bucket) sums. */
+  private val O =
+    s"""WITH s AS (SELECT event_type, epoch_ns(ts) AS ts_ns,
+                    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      AS cents
+                  FROM events),
+             o AS (SELECT event_type AS series,
+                     (ts_ns // 1000 // $B) * $B AS bucket_us,
+                     CAST(sum(cents) AS BIGINT) AS cents,
+                     CAST(count(*) AS BIGINT) AS n_samples
+                   FROM s GROUP BY 1, 2)"""
+
+  /** Lagged prelude: each observed bucket with its predecessor. */
+  private val P = O +
+    s""",
+             p AS (SELECT series, bucket_us, cents, n_samples,
+                     lag(bucket_us) OVER w AS prev_b,
+                     lag(cents) OVER w AS prev_c
+                   FROM o
+                   WINDOW w AS (PARTITION BY series ORDER BY bucket_us))"""
+
+  def all: Seq[GraftQuery] = Seq(
+
+    // Gap fill + LOCF: gap rows are generated map-side from each observed
+    // row's lag() neighbor (sequence+explode) — no dense-calendar cross
+    // join, so only observed buckets ever shuffle.
+    GraftQuery(
+      "x_series_gapfill",
+      (s, dir) => Timeseries.gapFillLocf(buckets(s, dir), B),
+      Some(P + s""",
+             g AS (SELECT series,
+                     unnest(generate_series(prev_b + $B, bucket_us - $B,
+                       $B)) AS bucket_us,
+                     prev_c AS cents, CAST(0 AS BIGINT) AS n_samples,
+                     CAST(1 AS BIGINT) AS filled
+                   FROM p
+                   WHERE prev_b IS NOT NULL AND bucket_us - prev_b > $B)
+             SELECT series, bucket_us, cents, n_samples,
+                    CAST(0 AS BIGINT) AS filled
+             FROM o
+             UNION ALL
+             SELECT series, bucket_us, cents, n_samples, filled FROM g""")
+    ),
+
+    // Linear interpolation in milli-cents: the slope term is exact
+    // integer math (truncating div on both engines), negative slopes
+    // included.
+    GraftQuery(
+      "x_series_interpolate",
+      (s, dir) => Timeseries.interpolate(buckets(s, dir), B),
+      Some(P + s""",
+             g AS (SELECT series, prev_b, prev_c, cents,
+                     (bucket_us - prev_b) // $B AS total_steps,
+                     unnest(generate_series(1,
+                       (bucket_us - prev_b) // $B - 1, 1)) AS k
+                   FROM p
+                   WHERE prev_b IS NOT NULL AND bucket_us - prev_b > $B)
+             SELECT series, bucket_us, cents * 1000 AS milli_cents,
+                    CAST(0 AS BIGINT) AS filled
+             FROM o
+             UNION ALL
+             SELECT series, prev_b + k * $B AS bucket_us,
+                    prev_c * 1000 +
+                      ((cents - prev_c) * 1000 * k) // total_steps
+                      AS milli_cents,
+                    CAST(1 AS BIGINT) AS filled
+             FROM g""")
+    ),
+
+    // EWMA α=1/2 truncated at 16 lags as an exact ×2^16 fixed-point sum;
+    // missing history contributes weight-0 terms.
+    GraftQuery(
+      "x_series_ewma",
+      (s, dir) => Timeseries.ewma(buckets(s, dir)),
+      Some {
+        val terms = (0 until 16).map { k =>
+          val wgt = 1L << (15 - k)
+          if (k == 0) s"cents * $wgt"
+          else s"coalesce(lag(cents, $k) OVER w, 0) * $wgt"
+        }.mkString(" + ")
+        O + s"""
+             SELECT series, bucket_us, cents,
+                    CAST($terms AS BIGINT) AS ewma_fp
+             FROM o
+             WINDOW w AS (PARTITION BY series ORDER BY bucket_us)"""
+      }
+    ),
+
+    // CUSUM changepoint: argmax |n·run_k − k·total| per series (scaled
+    // exact CUSUM, cross-multiplied mean), earliest bucket wins ties.
+    GraftQuery(
+      "x_series_cusum",
+      (s, dir) => Timeseries.cusum(buckets(s, dir)),
+      Some(O + """,
+             c AS (SELECT series, bucket_us,
+                     CAST(row_number() OVER w AS BIGINT) AS k,
+                     sum(cents) OVER (PARTITION BY series ORDER BY
+                       bucket_us ROWS UNBOUNDED PRECEDING) AS run,
+                     CAST(count(*) OVER (PARTITION BY series) AS BIGINT)
+                       AS n,
+                     sum(cents) OVER (PARTITION BY series) AS total
+                   FROM o
+                   WINDOW w AS (PARTITION BY series ORDER BY bucket_us)),
+             a AS (SELECT series, bucket_us, n,
+                     abs(n * run - k * total) AS abs_cs
+                   FROM c),
+             r AS (SELECT series, bucket_us, abs_cs, n,
+                     row_number() OVER (PARTITION BY series
+                       ORDER BY abs_cs DESC, bucket_us) AS rk
+                   FROM a)
+             SELECT series, bucket_us AS change_bucket_us,
+                    CAST(abs_cs AS BIGINT) AS cusum_peak, n AS n_buckets
+             FROM r WHERE rk = 1""")
+    ),
+
+    // Hour-of-day (UTC) seasonal profile: a 24·|series|-row aggregate
+    // whatever the input size (map-side partials).
+    GraftQuery(
+      "x_series_seasonal",
+      (s, dir) =>
+        Timeseries.seasonalProfile(
+          Tables.events(s, dir).withColumn("cents",
+            Observability.cents(col("value"))),
+          col("event_type"), col("ts_ns"), col("cents")),
+      Some("""WITH s AS (SELECT event_type AS series,
+                     (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents
+                   FROM events)
+             SELECT series, hod, CAST(count(*) AS BIGINT) AS n_events,
+                    CAST(sum(cents) AS BIGINT) AS sum_cents,
+                    CAST((sum(cents) * 1000) // count(*) AS BIGINT)
+                      AS mean_milli
+             FROM s GROUP BY 1, 2""")
+    )
+  )
+}
