@@ -27,8 +27,9 @@ object Registry {
   def all: Seq[GraftQuery] =
     SpQueries.all ++ OpsQueries.all ++ OpsQueries2.all ++ ParseQueries.all ++
       FqlQueries.all ++ ExtQueries.all ++ IngestQueries.all ++
-      SaasQueries.all ++ SaasQueries2.all ++ ObsQueries.all ++
-      SearchQueries.all ++ OlapQueries.all ++ TsQueries.all
+      SaasQueries.all ++ SaasQueries2.all ++ SaasQueries3.all ++
+      ObsQueries.all ++ SearchQueries.all ++ OlapQueries.all ++
+      TsQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

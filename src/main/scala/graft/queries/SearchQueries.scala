@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.text.Search
-import graft.graph.PageRank
+import graft.graph.{PageRank, Triangles}
 
 /** Search-and-graph gates: positional inverted index, phrase and boolean
   * retrieval over `documents`, and fixed-point PageRank over a planted
@@ -107,6 +107,88 @@ object SearchQueries {
         head + iters + """
              SELECT id, r AS rank_fp FROM r5"""
       }
+    ),
+
+    // BM25 top-10 per query term, all factors exact rationals (k1=6/5,
+    // b=3/4) — the ONLY float op is one double division of identical
+    // BIGINT operands, so the ranking hash-matches DuckDB bit-for-bit.
+    GraftQuery(
+      "x_search_bm25",
+      (s, dir) =>
+        Search.bm25(Tables.documents(s, dir), col("doc_id"), col("text"),
+          Seq("hash", "scan"), k = 10),
+      Some(T + """,
+             dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                    FROM t GROUP BY 1),
+             tot AS (SELECT CAST(count(*) AS BIGINT) AS s_tokens FROM t),
+             nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+                    FROM documents),
+             tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+                    FROM t WHERE term IN ('hash', 'scan') GROUP BY 1, 2),
+             tfd AS (SELECT term, doc_id, tf,
+                       CAST(count(*) OVER (PARTITION BY term) AS BIGINT)
+                         AS df
+                     FROM tf),
+             sc AS (SELECT term, doc_id, tf, dl,
+                      CAST((2 * n_docs - 2 * df + 1) * 22 * tf * s_tokens
+                        AS DOUBLE) /
+                      CAST((2 * df + 1) * (10 * tf * s_tokens +
+                        3 * s_tokens + 9 * dl * n_docs) AS DOUBLE)
+                        AS score
+                    FROM tfd JOIN dl USING (doc_id), tot, nn),
+             rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY term
+                      ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+                    FROM sc)
+             SELECT term, doc_id, tf, dl, score, rk
+             FROM rk WHERE rk <= 10""")
+    ),
+
+    // Degree-oriented triangle counting over the planted graph (3
+    // arithmetic links + a 13-hub spoke): orientation makes the wedge
+    // join skew-proof; one LEFT-join pass yields wedge + triangle counts.
+    GraftQuery(
+      "x_graph_triangles",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val nodes = docs.select(col("doc_id").as("id"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val edges = Triangles.plantedEdges(
+          nodes.crossJoin(broadcast(n)), col("id"), col("n"))
+        Triangles.run(edges)
+      },
+      Some("""WITH nodes AS (SELECT doc_id AS id FROM documents),
+             nn AS (SELECT count(*) AS n FROM documents),
+             e0 AS (SELECT id AS s, (id * 3 + 1) % n AS d FROM nodes, nn
+                    UNION ALL SELECT id, (id * 4 + 2) % n FROM nodes, nn
+                    UNION ALL SELECT id, (id * 5 + 3) % n FROM nodes, nn
+                    UNION ALL SELECT id, id % 13 FROM nodes),
+             e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                   FROM e0 WHERE s <> d),
+             deg AS (SELECT v, CAST(count(*) AS BIGINT) AS dg
+                     FROM (SELECT a AS v FROM e
+                           UNION ALL SELECT b FROM e)
+                     GROUP BY 1),
+             o AS (SELECT CASE WHEN da.dg < db.dg OR
+                       (da.dg = db.dg AND a < b) THEN a ELSE b END AS u,
+                     CASE WHEN da.dg < db.dg OR
+                       (da.dg = db.dg AND a < b) THEN b ELSE a END AS v,
+                     CASE WHEN da.dg < db.dg OR
+                       (da.dg = db.dg AND a < b) THEN db.dg ELSE da.dg END
+                       AS dv
+                   FROM e JOIN deg da ON da.v = e.a
+                     JOIN deg db ON db.v = e.b),
+             w AS (SELECT o1.x, o2.y FROM
+                     (SELECT u, v AS x, dv AS dx FROM o) o1
+                     JOIN (SELECT u, v AS y, dv AS dy FROM o) o2
+                     USING (u)
+                   WHERE o1.dx < o2.dy OR (o1.dx = o2.dy AND o1.x < o2.y)),
+             tri AS (SELECT CAST(count(*) AS BIGINT) AS n_wedges,
+                       CAST(count(o.u) AS BIGINT) AS n_triangles
+                     FROM w LEFT JOIN o ON o.u = w.x AND o.v = w.y)
+             SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+                    (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+                    n_wedges, n_triangles
+             FROM tri""")
     )
   )
 }

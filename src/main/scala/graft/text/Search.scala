@@ -73,4 +73,46 @@ object Search {
       none.map(t => col(s"not_$t") === 0L)).reduce(_ && _)
     agg.filter(pred).select(col("doc_id"))
   }
+
+  /** BM25 top-k ranking for a small literal term set, k1 = 6/5, b = 3/4.
+    *
+    * Every BM25 factor is kept RATIONAL — with S = Σdl and N = |docs|,
+    *   tf-part  = 22·tf·S / (10·tf·S + 3·S + 9·dl·N)
+    *   idf      = (2N − 2df + 1) / (2df + 1)
+    * so numerator and denominator are exact BIGINTs and the only float
+    * op is ONE double division at the end — identical operands, identical
+    * IEEE result on any engine, which is what lets a ranking score
+    * hash-match a DuckDB replay.
+    *
+    * Plan: the query-term filter lands BEFORE the (term, doc) aggregate,
+    * so only matching postings shuffle; dl is the one corpus-wide
+    * doc-keyed aggregate; df comes from a term-partitioned window over
+    * the already-tiny tf relation; N and S broadcast as one row; the
+    * per-term top-k is a rank-filter window (WindowGroupLimit map-side).
+    */
+  def bm25(docs: DataFrame, id: Column, text: Column,
+           terms: Seq[String], k: Int): DataFrame = {
+    val toks = tokens(docs, id, text)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val totals = toks.agg(count(lit(1)).as("s_tokens"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+    val tf = toks.filter(col("term").isin(terms: _*))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+    val num = (lit(2L) * col("n_docs") - lit(2L) * col("df") + 1L) *
+      lit(22L) * col("tf") * col("s_tokens")
+    val den = (lit(2L) * col("df") + 1L) *
+      (lit(10L) * col("tf") * col("s_tokens") + lit(3L) * col("s_tokens") +
+        lit(9L) * col("dl") * col("n_docs"))
+    val scored = tf.join(dl, "doc_id").crossJoin(broadcast(totals))
+      .withColumn("score", num.cast("double") / den.cast("double"))
+    scored
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("score"), col("rk"))
+  }
 }
