@@ -26,7 +26,14 @@ object Triangles {
     * the edge key — still skew-safe because an edge row carries exactly
     * one hub endpoint lookup, never a hub×hub product.
     */
-  def run(edges: DataFrame): DataFrame = {
+  def run(edgesRaw: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // Three consumers each for the edge list (degrees, orientation,
+    // sizes) and the oriented list (both wedge sides, the closing
+    // probe): without a persist every branch replans the upstream
+    // distinct — six input scans. Both relations are |E|-sized, the
+    // thing you would materialize once on a 100 TB graph anyway.
+    val edges = edgesRaw.persist(StorageLevel.MEMORY_AND_DISK)
     val deg = edges.select(col("a").as("v"))
       .unionAll(edges.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("dg"))
@@ -43,6 +50,7 @@ object Triangles {
         when(fwd, col("a")).otherwise(col("b")).as("u"),
         when(fwd, col("b")).otherwise(col("a")).as("v"),
         when(fwd, col("dgb")).otherwise(col("dga")).as("dv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Wedges from shared oriented sources, ordered so the closing edge
     // (x, y) is itself in oriented form.

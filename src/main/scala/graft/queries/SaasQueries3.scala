@@ -27,23 +27,34 @@ object SaasQueries3 {
     GraftQuery(
       "x_assoc_rules",
       (s, dir) => {
+        // Four consumers (item supports, both pair-join sides, the user
+        // total) share the distinct — persist the |users|·|items|-sized
+        // relation instead of rescanning the event stream four times.
         val items = events(s, dir)
           .select(col("user_id"), col("event_type")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val minSupport = 2L
         val freq = items.groupBy(col("event_type"))
           .agg(count(lit(1)).as("cnt"))
           .filter(col("cnt") >= minSupport)
+        // every user has ≥1 event, so the user total derives from the
+        // cached distinct, not a second corpus scan
+        val nUsers = items
+          .agg(countDistinct(col("user_id")).as("n_users"))
         val pruned = items.join(
           broadcast(freq.select(col("event_type"))), Seq("event_type"),
           "left_semi")
-        val nUsers = events(s, dir)
-          .agg(countDistinct(col("user_id")).as("n_users"))
-        val a = pruned.select(col("user_id"), col("event_type").as("ta"))
-        val b = pruned.select(col("user_id").as("ub"),
-          col("event_type").as("tb"))
-        val sup = a.join(b, col("user_id") === col("ub") &&
-            col("ta") < col("tb"))
-          .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("cnt_ab"))
+        // pair generation is MAP-SIDE: collect each user's (pruned,
+        // sorted) basket once, emit its C(k,2) combinations from the
+        // array — no user-keyed self-join, no |items|² intermediate
+        val sup = pruned.groupBy(col("user_id"))
+          .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+          .select(explode(expr(
+            """flatten(transform(ts, (x, i) ->
+                 transform(slice(ts, i + 2, size(ts)),
+                   y -> struct(x AS ta, y AS tb))))""")).as("p"))
+          .groupBy(col("p.ta").as("ta"), col("p.tb").as("tb"))
+          .agg(count(lit(1)).as("cnt_ab"))
         val ca = freq.select(col("event_type").as("ta"),
           col("cnt").as("cnt_a"))
         val cb = freq.select(col("event_type").as("tb"),
