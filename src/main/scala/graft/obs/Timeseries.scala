@@ -137,6 +137,55 @@ object Timeseries {
         col("abs_cs").as("cusum_peak"), col("n").as("n_buckets"))
   }
 
+  /** Hopping-window distinct users per series: each event lands in
+    * `panes` consecutive windows (explode of the window-start sequence —
+    * map-side ×panes expansion), then ONE (series, window, user)
+    * partial-distinct aggregate and a count. Exact sliding distinct at
+    * any scale: the shuffle carries (series, window, user) triples,
+    * already deduped map-side, never raw events.
+    */
+  def slidingDistinct(df: DataFrame, series: Column, tsNs: Column,
+                      user: Column, bucketUs: Long,
+                      panes: Int): DataFrame =
+    df.select(series.as("series"), tsNs.as("ts_ns"), user.as("u"))
+      .withColumn("b", expr(s"ts_ns div 1000 div $bucketUs"))
+      .select(col("series"), col("u"),
+        explode(sequence(col("b") - (panes - 1), col("b"), lit(1L)))
+          .as("w"))
+      .select(col("series"), (col("w") * bucketUs).as("win_start_us"),
+        col("u"))
+      .distinct()
+      .groupBy(col("series"), col("win_start_us"))
+      .agg(count(lit(1)).as("n_users"))
+
+  /** Per-series OLS trend over the bucket sequence, exact integers.
+    * Centered time t' = 2k − n − 1 (k = 1-based bucket rank) makes
+    * Σt' = 0, so slope = 2·Σt'y / Σt'² in cents-per-bucket; reported in
+    * centi-cents per bucket via truncating div. One series-keyed
+    * exchange: the rank window and the aggregate share the partitioning.
+    */
+  def trend(buckets: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("series")).orderBy(col("bucket_us"))
+    buckets
+      .select(col("series"), col("bucket_us"), col("cents"))
+      .withColumn("k", row_number().over(wOrd).cast("long"))
+      .groupBy(col("series"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("cents")).as("sum_y"),
+        sum((lit(2L) * col("k")) * col("cents")).as("sum_2ky"),
+        sum(col("k")).as("sum_k"), sum(col("k") * col("k")).as("sum_kk"))
+      .select(col("series"), col("n_buckets"),
+        // Σt'y = Σ(2k−n−1)y = Σ2ky − (n+1)Σy ; Σt'² = 4Σk² − (n+1)²n
+        (col("sum_2ky") - (col("n_buckets") + 1L) * col("sum_y"))
+          .as("num_ty"),
+        (lit(4L) * col("sum_kk") -
+          (col("n_buckets") + 1L) * (col("n_buckets") + 1L) *
+            col("n_buckets")).as("den_tt"))
+      .withColumn("slope_centi",
+        when(col("den_tt") === 0L, lit(0L))
+          .otherwise(expr("(200 * num_ty) div den_tt")))
+  }
+
   /** Hour-of-day (UTC) seasonal profile per series: exact event count,
     * cents sum, and the milli-cent mean. Plain two-key aggregate —
     * map-side partials make this a 24·|series|-row shuffle regardless of

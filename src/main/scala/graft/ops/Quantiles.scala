@@ -55,6 +55,35 @@ object Quantiles {
       .select(col("g"), col("q"), col("rank_needed"), col("value"))
   }
 
+  /** Two-key grouped exact quantiles — the (service, time-bucket) grain
+    * of a latency heatmap. Same histogram-cumsum spine as
+    * [[groupedQuantiles]]; the window partitions by BOTH keys, so the
+    * histogram spreads by series·bucket and parallelism follows the
+    * heatmap's cell count.
+    */
+  def groupedQuantiles2(df: DataFrame, g1: Column, g2: Column,
+                        value: Column,
+                        qs: Seq[(String, Int, Int)]): DataFrame = {
+    val counts = df
+      .groupBy(g1.as("g1"), g2.as("g2"), value.cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("g1"), col("g2")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("g1"), col("g2")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("total", sum(col("cnt")).over(wAll))
+      .select(col("g1"), col("g2"), col("v"), col("cum"), col("total"),
+        explode(typedLit(qs)).as("q"))
+      .withColumn("needed", expr("(total * q._2 + q._3 - 1) div q._3"))
+      .filter(col("cum") >= col("needed"))
+      .groupBy(col("g1"), col("g2"), col("q._1").as("q"))
+      .agg(min(col("needed")).as("rank_needed"), min(col("v")).as("value"))
+      .select(col("g1"), col("g2"), col("q"), col("rank_needed"),
+        col("value"))
+  }
+
   def exactQuantiles(df: DataFrame, value: Column,
                      qs: Seq[(String, Int, Int)] = DefaultQs): DataFrame = {
     val counts = df.groupBy(value.cast("long").as("v"))

@@ -136,6 +136,57 @@ object TsQueries {
              FROM r WHERE rk = 1""")
     ),
 
+    // Sliding (hopping) exact distinct users: 30-min window hopping by
+    // 10 min — each event explodes into its 3 windows map-side, then one
+    // (series, window, user) partial-distinct aggregate.
+    GraftQuery(
+      "x_obs_sliding_distinct",
+      (s, dir) =>
+        Timeseries.slidingDistinct(Tables.events(s, dir),
+          col("event_type"), col("ts_ns"), col("user_id"), B, panes = 3),
+      Some(s"""WITH s AS (SELECT event_type AS series, epoch_ns(ts)
+                      AS ts_ns, user_id
+                    FROM events),
+             w AS (SELECT series, user_id,
+                     unnest(generate_series(ts_ns // 1000 // $B - 2,
+                       ts_ns // 1000 // $B, 1)) AS w
+                   FROM s),
+             d AS (SELECT DISTINCT series, w * $B AS win_start_us,
+                     user_id
+                   FROM w)
+             SELECT series, win_start_us,
+                    CAST(count(*) AS BIGINT) AS n_users
+             FROM d GROUP BY 1, 2""")
+    ),
+
+    // Per-series OLS trend: centered-time slope as exact integers
+    // (Σt' = 0 kills the cross term), centi-cents per bucket.
+    GraftQuery(
+      "x_series_trend",
+      (s, dir) => Timeseries.trend(buckets(s, dir)),
+      Some(O + """,
+             r AS (SELECT series, cents,
+                     CAST(row_number() OVER (PARTITION BY series
+                       ORDER BY bucket_us) AS BIGINT) AS k
+                   FROM o),
+             a AS (SELECT series, CAST(count(*) AS BIGINT) AS n_buckets,
+                     CAST(sum(cents) AS BIGINT) AS sum_y,
+                     CAST(sum(2 * k * cents) AS BIGINT) AS sum_2ky,
+                     CAST(sum(k * k) AS BIGINT) AS sum_kk
+                   FROM r GROUP BY 1),
+             b AS (SELECT series, n_buckets,
+                     sum_2ky - (n_buckets + 1) * sum_y AS num_ty,
+                     4 * sum_kk -
+                       (n_buckets + 1) * (n_buckets + 1) * n_buckets
+                       AS den_tt
+                   FROM a)
+             SELECT series, n_buckets, num_ty, den_tt,
+                    CAST(CASE WHEN den_tt = 0 THEN 0
+                      ELSE (200 * num_ty) // den_tt END AS BIGINT)
+                      AS slope_centi
+             FROM b""")
+    ),
+
     // Hour-of-day (UTC) seasonal profile: a 24·|series|-row aggregate
     // whatever the input size (map-side partials).
     GraftQuery(

@@ -409,4 +409,73 @@ object Stateful {
           }.toList.iterator
         })
   }
+
+  // -------------------------------------------------------------- ewma
+
+  final case class SeriesBucket(series: String, bucketUs: Long, cents: Long)
+  final case class EwmaOut(series: String, bucketUs: Long, cents: Long,
+                           ewmaFp: Long)
+  final case class EwmaState(recent: List[(Long, Long)])
+
+  final case class GapOut(series: String, bucketUs: Long, cents: Long,
+                          nSamples: Long, filled: Long)
+  final case class LastBucket(bucketUs: Long, cents: Long)
+
+  /** Streaming twin of [[graft.obs.Timeseries.gapFillLocf]]: per-series
+    * state is ONE (bucket, cents) cell; each arriving bucket first emits
+    * the carried-forward gap rows since the last observed bucket, then
+    * itself. The same in-order-within-series contract as the batch
+    * window's ORDER BY.
+    */
+  def gapFillStream(spark: SparkSession, buckets: Dataset[SeriesBucket],
+                    bucketUs: Long): Dataset[GapOut] = {
+    import spark.implicits._
+    buckets.groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (series: String, it: Iterator[SeriesBucket],
+         state: GroupState[LastBucket]) => {
+          var prev = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[GapOut]()
+          it.toSeq.sortBy(_.bucketUs).foreach { b =>
+            prev.foreach { p =>
+              var g = p.bucketUs + bucketUs
+              while (g < b.bucketUs) {
+                out += GapOut(series, g, p.cents, 0L, 1L)
+                g += bucketUs
+              }
+            }
+            out += GapOut(series, b.bucketUs, b.cents, 1L, 0L)
+            prev = Some(LastBucket(b.bucketUs, b.cents))
+          }
+          prev.foreach(state.update)
+          out.iterator
+        })
+  }
+
+  /** Streaming twin of [[graft.obs.Timeseries.ewma]]: per-series state
+    * keeps the newest ≤16 (bucket, cents) cells — the exact window the
+    * batch lag-chain sees — and each arriving bucket emits the identical
+    * ×2^16 fixed-point sum. State is 16 longs per series, the
+    * irreducible EWMA horizon; in-order arrival within a series is the
+    * contract (the same one the batch window's ORDER BY provides).
+    */
+  def ewmaStream(spark: SparkSession,
+                 buckets: Dataset[SeriesBucket]): Dataset[EwmaOut] = {
+    import spark.implicits._
+    buckets.groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (series: String, it: Iterator[SeriesBucket],
+         state: GroupState[EwmaState]) => {
+          var recent = state.getOption.map(_.recent).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer[EwmaOut]()
+          it.toSeq.sortBy(_.bucketUs).foreach { b =>
+            recent = ((b.bucketUs, b.cents) :: recent).take(16)
+            val fp = recent.iterator.zipWithIndex
+              .map { case ((_, c), k) => c * (1L << (15 - k)) }.sum
+            out += EwmaOut(series, b.bucketUs, b.cents, fp)
+          }
+          state.update(EwmaState(recent))
+          out.iterator
+        })
+  }
 }

@@ -140,6 +140,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(k3.length == 1 && k3.head.op == "D") // tombstone emitted
   }
 
+  test("streaming gapfill: gaps carry forward across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Stateful.{SeriesBucket, GapOut}
+    val in = MemoryStream[SeriesBucket]
+    // NoTimeout stateful query: processAllAvailable is safe (see header)
+    val out = Stateful.gapFillStream(spark, in.toDS(), bucketUs = 10L)
+    val q = startToMemory(out, "gap_out")
+    try {
+      in.addData(SeriesBucket("a", 0L, 7L))
+      q.processAllAvailable()
+      // bucket 40 arrives a batch later: 10/20/30 fill with 7 (LOCF)
+      in.addData(SeriesBucket("a", 40L, 9L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("gap_out").as[GapOut].collect()
+      .sortBy(_.bucketUs).map(r => (r.bucketUs, r.cents, r.filled))
+    assert(got.toSeq == Seq((0L, 7L, 0L), (10L, 7L, 1L), (20L, 7L, 1L),
+      (30L, 7L, 1L), (40L, 9L, 0L)))
+  }
+
+  test("streaming ewma: matches the batch lag-chain across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Stateful.{SeriesBucket, EwmaOut}
+    val in = MemoryStream[SeriesBucket]
+    // NoTimeout stateful query: processAllAvailable is safe (see header)
+    val out = Stateful.ewmaStream(spark, in.toDS())
+    val q = startToMemory(out, "ewma_out")
+    try {
+      in.addData(SeriesBucket("a", 0L, 4L), SeriesBucket("a", 10L, 8L))
+      q.processAllAvailable()
+      // batch 2 continues series a from retained state; series b is new
+      in.addData(SeriesBucket("a", 20L, 2L), SeriesBucket("b", 0L, 6L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ewma_out").as[EwmaOut].collect()
+      .map(r => (r.series, r.bucketUs) -> r.ewmaFp).toMap
+    val batch = graft.obs.Timeseries.ewma(
+        Seq(("a", 0L, 4L), ("a", 10L, 8L), ("a", 20L, 2L), ("b", 0L, 6L))
+          .toDF("series", "bucket_us", "cents")).collect()
+      .map(r => (r.getAs[String]("series"), r.getAs[Long]("bucket_us")) ->
+        r.getAs[Long]("ewma_fp")).toMap
+    assert(got == batch)
+  }
+
   test("streaming burst: trailing cells persist and late counts re-evaluate") {
     implicit val sqlCtx = spark.sqlContext
     import Stateful.{BucketCount, BurstOut}

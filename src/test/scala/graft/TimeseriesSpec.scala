@@ -81,6 +81,62 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("change_bucket_us") == 0L)
   }
 
+  // --- sliding distinct --------------------------------------------------
+
+  test("slidingDistinct: each event lands in `panes` windows, users dedupe") {
+    // bucket(ts_ns) = ts_ns/1000/10; user 1 hits buckets 0 and 1,
+    // user 2 hits bucket 0 only
+    val df = Seq(("a", 0L, 1L), ("a", 10000L, 1L), ("a", 0L, 2L))
+      .toDF("series", "ts_ns", "u")
+    val out = Timeseries.slidingDistinct(df, $"series", $"ts_ns", $"u",
+        bucketUs = 10L, panes = 3)
+      .collect().map(r => r.getAs[Long]("win_start_us") ->
+        r.getAs[Long]("n_users")).toMap
+    assert(out == Map(-20L -> 2L, -10L -> 2L, 0L -> 2L, 10L -> 1L))
+  }
+
+  // --- OLS trend ---------------------------------------------------------
+
+  test("trend: exact slope on a linear series, zero on flat, 0 when n=1") {
+    val lin = Timeseries.trend(bk(("a", 0L, 10L), ("a", 10L, 20L),
+      ("a", 20L, 30L), ("a", 30L, 40L))).collect().head
+    assert(lin.getAs[Long]("num_ty") == 100L)
+    assert(lin.getAs[Long]("den_tt") == 20L)
+    assert(lin.getAs[Long]("slope_centi") == 1000L) // 10 cents/bucket
+
+    val flat = Timeseries.trend(bk(("a", 0L, 7L), ("a", 10L, 7L)))
+      .collect().head
+    assert(flat.getAs[Long]("slope_centi") == 0L)
+
+    val one = Timeseries.trend(bk(("a", 0L, 7L))).collect().head
+    assert(one.getAs[Long]("den_tt") == 0L)
+    assert(one.getAs[Long]("slope_centi") == 0L)
+  }
+
+  // --- latency bands / z-order -------------------------------------------
+
+  test("groupedQuantiles2: exact lower quantiles per (series, bucket) cell") {
+    val df = Seq(("a", 0L, 1L), ("a", 0L, 2L), ("a", 0L, 3L), ("a", 0L, 4L),
+      ("a", 1L, 10L), ("b", 0L, 5L))
+      .toDF("s", "b", "v")
+    val out = graft.ops.Quantiles.groupedQuantiles2(df, $"s", $"b", $"v",
+        Seq(("p50", 1, 2)))
+      .collect().map(r => (r.getAs[String]("g1"), r.getAs[Long]("g2")) ->
+        r.getAs[Long]("value")).toMap
+    assert(out == Map(("a", 0L) -> 2L, ("a", 1L) -> 10L, ("b", 0L) -> 5L))
+  }
+
+  test("zorder gate: every curve cell bounds BOTH dimensions") {
+    val rows = graft.queries.Registry.queries("x_layout_zorder")(spark, sf)
+      .collect()
+    assert(rows.length > 1, "the curve must spread into multiple cells")
+    for (r <- rows) {
+      // a 2^24 z-cell spans 2^12 in each interleaved dimension
+      assert(r.getAs[Long]("tb_max") - r.getAs[Long]("tb_min") < 4096L)
+      assert(r.getAs[Long]("cb_max") - r.getAs[Long]("cb_min") < 4096L)
+    }
+  }
+
   // --- plan shape --------------------------------------------------------
 
   test("cusum plans ONE exchange: both windows share the series partitioning") {

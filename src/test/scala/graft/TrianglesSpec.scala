@@ -54,6 +54,108 @@ class TrianglesSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  // --- k-core ------------------------------------------------------------
+
+  test("kcore: pendant peels off, the triangle core is stable") {
+    val rows = graft.graph.KCore.peel(edges((0L, 1L), (0L, 2L), (1L, 2L),
+        (2L, 3L)), k = 2, rounds = 3)
+      .collect().map(r => r.getAs[Long]("round") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"))).toMap
+    assert(rows(1L) == (3L, 3L)) // node 3 (deg 1) peeled
+    assert(rows(2L) == (3L, 3L) && rows(3L) == (3L, 3L)) // fixed point
+  }
+
+  test("kcore: k above max degree empties the graph in one pass") {
+    val rows = graft.graph.KCore.peel(edges((0L, 1L), (1L, 2L)), k = 2,
+        rounds = 2)
+      .collect().map(r => r.getAs[Long]("round") -> r.getAs[Long]("n_edges"))
+      .toMap
+    assert(rows(1L) == 0L && rows(2L) == 0L)
+  }
+
+  test("kcore gate: the peeling curve is monotone non-increasing") {
+    val rows = Registry.queries("x_graph_kcore")(spark, sf)
+      .orderBy("round").collect()
+    assert(rows.length == 5)
+    for (Array(p, n) <- rows.sliding(2)) {
+      assert(n.getAs[Long]("n_nodes") <= p.getAs[Long]("n_nodes"))
+      assert(n.getAs[Long]("n_edges") <= p.getAs[Long]("n_edges"))
+    }
+  }
+
+  // --- BFS ----------------------------------------------------------------
+
+  test("bfs: path graph frontiers are one node per hop, then exhausted") {
+    val rows = graft.graph.KCore.bfsLayers(
+        edges((0L, 1L), (1L, 2L), (2L, 3L)), source = 0L, rounds = 4)
+      .collect().map(r => r.getAs[Long]("round") ->
+        r.getAs[Long]("n_frontier")).toMap
+    assert(rows == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("bfs: an already-visited neighbor never re-enters the frontier") {
+    // triangle: round 1 reaches {1,2}, round 2 reaches nothing new
+    val rows = graft.graph.KCore.bfsLayers(
+        edges((0L, 1L), (0L, 2L), (1L, 2L)), source = 0L, rounds = 2)
+      .collect().map(r => r.getAs[Long]("round") ->
+        r.getAs[Long]("n_frontier")).toMap
+    assert(rows == Map(1L -> 2L, 2L -> 0L))
+  }
+
+  // --- cube / retention ladder ---------------------------------------------
+
+  test("cube: every grouping level conserves the grand total") {
+    val rows = Registry.queries("x_olap_cube")(spark, sf).collect()
+    val total = rows.filter(_.getAs[Long]("gid") == 3L)
+    assert(total.length == 1)
+    val n = total.head.getAs[Long]("n")
+    for (g <- Seq(0L, 1L, 2L))
+      assert(rows.filter(_.getAs[Long]("gid") == g)
+        .map(_.getAs[Long]("n")).sum == n, s"gid=$g must sum to $n")
+  }
+
+  test("retention ladder: all three resolutions conserve count and cents") {
+    val rows = Registry.queries("x_series_retention_ladder")(spark, sf)
+      .collect()
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    assert(byGid.keySet == Set(3L, 5L, 6L)) // (s,b10m) / (s,b1h) / (s,b1d)
+    val sums = byGid.view.mapValues(rs =>
+      (rs.map(_.getAs[Long]("n")).sum,
+        rs.map(_.getAs[Long]("sum_cents")).sum)).toMap
+    assert(sums(3L) == sums(5L) && sums(5L) == sums(6L))
+  }
+
+  // --- paths / gini / seasonal anomaly ------------------------------------
+
+  test("top paths: ≤20 rows, descending with total-ordered ties") {
+    val rows = Registry.queries("x_obs_top_paths")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    for (Array(a, b) <- rows.sliding(2)) {
+      val (na, nb) = (a.getAs[Long]("n_sessions"), b.getAs[Long]("n_sessions"))
+      assert(na > nb ||
+        (na == nb && a.getAs[String]("path") < b.getAs[String]("path")))
+    }
+  }
+
+  test("gini: bounded in [0, 1e6), totals positive") {
+    val rows = Registry.queries("x_profile_gini")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val g = r.getAs[Long]("gini_ppm")
+      assert(g >= 0L && g < 1000000L)
+      assert(r.getAs[Long]("total") >= r.getAs[Long]("n_users"))
+    }
+  }
+
+  test("seasonal anomaly: outliers bounded, MAD non-negative") {
+    val rows = Registry.queries("x_obs_seasonal_anomaly")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n_total"))
+      assert(r.getAs[Long]("mad_v") >= 0L)
+    }
+  }
+
   // --- BM25 --------------------------------------------------------------
 
   test("bm25: score is the exact rational, higher tf ranks first") {
