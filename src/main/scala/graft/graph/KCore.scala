@@ -20,27 +20,36 @@ object KCore {
     * deduped edges (a, b), a < b.
     */
   def peel(edgesRaw: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var edges = edgesRaw
+    def degOf(e: DataFrame): DataFrame =
+      e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    // round 1 consumes the input three times (degree, join, metrics) —
+    // materialize the candidate distinct chain once up front
+    var edges = edgesRaw.localCheckpoint()
+    var deg = degOf(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var out: Option[DataFrame] = None
     for (r <- 1 to rounds) {
-      val deg = edges.select(col("a").as("v"))
-        .unionAll(edges.select(col("b").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("dg"))
-      val keep = deg.filter(col("dg") >= k).select(col("v"))
+      // the survivor set is ≤|V| ids; broadcasting it keeps the edge
+      // list from shuffling twice per round (beyond broadcast reach the
+      // hint degrades to the shuffle join, which is the honest fallback)
+      val keep = broadcast(deg.filter(col("dg") >= k).select(col("v")))
       edges = edges
         .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
-        // each round references its predecessor ~6× (degrees, both
-        // semi-joins, both metrics counts) — without lineage truncation
-        // the logical plan grows 6^rounds and kills the optimizer, the
-        // same blowup Components.run truncates per round
+        // each round references its predecessor several times (degrees,
+        // both semi-joins, the metrics counts) — without lineage
+        // truncation the logical plan grows ~6^rounds and kills the
+        // optimizer, the same blowup Components.run truncates per round
         .localCheckpoint()
-      val nodes = edges.select(col("a").as("v"))
-        .unionAll(edges.select(col("b").as("v")))
-        .agg(countDistinct(col("v")).as("n_nodes"))
+      // ONE degree aggregate per round serves the node metric AND the
+      // next round's survivor filter (persisted: both consumers are
+      // tiny relative to the 2|E|-row aggregate that builds it)
+      deg = degOf(edges)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val m = edges.agg(count(lit(1)).as("n_edges"))
-        .crossJoin(broadcast(nodes))
+        .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
         .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
       out = Some(out.map(_.unionByName(m)).getOrElse(m))
     }
@@ -64,12 +73,17 @@ object KCore {
     var frontier = visited
     var out: Option[DataFrame] = None
     for (r <- 1 to rounds) {
+      // frontier and visited are node-id sets — broadcast keeps the
+      // adjacency list from shuffling every round
       frontier = adj
-        .join(frontier.select(col("v").as("u")), Seq("u"), "left_semi")
+        .join(broadcast(frontier.select(col("v").as("u"))), Seq("u"),
+          "left_semi")
         .select(col("v")).distinct()
-        .join(visited, Seq("v"), "left_anti")
+        .join(broadcast(visited), Seq("v"), "left_anti")
         .localCheckpoint()
-      visited = visited.unionAll(frontier).localCheckpoint()
+      // visited is a union of already-checkpointed frontiers — its
+      // lineage stays shallow, no truncation barrier needed
+      visited = visited.unionAll(frontier)
       val m = frontier.agg(count(lit(1)).as("n_frontier"))
         .select(lit(r.toLong).as("round"), col("n_frontier"))
       out = Some(out.map(_.unionByName(m)).getOrElse(m))

@@ -15,6 +15,14 @@ object AnalyticsQueries {
 
   private val GapNs = 1800000000000L // 30-min session gap
 
+  /** Oracle token stream over `documents` (same split as text/Search). */
+  private val T0 =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
+                  FROM documents),
+             ix AS (SELECT doc_id, l, unnest(range(0, len(l))) AS i FROM d),
+             t AS (SELECT doc_id, l[i+1] AS term, i AS pos FROM ix
+                   WHERE l[i+1] <> '')"""
+
   def all: Seq[GraftQuery] = Seq(
 
     // Top-20 session paths: 30-min-gap sessions, the ordered event-type
@@ -238,6 +246,174 @@ object AnalyticsQueries {
       }
     ),
 
+    // Distribution drift between the window's two halves: exact total
+    // variation distance per series in ppm — |n1·N2 − n2·N1| summed over
+    // $10 value bands, cross-multiplied so no proportion is ever a
+    // float. ONE aggregate builds both period histograms (conditional
+    // counts), no join; model-monitoring's PSI-class check, exact.
+    GraftQuery(
+      "x_drift_tvd",
+      (s, dir) => {
+        val B = 1705363200000000000L // 2024-01-16 00:00 UTC
+        val h = Tables.events(s, dir)
+          .withColumn("cents", Observability.cents(col("value")))
+          .groupBy(col("event_type").as("series"),
+            expr("cents div 1000").as("band"))
+          .agg(sum(when(col("ts_ns") < B, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("ts_ns") >= B, 1L).otherwise(0L)).as("n2"))
+        val w = Window.partitionBy(col("series"))
+        h.withColumn("t1", sum(col("n1")).over(w))
+          .withColumn("t2", sum(col("n2")).over(w))
+          .groupBy(col("series"))
+          .agg(max(col("t1")).as("n_before"), max(col("t2")).as("n_after"),
+            sum(abs(col("n1") * col("t2") - col("n2") * col("t1")))
+              .as("tvd_num"))
+          .select(col("series"), col("n_before"), col("n_after"),
+            expr("(1000000 * tvd_num) div (2 * n_before * n_after)")
+              .as("tvd_ppm"))
+      },
+      Some("""WITH s AS (SELECT event_type AS series,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       // 1000 AS band,
+                     CASE WHEN epoch_ns(ts) < 1705363200000000000
+                       THEN 1 ELSE 0 END AS p1
+                   FROM events),
+             h AS (SELECT series, band,
+                     CAST(sum(p1) AS BIGINT) AS n1,
+                     CAST(sum(1 - p1) AS BIGINT) AS n2
+                   FROM s GROUP BY 1, 2),
+             t AS (SELECT series, CAST(sum(n1) AS BIGINT) AS t1,
+                     CAST(sum(n2) AS BIGINT) AS t2
+                   FROM h GROUP BY 1),
+             a AS (SELECT h.series, t.t1 AS n_before, t.t2 AS n_after,
+                     CAST(sum(abs(h.n1 * t.t2 - h.n2 * t.t1)) AS BIGINT)
+                       AS tvd_num
+                   FROM h JOIN t USING (series) GROUP BY 1, 2, 3)
+             SELECT series, n_before, n_after,
+                    (1000000 * tvd_num) // (2 * n_before * n_after)
+                      AS tvd_ppm
+             FROM a""")
+    ),
+
+    // Vocabulary growth curve (Heaps' law): distinct terms and total
+    // tokens within the first k docs, k = powers of two — tokenizer
+    // sizing statistics. First-occurrence is ONE term-keyed min
+    // aggregate; the curve is a 21-point literal explode over bounded
+    // aggregates, never a cumulative-distinct window.
+    GraftQuery(
+      "x_text_vocab_growth",
+      (s, dir) => {
+        val toks = graft.text.Search.tokens(
+          Tables.documents(s, dir), col("doc_id"), col("text"))
+        val ks = typedLit((0 to 20).map(1L << _))
+        val firstOcc = toks.groupBy(col("term"))
+          .agg(min(col("doc_id")).as("first_doc"))
+        val vocab = firstOcc.select(explode(ks).as("k"), col("first_doc"))
+          .filter(col("first_doc") < col("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("vocab"))
+        val tokens = toks.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("dl"))
+          .select(explode(ks).as("k"), col("doc_id"), col("dl"))
+          .filter(col("doc_id") < col("k"))
+          .groupBy(col("k")).agg(sum(col("dl")).as("tokens"))
+        vocab.join(tokens, "k")
+      },
+      Some(T0 + """,
+             fo AS (SELECT term, min(doc_id) AS first_doc
+                    FROM t GROUP BY 1),
+             ks AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128, 256, 512,
+                      1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072,
+                      262144, 524288, 1048576]) AS k),
+             v AS (SELECT k, CAST(count(*) AS BIGINT) AS vocab
+                   FROM fo, ks WHERE first_doc < k GROUP BY 1),
+             dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+             tk AS (SELECT k, CAST(sum(dl) AS BIGINT) AS tokens
+                    FROM dl, ks WHERE doc_id < k GROUP BY 1)
+             SELECT CAST(k AS BIGINT) AS k, vocab, tokens
+             FROM v JOIN tk USING (k)""")
+    ),
+
+    // Funnel conversion latency: seconds from first view to the first
+    // later purchase per converting user, exact p50/p90 over the latency
+    // distribution — the "how long does conversion take" companion to
+    // the funnel count gate.
+    GraftQuery(
+      "x_obs_funnel_latency",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val fv = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts_ns")).as("fv"))
+        val lat = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("ts_ns").as("pts"))
+          .join(fv, col("pu") === col("user_id") && col("pts") > col("fv"))
+          .groupBy(col("user_id"))
+          .agg(min(col("pts")).as("fp"), max(col("fv")).as("fv2"))
+          .select(expr("(fp - fv2) div 1000000000").as("lat_s"))
+        graft.ops.Quantiles.exactQuantiles(lat, col("lat_s"),
+          Seq(("p50", 1, 2), ("p90", 9, 10)))
+      },
+      Some("""WITH s AS (SELECT user_id, event_type, epoch_ns(ts) AS ts_ns
+                   FROM events),
+             fv AS (SELECT user_id, min(ts_ns) AS fv FROM s
+                    WHERE event_type = 'view' GROUP BY 1),
+             lat AS (SELECT (min(p.ts_ns) - min(fv.fv)) // 1000000000
+                       AS v
+                     FROM fv JOIN s p ON p.user_id = fv.user_id
+                       AND p.event_type = 'purchase' AND p.ts_ns > fv.fv
+                     GROUP BY fv.user_id),
+             c AS (SELECT v, count(*) AS cnt FROM lat GROUP BY 1),
+             cc AS (SELECT v,
+                      sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                        AS cum,
+                      sum(cnt) OVER () AS total
+                    FROM c),
+             q AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10))
+                     AS t(q, num, den)),
+             j AS (SELECT q.q,
+                     (cc.total * q.num + q.den - 1) // q.den AS needed,
+                     cc.v, cc.cum
+                   FROM cc, q)
+             SELECT q, CAST(min(needed) AS BIGINT) AS rank_needed,
+                    CAST(min(v) AS BIGINT) AS value
+             FROM j WHERE cum >= needed GROUP BY 1""")
+    ),
+
+    // Compaction planning: greedy byte bin-packing of the (series,
+    // 10-min) "files" into 64 KiB target bins by running-offset
+    // division — the small-file compaction planner a lakehouse table
+    // service runs; one window pass over the file ledger, never the
+    // bytes themselves.
+    GraftQuery(
+      "x_layout_compaction",
+      (s, dir) => {
+        val files = Tables.events(s, dir)
+          .groupBy(col("event_type").as("series"),
+            expr("(ts_ns div 1000 div 600000000) * 600000000")
+              .as("bucket_us"))
+          .agg(sum(length(col("props")) + 16L).as("bytes"))
+        val w = Window.partitionBy(col("series")).orderBy(col("bucket_us"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        files
+          .withColumn("cum", sum(col("bytes")).over(w))
+          .withColumn("bin", expr("(cum - bytes) div 65536"))
+          .groupBy(col("series"), col("bin"))
+          .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"))
+      },
+      Some("""WITH f AS (SELECT event_type AS series,
+                     (epoch_ns(ts) // 1000 // 600000000) * 600000000
+                       AS bucket_us,
+                     CAST(sum(length(props) + 16) AS BIGINT) AS bytes
+                   FROM events GROUP BY 1, 2),
+             c AS (SELECT series, bytes,
+                     sum(bytes) OVER (PARTITION BY series ORDER BY
+                       bucket_us ROWS UNBOUNDED PRECEDING) AS cum
+                   FROM f)
+             SELECT series, CAST((cum - bytes) // 65536 AS BIGINT) AS bin,
+                    CAST(count(*) AS BIGINT) AS n_files,
+                    CAST(sum(bytes) AS BIGINT) AS bytes
+             FROM c GROUP BY 1, 2""")
+    ),
+
     // CUBE parity: all four (series, hour-of-day) grouping combinations
     // plus the grouping_id bitmask in one aggregate — Spark's cube()
     // against SQL GROUP BY CUBE.
@@ -351,6 +527,158 @@ object AnalyticsQueries {
       }
     ),
 
+    // Cross-source quantile normalization (score calibration): each
+    // doc's n_chars maps to the GLOBAL value at the same quantile
+    // (ceil(r·N/n_s)). The global order-statistics table is built
+    // DISTRIBUTED — the value histogram's cumulative ranges explode
+    // into (rank, value) rows (Σ widths = N, an equi-join target) —
+    // never a single-partition row_number over the corpus.
+    GraftQuery(
+      "x_quantile_normalize",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val wSrc = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))
+        val wCnt = Window.partitionBy(col("source"))
+        val nAll = docs.agg(count(lit(1)).as("n_total"))
+        val ranked = docs
+          .withColumn("r", row_number().over(wSrc).cast("long"))
+          .withColumn("n_s", count(lit(1)).over(wCnt))
+          .crossJoin(broadcast(nAll))
+          .withColumn("g", expr("(r * n_total + n_s - 1) div n_s"))
+        val hist = docs.groupBy(col("n_chars").as("v"))
+          .agg(count(lit(1)).as("cnt"))
+        val wcum = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ranks = hist.withColumn("hi", sum(col("cnt")).over(wcum))
+          .select(col("v"),
+            explode(sequence(col("hi") - col("cnt") + 1L, col("hi"),
+              lit(1L))).as("g"))
+        ranked.join(ranks, "g")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("v").as("norm_chars"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+             nn AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d),
+             rk AS (SELECT doc_id, source, n_chars,
+                      CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+                      CAST(count(*) OVER (PARTITION BY source) AS BIGINT)
+                        AS n_s
+                    FROM d),
+             gr AS (SELECT doc_id, source, n_chars,
+                      (r * n_total + n_s - 1) // n_s AS g
+                    FROM rk, nn),
+             os AS (SELECT n_chars AS v,
+                      CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS g
+                    FROM d)
+             SELECT gr.doc_id, gr.source, gr.n_chars,
+                    os.v AS norm_chars
+             FROM gr JOIN os USING (g)""")
+    ),
+
+    // Winsorized robust stats per series: clip at the exact p01/p99
+    // cents (lower quantiles, broadcast back — bounded model state),
+    // report clip counts and the clipped mean. Feature-preprocessing's
+    // outlier-robust aggregate, exact end-to-end.
+    GraftQuery(
+      "x_series_winsorize",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("cents", Observability.cents(col("value")))
+          .select(col("event_type").as("series"), col("cents"))
+        val qs = graft.ops.Quantiles.groupedQuantiles(ev, col("series"),
+            col("cents"), Seq(("p01", 1, 100), ("p99", 99, 100)))
+          .groupBy(col("g").as("series"))
+          .agg(max(when(col("q") === "p01", col("value"))).as("lo"),
+            max(when(col("q") === "p99", col("value"))).as("hi"))
+        ev.join(broadcast(qs), "series")
+          .groupBy(col("series"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("cents") < col("lo")).cast("long")).as("n_clip_lo"),
+            sum((col("cents") > col("hi")).cast("long")).as("n_clip_hi"),
+            sum(greatest(least(col("cents"), col("hi")), col("lo")))
+              .as("clipped_sum"),
+            max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+          .withColumn("clipped_mean_milli",
+            expr("(clipped_sum * 1000) div n"))
+      },
+      Some("""WITH s AS (SELECT event_type AS series,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents
+                   FROM events),
+             c AS (SELECT series, cents AS v, count(*) AS cnt
+                   FROM s GROUP BY 1, 2),
+             cc AS (SELECT series, v,
+                      sum(cnt) OVER (PARTITION BY series ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+                      sum(cnt) OVER (PARTITION BY series) AS total
+                    FROM c),
+             lo AS (SELECT series, min(v) AS lo FROM cc
+                    WHERE cum >= (total * 1 + 99) // 100 GROUP BY 1),
+             hi AS (SELECT series, min(v) AS hi FROM cc
+                    WHERE cum >= (total * 99 + 99) // 100 GROUP BY 1),
+             j AS (SELECT s.series, s.cents, lo.lo, hi.hi
+                   FROM s JOIN lo USING (series) JOIN hi USING (series))
+             SELECT series, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_clip_lo,
+                    CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_clip_hi,
+                    CAST(sum(greatest(least(cents, hi), lo)) AS BIGINT)
+                      AS clipped_sum,
+                    CAST(min(lo) AS BIGINT) AS lo,
+                    CAST(min(hi) AS BIGINT) AS hi,
+                    CAST((sum(greatest(least(cents, hi), lo)) * 1000)
+                      // count(*) AS BIGINT) AS clipped_mean_milli
+             FROM j GROUP BY 1""")
+    ),
+
+    // Degree distribution of the planted graph with a log2-bucketed
+    // tail: |nodes| per exact degree for small degrees, per 2^i bucket
+    // above 16 — the shape check that finds hubs before they find your
+    // shuffle.
+    GraftQuery(
+      "x_graph_degree_dist",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val nodes = docs.select(col("doc_id").as("id"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val edges = Triangles.plantedEdges(
+          nodes.crossJoin(broadcast(n)), col("id"), col("n"))
+        edges.select(col("a").as("v")).unionAll(edges.select(col("b")))
+          .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+          .withColumn("bucket",
+            when(col("dg") <= 16L, col("dg"))
+              .otherwise(expr("32 * (1 << (length(format_string('%s', conv(dg, 10, 2))) - 5))")))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_nodes"), min(col("dg")).as("dg_min"),
+            max(col("dg")).as("dg_max"))
+      },
+      Some("""WITH nodes AS (SELECT doc_id AS id FROM documents),
+             nn AS (SELECT count(*) AS n FROM documents),
+             e0 AS (SELECT id AS s, (id * 3 + 1) % n AS d FROM nodes, nn
+                    UNION ALL SELECT id, (id * 4 + 2) % n FROM nodes, nn
+                    UNION ALL SELECT id, (id * 5 + 3) % n FROM nodes, nn
+                    UNION ALL SELECT id, id % 13 FROM nodes),
+             e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                   FROM e0 WHERE s <> d),
+             deg AS (SELECT v, CAST(count(*) AS BIGINT) AS dg FROM
+                       (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+                     GROUP BY 1),
+             b AS (SELECT dg, CASE WHEN dg <= 16 THEN dg
+                     ELSE 32 * (1 << (length(format('{:b}', dg)) - 5))
+                     END AS bucket
+                   FROM deg)
+             SELECT CAST(bucket AS BIGINT) AS bucket,
+                    CAST(count(*) AS BIGINT) AS n_nodes,
+                    CAST(min(dg) AS BIGINT) AS dg_min,
+                    CAST(max(dg) AS BIGINT) AS dg_max
+             FROM b GROUP BY 1""")
+    ),
+
     // Seasonal-adjusted robust outliers: residual vs the hour-of-day
     // profile mean (broadcast — 24·|series| rows), then the exact
     // median/MAD/outlier chain on residuals. What "3σ from normal FOR
@@ -362,6 +690,9 @@ object AnalyticsQueries {
           .withColumn("cents", Observability.cents(col("value")))
         val prof = Timeseries.seasonalProfile(ev, col("event_type"),
           col("ts_ns"), col("cents"))
+        // the median/MAD/outlier chain consumes the residual relation
+        // three times — persist it once instead of re-running the scan +
+        // profile join per pass
         val resid = ev
           .select(col("event_type").as("series"),
             expr("(ts_ns div 3600000000000) % 24").as("hod"),
@@ -369,6 +700,7 @@ object AnalyticsQueries {
           .join(broadcast(prof), Seq("series", "hod"))
           .select(col("series"),
             (col("cents") * 1000L - col("mean_milli")).as("resid"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         Observability.anomalyMad(resid, col("series"), col("resid"), k = 5)
       },
       Some("""WITH e AS (SELECT event_type AS series,

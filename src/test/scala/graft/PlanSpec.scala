@@ -396,4 +396,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       plan.take(2000))
   }
+
+  test("sliding distinct explodes panes map-side, no join anywhere") {
+    val plan = planOf("x_obs_sliding_distinct")
+    assert(!plan.contains("Join"), plan.take(2500))
+    assert(plan.contains("Generate"), "pane explode must be a Generate")
+  }
+
+  test("quantile normalize joins rank-to-value as an equi-join, no range probe") {
+    // the only nested-loop allowed is the 1-row scalar total broadcast;
+    // the rank→value mapping itself must be a hash equi-join on g
+    val plan = planOf("x_quantile_normalize")
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    assert(plan.contains("HashJoin [g"), plan.take(2500))
+  }
+
+  test("compaction planning is one ledger window, no self-join") {
+    val plan = planOf("x_layout_compaction")
+    assert(!plan.contains("Join"), plan.take(2500))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"ledger agg + series window only, got $exchanges")
+  }
+
+  test("drift TVD builds both period histograms in ONE aggregate pass") {
+    val plan = planOf("x_drift_tvd")
+    assert(!plan.contains("Join"), plan.take(2500))
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected a single events scan, got $scans")
+  }
 }

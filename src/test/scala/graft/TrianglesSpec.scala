@@ -156,6 +156,93 @@ class TrianglesSpec extends AnyFunSuite {
     }
   }
 
+  // --- drift / vocab growth / funnel latency / compaction ------------------
+
+  test("drift TVD: bounded in [0, 1e6], both periods populated") {
+    val rows = Registry.queries("x_drift_tvd")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val t = r.getAs[Long]("tvd_ppm")
+      assert(t >= 0L && t <= 1000000L)
+      assert(r.getAs[Long]("n_before") > 0L && r.getAs[Long]("n_after") > 0L)
+    }
+  }
+
+  test("vocab growth: monotone in k, caps at the distinct-term count") {
+    val rows = Registry.queries("x_text_vocab_growth")(spark, sf)
+      .orderBy("k").collect()
+    for (Array(a, b) <- rows.sliding(2)) {
+      assert(a.getAs[Long]("vocab") <= b.getAs[Long]("vocab"))
+      assert(a.getAs[Long]("tokens") <= b.getAs[Long]("tokens"))
+    }
+    val allTerms = graft.text.Search.tokens(
+        graft.model.Tables.documents(spark, sf), col("doc_id"), col("text"))
+      .select("term").distinct().count()
+    assert(rows.last.getAs[Long]("vocab") == allTerms)
+  }
+
+  test("funnel latency: p50 ≤ p90, non-negative") {
+    val rows = Registry.queries("x_obs_funnel_latency")(spark, sf)
+      .collect().map(r => r.getAs[String]("q") -> r.getAs[Long]("value"))
+      .toMap
+    assert(rows.keySet == Set("p50", "p90"))
+    assert(rows("p50") >= 0L && rows("p50") <= rows("p90"))
+  }
+
+  test("compaction: every bin holds files and conserves total bytes") {
+    val files = graft.model.Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        expr("(ts_ns div 1000 div 600000000) * 600000000"))
+      .agg(sum(length(col("props")) + 16L).as("b"))
+      .agg(sum(col("b"))).collect().head.getLong(0)
+    val rows = Registry.queries("x_layout_compaction")(spark, sf).collect()
+    assert(rows.forall(_.getAs[Long]("n_files") >= 1L))
+    assert(rows.map(_.getAs[Long]("bytes")).sum == files)
+  }
+
+  // --- quantile normalize / winsorize / degree dist ------------------------
+
+  test("quantile normalize: per-source monotone, range-preserving") {
+    val rows = Registry.queries("x_quantile_normalize")(spark, sf).collect()
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("n_chars").collect().map(_.getLong(0))
+    assert(rows.length == docs.length)
+    for (r <- rows) {
+      val n = r.getAs[Long]("norm_chars")
+      assert(n >= docs.min && n <= docs.max)
+    }
+    for ((_, g) <- rows.groupBy(_.getAs[String]("source"))) {
+      val sorted = g.sortBy(r => (r.getAs[Long]("n_chars"),
+        r.getAs[Long]("doc_id")))
+      for (Array(a, b) <- sorted.sliding(2))
+        assert(a.getAs[Long]("norm_chars") <= b.getAs[Long]("norm_chars"))
+    }
+  }
+
+  test("winsorize: bounds ordered, clipped sum inside [n·lo, n·hi]") {
+    val rows = Registry.queries("x_series_winsorize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (lo, hi, n, cs) = (r.getAs[Long]("lo"), r.getAs[Long]("hi"),
+        r.getAs[Long]("n"), r.getAs[Long]("clipped_sum"))
+      assert(lo <= hi)
+      assert(cs >= n * lo && cs <= n * hi)
+    }
+  }
+
+  test("degree distribution: node count conserved, bucket ranges honest") {
+    val rows = Registry.queries("x_graph_degree_dist")(spark, sf).collect()
+    val tri = Registry.queries("x_graph_triangles")(spark, sf)
+      .collect().head
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum ==
+      tri.getAs[Long]("n_nodes"))
+    for (r <- rows) {
+      assert(r.getAs[Long]("dg_min") <= r.getAs[Long]("dg_max"))
+      if (r.getAs[Long]("bucket") <= 16L)
+        assert(r.getAs[Long]("dg_min") == r.getAs[Long]("bucket"))
+    }
+  }
+
   // --- BM25 --------------------------------------------------------------
 
   test("bm25: score is the exact rational, higher tf ranks first") {
