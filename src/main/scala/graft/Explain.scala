@@ -54,7 +54,15 @@ object Explain {
     "x_graph_pagerank" -> "fixed-point PageRank (5 join-sum rounds, O(|V|) rank state)",
     "x_url_canonicalize" -> "URL canonicalization dedup (codegen string tree, one canonical-key window)",
     "x_scd2_join" -> "SCD2 dimension join (version-range filter on a keyed equi-join)",
-    "x_olap_pivot" -> "pivot table (bounded column fan-out, map-side partials)"
+    "x_olap_pivot" -> "pivot table (bounded column fan-out, map-side partials)",
+    "x_series_gapfill" -> "gap-fill LOCF (gap rows generated from lag() neighbors — one scan, no calendar join)",
+    "x_obs_sliding_distinct" -> "sliding exact distinct (map-side pane explode → one partial-distinct aggregate)",
+    "x_graph_triangles" -> "degree-oriented triangle counting (orientation bounds wedge out-degree — skew-proof join)",
+    "x_assoc_rules" -> "market-basket rules (apriori prune → map-side C(k,2) basket combos, no pair self-join)",
+    "x_series_retention_ladder" -> "10m/1h/1d retention ladder (ONE scan via GROUPING SETS)",
+    "x_quantile_normalize" -> "cross-source quantile normalization (distributed order-statistics explode, rank equi-join)",
+    "x_drift_tvd" -> "distribution drift TVD (single-scan conditional-count histograms, cross-multiplied)",
+    "x_split_leakage" -> "train/test leakage matrix (ShingleHash 60-bit grams, presence-flag aggregate — no join)"
   )
 
   def main(args: Array[String]): Unit = {

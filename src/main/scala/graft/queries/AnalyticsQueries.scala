@@ -414,6 +414,335 @@ object AnalyticsQueries {
              FROM c GROUP BY 1, 2""")
     ),
 
+    // Error-budget burn-down: per hour bucket, cumulative errors vs the
+    // cumulative 2% budget of all requests so far — remaining budget in
+    // exact ppm of budget (negative = overspent). Two running sums over
+    // one bucket-grain aggregate; the SRE companion to the burn-rate
+    // alert gate.
+    GraftQuery(
+      "x_obs_error_budget",
+      (s, dir) => {
+        val b = Tables.events(s, dir)
+          .groupBy(expr("(ts_ns div 1000 div 3600000000) * 3600000000")
+            .as("bucket_us"))
+          .agg(count(lit(1)).as("n_req"),
+            sum((col("event_type") === "error").cast("long")).as("n_err"))
+        val w = Window.orderBy(col("bucket_us"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        b.withColumn("cum_req", sum(col("n_req")).over(w))
+          .withColumn("cum_err", sum(col("n_err")).over(w))
+          .select(col("bucket_us"), col("n_req"), col("n_err"),
+            col("cum_req"), col("cum_err"),
+            // budget = 2% of cum_req; remaining_ppm of budget, exact:
+            // (budget − err)/budget = (2·cum_req − 100·cum_err)/(2·cum_req)
+            expr("""(1000000 * (2 * cum_req - 100 * cum_err))
+                    div (2 * cum_req)""").as("remaining_ppm"))
+      },
+      Some("""WITH b AS (SELECT
+                     (epoch_ns(ts) // 1000 // 3600000000) * 3600000000
+                       AS bucket_us,
+                     CAST(count(*) AS BIGINT) AS n_req,
+                     CAST(sum(CASE WHEN event_type = 'error' THEN 1
+                       ELSE 0 END) AS BIGINT) AS n_err
+                   FROM events GROUP BY 1),
+             c AS (SELECT *,
+                     CAST(sum(n_req) OVER (ORDER BY bucket_us
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_req,
+                     CAST(sum(n_err) OVER (ORDER BY bucket_us
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_err
+                   FROM b)
+             SELECT bucket_us, n_req, n_err, cum_req, cum_err,
+                    (1000000 * (2 * cum_req - 100 * cum_err))
+                      // (2 * cum_req) AS remaining_ppm
+             FROM c""")
+    ),
+
+    // Common-neighbor link prediction over the planted graph: for the
+    // top-20 non-adjacent wedge pairs, common-neighbor count and exact
+    // Jaccard ppm (common / (da + db − common)). Common-neighbor wedges
+    // are inherently quadratic in CENTER degree, so hub centers
+    // (deg > 64) are suppressed before the pair join — the graph
+    // analogue of stop-word dropping: a shared celebrity neighbor
+    // carries no link signal, and keeping it would put C(hub_deg, 2)
+    // pairs in the shuffle. An anti-join drops existing edges.
+    GraftQuery(
+      "x_graph_link_predict",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val nodes = docs.select(col("doc_id").as("id"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val edges = Triangles.plantedEdges(
+            nodes.crossJoin(broadcast(n)), col("id"), col("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val deg = edges.select(col("a").as("v"))
+          .unionAll(edges.select(col("b").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+        val centers = broadcast(deg.filter(col("dg") <= 64L)
+          .select(col("v").as("u")))
+        val adj = edges.select(col("a").as("u"), col("b").as("w"))
+          .unionAll(edges.select(col("b"), col("a")))
+          .join(centers, Seq("u"), "left_semi")
+        val o1 = adj.select(col("u"), col("w").as("x"))
+        val o2 = adj.select(col("u").as("u2"), col("w").as("y"))
+        val common = o1.join(o2,
+            col("u") === col("u2") && col("x") < col("y"))
+          .groupBy(col("x"), col("y")).agg(count(lit(1)).as("common"))
+          .join(edges.select(col("a").as("x"), col("b").as("y")),
+            Seq("x", "y"), "left_anti")
+        common
+          .join(broadcast(deg.select(col("v").as("x"), col("dg").as("dx"))),
+            "x")
+          .join(broadcast(deg.select(col("v").as("y"), col("dg").as("dy"))),
+            "y")
+          .select(col("x"), col("y"), col("common"),
+            expr("(1000000 * common) div (dx + dy - common)")
+              .as("jaccard_ppm"))
+          .orderBy(col("jaccard_ppm").desc, col("x"), col("y"))
+          .limit(20)
+      },
+      Some("""WITH nodes AS (SELECT doc_id AS id FROM documents),
+             nn AS (SELECT count(*) AS n FROM documents),
+             e0 AS (SELECT id AS s, (id * 3 + 1) % n AS d FROM nodes, nn
+                    UNION ALL SELECT id, (id * 4 + 2) % n FROM nodes, nn
+                    UNION ALL SELECT id, (id * 5 + 3) % n FROM nodes, nn
+                    UNION ALL SELECT id, id % 13 FROM nodes),
+             e AS MATERIALIZED (
+                   SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                   FROM e0 WHERE s <> d),
+             deg AS MATERIALIZED (
+                   SELECT v, CAST(count(*) AS BIGINT) AS dg FROM
+                     (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+                   GROUP BY 1),
+             adj AS MATERIALIZED (
+                   SELECT u, w FROM (
+                     SELECT a AS u, b AS w FROM e
+                     UNION ALL SELECT b, a FROM e)
+                   WHERE u IN (SELECT v FROM deg WHERE dg <= 64)),
+             cm AS (SELECT o1.w AS x, o2.w AS y,
+                      CAST(count(*) AS BIGINT) AS common
+                    FROM adj o1 JOIN adj o2
+                      ON o1.u = o2.u AND o1.w < o2.w
+                    GROUP BY 1, 2),
+             nc AS (SELECT cm.* FROM cm
+                    LEFT JOIN e ON e.a = cm.x AND e.b = cm.y
+                    WHERE e.a IS NULL)
+             SELECT x, y, common,
+                    (1000000 * common) // (da.dg + db.dg - common)
+                      AS jaccard_ppm
+             FROM nc JOIN deg da ON da.v = nc.x JOIN deg db ON db.v = nc.y
+             ORDER BY jaccard_ppm DESC, x, y LIMIT 20""")
+    ),
+
+    // Join-key skew profiler: for each candidate shuffle key, the
+    // max/mean imbalance in exact ppm (cross-multiplied: max·n·1e6 div
+    // total) plus the top key — the pre-flight check that tells you
+    // which join needs salting BEFORE it runs. One aggregate per key
+    // column; per-key output is bounded by the key's cardinality.
+    GraftQuery(
+      "x_profile_skew",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        def skewOf(key: org.apache.spark.sql.Column, name: String) = {
+          val c = ev.groupBy(key.cast("string").as("k"))
+            .agg(count(lit(1)).as("c"))
+          c.groupBy()
+            .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("total"),
+              max(col("c")).as("max_c"),
+              max(struct(col("c"), col("k"))).as("top"))
+            .select(lit(name).as("key_col"), col("n_keys"), col("total"),
+              col("max_c"), col("top.k").as("top_key"),
+              expr("(1000000 * max_c * n_keys) div total")
+                .as("skew_ppm"))
+        }
+        skewOf(col("user_id"), "user_id")
+          .unionByName(skewOf(col("event_type"), "event_type"))
+      },
+      Some("""WITH u AS (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS c
+                   FROM events GROUP BY 1),
+             t AS (SELECT event_type AS k, count(*) AS c
+                   FROM events GROUP BY 1),
+             su AS (SELECT 'user_id' AS key_col,
+                      CAST(count(*) AS BIGINT) AS n_keys,
+                      CAST(sum(c) AS BIGINT) AS total,
+                      CAST(max(c) AS BIGINT) AS max_c,
+                      (SELECT k FROM u ORDER BY c DESC, k DESC LIMIT 1)
+                        AS top_key
+                    FROM u),
+             st AS (SELECT 'event_type' AS key_col,
+                      CAST(count(*) AS BIGINT) AS n_keys,
+                      CAST(sum(c) AS BIGINT) AS total,
+                      CAST(max(c) AS BIGINT) AS max_c,
+                      (SELECT k FROM t ORDER BY c DESC, k DESC LIMIT 1)
+                        AS top_key
+                    FROM t),
+             a AS (SELECT * FROM su UNION ALL SELECT * FROM st)
+             SELECT key_col, n_keys, total, max_c, top_key,
+                    (1000000 * max_c * n_keys) // total AS skew_ppm
+             FROM a""")
+    ),
+
+    // New vs returning users per day: first-seen day is ONE user-keyed
+    // min; the day grain then splits exactly. The growth-accounting
+    // staple.
+    GraftQuery(
+      "x_obs_new_returning",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), expr("ts_ns div 86400000000000")
+            .as("day"))
+        val seen = ev.groupBy(col("user_id"), col("day"))
+          .agg(count(lit(1)).as("n_events"))
+        val first = seen.groupBy(col("user_id"))
+          .agg(min(col("day")).as("first_day"))
+        seen.join(first, "user_id")
+          .groupBy(col("day"))
+          .agg(
+            sum((col("day") === col("first_day")).cast("long"))
+              .as("new_users"),
+            sum((col("day") > col("first_day")).cast("long"))
+              .as("returning_users"),
+            sum(col("n_events")).as("n_events"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000
+                     AS day
+                   FROM events),
+             seen AS (SELECT user_id, day, CAST(count(*) AS BIGINT)
+                        AS n_events
+                      FROM e GROUP BY 1, 2),
+             f AS (SELECT user_id, min(day) AS first_day FROM seen
+                   GROUP BY 1)
+             SELECT day,
+                    CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                      AS BIGINT) AS new_users,
+                    CAST(sum(CASE WHEN day > first_day THEN 1 ELSE 0 END)
+                      AS BIGINT) AS returning_users,
+                    CAST(sum(n_events) AS BIGINT) AS n_events
+             FROM seen JOIN f USING (user_id) GROUP BY 1""")
+    ),
+
+    // DAU/WAU stickiness per day: daily actives over trailing-7-day
+    // actives, both exact — the weekly pane explodes map-side like the
+    // sliding-distinct gate, ratio in cross-multiplied ppm.
+    GraftQuery(
+      "x_obs_stickiness",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), expr("ts_ns div 86400000000000")
+            .as("day"))
+        val dau = ev.select(col("user_id"), col("day")).distinct()
+          .groupBy(col("day")).agg(count(lit(1)).as("dau"))
+        val wau = ev
+          .select(col("user_id"),
+            explode(sequence(col("day"), col("day") + 6L, lit(1L)))
+              .as("wday"))
+          .distinct()
+          .groupBy(col("wday").as("day")).agg(count(lit(1)).as("wau"))
+        dau.join(wau, "day")
+          .select(col("day"), col("dau"), col("wau"),
+            expr("(1000000 * dau) div wau").as("stickiness_ppm"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000
+                     AS day
+                   FROM events),
+             dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM
+                       (SELECT DISTINCT user_id, day FROM e)
+                     GROUP BY 1),
+             w AS (SELECT DISTINCT user_id,
+                     unnest(generate_series(day, day + 6, 1)) AS day
+                   FROM e),
+             wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau FROM w
+                     GROUP BY 1)
+             SELECT day, dau, wau,
+                    (1000000 * dau) // wau AS stickiness_ppm
+             FROM dau JOIN wau USING (day)""")
+    ),
+
+    // Local clustering coefficient for the 20 highest-degree non-hub
+    // nodes: 2·triangles_at_v / (deg·(deg−1)) in exact ppm. Triangle
+    // attribution reuses the oriented wedge close; each triangle
+    // explodes to its three vertices (map-side ×3).
+    GraftQuery(
+      "x_graph_clustering",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val nodes = docs.select(col("doc_id").as("id"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val edges = Triangles.plantedEdges(
+            nodes.crossJoin(broadcast(n)), col("id"), col("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val deg = edges.select(col("a").as("v"))
+          .unionAll(edges.select(col("b").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+        val da = deg.select(col("v").as("a"), col("dg").as("dga"))
+        val db = deg.select(col("v").as("b"), col("dg").as("dgb"))
+        val fwd = col("dga") < col("dgb") ||
+          (col("dga") === col("dgb") && col("a") < col("b"))
+        val oriented = edges
+          .join(broadcast(da), "a").join(broadcast(db), "b")
+          .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
+            when(fwd, col("b")).otherwise(col("a")).as("v"),
+            when(fwd, col("dgb")).otherwise(col("dga")).as("dv"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val o1 = oriented.select(col("u"), col("v").as("x"),
+          col("dv").as("dx"))
+        val o2 = oriented.select(col("u").as("u2"), col("v").as("y"),
+          col("dv").as("dy"))
+        val closing = oriented.select(col("u").as("cx"), col("v").as("cy"))
+        val triVerts = o1.join(o2, col("u") === col("u2") &&
+            (col("dx") < col("dy") ||
+              (col("dx") === col("dy") && col("x") < col("y"))))
+          .join(closing, col("x") === col("cx") && col("y") === col("cy"))
+          .select(explode(array(col("u"), col("x"), col("y"))).as("v"))
+          .groupBy(col("v")).agg(count(lit(1)).as("tri"))
+        deg.filter(col("dg") <= 64L).join(triVerts, "v")
+          .select(col("v"), col("dg"), col("tri"),
+            expr("(2000000 * tri) div (dg * (dg - 1))").as("cc_ppm"))
+          .orderBy(col("dg").desc, col("v")).limit(20)
+      },
+      Some("""WITH nodes AS (SELECT doc_id AS id FROM documents),
+             nn AS (SELECT count(*) AS n FROM documents),
+             e0 AS (SELECT id AS s, (id * 3 + 1) % n AS d FROM nodes, nn
+                    UNION ALL SELECT id, (id * 4 + 2) % n FROM nodes, nn
+                    UNION ALL SELECT id, (id * 5 + 3) % n FROM nodes, nn
+                    UNION ALL SELECT id, id % 13 FROM nodes),
+             e AS MATERIALIZED (
+                   SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                   FROM e0 WHERE s <> d),
+             deg AS MATERIALIZED (
+                   SELECT v, CAST(count(*) AS BIGINT) AS dg FROM
+                     (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+                   GROUP BY 1),
+             o AS MATERIALIZED (
+                   SELECT CASE WHEN da.dg < db.dg OR
+                       (da.dg = db.dg AND a < b) THEN a ELSE b END AS u,
+                     CASE WHEN da.dg < db.dg OR
+                       (da.dg = db.dg AND a < b) THEN b ELSE a END AS v,
+                     CASE WHEN da.dg < db.dg OR
+                       (da.dg = db.dg AND a < b) THEN db.dg ELSE da.dg END
+                       AS dv
+                   FROM e JOIN deg da ON da.v = e.a
+                     JOIN deg db ON db.v = e.b),
+             tri AS (SELECT o1.u, o1.x, o2.y FROM
+                       (SELECT u, v AS x, dv AS dx FROM o) o1
+                       JOIN (SELECT u, v AS y, dv AS dy FROM o) o2
+                       USING (u)
+                     WHERE (o1.dx < o2.dy OR
+                        (o1.dx = o2.dy AND o1.x < o2.y))
+                       AND EXISTS (SELECT 1 FROM o
+                         WHERE o.u = o1.x AND o.v = o2.y)),
+             tv AS (SELECT v, CAST(count(*) AS BIGINT) AS tri FROM
+                      (SELECT u AS v FROM tri
+                       UNION ALL SELECT x FROM tri
+                       UNION ALL SELECT y FROM tri)
+                    GROUP BY 1)
+             SELECT deg.v, deg.dg, tv.tri,
+                    (2000000 * tv.tri) // (deg.dg * (deg.dg - 1))
+                      AS cc_ppm
+             FROM deg JOIN tv USING (v)
+             WHERE deg.dg <= 64
+             ORDER BY deg.dg DESC, deg.v LIMIT 20""")
+    ),
+
     // CUBE parity: all four (series, hour-of-day) grouping combinations
     // plus the grouping_id bitmask in one aggregate — Spark's cube()
     // against SQL GROUP BY CUBE.

@@ -243,6 +243,71 @@ class TrianglesSpec extends AnyFunSuite {
     }
   }
 
+  // --- error budget / link prediction --------------------------------------
+
+  test("error budget: remaining never exceeds 100%, cumulative sums climb") {
+    val rows = Registry.queries("x_obs_error_budget")(spark, sf)
+      .orderBy("bucket_us").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) assert(r.getAs[Long]("remaining_ppm") <= 1000000L)
+    for (Array(a, b) <- rows.sliding(2)) {
+      assert(a.getAs[Long]("cum_req") < b.getAs[Long]("cum_req"))
+      assert(a.getAs[Long]("cum_err") <= b.getAs[Long]("cum_err"))
+    }
+  }
+
+  test("link prediction: 20 candidates, valid Jaccard, descending order") {
+    val rows = Registry.queries("x_graph_link_predict")(spark, sf).collect()
+    assert(rows.length == 20)
+    for (r <- rows) {
+      val j = r.getAs[Long]("jaccard_ppm")
+      assert(j > 0L && j <= 1000000L)
+      assert(r.getAs[Long]("x") < r.getAs[Long]("y"))
+    }
+    for (Array(a, b) <- rows.sliding(2))
+      assert(a.getAs[Long]("jaccard_ppm") >= b.getAs[Long]("jaccard_ppm"))
+  }
+
+  // --- skew / growth accounting / clustering coefficient -------------------
+
+  test("skew profiler: imbalance is ≥1 by construction, both keys reported") {
+    val rows = Registry.queries("x_profile_skew")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("key_col")).toSet ==
+      Set("user_id", "event_type"))
+    for (r <- rows) {
+      assert(r.getAs[Long]("skew_ppm") >= 1000000L) // max ≥ mean always
+      assert(r.getAs[String]("top_key").nonEmpty)
+    }
+  }
+
+  test("new vs returning: first day is all-new, totals conserve users") {
+    val rows = Registry.queries("x_obs_new_returning")(spark, sf)
+      .orderBy("day").collect()
+    assert(rows.head.getAs[Long]("returning_users") == 0L)
+    val users = graft.model.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("new_users")).sum == users)
+  }
+
+  test("stickiness: DAU never exceeds trailing WAU") {
+    val rows = Registry.queries("x_obs_stickiness")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("dau") <= r.getAs[Long]("wau"))
+      assert(r.getAs[Long]("stickiness_ppm") <= 1000000L)
+    }
+  }
+
+  test("clustering coefficient: bounded by 1, triangles fit the degree") {
+    val rows = Registry.queries("x_graph_clustering")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (dg, tri) = (r.getAs[Long]("dg"), r.getAs[Long]("tri"))
+      assert(2L * tri <= dg * (dg - 1L))
+      assert(r.getAs[Long]("cc_ppm") <= 1000000L)
+    }
+  }
+
   // --- BM25 --------------------------------------------------------------
 
   test("bm25: score is the exact rational, higher tf ranks first") {
