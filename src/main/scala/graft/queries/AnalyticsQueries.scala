@@ -590,11 +590,14 @@ object AnalyticsQueries {
         val ev = Tables.events(s, dir)
           .select(col("user_id"), expr("ts_ns div 86400000000000")
             .as("day"))
+        // first-seen day as a window min over the SAME user grouping the
+        // (user, day) aggregate produces — no second aggregate, no join,
+        // one exchange total before the day rollup
         val seen = ev.groupBy(col("user_id"), col("day"))
           .agg(count(lit(1)).as("n_events"))
-        val first = seen.groupBy(col("user_id"))
-          .agg(min(col("day")).as("first_day"))
-        seen.join(first, "user_id")
+          .withColumn("first_day", min(col("day")).over(
+            Window.partitionBy(col("user_id"))))
+        seen
           .groupBy(col("day"))
           .agg(
             sum((col("day") === col("first_day")).cast("long"))
