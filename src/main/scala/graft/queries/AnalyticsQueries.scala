@@ -479,9 +479,12 @@ object AnalyticsQueries {
           .groupBy(col("v")).agg(count(lit(1)).as("dg"))
         val centers = broadcast(deg.filter(col("dg") <= 64L)
           .select(col("v").as("u")))
+        // both wedge sides read the suppressed adjacency — persist it
+        // once instead of re-running the semi-join per side
         val adj = edges.select(col("a").as("u"), col("b").as("w"))
           .unionAll(edges.select(col("b"), col("a")))
           .join(centers, Seq("u"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val o1 = adj.select(col("u"), col("w").as("x"))
         val o2 = adj.select(col("u").as("u2"), col("w").as("y"))
         val common = o1.join(o2,
