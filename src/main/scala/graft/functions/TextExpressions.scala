@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -212,6 +213,17 @@ case class Md5Mod(child: Expression, m: Int) extends UnaryExpression {
   private def isLong =
     child.dataType == org.apache.spark.sql.types.LongType
 
+  // only the two compute paths exist (long / UTF8String); anything else
+  // (e.g. an INT child via the registered SQL function) must fail at
+  // analysis, not as a codegen compile error or eval ClassCastException
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"md5_mod requires a BIGINT or STRING input, got ${other.sql}")
+    }
+
   override def dataType: DataType = org.apache.spark.sql.types.LongType
 
   override def nullSafeEval(input: Any): Any =
@@ -244,6 +256,15 @@ case class HllBucketRank(child: Expression, p: Int) extends UnaryExpression {
   // def, not val: dataType is unavailable until the child resolves
   private def isLong =
     child.dataType == org.apache.spark.sql.types.LongType
+
+  // same two-path contract as Md5Mod: reject other input types at analysis
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"hll_bucket_rank requires a BIGINT or STRING input, got ${other.sql}")
+    }
 
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
 

@@ -2,76 +2,106 @@ package graft.graph
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Bounded k-core peeling: `rounds` passes of "drop nodes with degree
   * < k, keep only edges between survivors". A fixed pass budget (not
-  * convergence detection) keeps the whole computation one declarative
-  * plan chain replayable by an unrolled SQL oracle; each pass is one
-  * degree aggregate plus two semi-joins, and the edge set only shrinks,
-  * so pass cost is monotone non-increasing — the 100 TB shape of the
-  * standard distributed peeling loop. Per-round metrics are the output
-  * (the peeling curve itself is the useful observability signal: how
-  * fast the graph's periphery evaporates).
+  * convergence detection) keeps the computation replayable by an
+  * unrolled SQL oracle; each pass is one degree aggregate plus two
+  * semi-joins, and the edge set only shrinks, so pass cost is monotone
+  * non-increasing — the 100 TB shape of the standard distributed
+  * peeling loop. Per-round metrics are the output (the peeling curve
+  * itself is the useful observability signal: how fast the graph's
+  * periphery evaporates).
+  *
+  * Iteration mechanics (r10): each round's edge set localCheckpoints —
+  * persist-only rounds were tried and rejected because without lineage
+  * truncation the SQL listener renders the ~5^rounds nested plan
+  * string on every action (OOM at rounds=5, sf0.01). What r10 changes:
+  * per-round metrics are computed EAGERLY into driver-side longs
+  * (bounded by `rounds` — after the loop nothing references the
+  * intermediate round relations, so the ContextCleaner reclaims their
+  * checkpoint blocks instead of them accumulating for the session),
+  * and the per-round degree cache is explicitly dropped as soon as the
+  * next round is materialized (the r9 leak).
   */
 object KCore {
+
+  private[graph] val MaxRounds = 8
 
   /** Returns (round, n_nodes, n_edges) for rounds 1..`rounds`, where
     * round i reports the graph AFTER the i-th peel. Input: undirected
     * deduped edges (a, b), a < b.
+    *
+    * @param inputMaterialized the caller passes an already-cached /
+    *   checkpointed relation (e.g. [[GraphFixtures.plantedEdges]]);
+    *   skips the defensive round-0 checkpoint that would otherwise
+    *   re-copy it (round 1 reads the input three times: degree, join,
+    *   metrics).
     */
-  def peel(edgesRaw: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def peel(edgesRaw: DataFrame, k: Int, rounds: Int,
+           inputMaterialized: Boolean = false): DataFrame = {
+    require(rounds <= MaxRounds,
+      s"peel is a bounded-loop operator: rounds=$rounds > $MaxRounds; " +
+        "chunk longer runs with explicit checkpoints between chunks")
+    val spark = edgesRaw.sparkSession
     def degOf(e: DataFrame): DataFrame =
       e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("dg"))
-    // round 1 consumes the input three times (degree, join, metrics) —
-    // materialize the candidate distinct chain once up front
-    var edges = edgesRaw.localCheckpoint()
-    var deg = degOf(edges)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var out: Option[DataFrame] = None
+    var edges =
+      if (inputMaterialized) edgesRaw else edgesRaw.localCheckpoint()
+    var deg = degOf(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val metrics = Seq.newBuilder[(Long, Long, Long)]
     for (r <- 1 to rounds) {
       // the survivor set is ≤|V| ids; broadcasting it keeps the edge
       // list from shuffling twice per round (beyond broadcast reach the
       // hint degrades to the shuffle join, which is the honest fallback)
       val keep = broadcast(deg.filter(col("dg") >= k).select(col("v")))
+      val oldDeg = deg
       edges = edges
         .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
-        // each round references its predecessor several times (degrees,
-        // both semi-joins, the metrics counts) — without lineage
-        // truncation the logical plan grows ~6^rounds and kills the
-        // optimizer, the same blowup Components.run truncates per round
+        // truncate the iterative lineage (see scaladoc) — also the
+        // round barrier that materializes the new edge set
         .localCheckpoint()
       // ONE degree aggregate per round serves the node metric AND the
-      // next round's survivor filter (persisted: both consumers are
-      // tiny relative to the 2|E|-row aggregate that builds it)
-      deg = degOf(edges)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val m = edges.agg(count(lit(1)).as("n_edges"))
-        .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
-        .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
-      out = Some(out.map(_.unionByName(m)).getOrElse(m))
+      // next round's survivor filter; once it is materialized the
+      // previous round's degree cache is dead weight — drop it
+      deg = degOf(edges).persist(StorageLevel.MEMORY_AND_DISK)
+      val nNodes = deg.count()
+      val nEdges = edges.count()
+      oldDeg.unpersist(false)
+      metrics += ((r.toLong, nNodes, nEdges))
     }
-    out.get
+    deg.unpersist(false)
+    import spark.implicits._
+    metrics.result().toDF("round", "n_nodes", "n_edges")
   }
 
   /** Bounded BFS from `source` over undirected edges (a, b): per-round
     * frontier sizes for rounds 1..`rounds` (round r = nodes first
     * reached in exactly r hops). Frontier expansion is one equi-join on
     * the edge key plus an anti-join against the visited set — the
-    * Pregel step as DataFrames; per-round localCheckpoint truncates the
-    * iterative lineage exactly like [[peel]] and Components.run.
+    * Pregel step as DataFrames. Frontiers localCheckpoint per round
+    * (lineage truncation); counts collapse eagerly to driver-side
+    * longs so no round relation outlives the call.
     */
-  def bfsLayers(edges: DataFrame, source: Long, rounds: Int): DataFrame = {
+  def bfsLayers(edges: DataFrame, source: Long, rounds: Int,
+                inputMaterialized: Boolean = false): DataFrame = {
+    require(rounds <= MaxRounds,
+      s"bfsLayers is a bounded-loop operator: rounds=$rounds > $MaxRounds")
     val spark = edges.sparkSession
     import spark.implicits._
-    val adj = edges.select(col("a").as("u"), col("b").as("v"))
+    val adjPlan = edges.select(col("a").as("u"), col("b").as("v"))
       .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint()
+    // when the input is already materialized the adjacency view is two
+    // cheap projections over cached blocks — re-checkpointing it would
+    // double-store 2|E| rows for a ≤`rounds`-scan consumer
+    val adj = if (inputMaterialized) adjPlan else adjPlan.localCheckpoint()
     var visited = Seq(source).toDF("v").localCheckpoint()
     var frontier = visited
-    var out: Option[DataFrame] = None
+    val counts = Seq.newBuilder[(Long, Long)]
     for (r <- 1 to rounds) {
       // frontier and visited are node-id sets — broadcast keeps the
       // adjacency list from shuffling every round
@@ -81,13 +111,12 @@ object KCore {
         .select(col("v")).distinct()
         .join(broadcast(visited), Seq("v"), "left_anti")
         .localCheckpoint()
+      val nf = frontier.count()
       // visited is a union of already-checkpointed frontiers — its
       // lineage stays shallow, no truncation barrier needed
       visited = visited.unionAll(frontier)
-      val m = frontier.agg(count(lit(1)).as("n_frontier"))
-        .select(lit(r.toLong).as("round"), col("n_frontier"))
-      out = Some(out.map(_.unionByName(m)).getOrElse(m))
+      counts += ((r.toLong, nf))
     }
-    out.get
+    counts.result().toDF("round", "n_frontier")
   }
 }

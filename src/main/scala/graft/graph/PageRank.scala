@@ -38,8 +38,13 @@ object PageRank {
       ranks = nodes.select(col("id"))
         .join(sums, nodes("id") === sums("dst"), "left")
         .select(col("id"),
-          (lit(150000L) + expr("(850000 * coalesce(s, 0L)) div 1000000"))
-            .as("r"))
+          // the damped product is formed in DECIMAL(38,0): a hub whose
+          // summed contributions exceed ~1.08e13 (in-degree ~1e7 at full
+          // rank — plausible at 100 TB) would silently wrap Long under
+          // 850000·s; `div` on decimals floors back to BIGINT exactly
+          (lit(150000L) +
+            expr("(850000 * cast(coalesce(s, 0L) as decimal(38,0)))" +
+              " div 1000000")).as("r"))
     }
     ranks.select(col("id"), col("r").as("rank_fp"))
   }

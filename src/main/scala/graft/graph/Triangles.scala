@@ -26,14 +26,35 @@ object Triangles {
     * the edge key — still skew-safe because an edge row carries exactly
     * one hub endpoint lookup, never a hub×hub product.
     */
-  def run(edgesRaw: DataFrame): DataFrame = {
+  def run(edgesRaw: DataFrame,
+          inputMaterialized: Boolean = false): DataFrame = {
+    val (out, cleanup) = lazyPlan(edgesRaw, inputMaterialized)
+    // the result is exactly one row: compute it now so the internal
+    // caches can be dropped immediately instead of accumulating for
+    // the life of the session (r9 advice) — the returned LocalRelation
+    // carries the same schema and values
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    cleanup()
+    edgesRaw.sparkSession.createDataFrame(rows, out.schema)
+  }
+
+  /** The un-collected counting plan plus a cleanup thunk releasing the
+    * internal caches — split from [[run]] so plan-shape specs can
+    * inspect the physical plan (the collected LocalRelation hides it).
+    */
+  private[graft] def lazyPlan(edgesRaw: DataFrame,
+      inputMaterialized: Boolean = false): (DataFrame, () => Unit) = {
     import org.apache.spark.storage.StorageLevel
     // Three consumers each for the edge list (degrees, orientation,
     // sizes) and the oriented list (both wedge sides, the closing
     // probe): without a persist every branch replans the upstream
     // distinct — six input scans. Both relations are |E|-sized, the
     // thing you would materialize once on a 100 TB graph anyway.
-    val edges = edgesRaw.persist(StorageLevel.MEMORY_AND_DISK)
+    // Callers passing an already-cached relation (GraphFixtures) skip
+    // the duplicate store.
+    val edges =
+      if (inputMaterialized) edgesRaw
+      else edgesRaw.persist(StorageLevel.MEMORY_AND_DISK)
     val deg = edges.select(col("a").as("v"))
       .unionAll(edges.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("dg"))
@@ -71,9 +92,13 @@ object Triangles {
 
     val sizes = edges.agg(count(lit(1)).as("n_edges"))
       .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
-    tri.crossJoin(broadcast(sizes))
+    val out = tri.crossJoin(broadcast(sizes))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"))
+    (out, () => {
+      oriented.unpersist(false)
+      if (!inputMaterialized) edges.unpersist(false)
+    })
   }
 
   /** The planted test graph over `n` node ids: the PageRank gate's three

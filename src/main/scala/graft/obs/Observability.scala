@@ -225,11 +225,14 @@ object Observability {
       .groupBy(col("depth"))
       .agg(count(lit(1)).as("n_users"),
         // ns sums overflow Long past ~9.2e18 (≈5M user-weeks); DECIMAL(38)
-        // keeps the sum exact at any corpus size
-        sum((col("t2") - col("t1")).cast("decimal(38,0)"))
-          .as("step12_ns_sum"),
-        sum((col("t3") - col("t2")).cast("decimal(38,0)"))
-          .as("step23_ns_sum"))
+        // keeps the sum exact at any corpus size. Depth-0/1/2 groups have
+        // no observed step latency: report 0, not NULL (also keeps the
+        // output NULL-free so engine-specific NULL-decimal canonicalization
+        // can't affect downstream comparisons).
+        coalesce(sum((col("t2") - col("t1")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("step12_ns_sum"),
+        coalesce(sum((col("t3") - col("t2")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("step23_ns_sum"))
   }
 
   /** Retention cohorts: cohort = the user's first active day; one output
@@ -391,10 +394,17 @@ object Observability {
           .when(col("rk_first") === 1, "first")
           .when(col("rk_last") === 1, "last")
           .otherwise("middle"))
+      // credits always sum to exactly 10000 bp per conversion: a 2-touch
+      // conversion splits 5000/5000 (there is no middle bucket to carry
+      // the 2000), and the middle floor-div remainder goes to the FIRST
+      // middle touch (rk_first = 2) deterministically
       .withColumn("credit_bp",
         when(col("role") === "only", 10000L)
+          .when(col("n_touches") === 2, 5000L)
           .when(col("role") === "middle",
-            expr("2000 div (n_touches - 2)"))
+            expr("2000 div (n_touches - 2)") +
+              when(col("rk_first") === 2,
+                expr("2000 % (n_touches - 2)")).otherwise(0L))
           .otherwise(4000L))
       .select(col("conv_id"), col("touch_id"), col("role"),
         col("credit_bp"), col("n_touches"))

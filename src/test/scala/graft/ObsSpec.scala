@@ -328,20 +328,21 @@ class ObsSpec extends AnyFunSuite {
 
   // --- attribution / shares / profiling ---------------------------------
 
-  test("attribution: per-conversion credit follows the 40/20/40 formula") {
+  test("attribution: every conversion's credit sums to exactly 10000 bp") {
     val rows = Registry.queries("x_attribution_position")(spark, sf)
       .collect()
     for ((_, rs) <- rows.groupBy(_.getAs[Long]("conv_id"))) {
       val n = rs.head.getAs[Long]("n_touches")
       val total = rs.map(_.getAs[Long]("credit_bp")).sum
-      val expected =
-        if (n == 1) 10000L
-        else if (n == 2) 8000L
-        else 8000L + (n - 2) * (2000L / (n - 2))
-      assert(total == expected, s"conv with $n touches credited $total")
+      // r10: 2-touch renormalizes to 5000/5000 and the middle floor-div
+      // remainder lands on the first middle touch — no undershoot
+      assert(total == 10000L, s"conv with $n touches credited $total")
       if (n > 1) {
         assert(rs.count(_.getAs[String]("role") == "first") == 1)
         assert(rs.count(_.getAs[String]("role") == "last") == 1)
+        val firstLast = rs.filter(r => Set("first", "last")
+          .contains(r.getAs[String]("role"))).map(_.getAs[Long]("credit_bp"))
+        assert(firstLast.forall(_ == (if (n == 2) 5000L else 4000L)))
       }
     }
   }

@@ -49,9 +49,15 @@ class TrianglesSpec extends AnyFunSuite {
   }
 
   test("orientation joins broadcast the degree table") {
-    val plan = Registry.queries("x_graph_triangles")(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // the gate pre-collects its 1-row result (cache hygiene), so probe
+    // the un-collected plan directly
+    val (df, cleanup) = Triangles.lazyPlan(
+      graft.graph.GraphFixtures.plantedEdges(spark, sf),
+      inputMaterialized = true)
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    } finally cleanup()
   }
 
   // --- k-core ------------------------------------------------------------
