@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Guard rails for GLOBAL (un-partitioned) cumulative windows.
+  *
+  * A global ORDER BY window serializes through one partition — that is
+  * legitimate ONLY over a relation bounded by construction (a value
+  * histogram, a time-bucket ledger), where it is exactly the cheap way
+  * to finish an already-aggregated computation. Nothing used to
+  * *enforce* that bound: a caller feeding an unbounded domain would
+  * silently serialize the corpus through one task at 100× scale. Every
+  * global-window site now routes through [[bounded]], which fails
+  * loudly past `cap` instead.
+  */
+object BoundedGlobal {
+
+  /** Default domain cap: past ~1M histogram rows a single-partition
+    * window pass stops being "free finishing work" — quantize/bucket
+    * the domain or use a sketch instead.
+    */
+  val DefaultCap: Int = 1 << 20
+
+  /** Materializes `rows` (localCheckpoint: eager, lineage-free, blocks
+    * reclaimed by the context cleaner once unreferenced) and fails if
+    * the cardinality exceeds `cap`. The limit+count probe reads at most
+    * cap+1 cached rows. Returns the materialized relation for the
+    * window pass to consume.
+    */
+  def bounded(rows: DataFrame, what: String,
+              cap: Int = DefaultCap): DataFrame = {
+    val mat = rows.localCheckpoint()
+    val n = mat.limit(cap + 1).count()
+    if (n > cap) throw new IllegalArgumentException(
+      s"$what: domain has > $cap distinct rows — a global cumulative " +
+        "window over an unbounded domain serializes through one " +
+        "partition; quantize/bucket the value first or use a sketch")
+    mat
+  }
+
+  /** A non-foldable always-zero partition key. A plain lit(0) is
+    * stripped by the optimizer's EliminateWindowPartitions rule (and
+    * hash(k)·0 is strength-reduced to a literal first), which would put
+    * the bare-global WindowExec (and its warning) right back. pmod(·,1)
+    * is identically 0 — hash() never returns NULL for any input type —
+    * but no simplification rule can prove it, so the single constant
+    * group survives optimization.
+    */
+  private def constKey(anchor: Column): Column = pmod(hash(anchor), lit(1))
+
+  /** Running-sum frame over the whole (bounded, checked) relation.
+    * Partitioning by a constant is semantically identical to the bare
+    * global window — everything lands in one partition either way,
+    * which is the point — but it keeps Spark's "No Partition Defined"
+    * warning reserved for windows whose boundedness nobody proved.
+    */
+  def cumFrame(order: Column*): WindowSpec =
+    cumFrameAnchored(order.head, order: _*)
+
+  /** [[cumFrame]] with an explicit hash anchor — needed when the order
+    * columns carry sort direction (hash() rejects a SortOrder child).
+    */
+  def cumFrameAnchored(anchor: Column, order: Column*): WindowSpec =
+    Window.partitionBy(constKey(anchor)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  /** Whole-relation total frame (same constant-key partitioning). */
+  def totalFrame(order: Column*): WindowSpec =
+    Window.partitionBy(constKey(order.head)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+}

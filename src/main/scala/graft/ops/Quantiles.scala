@@ -84,17 +84,21 @@ object Quantiles {
         col("value"))
   }
 
+  /** Global exact quantiles. The histogram's boundedness is now
+    * ENFORCED (r9 verdict: nothing checked it): [[BoundedGlobal.bounded]]
+    * fails loudly past `cap` distinct values instead of silently
+    * serializing an unbounded domain through the one-partition window.
+    */
   def exactQuantiles(df: DataFrame, value: Column,
-                     qs: Seq[(String, Int, Int)] = DefaultQs): DataFrame = {
-    val counts = df.groupBy(value.cast("long").as("v"))
-      .agg(count(lit(1)).as("cnt"))
-    val wCum = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+                     qs: Seq[(String, Int, Int)] = DefaultQs,
+                     cap: Int = BoundedGlobal.DefaultCap): DataFrame = {
+    val counts = BoundedGlobal.bounded(
+      df.groupBy(value.cast("long").as("v")).agg(count(lit(1)).as("cnt")),
+      "Quantiles.exactQuantiles", cap)
     counts
-      .withColumn("cum", sum(col("cnt")).over(wCum))
-      .withColumn("total", sum(col("cnt")).over(wAll))
+      .withColumn("cum", sum(col("cnt")).over(BoundedGlobal.cumFrame(col("v"))))
+      .withColumn("total",
+        sum(col("cnt")).over(BoundedGlobal.totalFrame(col("v"))))
       .select(col("v"), col("cum"), col("total"),
         explode(typedLit(qs)).as("q"))
       .withColumn("needed", expr("(total * q._2 + q._3 - 1) div q._3"))

@@ -416,13 +416,14 @@ object AnalyticsQueries {
     GraftQuery(
       "x_obs_error_budget",
       (s, dir) => {
-        val b = Tables.events(s, dir)
-          .groupBy(expr("(ts_ns div 1000 div 3600000000) * 3600000000")
-            .as("bucket_us"))
-          .agg(count(lit(1)).as("n_req"),
-            sum((col("event_type") === "error").cast("long")).as("n_err"))
-        val w = Window.orderBy(col("bucket_us"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val b = graft.ops.BoundedGlobal.bounded(
+          Tables.events(s, dir)
+            .groupBy(expr("(ts_ns div 1000 div 3600000000) * 3600000000")
+              .as("bucket_us"))
+            .agg(count(lit(1)).as("n_req"),
+              sum((col("event_type") === "error").cast("long")).as("n_err")),
+          "x_obs_error_budget hour ledger")
+        val w = graft.ops.BoundedGlobal.cumFrame(col("bucket_us"))
         b.withColumn("cum_req", sum(col("n_req")).over(w))
           .withColumn("cum_err", sum(col("n_err")).over(w))
           .select(col("bucket_us"), col("n_req"), col("n_err"),
@@ -866,10 +867,11 @@ object AnalyticsQueries {
           .withColumn("n_s", count(lit(1)).over(wCnt))
           .crossJoin(broadcast(nAll))
           .withColumn("g", expr("(r * n_total + n_s - 1) div n_s"))
-        val hist = docs.groupBy(col("n_chars").as("v"))
-          .agg(count(lit(1)).as("cnt"))
-        val wcum = Window.orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val hist = graft.ops.BoundedGlobal.bounded(
+          docs.groupBy(col("n_chars").as("v"))
+            .agg(count(lit(1)).as("cnt")),
+          "x_quantile_normalize n_chars histogram")
+        val wcum = graft.ops.BoundedGlobal.cumFrame(col("v"))
         val ranks = hist.withColumn("hi", sum(col("cnt")).over(wcum))
           .select(col("v"),
             explode(sequence(col("hi") - col("cnt") + 1L, col("hi"),

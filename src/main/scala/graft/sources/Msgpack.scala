@@ -172,11 +172,50 @@ object Msgpack {
   final case class Event(tag: String, sec: Long, nsec: Long,
                          record: Map[String, String])
 
+  /** Decompressed-payload cap for compressed PackedForward chunks — the
+    * reference's buffer_max_size guard (in_forward/fw_prot.c:1707): a
+    * gzip bomb fails loudly instead of exhausting the receiver.
+    */
+  val MaxPackedBytes: Int = 32 * 1024 * 1024
+
+  private def sniffGzip(d: Array[Byte]): Boolean =
+    d.length >= 2 && d(0) == 0x1f.toByte && d(1) == 0x8b.toByte
+
+  /** Bounded gunzip. GZIPInputStream handles the concatenated-member
+    * streams fluentd emits when it appends compressed chunks.
+    */
+  def gunzip(data: Array[Byte], limit: Int = MaxPackedBytes): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(data))
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(math.max(data.length * 4, 4096), 1 << 16))
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) {
+      out.write(buf, 0, n)
+      if (out.size > limit) throw new IllegalArgumentException(
+        s"packedforward payload too large (> $limit bytes after gunzip)")
+      n = in.read(buf)
+    }
+    out.toByteArray
+  }
+
+  /** The `compressed` algorithm declared in a chunk's option map
+    * (in_forward/fw_prot.c:107): "gzip" / "zstd" / absent.
+    */
+  private def declaredCompression(rest: Seq[V]): Option[String] =
+    rest.collectFirst { case MMap(es) =>
+      es.collectFirst { case (MStr("compressed"), MStr(alg)) => alg }
+    }.flatten
+
   /** Parse one top-level Forward entry (fluent forward protocol v1):
     * `[tag, time, record]` (Message mode), `[tag, [[time, record]...]]`
     * (Forward mode), or `[tag, bin]` (PackedForward — the bin payload is
-    * a stream of [time, record] entries). A trailing option map is
-    * ignored.
+    * a stream of [time, record] entries, gzip-compressed when the option
+    * map carries `compressed: "gzip"`). Magic bytes win over the declared
+    * option when both are present and disagree (fw_prot.c:1729-1739);
+    * other option-map keys are ignored here (ack is handled by the
+    * socket layer).
     */
   def forwardEvents(v: V): Seq[Event] = v match {
     case MArr(MStr(tag) +: rest) => rest match {
@@ -185,7 +224,16 @@ object Msgpack {
           case MArr(Vector(t, rec)) => event(tag, t, rec)
           case other => throw new IllegalArgumentException(s"bad entry $other")
         }
-      case MBin(packed) +: _ =>
+      case MBin(packed0) +: _ =>
+        val declared = declaredCompression(rest.drop(1))
+        if (declared.contains("zstd") && !sniffGzip(packed0))
+          throw new IllegalArgumentException(
+            "packedforward compressed=zstd is not supported (no zstd " +
+              "codec available); configure the sender with gzip")
+        val packed =
+          if (sniffGzip(packed0) || declared.contains("gzip"))
+            gunzip(packed0)
+          else packed0
         var o = 0
         val out = Seq.newBuilder[Event]
         while (o < packed.length) {

@@ -410,6 +410,55 @@ object Stateful {
         })
   }
 
+  // ------------------------------------------------------------ funnel
+
+  final case class FunnelEvent(user: Long, tsNs: Long, stage: String)
+  /** -1 = stage not reached; otherwise the stage's first qualifying ts. */
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+  final case class FunnelUpdate(user: Long, depth: Int,
+                                step12Ns: Long, step23Ns: Long)
+
+  /** Streaming twin of [[graft.obs.Observability.funnel]]: per-user
+    * state is the three stage timestamps (the horizon state — 3 longs,
+    * the irreducible funnel memory). Each arriving event advances the
+    * user's ordered stage machine: stage 1 locks on its first
+    * occurrence, stages 2/3 on their first occurrence strictly after
+    * the previous stage within `horizonNs`. A depth advance emits a
+    * FunnelUpdate (the user's LATEST update is its current funnel row;
+    * per-depth rollups aggregate those downstream). In-order arrival
+    * within a user is the contract — the same the batch operator's
+    * conditional-min windows get from complete data; within a
+    * micro-batch events are applied in ts order.
+    */
+  def funnelStream(spark: SparkSession, events: Dataset[FunnelEvent],
+                   s1: String, s2: String, s3: String,
+                   horizonNs: Long): Dataset[FunnelUpdate] = {
+    import spark.implicits._
+    events.groupByKey(_.user)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[FunnelEvent],
+         state: GroupState[FunnelState]) => {
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = scala.collection.mutable.ArrayBuffer[FunnelUpdate]()
+          it.toSeq.sortBy(_.tsNs).foreach { e =>
+            if (e.stage == s1 && st.t1 < 0) {
+              st = st.copy(t1 = e.tsNs)
+              out += FunnelUpdate(user, 1, 0L, 0L)
+            } else if (e.stage == s2 && st.t1 >= 0 && st.t2 < 0 &&
+                e.tsNs > st.t1 && e.tsNs <= st.t1 + horizonNs) {
+              st = st.copy(t2 = e.tsNs)
+              out += FunnelUpdate(user, 2, st.t2 - st.t1, 0L)
+            } else if (e.stage == s3 && st.t2 >= 0 && st.t3 < 0 &&
+                e.tsNs > st.t2 && e.tsNs <= st.t2 + horizonNs) {
+              st = st.copy(t3 = e.tsNs)
+              out += FunnelUpdate(user, 3, st.t2 - st.t1, st.t3 - st.t2)
+            }
+          }
+          if (st.t1 >= 0) state.update(st)
+          out.iterator
+        })
+  }
+
   // -------------------------------------------------------------- ewma
 
   final case class SeriesBucket(series: String, bucketUs: Long, cents: Long)

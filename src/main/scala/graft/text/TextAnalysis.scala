@@ -725,16 +725,17 @@ object TextAnalysis {
         when(col("n_bigrams") > 0, expr("lm_score DIV n_bigrams"))
           .otherwise(lit(0L)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hist = scored.groupBy(col("avg_credit").as("v"))
-      .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bounded() localCheckpoints the histogram (replacing the old
+    // never-unpersisted cache) and enforces the bounded-domain
+    // precondition of the global cumulative window below
+    val hist = graft.ops.BoundedGlobal.bounded(
+      scored.groupBy(col("avg_credit").as("v"))
+        .agg(count(lit(1)).as("c")),
+      "perplexityBuckets credit histogram")
     // doc total = Σ histogram counts — derived from the tiny hist, not a
     // third pass over the scored subtree
     val tot = hist.agg(sum(col("c")).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("v").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
+    val w = graft.ops.BoundedGlobal.cumFrameAnchored(col("v"), col("v").desc)
     val th = hist.withColumn("ge", sum(col("c")).over(w))
       .crossJoin(broadcast(tot))
       .agg(

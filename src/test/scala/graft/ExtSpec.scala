@@ -479,6 +479,35 @@ class ExtSpec extends AnyFunSuite {
       "p99" -> ((99L, 99L)), "p999" -> ((100L, 100L))), out.toString)
   }
 
+  test("bounded-global guard: unbounded domain fails, window stays keyed") {
+    import graft.ops.{BoundedGlobal, Quantiles}
+    val wide = (1 to 100).map(v => Tuple1(v)).toDF("v")
+    // past the cap the guard throws instead of silently serializing the
+    // domain through the one-partition window
+    val e = intercept[IllegalArgumentException] {
+      Quantiles.exactQuantiles(wide, col("v"), cap = 50)
+    }
+    assert(e.getMessage.contains("quantize"))
+    // the checked frames carry a (constant) partition key, so Spark's
+    // "No Partition Defined" warning stays reserved for windows whose
+    // boundedness nobody proved
+    val hist = BoundedGlobal.bounded(
+      wide.groupBy(col("v")).agg(count(lit(1)).as("cnt")), "spec", 1000)
+    val cum = hist.withColumn("c",
+      sum(col("cnt")).over(BoundedGlobal.cumFrame(col("v"))))
+    // optimizedPlan: the EliminateWindowPartitions rule has already run
+    // (it strips foldable keys — the reason constKey is hash-anchored),
+    // and AQE doesn't hide the node the way executedPlan.collect does
+    val wins = cum.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      cum.queryExecution.optimizedPlan.toString.take(2000))
+    // and the keyed frame computes the same running sum
+    val cums = cum.orderBy("v").collect().map(_.getAs[Long]("c"))
+    assert(cums.toSeq == (1 to 100).map(_.toLong))
+  }
+
   test("temperature mix: tail domains keep proportionally more than head") {
     val d = ((1 to 900).map(i => (i.toLong, "head")) ++
       (1 to 100).map(i => (1000L + i, "tail"))).toDF("doc_id", "dom")

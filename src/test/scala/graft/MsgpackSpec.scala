@@ -70,6 +70,43 @@ class MsgpackSpec extends AnyFunSuite {
     assert(forwardEvents(decode(pf, 0)._1).map(_.sec) == Seq(3L, 4L))
   }
 
+  test("gzip PackedForward: option map, bare magic, members, zstd, bomb") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close(); bo.toByteArray
+    }
+    val rec = fixmap(fixstr("log") -> fixstr("boom"))
+    val packed = fixarr(bs(0x03), rec) ++ fixarr(bs(0x04), rec)
+    val gzOpt = fixmap(fixstr("compressed") -> fixstr("gzip"))
+    // compressed: gzip declared in the option map (fw_prot.c:107)
+    val pf = fixarr(fixstr("app.gz"), bin8(gz(packed)), gzOpt)
+    assert(forwardEvents(decode(pf, 0)._1).map(_.sec) == Seq(3L, 4L))
+    // magic bytes alone (no option map) — sniffing decides, as in the
+    // reference when the option is absent (fw_prot.c:1740)
+    val bare = fixarr(fixstr("app.gz"), bin8(gz(packed)))
+    assert(forwardEvents(decode(bare, 0)._1).map(_.sec) == Seq(3L, 4L))
+    // fluentd appends chunks as concatenated gzip members
+    val two = fixarr(fixstr("t"),
+      bin8(gz(fixarr(bs(0x03), rec)) ++ gz(fixarr(bs(0x04), rec))), gzOpt)
+    assert(forwardEvents(decode(two, 0)._1).map(_.sec) == Seq(3L, 4L))
+    // compressed: text (fluentd's "uncompressed") passes through
+    val txt = fixarr(fixstr("t"), bin8(packed),
+      fixmap(fixstr("compressed") -> fixstr("text")))
+    assert(forwardEvents(decode(txt, 0)._1).map(_.sec) == Seq(3L, 4L))
+    // declared zstd without a codec fails loudly, not with garbage
+    val z = fixarr(fixstr("t"), bin8(packed),
+      fixmap(fixstr("compressed") -> fixstr("zstd")))
+    val e = intercept[IllegalArgumentException] {
+      forwardEvents(decode(z, 0)._1)
+    }
+    assert(e.getMessage.contains("zstd"))
+    // decompressed-size guard — a bomb fails before exhausting memory
+    intercept[IllegalArgumentException] {
+      Msgpack.gunzip(gz(Array.fill[Byte](1000)(0x41)), limit = 100)
+    }
+  }
+
   test("out_forward encoder round-trips through the decoder") {
     val events = Seq(
       (1704067200L, 0L, Map("log" -> "a", "level" -> "info")),

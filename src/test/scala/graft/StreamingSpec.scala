@@ -116,6 +116,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 2L -> 3L, 3L -> 3L, 4L -> 7L, 5L -> 0L))
   }
 
+  test("streaming funnel: depth advances across batches equal the batch rollup") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import Stateful.{FunnelEvent, FunnelUpdate}
+    val in = MemoryStream[FunnelEvent]
+    // NoTimeout stateful query: processAllAvailable is safe (see header)
+    val out = Stateful.funnelStream(spark, in.toDS(),
+      "signup", "click", "purchase", horizonNs = 10L)
+    val q = startToMemory(out, "funnel_out")
+    try {
+      // user 1 completes in batch 1 (click delivered before signup —
+      // in-batch ts sort applies them in order); user 2's click is
+      // outside the horizon; user 3 never signs up (depth 0, no rows)
+      in.addData(FunnelEvent(1L, 2L, "click"), FunnelEvent(1L, 1L, "signup"),
+        FunnelEvent(1L, 3L, "purchase"),
+        FunnelEvent(2L, 10L, "signup"), FunnelEvent(2L, 25L, "click"),
+        FunnelEvent(3L, 1L, "click"))
+      q.processAllAvailable()
+      // user 4 advances to depth 2 across batches; its purchase misses
+      // the horizon from t2
+      in.addData(FunnelEvent(4L, 5L, "signup"))
+      q.processAllAvailable()
+      in.addData(FunnelEvent(4L, 6L, "click"), FunnelEvent(4L, 20L, "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // a user's LATEST update is its funnel row
+    val updates = spark.table("funnel_out").as[FunnelUpdate].collect()
+    assert(!updates.exists(_.user == 3L)) // depth-0 users never emit
+    val latest = updates.groupBy(_.user).view.mapValues(_.maxBy(_.depth))
+      .values.toSeq
+    val streamed = latest.groupBy(_.depth).view.mapValues(us =>
+      (us.size.toLong, us.map(_.step12Ns).sum, us.map(_.step23Ns).sum)).toMap
+
+    // the batch operator over the SAME complete event set
+    val df = Seq((1L, 1L, "signup"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      (2L, 10L, "signup"), (2L, 25L, "click"), (3L, 1L, "click"),
+      (4L, 5L, "signup"), (4L, 6L, "click"), (4L, 20L, "purchase"))
+      .toDF("u", "t", "st")
+    val batch = graft.obs.Observability.funnel(df, col("u"), col("t"),
+        col("st"), "signup", "click", "purchase", horizonNs = 10L)
+      .filter(col("depth") > 0)
+      .collect().map(r => r.getAs[Int]("depth") ->
+        (r.getAs[Long]("n_users"),
+          r.getAs[java.math.BigDecimal]("step12_ns_sum").longValue(),
+          r.getAs[java.math.BigDecimal]("step23_ns_sum").longValue())).toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+  }
+
   test("streaming cdc: higher seq wins, stale changes absorbed, tombstones emit") {
     implicit val sqlCtx = spark.sqlContext
     import Stateful.Change
@@ -786,6 +834,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set(
       ("app.fw", 1704067200L, "boom", "error"),
       ("app.fw", 1704067201L, "ok", "info")))
+  }
+
+  test("forward source e2e: gzip-compressed PackedForward chunk decodes") {
+    import org.apache.spark.sql.functions._
+    val probe = new java.net.ServerSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+
+    val src = spark.readStream.format("graft.sources.ForwardServerSource")
+      .option("port", port).load()
+      .select(col("tag"), col("ts"),
+        element_at(col("record"), "log").as("log"))
+    val q = src.writeStream.format("memory").queryName("fwd_gz")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      // ["app.gz", gzip(<[t,rec]><[t,rec]>), {"compressed": "gzip"}]
+      def bs(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+      def fstr(s: String) = bs(0xa0 | s.length) ++ s.getBytes("UTF-8")
+      def farr(items: Array[Byte]*) = bs(0x90 | items.length) ++ items.flatten
+      def fmap(es: (Array[Byte], Array[Byte])*) =
+        bs(0x80 | es.length) ++ es.flatMap { case (k, v) => k ++ v }
+      val packed = farr(bs(0x03), fmap(fstr("log") -> fstr("zipped"))) ++
+        farr(bs(0x04), fmap(fstr("log") -> fstr("also")))
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(packed); g.close()
+      val gz = bo.toByteArray
+      val frame = farr(fstr("app.gz"), bs(0xc4, gz.length) ++ gz,
+        fmap(fstr("compressed") -> fstr("gzip")))
+
+      var sock: java.net.Socket = null
+      val deadline = System.currentTimeMillis + 30000
+      while (sock == null && System.currentTimeMillis < deadline) {
+        try sock = new java.net.Socket("127.0.0.1", port)
+        catch { case _: java.net.ConnectException => Thread.sleep(100) }
+      }
+      assert(sock != null)
+      sock.getOutputStream.write(frame)
+      sock.getOutputStream.flush()
+      awaitRows("fwd_gz", 2)
+      sock.close()
+    } finally q.stop()
+    val got = spark.table("fwd_gz")
+      .select(col("ts").cast("long"), col("log"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((3L, "zipped"), (4L, "also")))
   }
 
   test("engine-to-engine relay: out_forward sink into our own in_forward source") {
