@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the box has 128 GiB and local[32]; 8g starved the storage pool once
+  // the graph/ANN gates cached |E|-sized relations at sf10, and the
+  // resulting eviction churn was the r9 driver-vs-builder bench
+  // instability (x_fuzzy_join 9.5→33 s). The DuckDB yardstick runs
+  // with unrestricted machine memory — 24g is still the conservative
+  // side of fair.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -29,12 +29,30 @@ object GraphFixtures {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val degCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val orientedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val adjCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Eagerly-populated columnar cache. persist (InMemoryRelation) and
+    * not localCheckpoint: the fixture's hottest consumer (triangle
+    * counting) scans the edge relation six times, and columnar cached
+    * batches feed whole-stage codegen scans where a checkpoint's
+    * row-RDD iterates row-at-a-time (measured 1.9 s → 3.1 s on
+    * x_graph_triangles at sf10 when this was a checkpoint). The count()
+    * materializes all partitions so no consumer pays a partial build.
+    */
+  private def materialize(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
+  }
 
   /** Planted undirected deduped edges (a, b), a < b, over
     * `documents.doc_id`: three arithmetic out-links plus the 13-hub
-    * spoke (see [[Triangles.plantedEdges]]). Materialized via
-    * localCheckpoint — iterative consumers (peel/BFS rounds) re-scan
-    * cached blocks instead of replaying the distinct.
+    * spoke (see [[Triangles.plantedEdges]]). Iterative consumers
+    * (peel/BFS rounds) re-scan cached batches instead of replaying the
+    * distinct.
     */
   def plantedEdges(s: SparkSession, dir: String): DataFrame =
     edgeCache.compute((s, dir), (k, old) =>
@@ -43,8 +61,8 @@ object GraphFixtures {
         val docs = Tables.documents(s, dir)
         val nodes = docs.select(col("doc_id").as("id"))
         val n = docs.agg(count(lit(1)).as("n"))
-        Triangles.plantedEdges(nodes.crossJoin(broadcast(n)),
-          col("id"), col("n")).localCheckpoint()
+        materialize(Triangles.plantedEdges(nodes.crossJoin(broadcast(n)),
+          col("id"), col("n")))
       })
 
   /** Undirected degree per node of [[plantedEdges]] — |V| rows,
@@ -56,8 +74,59 @@ object GraphFixtures {
       if (old != null && !k._1.sparkContext.isStopped) old
       else {
         val e = plantedEdges(s, dir)
-        e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
-          .groupBy(col("v")).agg(count(lit(1)).as("dg"))
-          .localCheckpoint()
+        materialize(
+          e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+            .groupBy(col("v")).agg(count(lit(1)).as("dg")))
+      })
+
+  /** Degree-oriented planted edges (u, v, dv): every undirected edge
+    * pointed from its lower-(deg, id) endpoint, carrying the head's
+    * degree (see [[Triangles]] for why orientation defuses hubs). Both
+    * triangle counting and the clustering coefficient consume exactly
+    * this relation; before r10 each gate re-ran the two |V|-row degree
+    * broadcasts on EVERY bench run — at sf10 two forced ~6M-row
+    * broadcast builds per run, the family's main run-to-run jitter.
+    */
+  /** Hub-suppressed symmetric adjacency (u, w, dgw) of [[plantedEdges]]:
+    * centers with degree > 64 dropped before any wedge forms (the
+    * "graph stop-word" rule — a shared celebrity neighbor carries no
+    * link signal and would put C(hub_deg, 2) pairs in the shuffle).
+    * Each row carries the ENDPOINT's degree so the link-prediction
+    * wedge can compute Jaccard denominators without any per-run |V|-row
+    * degree join — the build pays the one shuffle join once per
+    * session.
+    */
+  def suppressedAdj(s: SparkSession, dir: String): DataFrame =
+    adjCache.compute((s, dir), (k, old) =>
+      if (old != null && !k._1.sparkContext.isStopped) old
+      else {
+        val e = plantedEdges(s, dir)
+        val deg = plantedDegrees(s, dir)
+        val centers = broadcast(deg
+          .filter(col("dg") <= 64L).select(col("v").as("u")))
+        materialize(e.select(col("a").as("u"), col("b").as("w"))
+          .unionAll(e.select(col("b"), col("a")))
+          .join(centers, Seq("u"), "left_semi")
+          .join(deg.select(col("v").as("w"), col("dg").as("dgw"))
+            .hint("shuffle_hash"), Seq("w"))
+          .select(col("u"), col("w"), col("dgw")))
+      })
+
+  def orientedPlanted(s: SparkSession, dir: String): DataFrame =
+    orientedCache.compute((s, dir), (k, old) =>
+      if (old != null && !k._1.sparkContext.isStopped) old
+      else {
+        val deg = plantedDegrees(s, dir)
+        val da = deg.select(col("v").as("a"), col("dg").as("dga"))
+        val db = deg.select(col("v").as("b"), col("dg").as("dgb"))
+        val fwd = col("dga") < col("dgb") ||
+          (col("dga") === col("dgb") && col("a") < col("b"))
+        materialize(plantedEdges(s, dir)
+          .join(da.hint("shuffle_hash"), "a")
+          .join(db.hint("shuffle_hash"), "b")
+          .select(
+            when(fwd, col("a")).otherwise(col("b")).as("u"),
+            when(fwd, col("b")).otherwise(col("a")).as("v"),
+            when(fwd, col("dgb")).otherwise(col("dga")).as("dv")))
       })
 }

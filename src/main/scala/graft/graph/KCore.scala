@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.shim
 import org.apache.spark.storage.StorageLevel
 
 /** Bounded k-core peeling: `rounds` passes of "drop nodes with degree
@@ -48,33 +49,50 @@ object KCore {
     def degOf(e: DataFrame): DataFrame =
       e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("dg"))
-    var edges =
+    val round0 =
       if (inputMaterialized) edgesRaw else edgesRaw.localCheckpoint()
+    var edges = round0
     var deg = degOf(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val metrics = Seq.newBuilder[(Long, Long, Long)]
     for (r <- 1 to rounds) {
-      // the survivor set is ≤|V| ids; broadcasting it keeps the edge
-      // list from shuffling twice per round (beyond broadcast reach the
-      // hint degrades to the shuffle join, which is the honest fallback)
-      val keep = broadcast(deg.filter(col("dg") >= k).select(col("v")))
+      // peel by ANTI-joining the DROPPED set (deg < k): after round 1
+      // almost every node survives, so the dropped periphery is the
+      // small side — broadcasting it costs KBs where the survivor set
+      // is |V|-sized (the r9 design broadcast ~5M survivor ids per
+      // round at sf10; that build was most of the 1.7 s/round barrier).
+      // Equivalent semantics: every edge endpoint has a degree row, so
+      // "neither endpoint dropped" ≡ "both endpoints kept".
+      val dropped = broadcast(deg.filter(col("dg") < k).select(col("v")))
       val oldDeg = deg
+      val oldEdges = edges
       edges = edges
-        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
-        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+        .join(dropped.select(col("v").as("a")), Seq("a"), "left_anti")
+        .join(dropped.select(col("v").as("b")), Seq("b"), "left_anti")
         .select(col("a"), col("b"))
         // truncate the iterative lineage (see scaladoc) — also the
         // round barrier that materializes the new edge set
         .localCheckpoint()
-      // ONE degree aggregate per round serves the node metric AND the
-      // next round's survivor filter; once it is materialized the
-      // previous round's degree cache is dead weight — drop it
       deg = degOf(edges).persist(StorageLevel.MEMORY_AND_DISK)
-      val nNodes = deg.count()
-      val nEdges = edges.count()
+      // ONE fused aggregate yields both metrics (Σdg = 2·|E|) and
+      // materializes the persisted degree table for the next round's
+      // dropped-set broadcast — one job instead of two counts
+      val row = deg.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dg")), lit(0L)).as("sdg")).collect()(0)
+      val (nNodes, nEdges) = (row.getLong(0), row.getLong(1) / 2)
+      // the previous round's caches are dead weight once the new round
+      // is materialized — drop them NOW: the async ContextCleaner lags
+      // a full ~|E|-block set per round, and in a shared JVM that lag
+      // bills storage-eviction churn to whatever query runs next (the
+      // r10 clustering 2.6→13.5 s in-suite artifact)
       oldDeg.unpersist(false)
+      if (oldEdges ne round0) shim.freeLocalCheckpoint(oldEdges)
       metrics += ((r.toLong, nNodes, nEdges))
     }
     deg.unpersist(false)
+    if (edges ne round0) shim.freeLocalCheckpoint(edges)
+    // round0 is freed only when WE made the defensive checkpoint — a
+    // caller-materialized fixture is shared across gates
+    if (!inputMaterialized) shim.freeLocalCheckpoint(round0)
     import spark.implicits._
     metrics.result().toDF("round", "n_nodes", "n_edges")
   }
@@ -101,6 +119,9 @@ object KCore {
     val adj = if (inputMaterialized) adjPlan else adjPlan.localCheckpoint()
     var visited = Seq(source).toDF("v").localCheckpoint()
     var frontier = visited
+    // every frontier stays referenced by the visited union until the
+    // loop ends; free the whole set eagerly afterwards (see peel)
+    val checkpoints = scala.collection.mutable.Buffer[DataFrame](visited)
     val counts = Seq.newBuilder[(Long, Long)]
     for (r <- 1 to rounds) {
       // frontier and visited are node-id sets — broadcast keeps the
@@ -111,12 +132,15 @@ object KCore {
         .select(col("v")).distinct()
         .join(broadcast(visited), Seq("v"), "left_anti")
         .localCheckpoint()
+      checkpoints += frontier
       val nf = frontier.count()
       // visited is a union of already-checkpointed frontiers — its
       // lineage stays shallow, no truncation barrier needed
       visited = visited.unionAll(frontier)
       counts += ((r.toLong, nf))
     }
+    checkpoints.foreach(shim.freeLocalCheckpoint)
+    if (!inputMaterialized) shim.freeLocalCheckpoint(adj)
     counts.result().toDF("round", "n_frontier")
   }
 }

@@ -73,6 +73,26 @@ object Triangles {
         when(fwd, col("dgb")).otherwise(col("dga")).as("dv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    val tri = wedgeClose(oriented)
+
+    val sizes = edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+    val out = tri.crossJoin(broadcast(sizes))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"))
+    (out, () => {
+      oriented.unpersist(false)
+      if (!inputMaterialized) edges.unpersist(false)
+    })
+  }
+
+  /** Wedge enumeration + closing probe over an ALREADY-ORIENTED edge
+    * relation (u, v, dv): one row, (n_wedges, n_triangles). Split out so
+    * callers holding a materialized oriented fixture
+    * ([[GraphFixtures.orientedPlanted]]) skip the per-call orientation
+    * joins entirely.
+    */
+  def wedgeClose(oriented: DataFrame): DataFrame = {
     // Wedges from shared oriented sources, ordered so the closing edge
     // (x, y) is itself in oriented form.
     val o1 = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
@@ -85,20 +105,10 @@ object Triangles {
 
     val closing = oriented.select(col("u").as("cx"), col("v").as("cy"),
       lit(1L).as("hit"))
-    val tri = wedges
+    wedges
       .join(closing, col("x") === col("cx") && col("y") === col("cy"),
         "left")
       .agg(count(lit(1)).as("n_wedges"), count(col("hit")).as("n_triangles"))
-
-    val sizes = edges.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
-    val out = tri.crossJoin(broadcast(sizes))
-      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-        col("n_triangles"))
-    (out, () => {
-      oriented.unpersist(false)
-      if (!inputMaterialized) edges.unpersist(false)
-    })
   }
 
   /** The planted test graph over `n` node ids: the PageRank gate's three

