@@ -41,6 +41,17 @@ object Bench {
       // wide MinHash aggregates (k=128 min-columns) must stay inside
       // whole-stage codegen; the default maxFields=100 silently drops them
       .config("spark.sql.codegen.maxFields", "256")
+      // bound the per-task sorter footprint: with a large heap the sort
+      // under user-keyed windows otherwise hoards the whole pool before
+      // spilling, and the long-lived pages turn into GC copy cost that
+      // more than erases the avoided spill (sf10 events-window gates
+      // measured 2.4 s at 8g vs 5.2 s at 24g before this cap)
+      .config("spark.shuffle.spill.numElementsForceSpillThreshold",
+        "4000000")
+      // co-partitioning on a subset of the join keys is sufficient when
+      // both sides explicitly cluster by it (serviceGraph joins spans
+      // by trace; one exchange instead of two composite reshuffles)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

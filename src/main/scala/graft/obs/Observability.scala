@@ -148,12 +148,22 @@ object Observability {
     * without this the derivation runs twice.
     */
   def serviceGraph(spans: DataFrame, parentSide: DataFrame): DataFrame = {
+    // Both sides cluster by trace_id ALONE: spans of one trace land in
+    // one partition and the (parent_span_id = span_id) match happens
+    // in-partition. The default plan would reshuffle BOTH ~|spans|
+    // sides on the composite (trace, span) key — and when the child
+    // side arrives from a trace-keyed window (the common shape), that
+    // exchange is pure waste. Subset co-partitioning needs
+    // spark.sql.requireAllClusterKeysForCoPartition=false (set by the
+    // session owner; the plan is correct either way, just cheaper).
     val parents = parentSide.select(col("trace_id").as("p_trace"),
       col("span_id").as("p_span"), col("service").as("client"),
       col("ts_ns").as("p_ts_ns"))
+      .repartition(col("p_trace"))
     val children = spans.filter(col("parent_span_id").isNotNull)
       .select(col("trace_id"), col("parent_span_id"),
         col("service").as("server"), col("ts_ns"))
+      .repartition(col("trace_id"))
     children.join(parents,
         col("trace_id") === col("p_trace") &&
           col("parent_span_id") === col("p_span"))
@@ -206,32 +216,70 @@ object Observability {
     */
   def funnel(df: DataFrame, user: Column, tsNs: Column, stage: Column,
              s1: String, s2: String, s3: String, horizonNs: Long): DataFrame = {
-    val w = Window.partitionBy(col("u"))
-    val staged = df.select(user.as("u"), tsNs.as("t"), stage.as("st"))
-      .withColumn("t1", min(when(col("st") === s1, col("t"))).over(w))
-      .withColumn("t2", min(when(col("st") === s2 &&
-        col("t") > col("t1") && col("t") <= col("t1") + horizonNs,
-        col("t"))).over(w))
-      .withColumn("t3", min(when(col("st") === s3 &&
-        col("t") > col("t2") && col("t") <= col("t2") + horizonNs,
-        col("t"))).over(w))
-    val perUser = staged.groupBy(col("u"))
-      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"),
-        min(col("t3")).as("t3"))
+    // ONE user-clustered in-partition-sorted streaming pass runs the
+    // ordered 3-stage machine per user with O(1) carry state (t1 = the
+    // user's first s1; t2 = first s2 strictly after t1 within the
+    // horizon; t3 likewise after t2 — first-in-time ≡ the conditional
+    // mins the r9 window formulation computed in THREE WindowExec
+    // passes plus a 60M-row per-user hash collapse over the same
+    // exchange). Ties need no ordinal tie-break: stages chain on
+    // STRICTLY-greater timestamps, so equal-ts events cannot chain and
+    // min-of-equal-ts is ts either way. Same sanctioned mapPartitions
+    // exception as [[transitions]]: run-length semantics over a sorted
+    // stream. The streaming twin ([[graft.streaming.Stateful
+    // .funnelStream]]) is this exact machine with the carry state in
+    // GroupState.
+    val ordered = df.select(user.as("u"), tsNs.cast("long").as("t"),
+        stage.as("st"))
+      .repartition(col("u"))
+      .sortWithinPartitions(col("u"), col("t"))
+    val perUser = ordered.mapPartitions { rows =>
+      var have = false
+      var curU: Any = null
+      var t1 = -1L; var t2 = -1L; var t3 = -1L
+      def result(): (Int, Long, Long) = {
+        val depth = if (t3 >= 0) 3 else if (t2 >= 0) 2
+          else if (t1 >= 0) 1 else 0
+        (depth, if (t2 >= 0) t2 - t1 else 0L, if (t3 >= 0) t3 - t2 else 0L)
+      }
+      val main = rows.flatMap { r =>
+        val u = r.get(0)
+        val t = r.getLong(1)
+        val st = r.getString(2)
+        val emit =
+          if (have && u != curU) Iterator.single(result())
+          else Iterator.empty
+        if (!have || u != curU) {
+          curU = u; have = true; t1 = -1L; t2 = -1L; t3 = -1L
+        }
+        if (st == s1) { if (t1 < 0) t1 = t }
+        else if (st == s2) {
+          if (t1 >= 0 && t2 < 0 && t > t1 && t <= t1 + horizonNs) t2 = t
+        } else if (st == s3) {
+          if (t2 >= 0 && t3 < 0 && t > t2 && t <= t2 + horizonNs) t3 = t
+        }
+        emit
+      }
+      main ++ new Iterator[(Int, Long, Long)] {
+        override def hasNext: Boolean = have
+        override def next(): (Int, Long, Long) = { have = false; result() }
+      }
+    }(org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaInt,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong))
+      .toDF("depth", "s12", "s23")
     perUser
-      .withColumn("depth",
-        when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
-          .when(col("t1").isNotNull, 1).otherwise(0))
       .groupBy(col("depth"))
       .agg(count(lit(1)).as("n_users"),
         // ns sums overflow Long past ~9.2e18 (≈5M user-weeks); DECIMAL(38)
         // keeps the sum exact at any corpus size. Depth-0/1/2 groups have
-        // no observed step latency: report 0, not NULL (also keeps the
-        // output NULL-free so engine-specific NULL-decimal canonicalization
-        // can't affect downstream comparisons).
-        coalesce(sum((col("t2") - col("t1")).cast("decimal(38,0)")),
+        // no observed step latency: the pass emits 0 (and coalesce keeps
+        // an all-empty group at 0, not NULL — engine-specific NULL-decimal
+        // canonicalization must not reach downstream comparisons).
+        coalesce(sum(col("s12").cast("decimal(38,0)")),
           lit(0).cast("decimal(38,0)")).as("step12_ns_sum"),
-        coalesce(sum((col("t3") - col("t2")).cast("decimal(38,0)")),
+        coalesce(sum(col("s23").cast("decimal(38,0)")),
           lit(0).cast("decimal(38,0)")).as("step23_ns_sum"))
   }
 
@@ -326,13 +374,39 @@ object Observability {
   def transitions(df: DataFrame, user: Column, tsNs: Column,
                   ordId: Column, stage: Column): DataFrame = {
     // (tn, oid) is a TOTAL order — a duplicate timestamp within a user
-    // must not make the lead nondeterministic
-    val w = Window.partitionBy(col("u")).orderBy(col("tn"), col("oid"))
+    // must not make the successor nondeterministic.
+    //
+    // Pair formation is ONE streaming pass over a user-clustered,
+    // in-partition-sorted stream (the same exchange+sort a lead()
+    // window needs) — but with O(1) carry state instead of WindowExec's
+    // per-user row buffering, and the |stages|²-key count aggregate
+    // runs on the pass's output directly. The mapPartitions here is the
+    // sanctioned exception to the no-RDD-logic rule: adjacent-pair
+    // run-length semantics over a sorted stream, nothing more.
+    val spark = df.sparkSession
     val ordered = df.select(user.as("u"), tsNs.as("tn"), ordId.as("oid"),
         stage.as("cur"))
-      .withColumn("nxt", lead(col("cur"), 1).over(w))
-      .filter(col("nxt").isNotNull)
-    val counts = ordered.groupBy(col("cur"), col("nxt"))
+      .repartition(col("u"))
+      .sortWithinPartitions(col("u"), col("tn"), col("oid"))
+      .select(col("u"), col("cur"))
+    val pairs = ordered.mapPartitions { it =>
+      var first = true
+      var prevU: Any = null
+      var prevCur: String = null
+      it.flatMap { r =>
+        val u = r.get(0)
+        val cur = r.getString(1)
+        val out =
+          if (!first && u == prevU) Iterator.single((prevCur, cur))
+          else Iterator.empty
+        first = false; prevU = u; prevCur = cur
+        out
+      }
+    }(org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.STRING))
+      .toDF("cur", "nxt")
+    val counts = pairs.groupBy(col("cur"), col("nxt"))
       .agg(count(lit(1)).as("n_pair"))
     val wTot = Window.partitionBy(col("cur"))
     counts
