@@ -662,22 +662,38 @@ object OtlpProto {
     }
   }
 
-  /** Strip a gRPC unary request down to its protobuf message: 1-byte
-    * compressed flag + 4-byte big-endian length + message (the framing
-    * the reference's gRPC endpoints receive, opentelemetry_prot.c's
-    * `*_grpc` routes). flag=1 means the MESSAGE is gzip-compressed
-    * (grpc-encoding), independently of HTTP Content-Encoding.
+  /** Strip gRPC framing down to the protobuf payload: each frame is a
+    * 1-byte compressed flag + 4-byte big-endian length + message (the
+    * framing the reference's gRPC endpoints receive,
+    * opentelemetry_prot.c's `*_grpc` routes). flag=1 means that FRAME's
+    * message is gzip-compressed (grpc-encoding), independently of HTTP
+    * Content-Encoding.
+    *
+    * A streaming/chunked body carries SEVERAL frames back to back; the
+    * reference parses them in sequence. Here the decompressed messages
+    * are concatenated: the top level of every OTLP Export*ServiceRequest
+    * is a single repeated field, and protobuf concatenation of such
+    * messages IS their merge — so one downstream decode of the
+    * concatenation yields exactly the union of the chunks' batches.
     */
   def stripGrpcFrame(body: Array[Byte]): Array[Byte] = {
     if (body.length < 5)
       throw new IllegalArgumentException("truncated gRPC frame")
-    val compressed = body(0) == 1
-    val len = ((body(1) & 0xff) << 24) | ((body(2) & 0xff) << 16) |
-      ((body(3) & 0xff) << 8) | (body(4) & 0xff)
-    if (len < 0 || 5 + len > body.length)
-      throw new IllegalArgumentException("bad gRPC frame length")
-    val msg = java.util.Arrays.copyOfRange(body, 5, 5 + len)
-    if (compressed) gunzip(msg) else msg
+    val out = new java.io.ByteArrayOutputStream(body.length)
+    var o = 0
+    while (o < body.length) {
+      if (o + 5 > body.length)
+        throw new IllegalArgumentException("truncated gRPC frame header")
+      val compressed = body(o) == 1
+      val len = ((body(o + 1) & 0xff) << 24) | ((body(o + 2) & 0xff) << 16) |
+        ((body(o + 3) & 0xff) << 8) | (body(o + 4) & 0xff)
+      if (len < 0 || o + 5 + len > body.length)
+        throw new IllegalArgumentException("bad gRPC frame length")
+      val msg = java.util.Arrays.copyOfRange(body, o + 5, o + 5 + len)
+      out.write(if (compressed) gunzip(msg) else msg)
+      o += 5 + len
+    }
+    out.toByteArray
   }
 
   private def isGrpc(contentType: String): Boolean = {

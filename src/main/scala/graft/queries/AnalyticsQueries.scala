@@ -938,6 +938,22 @@ object AnalyticsQueries {
              FROM j GROUP BY 1""")
     ),
 
+    // Sliding-window persistent homology per series (processor_tda
+    // twin): latest 60 value samples per event type, delay-embedded
+    // (m=3, tau=2), finite persistence-bar counts at the best of nine
+    // quantile scales. No SQL oracle exists for persistence — the
+    // driver records the rows-only check; exact hand-computed fixtures
+    // live in TdaSpec (square/octahedron/circle known answers).
+    GraftQuery(
+      "x_tda_betti",
+      (s, dir) =>
+        graft.graph.Tda.tdaWindows(Tables.events(s, dir),
+          col("event_type"), col("ts_ns"),
+          Seq(Observability.cents(col("value")).cast("double")),
+          windowSize = 60, embedDim = 3, embedDelay = 2),
+      None
+    ),
+
     // Degree distribution of the planted graph with a log2-bucketed
     // tail: |nodes| per exact degree for small degrees, per 2^i bucket
     // above 16 — the shape check that finds hubs before they find your

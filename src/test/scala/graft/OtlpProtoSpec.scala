@@ -263,12 +263,29 @@ class OtlpProtoSpec extends AnyFunSuite {
       "application/grpc", "", OtlpProto.logsToJson) == json)
     assert(OtlpProto.normalize(frame(gz(pb), compressed = true),
       "application/grpc", "", OtlpProto.logsToJson) == json)
-    // truncated frame and over-long declared length are protocol errors
+    // a streaming/chunked body carries several frames back to back —
+    // their (per-frame decompressed) payloads concatenate, and for OTLP
+    // export requests protobuf concatenation IS the batch union: both
+    // log records surface from one downstream decode
+    val pb2 = OtlpProto.encodeLogsRequest(OtlpProto.LogGroupRow(
+      Seq(OtlpProto.KvPair("r", "2")), Some("s2"), None,
+      Seq(OtlpProto.LogRecRow(Some(9L), None, None, None, Some("grpc2"),
+        Seq.empty, None))))
+    val multi = OtlpProto.stripGrpcFrame(
+      frame(pb, compressed = false) ++ frame(gz(pb2), compressed = true))
+    val mj = OtlpProto.logsToJson(multi)
+    assert(mj.contains("grpc") && mj.contains("grpc2"), mj)
+    // truncated frame, over-long declared length, and a valid frame with
+    // trailing garbage are protocol errors
     intercept[IllegalArgumentException] {
       OtlpProto.stripGrpcFrame(Array[Byte](0, 0, 0))
     }
     intercept[IllegalArgumentException] {
       OtlpProto.stripGrpcFrame(Array[Byte](0, 0, 0, 0, 9, 1, 2))
+    }
+    intercept[IllegalArgumentException] {
+      OtlpProto.stripGrpcFrame(frame(pb, compressed = false) ++
+        Array[Byte](0, 0))
     }
   }
 
