@@ -45,8 +45,10 @@ object Explain {
     "x_fuzzy_join" -> "edit-distance fuzzy join (gram-grouped pair expansion, id-only candidate stream, levenshtein verify)",
     "x_asof_join" -> "as-of join (merge form: union + one keyed window, zero join nodes)",
     "x_obs_rate" -> "PromQL counter rate (one series-keyed window; bucket agg partial-combines map-side)",
-    "x_obs_service_graph" -> "span service graph (raw parents join lag-derived children — single window, keyed equi-join)",
-    "x_obs_funnel" -> "3-stage funnel (one user exchange drives all three conditional-min windows + collapse)",
+    "x_obs_service_graph" -> "span service graph (trace-keyed subset co-partitioned join — the child side reuses the window's exchange)",
+    "x_obs_funnel" -> "3-stage funnel (ONE user-clustered sorted pass with O(1) carry state → 4-row depth rollup)",
+    "x_obs_transitions" -> "first-order journey transitions (sorted pair-formation pass → |stages|² count aggregate)",
+    "x_tda_betti" -> "sliding-window persistent homology (rank-window bounds each group to 60 samples before the in-group reduction)",
     "x_obs_hdr_rollup" -> "HDR sketch rollup (fine histogram → cell-wise merge → exact-rank quantiles; raw values touched once)",
     "x_topk_heavyhitters" -> "two-pass heavy hitters (Md5Mod sample → candidate broadcast → exact verify; full key set never shuffles)",
     "x_search_postings" -> "positional inverted index (posexplode → term-sharded HashAggregate)",
@@ -57,7 +59,10 @@ object Explain {
     "x_olap_pivot" -> "pivot table (bounded column fan-out, map-side partials)",
     "x_series_gapfill" -> "gap-fill LOCF (gap rows generated from lag() neighbors — one scan, no calendar join)",
     "x_obs_sliding_distinct" -> "sliding exact distinct (map-side pane explode → one partial-distinct aggregate)",
-    "x_graph_triangles" -> "degree-oriented triangle counting (orientation bounds wedge out-degree — skew-proof join)",
+    // x_graph_triangles pre-collects its 1-row result (cache hygiene) so
+    // the registry plan is a LocalTableScan; the wedge-close plan pin
+    // lives in TrianglesSpec via Triangles.lazyPlan
+
     "x_assoc_rules" -> "market-basket rules (apriori prune → map-side C(k,2) basket combos, no pair self-join)",
     "x_series_retention_ladder" -> "10m/1h/1d retention ladder (ONE scan via GROUPING SETS)",
     "x_quantile_normalize" -> "cross-source quantile normalization (distributed order-statistics explode, rank equi-join)",

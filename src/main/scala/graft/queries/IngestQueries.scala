@@ -81,6 +81,70 @@ object IngestQueries {
              FROM events""")
     ),
 
+    // OTLP PROFILES signal (v1development; the reference ingests it via
+    // lib/cprofiles behind `profiles_support`, opentelemetry.c:175).
+    // Deterministic synthetic stacks from `events` (depth = 1+eid%3,
+    // frame i = f<type>_<(uid+i)%5>, value = cents) are packed into
+    // binary ExportProfilesServiceRequest bodies — full dictionary:
+    // string/function/location/stack tables with pprof index-0
+    // reservations — decoded back through the wire reader, and rolled
+    // up into the flame-graph self/total view. The oracle recomputes
+    // the rollup straight from the table, gating the encode→decode
+    // round trip end to end.
+    GraftQuery(
+      "f_profiles_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val typed = Tables.events(s, dir)
+          .select(col("event_type"),
+            col("event_id"), col("user_id"),
+            graft.obs.Observability.cents(col("value")))
+          .as[(String, Long, Long, Long)]
+        // one profile per (type, eid%8) shard: profiles batch bounded
+        // sample sets in practice; the shard key keeps encode parallel
+        val blobs = typed.groupByKey { case (t, eid, _, _) => (t, eid % 8) }
+          .mapGroups { (key: (String, Long), it: Iterator[(String, Long, Long, Long)]) =>
+            val (t, shard) = key
+            val samples = it.map { case (_, eid, uid, cents) =>
+              val depth = 1 + (eid % 3).toInt
+              val frames: Seq[String] =
+                (0 until depth).map(i => s"f${t}_${(uid + i) % 5}")
+              (frames, cents)
+            }
+            graft.parse.ProfilesProto.encodeProfile(
+              profileId = java.security.MessageDigest.getInstance("MD5")
+                .digest(s"$t/$shard".getBytes("UTF-8")),
+              timeUnixNano = 0L, sampleType = "samples", unit = "count",
+              period = 1L, samples = samples)
+          }
+        blobs.flatMap(b => graft.parse.ProfilesProto.decode(b).iterator
+            .map(fs => (fs.frames, fs.value)))
+          .toDF("frames", "cents")
+          .select(col("cents"), posexplode(col("frames")))
+          .groupBy(col("col").as("fn"))
+          .agg(
+            sum(when(col("pos") === 0, 1L).otherwise(0L)).as("n_samples"),
+            sum(when(col("pos") === 0, col("cents")).otherwise(0L))
+              .as("self_cents"),
+            sum(col("cents")).as("total_cents"))
+      },
+      Some("""WITH e AS (SELECT event_type AS t, event_id AS eid,
+                     user_id AS uid,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents
+                   FROM events),
+             fr AS (SELECT t, uid, cents,
+                      unnest(range(0, 1 + eid % 3)) AS i FROM e)
+             SELECT 'f' || t || '_' || CAST((uid + i) % 5 AS VARCHAR)
+                      AS fn,
+                    CAST(sum(CASE WHEN i = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_samples,
+                    CAST(sum(CASE WHEN i = 0 THEN cents ELSE 0 END)
+                      AS BIGINT) AS self_cents,
+                    CAST(sum(cents) AS BIGINT) AS total_cents
+             FROM fr GROUP BY 1""")
+    ),
+
     // The PROTOBUF twin of f_otlp_ingest (opentelemetry_utils.c:122-155
     // accepts application/x-protobuf; opentelemetry_prot.c:964-965 gzip):
     // the same flat records are packed into binary
