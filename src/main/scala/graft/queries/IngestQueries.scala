@@ -100,9 +100,13 @@ object IngestQueries {
             col("event_id"), col("user_id"),
             graft.obs.Observability.cents(col("value")))
           .as[(String, Long, Long, Long)]
-        // one profile per (type, eid%8) shard: profiles batch bounded
-        // sample sets in practice; the shard key keeps encode parallel
-        val blobs = typed.groupByKey { case (t, eid, _, _) => (t, eid % 8) }
+        // one profile per (type, eid%4096) shard. Profiles batch BOUNDED
+        // sample sets in practice (one body per agent per flush window);
+        // the modulus is the bound — a fixed tiny shard count would pack
+        // the whole table into a handful of giant single-task blobs as
+        // data grows (measured: modulus 8 at sf10 = ~1.5M-sample bodies,
+        // 80 s; 4096 keeps bodies ~thousands of samples at any sf)
+        val blobs = typed.groupByKey { case (t, eid, _, _) => (t, eid % 4096) }
           .mapGroups { (key: (String, Long), it: Iterator[(String, Long, Long, Long)]) =>
             val (t, shard) = key
             val samples = it.map { case (_, eid, uid, cents) =>
