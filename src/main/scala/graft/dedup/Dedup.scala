@@ -325,6 +325,54 @@ object Dedup {
           c => c.getField("chunk")), " ").as("cleaned"))
   }
 
+  /** Corpus boilerplate strip — the heavy-set twin of [[chunkDedup]]:
+    * a chunk is BOILERPLATE iff it occurs in ≥ `minDocs` DISTINCT
+    * documents (navigation bars, license blocks, cookie banners — the
+    * CCNet/RefinedWeb "common lines" rule at chunk granularity), and
+    * boilerplate chunks are removed from every document that carries
+    * them. The architectural difference from [[chunkDedup]] is WHICH
+    * side of the frequency table travels: chunkDedup joins every
+    * chunk occurrence against the FULL count table (corpus-sized
+    * shuffle on the hash stream), while the ≥minDocs blacklist is
+    * vocabulary-scale by construction — boilerplate is what repeats —
+    * so it BROADCASTS, the verdict join is a BroadcastHashJoin carrying
+    * only matching positions, and document bodies never shuffle at all:
+    * one 8-byte-hash aggregate plus a map-side membership pass.
+    */
+  def boilerplateStrip(df: DataFrame, idCol: Column, textCol: Column,
+                       chunkTokens: Int = 20, minDocs: Int = 3): DataFrame = {
+    val toks = split(textCol, " ")
+    val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1), i =>
+      struct(i.as("pos"),
+        array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")
+          .as("chunk")))
+    val exploded = df
+      .select(idCol.as("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.pos").as("pos"),
+        xxhash64(col("c.chunk")).as("__h"))
+    val heavy = exploded.select(col("doc_id"), col("__h")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__h"))
+    // inner join against the broadcast blacklist: only boilerplate
+    // POSITIONS survive into the per-doc verdict — docs with none
+    // drop out entirely and re-enter via the left join below
+    val verdict = exploded.join(broadcast(heavy), Seq("__h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__nb"),
+        sort_array(collect_list(col("pos"))).as("__bp"))
+    df.select(idCol.as("doc_id"), chunks.as("__cs"))
+      .join(verdict, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("__cs")).cast("long").as("n_chunks"),
+        coalesce(col("__nb"), lit(0L)).as("n_boiler"),
+        array_join(transform(
+          filter(col("__cs"), c => !coalesce(
+            array_contains(col("__bp"), c.getField("pos")), lit(false))),
+          c => c.getField("chunk")), " ").as("cleaned"))
+  }
+
   /** Exact-substring duplicate detection (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better" —
     * the ExactSubstr mode, stride-sampled): every document samples

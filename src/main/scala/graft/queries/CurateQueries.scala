@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.text.TextAnalysis
+
+/** Corpus-curation gates, batch 2: heavy-set boilerplate stripping,
+  * Bloom-pruned semi-joins, HLL set algebra, epoch-repeat mixing. Each
+  * is the 100 TB-shaped variant of a pattern the suite already gates in
+  * its exact form — the point here is WHICH side of the frequency/key
+  * table travels (broadcast blacklist, driver bitset, register table,
+  * |domains|-row rates) while the corpus stays map-side.
+  */
+object CurateQueries {
+
+  def all: Seq[GraftQuery] = Seq(
+
+    // Boilerplate strip: 20-word chunks occurring in >= 3 DISTINCT docs
+    // are removed everywhere (CCNet "common lines" at chunk grain). The
+    // blacklist is vocabulary-scale -> broadcast; bodies never shuffle.
+    GraftQuery(
+      "x_dedup_boilerplate",
+      (s, dir) =>
+        graft.dedup.Dedup.boilerplateStrip(Tables.documents(s, dir),
+          col("doc_id"), col("text")),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                         FROM documents),
+             ix AS (SELECT doc_id, w,
+                           unnest(range(0, CAST(ceil(len(w) / 20.0)
+                                                AS BIGINT))) AS i
+                    FROM d),
+             p AS (SELECT doc_id, i,
+                          array_to_string(w[i*20+1:i*20+20], ' ') AS chunk
+                   FROM ix),
+             hv AS (SELECT chunk
+                    FROM (SELECT chunk, count(DISTINCT doc_id) AS nd
+                          FROM p GROUP BY 1)
+                    WHERE nd >= 3),
+             b AS (SELECT p.doc_id, p.i, p.chunk,
+                          (hv.chunk IS NOT NULL) AS boiler
+                   FROM p LEFT JOIN hv ON p.chunk = hv.chunk)
+             SELECT doc_id,
+                    CAST(count(*) AS BIGINT) AS n_chunks,
+                    CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_boiler,
+                    coalesce(string_agg(CASE WHEN NOT boiler THEN chunk END,
+                                        ' ' ORDER BY i), '') AS cleaned
+             FROM b GROUP BY 1""")
+    ),
+
+    // Bloom-pruned semi-join: urgent orders' keys fold into a 32 KB
+    // driver bitset, lineitem rows die map-side unless their orderkey
+    // hits all k bits, and the exact residual join removes the false
+    // positives — result identical to the plain semi-join the oracle
+    // runs. The 100 TB shape of "filter the fact table by a dimension
+    // subset too big to broadcast exactly".
+    GraftQuery(
+      "x_join_bloom",
+      (s, dir) => {
+        val urgent = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        graft.sketch.Sketches.bloomPrunedSemiJoin(
+            Tables.lineitem(s, dir), col("l_orderkey"),
+            urgent, col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"))
+      },
+      Some("""SELECT l_returnflag,
+                    CAST(count(*) AS BIGINT) AS n_rows,
+                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                      AS sum_qty
+             FROM lineitem
+             WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                  WHERE o_orderpriority = '1-URGENT')
+             GROUP BY 1""")
+    ),
+
+    // HLL set algebra: distinct-user reach of 'click' vs 'view' and
+    // their overlap by inclusion-exclusion on register estimates — the
+    // audience-overlap estimator. One grouped register build (<=2m rows)
+    // serves |A|, |B| and the per-bucket-max union sketch.
+    GraftQuery(
+      "x_sketch_hll_setops",
+      (s, dir) =>
+        graft.sketch.Sketches.hllSetOps(Tables.events(s, dir),
+          col("event_type"), col("user_id"), "click", "view"),
+      Some("""WITH e AS (SELECT event_type AS g, user_id AS k FROM events
+                         WHERE event_type IN ('click', 'view')),
+             h AS (SELECT g, ('0x' || substr(md5(CAST(k AS VARCHAR)),
+                              1, 8))::BIGINT AS h
+                   FROM e),
+             r AS (SELECT g, h % 256 AS bucket,
+                          CASE WHEN h // 256 = 0 THEN 25
+                               ELSE 25 - length(bin(h // 256)) END AS rho
+                   FROM h),
+             regs AS (SELECT g, bucket, max(rho) AS register
+                      FROM r GROUP BY 1, 2),
+             ru AS (SELECT bucket, max(register) AS register
+                    FROM regs GROUP BY 1),
+             ea AS (SELECT (71827 * ((CAST(256 * 256 AS BIGINT) * (1::BIGINT << 25))
+                      // (CAST(sum(1::BIGINT << (25 - register)) AS BIGINT)
+                         + (256 - count(*)) * (1::BIGINT << 25)))) // 100000
+                      AS est_a
+                    FROM regs WHERE g = 'click'),
+             eb AS (SELECT (71827 * ((CAST(256 * 256 AS BIGINT) * (1::BIGINT << 25))
+                      // (CAST(sum(1::BIGINT << (25 - register)) AS BIGINT)
+                         + (256 - count(*)) * (1::BIGINT << 25)))) // 100000
+                      AS est_b
+                    FROM regs WHERE g = 'view'),
+             eu AS (SELECT (71827 * ((CAST(256 * 256 AS BIGINT) * (1::BIGINT << 25))
+                      // (CAST(sum(1::BIGINT << (25 - register)) AS BIGINT)
+                         + (256 - count(*)) * (1::BIGINT << 25)))) // 100000
+                      AS est_union
+                    FROM ru),
+             ex AS (SELECT CAST(count(DISTINCT CASE WHEN g = 'click'
+                                 THEN k END) AS BIGINT) AS exact_a,
+                           CAST(count(DISTINCT CASE WHEN g = 'view'
+                                 THEN k END) AS BIGINT) AS exact_b,
+                           CAST(count(DISTINCT k) AS BIGINT) AS exact_union
+                    FROM e)
+             SELECT CAST(est_a AS BIGINT) AS est_a,
+                    CAST(est_b AS BIGINT) AS est_b,
+                    CAST(est_union AS BIGINT) AS est_union,
+                    CAST(greatest(est_a + est_b - est_union, 0) AS BIGINT)
+                      AS est_inter,
+                    exact_a, exact_b, exact_union,
+                    exact_a + exact_b - exact_union AS exact_inter,
+                    abs(est_union - exact_union) * 5 <= exact_union
+                      AS ok_union,
+                    abs(greatest(est_a + est_b - est_union, 0)
+                        - (exact_a + exact_b - exact_union)) * 4
+                      <= exact_union AS ok_inter
+             FROM ea, eb, eu, ex""")
+    ),
+
+    // Epoch-repeat mix: 2.0 effective epochs allocated by sqrt-flattened
+    // domain weights — small domains repeat (n_copies >= 2), head
+    // domains dilute below 1 copy, stochastic rounding on the 20-bit id
+    // hash. Map-only after a |domains|-row broadcast.
+    GraftQuery(
+      "x_mix_epoch",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).withColumn("dom",
+          concat(lit("d"), expr(
+            "CAST(floor(sqrt(CAST(doc_id % 256 AS DOUBLE))) AS BIGINT)")
+            .cast("string")))
+        TextAnalysis.epochMix(docs, col("doc_id"), col("dom"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+                     'd' || CAST(CAST(floor(sqrt(CAST(doc_id % 256 AS DOUBLE)))
+                       AS BIGINT) AS VARCHAR) AS domain
+                   FROM documents),
+             c AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_d,
+                     CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)
+                       AS s_d
+                   FROM d GROUP BY 1),
+             n AS (SELECT CAST(sum(s_d) AS BIGINT) AS s_sum,
+                          CAST(sum(n_d) AS BIGINT) AS n_total FROM c),
+             t AS (SELECT domain, n_d,
+                     CAST((2000 * n_total * s_d) // (s_sum * n_d) AS BIGINT)
+                       AS r_milli
+                   FROM c, n)
+             SELECT d.doc_id, d.domain, t.n_d, t.r_milli,
+                    CAST(t.r_milli // 1000 +
+                      CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                             1, 5))::BIGINT * 1000
+                           < (t.r_milli % 1000) * 1048576
+                      THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+             FROM d JOIN t USING (domain)""")
+    )
+  )
+}

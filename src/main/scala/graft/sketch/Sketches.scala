@@ -249,4 +249,109 @@ object Sketches {
       .filter(col("cnt") * phiDen >= col("n") * phiNum)
       .select(col("key"), col("cnt"), col("scnt"), col("n"))
   }
+
+  /** Bloom-pruned semi-join — the runtime-filter pattern for joins
+    * whose build side is too large to broadcast as an exact set but
+    * whose KEY MEMBERSHIP compresses into a bitset: the build side's
+    * distinct keys set k md5-derived bits in an `mBits` bitmask
+    * (collected once as driver model state, ≤ mBits/8 bytes — 32 KB at
+    * the 2^18 default, independent of build-side row count), the probe
+    * side tests the literal bitmask MAP-SIDE inside its scan stage, and
+    * only the surviving ~|match| + fp·|probe| rows reach the exact
+    * residual semi-join that removes false positives. At 100 TB the
+    * win is the shuffle: non-matching probe rows die in the scan
+    * instead of crossing the network — the same effect Spark's own
+    * runtime row-group filtering targets, here as an explicit,
+    * engine-replayable operator (every bit is md5 math, so any engine
+    * draws the identical bitset; the residual join makes the RESULT
+    * exactly the plain semi-join regardless of fp rate).
+    *
+    * Build-side collect is bounded by min(k·|distinct keys|, mBits)
+    * positions — the same "model state, not data" contract as
+    * [[graft.text.TextAnalysis.contaminationBloom]]'s bitset.
+    */
+  def bloomPrunedSemiJoin(big: DataFrame, bigKey: Column,
+                          small: DataFrame, smallKey: Column,
+                          mBits: Int = 1 << 18, k: Int = 3): DataFrame = {
+    require(mBits % 64 == 0 && k >= 1, "mBits must pack into longs")
+    def bitOf(c: Column, j: Int): Column =
+      conv(substring(md5(concat(c, lit("#" + j))), 1, 8), 16, 10)
+        .cast("long") % mBits
+    val keys = small.select(smallKey.cast("string").as("__k")).distinct()
+    val positions = keys
+      .select(explode(array((1 to k).map(j => bitOf(col("__k"), j)): _*))
+        .as("bit"))
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long](mBits / 64)
+    positions.foreach(p => words(p.toInt / 64) |= 1L << (p.toInt % 64))
+    val wordsLit = typedLit(words.toSeq)
+    import org.apache.spark.sql.graftshim.shim
+    def shiftRightDyn(a: Column, b: Column): Column =
+      shim.column(org.apache.spark.sql.catalyst.expressions.ShiftRight(
+        shim.expression(a), shim.expression(b)))
+    val kc = bigKey.cast("string")
+    val hit = (1 to k).map { j =>
+      val bit = bitOf(kc, j)
+      val word = element_at(wordsLit, shiftright(bit, 6).cast("int") + 1)
+      shiftRightDyn(word, (bit % 64).cast("int")).bitwiseAND(1) === 1
+    }.reduce(_ && _)
+    big.filter(hit).join(keys, kc === col("__k"), "left_semi")
+  }
+
+  /** HLL set algebra over two segments — |A|, |B|, |A∪B| from register
+    * tables and |A∩B| by inclusion-exclusion, the standard audience-
+    * overlap / cross-segment-reach estimator. Registers are linear
+    * under union (per-bucket max), so |A∪B| needs NO third pass over
+    * the data: one grouped register build (≤ 2m rows shuffle, map-side
+    * max) serves both per-segment estimates AND the merged sketch.
+    * All estimator arithmetic is the integer-exact chain of
+    * [[hllEstimateFromRegs]], replayable bit-identically by the oracle.
+    * The exact comparators (the gate's ground truth — production drops
+    * them) also avoid any pair join: over the A∪B-filtered input,
+    * exact |A∩B| = |A| + |B| − |A∪B| by the same inclusion-exclusion,
+    * three COUNT(DISTINCT)s in one aggregate.
+    */
+  def hllSetOps(df: DataFrame, segCol: Column, key: Column,
+                segA: String, segB: String, p: Int = 8): DataFrame = {
+    require(p == 8, "estimator constant α is instantiated for p=8")
+    val m = 1 << p
+    val w = 32 - p
+    val pows = (0 to w + 1).map(i => 1L << ((w + 1) - i)).toArray
+    val sub = df.filter(segCol.isin(segA, segB))
+      .select(segCol.as("g"), key.as("k"))
+    // ONE register build feeds three estimator branches; Catalyst does
+    // not share the scan subtree across them (house precedent:
+    // perplexityBuckets), so materialize the ≤2m-row table once
+    val regs = hllGroupedRegisters(sub, col("g"), col("k"), p)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def estOf(r: DataFrame, name: String): DataFrame =
+      r.agg(count(lit(1)).as("nb"),
+          sum(element_at(typedLit(pows), col("register") + 1)).as("sp"))
+        .withColumn("ss", col("sp") + (lit(m.toLong) - col("nb")) * (1L << (w + 1)))
+        .withColumn("q1",
+          expr(s"CAST(${m.toLong * m * (1L << (w + 1))} AS BIGINT) div ss"))
+        .select(expr("(71827 * q1) div 100000").as(name))
+    val estA = estOf(regs.filter(col("g") === segA), "est_a")
+    val estB = estOf(regs.filter(col("g") === segB), "est_b")
+    val estU = estOf(regs.groupBy(col("bucket"))
+      .agg(max(col("register")).as("register")), "est_union")
+    val exact = sub.agg(
+      countDistinct(when(col("g") === segA, col("k"))).as("exact_a"),
+      countDistinct(when(col("g") === segB, col("k"))).as("exact_b"),
+      countDistinct(col("k")).as("exact_union"))
+    estA.crossJoin(estB).crossJoin(estU).crossJoin(exact)
+      .withColumn("est_inter",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+      .withColumn("exact_inter",
+        col("exact_a") + col("exact_b") - col("exact_union"))
+      .select(col("est_a"), col("est_b"), col("est_union"), col("est_inter"),
+        col("exact_a"), col("exact_b"), col("exact_union"), col("exact_inter"),
+        (abs(col("est_union") - col("exact_union")) * 5
+          <= col("exact_union")).as("ok_union"),
+        // inclusion-exclusion compounds three sketch errors, each
+        // O(1.04/√m) of ITS set size — the honest bound is relative to
+        // the union, not the (possibly tiny) intersection
+        (abs(col("est_inter") - col("exact_inter")) * 4
+          <= col("exact_union")).as("ok_inter"))
+  }
 }

@@ -929,6 +929,63 @@ object TextAnalysis {
     temperatureApply(df, idCol, domainCol,
       temperatureThresholds(df, domainCol))
 
+  /** Epoch-repeat mixture — the UP-sampling third of the mix family
+    * (budget truncates, temperature subsamples, epochs REPEAT): given a
+    * total budget of `epochsMilli`/1000 effective epochs, domain d's
+    * per-document repeat rate is r_d = budget·s_d/(Σs·n_d) with the
+    * same √n_d flattening weights as [[temperatureThresholds]] — small
+    * domains repeat (the Pile/LLaMA multi-epoch treatment of Wikipedia
+    * and books), head domains dilute below 1. Each document gets
+    * ⌊r_d⌋ copies plus one more iff its 20-bit id hash falls under the
+    * fractional remainder — stochastic rounding that lands the realized
+    * domain total on n_d·r_d in expectation, deterministically
+    * replayable by any engine.
+    *
+    * Arithmetic: r is carried in milli-copies; the rate numerator
+    * `epochsMilli·n_total·s_d` is computed in DECIMAL(38,0) — at
+    * 100 TB scale (n_total ~1e12, s_d ~1e6) the product overflows
+    * BIGINT, the lesson of the PageRank hub-sum fix. The quotient is
+    * back in safe BIGINT range (≤ epochsMilli·n_total/n_d).
+    *
+    * Plan: same shape as [[temperatureMix]] — one |domains|-row
+    * aggregate pair broadcast onto a map-only pass; the corpus never
+    * shuffles. The output row per INPUT doc carries n_copies rather
+    * than exploding — downstream packing explodes where needed, and
+    * the verdict stays joinable/auditable.
+    */
+  def epochRates(df: DataFrame, domainCol: Column,
+                 epochsMilli: Long = 2000L): DataFrame = {
+    val counts = df.groupBy(domainCol.as("domain"))
+      .agg(count(lit(1)).as("n_d"))
+      .withColumn("s_d",
+        expr("CAST(floor(sqrt(CAST(n_d AS DOUBLE))) AS BIGINT)"))
+    val norm = counts.agg(sum(col("s_d")).as("s_sum"),
+      sum(col("n_d")).as("n_total"))
+    counts.crossJoin(norm)
+      .withColumn("r_milli",
+        expr(s"CAST((CAST($epochsMilli AS DECIMAL(38,0)) * n_total * s_d)" +
+          " div (CAST(s_sum AS DECIMAL(38,0)) * n_d) AS BIGINT)"))
+      .select(col("domain"), col("n_d"), col("r_milli"))
+  }
+
+  /** Apply trained epoch rates — map-only after the broadcast join. */
+  def epochApply(df: DataFrame, idCol: Column, domainCol: Column,
+                 rates: DataFrame): DataFrame = {
+    val h = conv(substring(md5(idCol.cast("string")), 1, 5), 16, 10)
+      .cast("long")
+    df.select(idCol.as("doc_id"), domainCol.as("domain"))
+      .join(broadcast(rates), "domain")
+      .select(col("doc_id"), col("domain"), col("n_d"), col("r_milli"),
+        (expr("r_milli div 1000") +
+          when(h * 1000 < (col("r_milli") % 1000) * (1L << 20), 1L)
+            .otherwise(0L)).as("n_copies"))
+  }
+
+  def epochMix(df: DataFrame, idCol: Column, domainCol: Column,
+               epochsMilli: Long = 2000L): DataFrame =
+    epochApply(df, idCol, domainCol,
+      epochRates(df, domainCol, epochsMilli))
+
   /** RAG-style chunking: overlapping token windows of `win` tokens at
     * `stride` (< win ⇒ `win - stride` tokens of overlap), the unit every
     * retrieval/embedding pipeline feeds downstream. Tail chunks are
