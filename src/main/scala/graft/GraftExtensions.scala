@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, StringType}
 import graft.functions._
 
 /** SQL-surface registration for graft's native Catalyst expressions —
@@ -98,6 +98,17 @@ object GraftExtensions {
           case Seq(c, Literal(m: Int, IntegerType)) => Md5Mod(c, m)
           case _ => throw new IllegalArgumentException(
             "md5_mod expects (key, int-literal m)")
+        } }),
+    (FunctionIdentifier("md5_salt_mod"),
+      info("md5_salt_mod",
+        "md5_salt_mod(key, salt, m) - first 4 md5 bytes of " +
+          "(CAST(key AS VARCHAR) || salt), unsigned, mod m"),
+      { args: Seq[Expression] => args match {
+          case Seq(c, Literal(s: org.apache.spark.unsafe.types.UTF8String,
+                   StringType), Literal(m: Int, IntegerType)) =>
+            Md5SaltMod(c, s.toString, m)
+          case _ => throw new IllegalArgumentException(
+            "md5_salt_mod expects (key, string-literal salt, int-literal m)")
         } })
   )
 }

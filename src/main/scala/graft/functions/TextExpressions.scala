@@ -249,6 +249,61 @@ object Md5Mod {
 
   def compute(s: UTF8String, m: Int): Long =
     Integer.toUnsignedLong(HllBucketRank.first32(s)) % m
+
+  def computeLongSalted(k: Long, salt: Array[Byte], m: Int): Long =
+    Integer.toUnsignedLong(HllBucketRank.first32LongSalted(k, salt)) % m
+
+  def computeSalted(s: UTF8String, salt: Array[Byte], m: Int): Long =
+    Integer.toUnsignedLong(HllBucketRank.first32Salted(s, salt)) % m
+}
+
+/** Salted [[Md5Mod]] for k-hash sketches (bloom filters need k
+  * independent bit positions per key): first 4 md5 digest bytes of
+  * (key-rendered-as-decimal ++ salt) mod `m` — value-identical to
+  * `md5(concat(CAST(k AS VARCHAR), salt))` hex-prefix math, with zero
+  * per-row allocation on the BIGINT path. The Column-level
+  * md5(concat(key, '#j')) chain it replaces allocated a concat string,
+  * a 32-char hex string and a conv() decimal string per row per hash —
+  * 3k allocations per probe row on the 100 TB side of a bloom-pruned
+  * join (the same allocation class the heavy-hitters and HLL builds
+  * already killed).
+  */
+case class Md5SaltMod(child: Expression, salt: String, m: Int)
+    extends UnaryExpression {
+  require(m > 0, s"modulus must be positive, got $m")
+  private def isLong =
+    child.dataType == org.apache.spark.sql.types.LongType
+
+  @transient private lazy val saltBytes =
+    salt.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"md5_salt_mod requires a BIGINT or STRING input, got ${other.sql}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(input: Any): Any =
+    if (isLong) Md5Mod.computeLongSalted(input.asInstanceOf[Long], saltBytes, m)
+    else Md5Mod.computeSalted(input.asInstanceOf[UTF8String], saltBytes, m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val saltRef = ctx.addReferenceObj("md5salt", saltBytes, "byte[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      if (isLong)
+        s"${ev.value} = graft.functions.Md5Mod.computeLongSalted($c, $saltRef, $m);"
+      else
+        s"${ev.value} = graft.functions.Md5Mod.computeSalted($c, $saltRef, $m);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "md5_salt_mod"
 }
 
 case class HllBucketRank(child: Expression, p: Int) extends UnaryExpression {
@@ -326,6 +381,31 @@ object HllBucketRank {
     val md = digest.get()
     md.reset()
     pack(md.digest(s.getBytes))
+  }
+
+  /** Salted twin of [[first32Long]]: digest over (decimal digits ++
+    * salt) — the bytes of `CAST(k AS VARCHAR) || salt` — zero-alloc.
+    */
+  def first32LongSalted(k: Long, salt: Array[Byte]): Int = {
+    if (k < 0)
+      return first32Salted(UTF8String.fromString(k.toString), salt)
+    val buf = longBuf.get()
+    var i = 20
+    var v = k
+    do { i -= 1; buf(i) = ('0' + (v % 10)).toByte; v /= 10 } while (v != 0)
+    val md = digest.get()
+    md.reset()
+    md.update(buf, i, 20 - i)
+    md.update(salt)
+    pack(md.digest())
+  }
+
+  def first32Salted(s: UTF8String, salt: Array[Byte]): Int = {
+    val md = digest.get()
+    md.reset()
+    md.update(s.getBytes)
+    md.update(salt)
+    pack(md.digest())
   }
 
   private def pack(d: Array[Byte]): Int =

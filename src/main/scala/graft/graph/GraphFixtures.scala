@@ -34,6 +34,39 @@ object GraphFixtures {
   private val adjCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  private def allCaches = Seq(edgeCache, degCache, orientedCache, adjCache)
+
+  /** ONE resident fixture set: inserting a key for a new (session,
+    * dataset) evicts every OTHER key's relations first (unpersist +
+    * remove). A long-lived service touching many datasets holds at most
+    * one planted graph in executor memory instead of one per dataset
+    * ever touched.
+    */
+  private def evictOthers(key: (SparkSession, String)): Unit =
+    allCaches.foreach { c =>
+      val it = c.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey != key) {
+          try e.getValue.unpersist(blocking = false) catch { case _: Throwable => () }
+          it.remove()
+        }
+      }
+    }
+
+  /** Drop every cached fixture (test/bench hook — lets a bench bill the
+    * fixture build explicitly instead of amortizing it into medians).
+    */
+  def reset(): Unit =
+    allCaches.foreach { c =>
+      c.values().forEach(df =>
+        try df.unpersist(blocking = false) catch { case _: Throwable => () })
+      c.clear()
+    }
+
+  /** Number of resident fixture relations across all caches. */
+  def residentCount: Int = allCaches.map(_.size).sum
+
   /** Eagerly-populated columnar cache. persist (InMemoryRelation) and
     * not localCheckpoint: the fixture's hottest consumer (triangle
     * counting) scans the edge relation six times, and columnar cached
@@ -54,7 +87,10 @@ object GraphFixtures {
     * (peel/BFS rounds) re-scan cached batches instead of replaying the
     * distinct.
     */
-  def plantedEdges(s: SparkSession, dir: String): DataFrame =
+  def plantedEdges(s: SparkSession, dir: String): DataFrame = {
+    // evict outside compute(): mutating other bins under this bin's lock
+    // invites an AB-BA interleaving if two datasets ever build at once
+    if (!edgeCache.containsKey((s, dir))) evictOthers((s, dir))
     edgeCache.compute((s, dir), (k, old) =>
       if (old != null && !k._1.sparkContext.isStopped) old
       else {
@@ -64,6 +100,7 @@ object GraphFixtures {
         materialize(Triangles.plantedEdges(nodes.crossJoin(broadcast(n)),
           col("id"), col("n")))
       })
+  }
 
   /** Undirected degree per node of [[plantedEdges]] — |V| rows,
     * persisted; the full-graph degree feeds four gates (link-predict

@@ -42,6 +42,18 @@ object Tda {
   /** flb_ripser_wrapper.cpp:96 MIN_PERSIST. */
   val MinPersist: Double = 1e-3
 
+  /** The shared index rule for every quantile in this module: position
+    * floor(q·(m−1)) of a sorted m-element list, no interpolation
+    * (tda.c:55-140). Both `thresholdAtQuantile` and the SQL-replayable
+    * `tdaThresholds` gate pick through this one function, so the oracle
+    * replay (`floor(q*(cnt-1))` in SQL) is pinned to the same IEEE
+    * double product.
+    */
+  def quantileIndex(q: Double, m: Int): Int = {
+    val qq = math.max(0.0, math.min(1.0, q))
+    math.max(0, math.min(m - 1, (qq * (m - 1)).toInt))
+  }
+
   /** tda.c:55-140 — the q-th entry of the SORTED pairwise distances
     * (index floor(q·(m−1)), no interpolation).
     */
@@ -57,9 +69,7 @@ object Tda {
       i += 1
     }
     java.util.Arrays.sort(vals)
-    val qq = math.max(0.0, math.min(1.0, q))
-    vals(math.max(0, math.min(vals.length - 1,
-      (qq * (vals.length - 1)).toInt)))
+    vals(quantileIndex(q, vals.length))
   }
 
   /** Finite-bar counts (b0, b1, b2) of the VR filtration of `dist`
@@ -146,7 +156,6 @@ object Tda {
     // (bar birth) with this triangle (bar death)
     var b1 = 0
     val pairedLowToCol = new java.util.HashMap[Int, java.util.BitSet]()
-    val triPosOfLow = new java.util.HashMap[Int, Int]()
     val triPaired = new Array[Boolean](ts.length)
     var t = 0
     while (t < ts.length) {
@@ -160,7 +169,6 @@ object Tda {
       }
       if (low >= 0) {
         pairedLowToCol.put(low, col)
-        triPosOfLow.put(low, t)
         triPaired(t) = true
         if (!inMst(low) && d - es(low)._1 >= MinPersist) b1 += 1
       }
@@ -296,8 +304,11 @@ object Tda {
   }
 
   /** Sliding-window TDA per group over a metric table: one output row
-    * per group — (group, n_embed, betti_0, betti_1, betti_2, q_bp)
-    * where q_bp is the chosen quantile in basis points (integer, exact).
+    * per group — (group, n_embed, betti_0, betti_1, betti_2, q_bp,
+    * b2_capped) where q_bp is the chosen quantile in basis points
+    * (integer, exact) and b2_capped flags windows whose embedded-point
+    * count exceeded `maxDim2Points` (their betti_2 is reported 0, the
+    * tetrahedra reduction was skipped).
     *
     * The latest `windowSize` samples per group are selected with a
     * rank window (WindowGroupLimit bounds it below the exchange), so
@@ -307,7 +318,7 @@ object Tda {
   def tdaWindows(df: DataFrame, group: Column, tsNs: Column,
                  features: Seq[Column], windowSize: Int = 60,
                  embedDim: Int = 1, embedDelay: Int = 1,
-                 minPoints: Int = 8): DataFrame = {
+                 minPoints: Int = 8, maxDim2Points: Int = 32): DataFrame = {
     require(windowSize <= 256,
       s"windowSize=$windowSize: the reduction is O(window⁴) simplices — " +
         "the reference's ring buffer defaults to 60; cap at 256")
@@ -326,16 +337,84 @@ object Tda {
       .as[(String, Seq[(Long, Seq[Double])])]
       .map { case (g, win) =>
         val samples = win.map(_._2.toArray).toArray
-        if (samples.length < minPoints) (g, 0, 0, 0, 0, 0L)
+        if (samples.length < minPoints) (g, 0, 0, 0, 0, 0L, false)
         else {
           val dist = embedDistances(samples, embedDim, embedDelay)
-          if (dist.length < 2) (g, dist.length, 0, 0, 0, 0L)
+          if (dist.length < 2) (g, dist.length, 0, 0, 0, 0L, false)
           else {
-            val (b0, b1, b2, q) = bestScale(dist)
-            (g, dist.length, b0, b1, b2, math.round(q * 10000))
+            val (b0, b1, b2, q) = bestScale(dist, maxDim2Points)
+            (g, dist.length, b0, b1, b2, math.round(q * 10000),
+              dist.length > maxDim2Points)
           }
         }
       }
-      .toDF("series", "n_embed", "betti_0", "betti_1", "betti_2", "q_bp")
+      .toDF("series", "n_embed", "betti_0", "betti_1", "betti_2", "q_bp",
+        "b2_capped")
+  }
+
+  /** The SQL-replayable half of the TDA pipeline, integer-exact for the
+    * oracle gate: per group, select the latest `windowSize` samples of a
+    * single LONG feature (ordered (ts, value) for a deterministic
+    * window), delay-embed (m, tau), and report the SQUARED pairwise
+    * embedded distances at quantiles 0.10/0.50/0.90 — squared keeps
+    * every value an exact integer (no sqrt at the gate boundary), and
+    * the quantile picks through `quantileIndex`, the same index rule
+    * `thresholdAtQuantile` uses for the homology sweep.
+    *
+    * Output: (series, n_embed, n_pairs, d2_q10, d2_q50, d2_q90), one
+    * row per group with ≥ 2 embedded points.
+    *
+    * Scale: identical shape to `tdaWindows` — WindowGroupLimit bounds
+    * the per-group input to `windowSize` rows below the exchange; the
+    * pair expansion is in-group, ≤ windowSize²/2 values, never a join.
+    */
+  def tdaThresholds(df: DataFrame, group: Column, tsNs: Column,
+                    feature: Column, windowSize: Int = 60,
+                    embedDim: Int = 3, embedDelay: Int = 2): DataFrame = {
+    require(windowSize <= 256, s"windowSize=$windowSize: cap at 256")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("tn").desc, col("v").desc)
+    val windowed = df.select(group.cast("string").as("g"),
+        tsNs.cast("long").as("tn"), feature.cast("long").as("v"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= windowSize)
+      .groupBy(col("g"))
+      .agg(sort_array(collect_list(struct(col("tn"), col("v"))))
+        .as("win"))
+    val mm = math.max(1, embedDim)
+    val tt = if (mm == 1) 1 else math.max(1, embedDelay)
+    windowed.as[(String, Seq[(Long, Long)])]
+      .flatMap { case (g, win) =>
+        val s = win.map(_._2).toArray
+        val nEmbed = s.length - (mm - 1) * tt
+        if (nEmbed < 2) Iterator.empty
+        else {
+          val d2 = new Array[Long](nEmbed * (nEmbed - 1) / 2)
+          var k = 0
+          var i = 0
+          while (i < nEmbed) {
+            var j = i + 1
+            while (j < nEmbed) {
+              var acc = 0L
+              var lag = 0
+              while (lag < mm) {
+                val d = s(i + lag * tt) - s(j + lag * tt)
+                acc += d * d
+                lag += 1
+              }
+              d2(k) = acc; k += 1; j += 1
+            }
+            i += 1
+          }
+          java.util.Arrays.sort(d2)
+          Iterator.single((g, nEmbed.toLong, d2.length.toLong,
+            d2(quantileIndex(0.10, d2.length)),
+            d2(quantileIndex(0.50, d2.length)),
+            d2(quantileIndex(0.90, d2.length))))
+        }
+      }
+      .toDF("series", "n_embed", "n_pairs", "d2_q10", "d2_q50", "d2_q90")
   }
 }

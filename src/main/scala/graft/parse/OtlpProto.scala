@@ -690,7 +690,14 @@ object OtlpProto {
       if (len < 0 || o + 5 + len > body.length)
         throw new IllegalArgumentException("bad gRPC frame length")
       val msg = java.util.Arrays.copyOfRange(body, o + 5, o + 5 + len)
-      out.write(if (compressed) gunzip(msg) else msg)
+      // grpc-encoding is per-frame; the codec is identified by the
+      // payload's own magic (the reference accepts gzip and zstd —
+      // opentelemetry_prot.c:89-103)
+      out.write(
+        if (!compressed) msg
+        else if (graft.sources.Zstd.sniff(msg))
+          graft.sources.Zstd.decompress(msg, 256 * 1024 * 1024)
+        else gunzip(msg))
       o += 5 + len
     }
     out.toByteArray
@@ -702,16 +709,20 @@ object OtlpProto {
     ct.takeWhile(c => c != ';' && c != ' ' && c != '+') == "application/grpc"
   }
 
-  /** Transport peel: gunzip when Content-Encoding (or the magic bytes)
-    * say gzip, unwrap gRPC framing when Content-Type says grpc. Returns
-    * the bare request message (protobuf or JSON).
+  /** Transport peel: decompress when Content-Encoding (or the magic
+    * bytes) say gzip or zstd (opentelemetry_prot.c:89-103 accepts both;
+    * magic wins when header and payload disagree), unwrap gRPC framing
+    * when Content-Type says grpc. Returns the bare request message
+    * (protobuf or JSON).
     */
   def rawBody(body: Array[Byte], contentType: String,
               contentEncoding: String): Array[Byte] = {
-    val ce = Option(contentEncoding).getOrElse("")
-      .toLowerCase(java.util.Locale.ROOT)
+    // magic wins: a declared encoding whose payload carries no codec
+    // magic passes through raw instead of dying inside the codec
     val unzipped =
-      if (ce.contains("gzip") || (ce.isEmpty && isGzip(body))) gunzip(body)
+      if (graft.sources.Zstd.sniff(body))
+        graft.sources.Zstd.decompress(body, 256 * 1024 * 1024)
+      else if (isGzip(body)) gunzip(body)
       else body
     if (isGrpc(contentType)) stripGrpcFrame(unzipped) else unzipped
   }

@@ -938,20 +938,59 @@ object AnalyticsQueries {
              FROM j GROUP BY 1""")
     ),
 
-    // Sliding-window persistent homology per series (processor_tda
-    // twin): latest 60 value samples per event type, delay-embedded
-    // (m=3, tau=2), finite persistence-bar counts at the best of nine
-    // quantile scales. No SQL oracle exists for persistence — the
-    // driver records the rows-only check; exact hand-computed fixtures
-    // live in TdaSpec (square/octahedron/circle known answers).
+    // The SQL-replayable half of the processor_tda pipeline (the gate
+    // split adjudicated in round 10): per event type, the latest 60
+    // value samples, delay-embedded (m=3, tau=2), SQUARED pairwise
+    // embedded distances at the 0.10/0.50/0.90 floor-index quantiles —
+    // integer-exact end to end, sharing Tda.quantileIndex with the
+    // homology sweep. The bar-reduction half (betti counts, best-scale
+    // sweep) stays spec-gated on hand-computed fixtures in TdaSpec —
+    // no SQL oracle exists for persistence.
     GraftQuery(
-      "x_tda_betti",
+      "x_tda_threshold",
       (s, dir) =>
-        graft.graph.Tda.tdaWindows(Tables.events(s, dir),
+        graft.graph.Tda.tdaThresholds(Tables.events(s, dir),
           col("event_type"), col("ts_ns"),
-          Seq(Observability.cents(col("value")).cast("double")),
+          Observability.cents(col("value")),
           windowSize = 60, embedDim = 3, embedDelay = 2),
-      None
+      Some("""WITH s AS (SELECT event_type AS g, epoch_ns(ts) AS t,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+                   FROM events),
+             r AS (SELECT *, row_number() OVER
+                     (PARTITION BY g ORDER BY t DESC, v DESC) AS rk
+                   FROM s),
+             w AS (SELECT g, t, v, row_number() OVER
+                     (PARTITION BY g ORDER BY t ASC, v ASC) - 1 AS idx
+                   FROM r WHERE rk <= 60),
+             e AS (SELECT w0.g, w0.idx AS p, w0.v AS v0, w1.v AS v1,
+                          w2.v AS v2
+                   FROM w w0
+                   JOIN w w1 ON w1.g = w0.g AND w1.idx = w0.idx + 2
+                   JOIN w w2 ON w2.g = w0.g AND w2.idx = w0.idx + 4),
+             d AS (SELECT a.g,
+                          (a.v0 - b.v0) * (a.v0 - b.v0)
+                            + (a.v1 - b.v1) * (a.v1 - b.v1)
+                            + (a.v2 - b.v2) * (a.v2 - b.v2) AS d2
+                   FROM e a JOIN e b ON a.g = b.g AND a.p < b.p),
+             o AS (SELECT g, d2,
+                          row_number() OVER (PARTITION BY g ORDER BY d2)
+                            - 1 AS rn,
+                          count(*) OVER (PARTITION BY g) AS cnt
+                   FROM d),
+             ne AS (SELECT g, CAST(count(*) AS BIGINT) AS n_embed
+                    FROM e GROUP BY 1)
+             SELECT o.g AS series, min(ne.n_embed) AS n_embed,
+                    CAST(min(cnt) AS BIGINT) AS n_pairs,
+                    CAST(max(CASE WHEN rn =
+                        CAST(floor(0.1 * (cnt - 1)) AS BIGINT)
+                      THEN d2 END) AS BIGINT) AS d2_q10,
+                    CAST(max(CASE WHEN rn =
+                        CAST(floor(0.5 * (cnt - 1)) AS BIGINT)
+                      THEN d2 END) AS BIGINT) AS d2_q50,
+                    CAST(max(CASE WHEN rn =
+                        CAST(floor(0.9 * (cnt - 1)) AS BIGINT)
+                      THEN d2 END) AS BIGINT) AS d2_q90
+             FROM o JOIN ne ON ne.g = o.g GROUP BY 1""")
     ),
 
     // Degree distribution of the planted graph with a log2-bucketed

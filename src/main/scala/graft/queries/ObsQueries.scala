@@ -230,7 +230,15 @@ object ObsQueries {
         Observability.funnel(Tables.events(s, dir), col("user_id"),
             col("ts_ns"), col("event_type"),
             "signup", "click", "purchase", horizonNs = 604800000000000L)
-          .withColumn("depth", col("depth").cast("long")),
+          .withColumn("depth", col("depth").cast("long"))
+          // The library keeps the ns sums in DECIMAL(38,0) (exact at any
+          // corpus size); the gate boundary re-emits them as STRING because
+          // the verify driver's hash layer cannot canonicalize DECIMAL
+          // columns (adjudicated in round 10 — values were byte-identical,
+          // hash still red). Scale-0 decimal→string is plain digits on both
+          // engines, so the compare stays exact.
+          .withColumn("step12_ns_sum", col("step12_ns_sum").cast("string"))
+          .withColumn("step23_ns_sum", col("step23_ns_sum").cast("string")),
       Some("""WITH e AS (SELECT user_id AS u, epoch_ns(ts) AS t,
                      event_type AS st FROM events),
              w1 AS (SELECT *, min(CASE WHEN st = 'signup' THEN t END)
@@ -248,10 +256,10 @@ object ObsQueries {
                          WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
                       AS depth,
                     CAST(count(*) AS BIGINT) AS n_users,
-                    CAST(COALESCE(sum(t2 - t1), 0) AS DECIMAL(38,0))
-                      AS step12_ns_sum,
-                    CAST(COALESCE(sum(t3 - t2), 0) AS DECIMAL(38,0))
-                      AS step23_ns_sum
+                    CAST(CAST(COALESCE(sum(t2 - t1), 0) AS DECIMAL(38,0))
+                      AS VARCHAR) AS step12_ns_sum,
+                    CAST(CAST(COALESCE(sum(t3 - t2), 0) AS DECIMAL(38,0))
+                      AS VARCHAR) AS step23_ns_sum
              FROM pu GROUP BY 1""")
     ),
 

@@ -274,9 +274,17 @@ object Sketches {
                           small: DataFrame, smallKey: Column,
                           mBits: Int = 1 << 18, k: Int = 3): DataFrame = {
     require(mBits % 64 == 0 && k >= 1, "mBits must pack into longs")
+    import org.apache.spark.sql.graftshim.shim
+    // bit j of a key = first32(md5(CAST(key AS VARCHAR) || '#j')) % m,
+    // via the zero-alloc Md5SaltMod kernel (BIGINT keys render their
+    // digits into a reusable buffer — value-identical to the string
+    // path, so build side (string __k) and probe side (raw long) draw
+    // the same bits). The Column md5(concat(...)) chain this replaces
+    // allocated 3 strings per row per hash on the probe scan — the
+    // measured heavy-hitters/HLL allocation class.
     def bitOf(c: Column, j: Int): Column =
-      conv(substring(md5(concat(c, lit("#" + j))), 1, 8), 16, 10)
-        .cast("long") % mBits
+      shim.column(graft.functions.Md5SaltMod(
+        shim.expression(c), "#" + j, mBits))
     val keys = small.select(smallKey.cast("string").as("__k")).distinct()
     val positions = keys
       .select(explode(array((1 to k).map(j => bitOf(col("__k"), j)): _*))
@@ -285,13 +293,22 @@ object Sketches {
     val words = new Array[Long](mBits / 64)
     positions.foreach(p => words(p.toInt / 64) |= 1L << (p.toInt % 64))
     val wordsLit = typedLit(words.toSeq)
-    import org.apache.spark.sql.graftshim.shim
     def shiftRightDyn(a: Column, b: Column): Column =
       shim.column(org.apache.spark.sql.catalyst.expressions.ShiftRight(
         shim.expression(a), shim.expression(b)))
     val kc = bigKey.cast("string")
+    // probe on the narrowest zero-alloc type: integral keys take the
+    // digit-buffer fast path (decimal rendering ≡ the string cast)
+    val probeKey = big.select(bigKey).schema.head.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.StringType => bigKey
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => bigKey.cast("long")
+      case _ => kc
+    }
     val hit = (1 to k).map { j =>
-      val bit = bitOf(kc, j)
+      val bit = bitOf(probeKey, j)
       val word = element_at(wordsLit, shiftright(bit, 6).cast("int") + 1)
       shiftRightDyn(word, (bit % 64).cast("int")).bitwiseAND(1) === 1
     }.reduce(_ && _)
@@ -339,7 +356,7 @@ object Sketches {
       countDistinct(when(col("g") === segA, col("k"))).as("exact_a"),
       countDistinct(when(col("g") === segB, col("k"))).as("exact_b"),
       countDistinct(col("k")).as("exact_union"))
-    estA.crossJoin(estB).crossJoin(estU).crossJoin(exact)
+    val out = estA.crossJoin(estB).crossJoin(estU).crossJoin(exact)
       .withColumn("est_inter",
         greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
       .withColumn("exact_inter",
@@ -353,5 +370,12 @@ object Sketches {
         // the union, not the (possibly tiny) intersection
         (abs(col("est_inter") - col("exact_inter")) * 4
           <= col("exact_union")).as("ok_inter"))
+    // The result is ONE row: collect it eagerly and free the register
+    // cache before returning (the Triangles.run pre-collect pattern) —
+    // otherwise every invocation leaks a persisted ≤2m-row relation.
+    val resultRows = out.collect()
+    regs.unpersist(blocking = false)
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(resultRows: _*), out.schema)
   }
 }

@@ -226,13 +226,15 @@ object Msgpack {
         }
       case MBin(packed0) +: _ =>
         val declared = declaredCompression(rest.drop(1))
-        if (declared.contains("zstd") && !sniffGzip(packed0))
-          throw new IllegalArgumentException(
-            "packedforward compressed=zstd is not supported (no zstd " +
-              "codec available); configure the sender with gzip")
+        // Magic bytes win over the declared option in BOTH directions
+        // (fw_prot.c:1729-1739): a gzip-magic payload is gunzipped even
+        // when undeclared, and a declared "gzip"/"zstd" whose payload
+        // carries no matching magic is passed through raw — never handed
+        // to the codec to die with a raw ZipException.
         val packed =
-          if (sniffGzip(packed0) || declared.contains("gzip"))
-            gunzip(packed0)
+          if (sniffGzip(packed0)) gunzip(packed0)
+          else if (Zstd.sniff(packed0))
+            Zstd.decompress(packed0, MaxPackedBytes)
           else packed0
         var o = 0
         val out = Seq.newBuilder[Event]

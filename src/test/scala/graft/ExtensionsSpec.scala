@@ -42,6 +42,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(mm.getLong(0) == mm.getLong(1))
     assert(mm.getLong(0) ==
       java.lang.Long.parseLong(mm.getString(2).drop(2), 16) % 8)
+    // md5_salt_mod: salted kernel = the Column md5(concat(key, salt))
+    // chain it replaced (bloom probe bits), long fast path = string path
+    val ms = spark.sql(
+      """SELECT md5_salt_mod('42', '#2', 262144) AS s,
+                md5_salt_mod(CAST(42 AS BIGINT), '#2', 262144) AS l,
+                ('0x' || substr(md5(concat('42', '#2')), 1, 8)) AS hexs"""
+    ).collect().head
+    assert(ms.getLong(0) == ms.getLong(1))
+    assert(ms.getLong(0) ==
+      java.lang.Long.parseLong(ms.getString(2).drop(2), 16) % 262144)
   }
 
   test("warc_scan and gzip_compress compose in SQL") {

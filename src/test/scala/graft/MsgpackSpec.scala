@@ -94,13 +94,23 @@ class MsgpackSpec extends AnyFunSuite {
     val txt = fixarr(fixstr("t"), bin8(packed),
       fixmap(fixstr("compressed") -> fixstr("text")))
     assert(forwardEvents(decode(txt, 0)._1).map(_.sec) == Seq(3L, 4L))
-    // declared zstd without a codec fails loudly, not with garbage
-    val z = fixarr(fixstr("t"), bin8(packed),
-      fixmap(fixstr("compressed") -> fixstr("zstd")))
-    val e = intercept[IllegalArgumentException] {
-      forwardEvents(decode(z, 0)._1)
+    // zstd-compressed chunk: the magic routes to the RFC 8878 decoder
+    // regardless of the option map (fw_prot.c zstd acceptance)
+    val zstBytes = {
+      val in = getClass.getResourceAsStream("/zstd/fw_packed.zst")
+      try in.readAllBytes() finally in.close()
     }
-    assert(e.getMessage.contains("zstd"))
+    val z = fixarr(fixstr("t"), bin8(zstBytes),
+      fixmap(fixstr("compressed") -> fixstr("zstd")))
+    assert(forwardEvents(decode(z, 0)._1).map(_.sec) == Seq(3L, 4L))
+    // declared zstd (or gzip) with NO codec magic passes through raw —
+    // magic wins in both directions (fw_prot.c:1729-1739), so a
+    // mislabeled chunk parses instead of dying inside the codec
+    val misdeclared = fixarr(fixstr("t"), bin8(packed),
+      fixmap(fixstr("compressed") -> fixstr("zstd")))
+    assert(forwardEvents(decode(misdeclared, 0)._1).map(_.sec) == Seq(3L, 4L))
+    val misdeclaredGz = fixarr(fixstr("t"), bin8(packed), gzOpt)
+    assert(forwardEvents(decode(misdeclaredGz, 0)._1).map(_.sec) == Seq(3L, 4L))
     // decompressed-size guard — a bomb fails before exhausting memory
     intercept[IllegalArgumentException] {
       Msgpack.gunzip(gz(Array.fill[Byte](1000)(0x41)), limit = 100)

@@ -242,6 +242,31 @@ class OtlpProtoSpec extends AnyFunSuite {
     }
   }
 
+  test("zstd bodies: content-encoding and magic-sniff both route to the codec") {
+    def res(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/zstd/$name")
+      try in.readAllBytes() finally in.close()
+    }
+    val plain = res("otlp.json")
+    val zst = res("otlp.json.zst")
+    // declared zstd (opentelemetry_prot.c:89-103 uncompress_zstd)
+    assert(OtlpProto.rawBody(zst, "application/json", "zstd").toSeq
+      == plain.toSeq)
+    // undeclared: the frame magic routes it anyway
+    assert(OtlpProto.rawBody(zst, "application/json", "").toSeq
+      == plain.toSeq)
+    // the decoded JSON is a decodable OTLP logs body
+    val norm = OtlpProto.normalize(zst, "application/json", "zstd",
+      OtlpProto.logsToJson)
+    assert(norm.contains("zstd hello"))
+    // a zstd-compressed gRPC frame message decompresses per-frame
+    val n = zst.length
+    val framed = Array[Byte](1,
+      ((n >> 24) & 0xff).toByte, ((n >> 16) & 0xff).toByte,
+      ((n >> 8) & 0xff).toByte, (n & 0xff).toByte) ++ zst
+    assert(OtlpProto.stripGrpcFrame(framed).toSeq == plain.toSeq)
+  }
+
   test("gRPC framing: unary frame unwraps, compressed flag gunzips the message") {
     val pb = OtlpProto.encodeLogsRequest(OtlpProto.LogGroupRow(
       Seq(OtlpProto.KvPair("r", "1")), Some("s"), None,

@@ -96,8 +96,14 @@ class TdaSpec extends AnyFunSuite {
     assert(out("circle")._1 >= 1)
   }
 
-  test("gate smoke: per-type windows produce bounded integer gauges") {
-    val rows = Registry.queries("x_tda_betti")(spark, sf).collect()
+  test("windowed betti operator: per-type windows produce bounded gauges") {
+    import graft.model.Tables
+    import graft.obs.Observability
+    val rows = Tda.tdaWindows(Tables.events(spark, sf),
+        col("event_type"), col("ts_ns"),
+        Seq(Observability.cents(col("value")).cast("double")),
+        windowSize = 60, embedDim = 3, embedDelay = 2)
+      .collect()
     assert(rows.nonEmpty)
     for (r <- rows) {
       assert(r.getAs[String]("series").nonEmpty)
@@ -105,6 +111,46 @@ class TdaSpec extends AnyFunSuite {
       assert(r.getAs[Int]("betti_0") >= 0 &&
         r.getAs[Int]("betti_0") < r.getAs[Int]("n_embed").max(1))
       assert(r.getAs[Long]("q_bp") >= 0L && r.getAs[Long]("q_bp") <= 9000L)
+      // 60-sample windows embed to 56 points > the dim-2 cap: every full
+      // window must carry the honest flag
+      if (r.getAs[Int]("n_embed") > 32) {
+        assert(r.getAs[Boolean]("b2_capped"))
+        assert(r.getAs[Int]("betti_2") == 0)
+      }
+    }
+  }
+
+  test("threshold gate: squared quantiles agree with the double-space sweep") {
+    // one series, single feature, m=1 (identity embedding): the gate's
+    // integer d2 quantiles must be the square of thresholdAtQuantile
+    val vals = Seq(0L, 1L, 3L, 7L, 15L, 31L)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => ("s", i.toLong, v) }.toDF("g", "tn", "v")
+    val out = Tda.tdaThresholds(df, col("g"), col("tn"), col("v"),
+        windowSize = 16, embedDim = 1, embedDelay = 1)
+      .collect().head
+    assert(out.getAs[Long]("n_embed") == 6L)
+    assert(out.getAs[Long]("n_pairs") == 15L)
+    val pts = vals.map(v => Array(v.toDouble)).toArray
+    val dist = Array.tabulate(pts.length, pts.length) { (i, j) =>
+      math.abs(pts(i)(0) - pts(j)(0)) }
+    for ((q, cname) <- Seq(0.10 -> "d2_q10", 0.50 -> "d2_q50",
+        0.90 -> "d2_q90")) {
+      val t = Tda.thresholdAtQuantile(dist, q)
+      assert(out.getAs[Long](cname) == math.round(t * t),
+        s"$cname: ${out.getAs[Long](cname)} vs ${t * t}")
+    }
+  }
+
+  test("threshold gate smoke: integer-exact rows at the events scale") {
+    val rows = Registry.queries("x_tda_threshold")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val ne = r.getAs[Long]("n_embed")
+      assert(ne >= 2L && ne <= 56L)
+      assert(r.getAs[Long]("n_pairs") == ne * (ne - 1) / 2)
+      assert(r.getAs[Long]("d2_q10") <= r.getAs[Long]("d2_q50"))
+      assert(r.getAs[Long]("d2_q50") <= r.getAs[Long]("d2_q90"))
     }
   }
 }

@@ -363,4 +363,18 @@ class TrianglesSpec extends AnyFunSuite {
     for (r <- rows)
       assert((r.getAs[Long]("k_ok") == 1L) == (r.getAs[Long]("n_users") >= 5L))
   }
+
+  test("fixture cache: a second dataset evicts the first (one resident set)") {
+    import graft.graph.GraphFixtures
+    GraphFixtures.reset()
+    GraphFixtures.plantedDegrees(spark, sf) // builds edges + degrees for sf
+    val afterFirst = GraphFixtures.residentCount
+    assert(afterFirst >= 2, s"expected edges+degrees resident, got $afterFirst")
+    GraphFixtures.plantedEdges(spark, "/root/testdata/sf0.01")
+    // only the new dataset's edge relation remains
+    assert(GraphFixtures.residentCount == 1,
+      s"resident after switch: ${GraphFixtures.residentCount}")
+    GraphFixtures.reset()
+    assert(GraphFixtures.residentCount == 0)
+  }
 }
