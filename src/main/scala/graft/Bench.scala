@@ -97,6 +97,28 @@ object Bench {
       } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    // The planted-graph fixture cache interacts with median timing: only
+    // the first graph gate pays the edge/degree/orientation build and the
+    // median discards it, which would compare warm-cached Spark against a
+    // DuckDB oracle that re-derives the edge list every run. Bill the
+    // build EXPLICITLY: reset, then materialize all four fixture
+    // relations as their own timed row (single-shot — production builds
+    // once), so the graph gates' numbers are honestly "warm fixture" and
+    // the build cost is in the total and bench_full.json.
+    val fixtureRow: Seq[(String, Double)] =
+      if (selected.exists(_._1.startsWith("x_graph"))) {
+        graft.graph.GraphFixtures.reset()
+        val t0 = System.nanoTime()
+        try {
+          graft.graph.GraphFixtures.plantedEdges(spark, sfDir)
+          graft.graph.GraphFixtures.plantedDegrees(spark, sfDir)
+          graft.graph.GraphFixtures.orientedPlanted(spark, sfDir)
+          graft.graph.GraphFixtures.suppressedAdj(spark, sfDir)
+          Seq("x_graph_fixture_build" -> (System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable =>
+          Seq("x_graph_fixture_build" -> -1.0)
+        }
+      } else Seq.empty
     // Isolation for the sub-second tail: the sequential in-JVM suite is
     // order-sensitive at the 0.1-1 s scale — garbage from an earlier
     // heavy query (corpus-curate's CC rounds, the OTLP JSON bodies)
@@ -106,7 +128,7 @@ object Bench {
     // collect the previous query's garbage so pauses bill to their
     // owner; quick queries (<1 s first run) also get extra runs so one
     // stray pause can't own the median.
-    val results = selected.map { case (name, fn) =>
+    val results = fixtureRow ++ selected.map { case (name, fn) =>
       System.gc()
       val first = timeOnce(fn)
       val extra = if (first >= 0 && first < 1.0) (runs + 2) else (runs - 1)

@@ -306,6 +306,108 @@ case class Md5SaltMod(child: Expression, salt: String, m: Int)
   override def prettyName: String = "md5_salt_mod"
 }
 
+/** First 8 md5 digest bytes of the key's decimal rendering, packed
+  * big-endian into one BIGINT — the seed for Kirsch-Mitzenmacher double
+  * hashing (bit_j = (h1 + j·h2) mod m with h1 = top 32 bits, h2 = low
+  * 32): ONE digest yields all k bloom positions, replayable by any
+  * engine as `('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 16))`.
+  * Same zero-alloc digit-buffer fast path as [[Md5Mod]].
+  */
+case class Md5First64(child: Expression) extends UnaryExpression {
+  private def isLong =
+    child.dataType == org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"md5_first64 requires a BIGINT or STRING input, got ${other.sql}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(input: Any): Any =
+    if (isLong) HllBucketRank.first64Long(input.asInstanceOf[Long])
+    else HllBucketRank.first64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      if (isLong)
+        s"${ev.value} = graft.functions.HllBucketRank.first64Long($c);"
+      else
+        s"${ev.value} = graft.functions.HllBucketRank.first64($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "md5_first64"
+}
+
+/** Map-side bloom membership test: ONE md5 per row ([[Md5First64]]'s
+  * h1/h2 split), k double-hashed bit probes against a driver-built
+  * bitset carried as a plan reference (serialized once per stage, not
+  * per row). Returns false on the first clear bit. The bitset size is
+  * a power of two so the modulus is a mask.
+  */
+case class BloomProbe(child: Expression, words: Array[Long], k: Int)
+    extends UnaryExpression {
+  require(words.nonEmpty && (words.length & (words.length - 1)) == 0,
+    "bloom word count must be a power of two")
+  require(k >= 1 && k <= 16, s"k=$k out of range")
+  private def isLong =
+    child.dataType == org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bloom_probe requires a BIGINT or STRING input, got ${other.sql}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override def nullSafeEval(input: Any): Any =
+    if (isLong) BloomProbe.hitLong(input.asInstanceOf[Long], words, k)
+    else BloomProbe.hitString(input.asInstanceOf[UTF8String], words, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("bloomWords", words, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      if (isLong)
+        s"${ev.value} = graft.functions.BloomProbe.hitLong($c, $w, $k);"
+      else
+        s"${ev.value} = graft.functions.BloomProbe.hitString($c, $w, $k);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "bloom_probe"
+}
+
+object BloomProbe {
+  def hitLong(key: Long, words: Array[Long], k: Int): Boolean =
+    hit(HllBucketRank.first64Long(key), words, k)
+
+  def hitString(s: UTF8String, words: Array[Long], k: Int): Boolean =
+    hit(HllBucketRank.first64(s), words, k)
+
+  private def hit(h64: Long, words: Array[Long], k: Int): Boolean = {
+    val h1 = h64 >>> 32
+    val h2 = h64 & 0xFFFFFFFFL
+    val mask = words.length.toLong * 64 - 1
+    var j = 0
+    while (j < k) {
+      val bit = (h1 + j * h2) & mask
+      if ((words((bit >>> 6).toInt) & (1L << (bit & 63))) == 0L) return false
+      j += 1
+    }
+    true
+  }
+}
+
 case class HllBucketRank(child: Expression, p: Int) extends UnaryExpression {
   require(p >= 4 && p <= 16, s"precision must be in [4,16], got $p")
   // def, not val: dataType is unavailable until the child resolves
@@ -406,6 +508,34 @@ object HllBucketRank {
     md.update(s.getBytes)
     md.update(salt)
     pack(md.digest())
+  }
+
+  /** First 8 md5 digest bytes big-endian — the double-hash seed for
+    * [[graft.functions.BloomProbe]]; decimal-digit fast path for longs.
+    */
+  def first64Long(kk: Long): Long = {
+    if (kk < 0) return first64(UTF8String.fromString(kk.toString))
+    val buf = longBuf.get()
+    var i = 20
+    var v = kk
+    do { i -= 1; buf(i) = ('0' + (v % 10)).toByte; v /= 10 } while (v != 0)
+    val md = digest.get()
+    md.reset()
+    md.update(buf, i, 20 - i)
+    pack8(md.digest())
+  }
+
+  def first64(s: UTF8String): Long = {
+    val md = digest.get()
+    md.reset()
+    pack8(md.digest(s.getBytes))
+  }
+
+  private def pack8(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v
   }
 
   private def pack(d: Array[Byte]): Int =

@@ -25,18 +25,32 @@ object BoundedGlobal {
 
   /** Materializes `rows` (localCheckpoint: eager, lineage-free, blocks
     * reclaimed by the context cleaner once unreferenced) and fails if
-    * the cardinality exceeds `cap`. The limit+count probe reads at most
-    * cap+1 cached rows. Returns the materialized relation for the
-    * window pass to consume.
+    * the cardinality exceeds `cap`. The count rides the checkpoint
+    * job itself through an accumulator — ONE action, not a
+    * materialize-then-probe pair (the r10 probe pass billed a second
+    * job's scheduling to every caller; x_lm_ppl_buckets measured it).
+    * Accumulator counts can only OVER-count (re-executed partitions
+    * after a task failure), so a spurious trip needs both a failure and
+    * a domain already at the cap's edge — acceptable for a guard whose
+    * job is to catch unbounded domains that overshoot by orders of
+    * magnitude. Returns the materialized relation for the window pass
+    * to consume.
     */
   def bounded(rows: DataFrame, what: String,
               cap: Int = DefaultCap): DataFrame = {
-    val mat = rows.localCheckpoint()
-    val n = mat.limit(cap + 1).count()
-    if (n > cap) throw new IllegalArgumentException(
-      s"$what: domain has > $cap distinct rows — a global cumulative " +
-        "window over an unbounded domain serializes through one " +
-        "partition; quantize/bucket the value first or use a sketch")
+    val spark = rows.sparkSession
+    val acc = spark.sparkContext.longAccumulator(s"bounded:$what")
+    val counted = rows.mapPartitions { it =>
+      it.map { r => acc.add(1L); r }
+    }(org.apache.spark.sql.Encoders.row(rows.schema))
+    val mat = counted.localCheckpoint() // eager: runs the one job
+    if (acc.value > cap) {
+      mat.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"$what: domain has > $cap distinct rows — a global cumulative " +
+          "window over an unbounded domain serializes through one " +
+          "partition; quantize/bucket the value first or use a sketch")
+    }
     mat
   }
 

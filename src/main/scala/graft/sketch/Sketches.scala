@@ -253,66 +253,76 @@ object Sketches {
   /** Bloom-pruned semi-join — the runtime-filter pattern for joins
     * whose build side is too large to broadcast as an exact set but
     * whose KEY MEMBERSHIP compresses into a bitset: the build side's
-    * distinct keys set k md5-derived bits in an `mBits` bitmask
-    * (collected once as driver model state, ≤ mBits/8 bytes — 32 KB at
-    * the 2^18 default, independent of build-side row count), the probe
-    * side tests the literal bitmask MAP-SIDE inside its scan stage, and
-    * only the surviving ~|match| + fp·|probe| rows reach the exact
-    * residual semi-join that removes false positives. At 100 TB the
-    * win is the shuffle: non-matching probe rows die in the scan
-    * instead of crossing the network — the same effect Spark's own
-    * runtime row-group filtering targets, here as an explicit,
-    * engine-replayable operator (every bit is md5 math, so any engine
-    * draws the identical bitset; the residual join makes the RESULT
-    * exactly the plain semi-join regardless of fp rate).
+    * distinct keys set k double-hashed bits (Kirsch-Mitzenmacher over
+    * one md5's h1/h2 halves — ONE digest per key/row, not k) in a
+    * bitset SIZED TO THE KEY COUNT (r10 shipped a fixed 2^18: at sf10's
+    * 1.5M build keys the filter was saturated — fp ≈ 1 — and pruned
+    * nothing while still paying the hash math). The probe side tests
+    * the bitset map-side inside its scan stage via the codegen
+    * [[graft.functions.BloomProbe]] expression, and only the surviving
+    * ~|match| + fp·|probe| rows reach the exact residual semi-join that
+    * removes false positives — so the RESULT is exactly the plain
+    * semi-join at any fp rate, and at 100 TB the win is the shuffle:
+    * non-matching probe rows die in the scan instead of crossing the
+    * network. Bit math is engine-replayable: bit_j = (h1 + j·h2) mod m
+    * with h1‖h2 = first 8 bytes of md5(CAST(key AS VARCHAR)).
     *
-    * Build-side collect is bounded by min(k·|distinct keys|, mBits)
-    * positions — the same "model state, not data" contract as
-    * [[graft.text.TextAnalysis.contaminationBloom]]'s bitset.
+    * Driver model state: the bitset words, ≤ mBits/8 bytes (≤ 4 MiB at
+    * the 2^25 cap), assembled from a bit_or AGGREGATE over word index —
+    * ≤ mBits/64 rows cross to the driver regardless of key count.
     */
   def bloomPrunedSemiJoin(big: DataFrame, bigKey: Column,
                           small: DataFrame, smallKey: Column,
-                          mBits: Int = 1 << 18, k: Int = 3): DataFrame = {
-    require(mBits % 64 == 0 && k >= 1, "mBits must pack into longs")
+                          mBits: Int = -1, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.graftshim.shim
-    // bit j of a key = first32(md5(CAST(key AS VARCHAR) || '#j')) % m,
-    // via the zero-alloc Md5SaltMod kernel (BIGINT keys render their
-    // digits into a reusable buffer — value-identical to the string
-    // path, so build side (string __k) and probe side (raw long) draw
-    // the same bits). The Column md5(concat(...)) chain this replaces
-    // allocated 3 strings per row per hash on the probe scan — the
-    // measured heavy-hitters/HLL allocation class.
-    def bitOf(c: Column, j: Int): Column =
-      shim.column(graft.functions.Md5SaltMod(
-        shim.expression(c), "#" + j, mBits))
-    val keys = small.select(smallKey.cast("string").as("__k")).distinct()
-    val positions = keys
-      .select(explode(array((1 to k).map(j => bitOf(col("__k"), j)): _*))
-        .as("bit"))
-      .distinct().collect().map(_.getLong(0))
-    val words = new Array[Long](mBits / 64)
-    positions.foreach(p => words(p.toInt / 64) |= 1L << (p.toInt % 64))
-    val wordsLit = typedLit(words.toSeq)
-    def shiftRightDyn(a: Column, b: Column): Column =
-      shim.column(org.apache.spark.sql.catalyst.expressions.ShiftRight(
-        shim.expression(a), shim.expression(b)))
-    val kc = bigKey.cast("string")
-    // probe on the narrowest zero-alloc type: integral keys take the
-    // digit-buffer fast path (decimal rendering ≡ the string cast)
-    val probeKey = big.select(bigKey).schema.head.dataType match {
-      case org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.StringType => bigKey
-      case org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.ByteType => bigKey.cast("long")
-      case _ => kc
-    }
-    val hit = (1 to k).map { j =>
-      val bit = bitOf(probeKey, j)
-      val word = element_at(wordsLit, shiftright(bit, 6).cast("int") + 1)
-      shiftRightDyn(word, (bit % 64).cast("int")).bitwiseAND(1) === 1
-    }.reduce(_ && _)
-    big.filter(hit).join(keys, kc === col("__k"), "left_semi")
+    // narrowest zero-alloc hash input: integral keys render decimal
+    // digits into a reusable buffer (≡ the string cast, value-identical)
+    def hashKey(df: DataFrame, c: Column): Column =
+      df.select(c).schema.head.dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.StringType => c
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => c.cast("long")
+        case _ => c.cast("string")
+      }
+    val keys = small.select(smallKey.as("__k")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // size the bitset to the build cardinality: ~16 bits/key keeps
+      // fp under ~1% at k=3; clamp to [2^18, 2^25] (32 KB – 4 MB)
+      val m =
+        if (mBits > 0) {
+          require(mBits % 64 == 0, "mBits must pack into longs"); mBits
+        } else {
+          val nKeys = keys.count()
+          val want = java.lang.Long.highestOneBit(
+            math.max(1L, nKeys * 16) * 2 - 1)
+          math.min(1L << 25, math.max(1L << 18, want)).toInt
+        }
+      require((m & (m - 1)) == 0, "mBits must be a power of two")
+      val h = shim.column(graft.functions.Md5First64(
+        shim.expression(hashKey(keys, col("__k")))))
+      val h1 = shiftrightunsigned(h, 32)
+      val h2 = h.bitwiseAND(lit(0xFFFFFFFFL))
+      val bits = explode(array((0 until k).map(j =>
+        (h1 + lit(j.toLong) * h2).bitwiseAND(lit(m.toLong - 1))): _*))
+      val wordRows = keys
+        .select(bits.as("bit"))
+        .select((col("bit") / 64).cast("int").as("w"),
+          shiftleft(lit(1L), (col("bit") % 64).cast("int")).as("mask"))
+        .groupBy(col("w")).agg(expr("bit_or(mask)").as("word"))
+        .collect()
+      val words = new Array[Long](m / 64)
+      wordRows.foreach(r => words(r.getInt(0)) = r.getLong(1))
+      val probe = shim.column(graft.functions.BloomProbe(
+        shim.expression(hashKey(big, bigKey)), words, k))
+      // residual join on the NATIVE key type (the r10 version string-cast
+      // the 100 TB side); the distinct key set is bounded by contract —
+      // broadcast it so survivors never shuffle
+      big.filter(probe)
+        .join(broadcast(keys), bigKey === col("__k"), "left_semi")
+    } finally keys.unpersist(blocking = false)
   }
 
   /** HLL set algebra over two segments — |A|, |B|, |A∪B| from register
