@@ -310,7 +310,9 @@ object Sketches {
       val wordRows = keys
         .select(bits.as("bit"))
         .select((col("bit") / 64).cast("int").as("w"),
-          shiftleft(lit(1L), (col("bit") % 64).cast("int")).as("mask"))
+          shim.column(org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+            shim.expression(lit(1L)),
+            shim.expression((col("bit") % 64).cast("int")))).as("mask"))
         .groupBy(col("w")).agg(expr("bit_or(mask)").as("word"))
         .collect()
       val words = new Array[Long](m / 64)
