@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.text.TextAnalysis
+
+/** Corpus-curation / governance gates, batch 3 (round 12): PMI
+  * collocations, l-diversity audit, file-stats scan pruning. Common
+  * thread: every score and flag is exact integer arithmetic (cross-
+  * multiplied thresholds, DECIMAL(38,0) intermediates where corpus-scale
+  * products overflow BIGINT, ppm-scaled monotone transforms instead of
+  * logs), so the DuckDB oracle replays each result bit-for-bit.
+  */
+object CurateQueries2 {
+
+  def all: Seq[GraftQuery] = Seq(
+
+    // PMI collocations: top-50 bigrams by pointwise mutual information,
+    // support >= 5. Score = (1e6·c_xy·N) div (c_x·c_y) — the PMI
+    // argument in ppm (log is monotone ⇒ same ranking), exact integers
+    // only. Counting is two map-side-combined aggregates; joins are
+    // vocabulary-keyed; top-k is TakeOrderedAndProject.
+    GraftQuery(
+      "x_text_pmi",
+      (s, dir) =>
+        TextAnalysis.pmiCollocations(Tables.documents(s, dir), col("text")),
+      Some("""WITH d AS (SELECT string_split(text, ' ') AS l
+                         FROM documents),
+             ix AS (SELECT l, unnest(range(0, len(l))) AS i FROM d),
+             uni AS (SELECT l[i+1] AS w, CAST(count(*) AS BIGINT) AS c_w
+                     FROM ix GROUP BY 1),
+             bg AS (SELECT l[i+1] || ' ' || l[i+2] AS bigram,
+                           l[i+1] AS w1, l[i+2] AS w2
+                    FROM ix WHERE i < len(l) - 1),
+             bi AS (SELECT bigram, min(w1) AS w1, min(w2) AS w2,
+                           CAST(count(*) AS BIGINT) AS c_xy
+                    FROM bg GROUP BY 1),
+             n AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bi FROM bi),
+             sc AS (SELECT bi.bigram, bi.c_xy, u1.c_w AS c_x,
+                           u2.c_w AS c_y,
+                           CAST((1000000::HUGEINT * bi.c_xy * n.n_bi)
+                             // (u1.c_w::HUGEINT * u2.c_w) AS BIGINT)
+                             AS pmi_ppm
+                    FROM bi
+                    JOIN uni u1 ON bi.w1 = u1.w
+                    JOIN uni u2 ON bi.w2 = u2.w
+                    CROSS JOIN n
+                    WHERE bi.c_xy >= 5)
+             SELECT bigram, c_xy, c_x, c_y, pmi_ppm
+             FROM sc ORDER BY pmi_ppm DESC, bigram LIMIT 50""")
+    ),
+
+    // l-diversity audit (Machanavajjhala et al. 2006), the companion to
+    // x_kanonymity: a QI class that is k-anonymous but serves ONE
+    // sensitive value still discloses it. Class = (nation, $1000
+    // balance band); sensitive = market segment. Flags: l_ok (>= 3
+    // distinct segments) and homog_risk (top segment > 80% of the
+    // class, cross-multiplied — max_cnt·5 > n_rows·4). The +100000
+    // cents shift keeps the band dividend non-negative: Spark's `div`
+    // truncates toward zero while DuckDB's `//` floors, so negative
+    // balances would band differently without it. One two-level
+    // aggregate; output is |classes| rows at any input size.
+    GraftQuery(
+      "x_ldiversity",
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .select(col("c_nationkey").cast("long").as("nation"),
+            expr("(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+              " + 100000) div 100000").as("band"),
+            col("c_mktsegment").as("seg"))
+          .groupBy(col("nation"), col("band"), col("seg"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("nation"), col("band"))
+          .agg(sum(col("c")).as("n_rows"),
+            count(lit(1)).as("n_seg"),
+            max(col("c")).as("max_cnt"))
+          .withColumn("l_ok",
+            when(col("n_seg") >= 3L, lit(1L)).otherwise(lit(0L)))
+          .withColumn("homog_risk",
+            when(col("max_cnt") * 5 > col("n_rows") * 4, lit(1L))
+              .otherwise(lit(0L))),
+      Some("""WITH s AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+                     (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       + 100000) // 100000 AS band,
+                     c_mktsegment AS seg
+                   FROM customer),
+             g AS (SELECT nation, band, seg, CAST(count(*) AS BIGINT) AS c
+                   FROM s GROUP BY 1, 2, 3)
+             SELECT nation, band,
+                    CAST(sum(c) AS BIGINT) AS n_rows,
+                    CAST(count(*) AS BIGINT) AS n_seg,
+                    CAST(max(c) AS BIGINT) AS max_cnt,
+                    CAST(CASE WHEN count(*) >= 3 THEN 1 ELSE 0 END
+                      AS BIGINT) AS l_ok,
+                    CAST(CASE WHEN max(c) * 5 > sum(c) * 4 THEN 1 ELSE 0 END
+                      AS BIGINT) AS homog_risk
+             FROM g GROUP BY 1, 2""")
+    ),
+
+    // File-stats scan pruning: the data-skipping arithmetic behind
+    // every lakehouse planner — per-file (min_ts, max_ts, n) stats
+    // decide which files a 6-hour predicate window must read, WITHOUT
+    // touching data. Two layouts of the same events: time-clustered
+    // (fid = 6h bucket — stats ranges are tight, ~1/120 of files read)
+    // vs hash-clustered (fid = user_id % 64 — every file straddles the
+    // window, nothing prunes). scan_ppm is the read fraction in exact
+    // ppm; at 100 TB this ratio IS the query's cost. The stats build is
+    // one |files|-row aggregate; the pruning decision reads stats only.
+    GraftQuery(
+      "x_layout_stats_prune",
+      (s, dir) => {
+        val lo = 1705363200000000000L // 2024-01-16 00:00 UTC
+        val hi = lo + 21600000000000L // + 6 h
+        Tables.events(s, dir)
+          .select(explode(array(
+            struct(lit("time").as("layout"),
+              expr("ts_ns div 21600000000000").as("fid")),
+            struct(lit("hash").as("layout"),
+              (col("user_id") % 64).as("fid")))).as("lf"),
+            col("ts_ns"))
+          .select(col("lf.layout").as("layout"), col("lf.fid").as("fid"),
+            col("ts_ns"))
+          .groupBy(col("layout"), col("fid"))
+          .agg(count(lit(1)).as("n"),
+            min(col("ts_ns")).as("min_ts"), max(col("ts_ns")).as("max_ts"))
+          .withColumn("read",
+            col("max_ts") >= lo && col("min_ts") < hi)
+          .groupBy(col("layout"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(col("read"), 1L).otherwise(0L)).as("files_read"),
+            sum(col("n")).as("rows_total"),
+            sum(when(col("read"), col("n")).otherwise(0L))
+              .as("rows_scanned"))
+          .withColumn("scan_ppm",
+            expr("(1000000 * rows_scanned) div rows_total"))
+      },
+      Some("""WITH e AS (SELECT epoch_ns(ts) AS ts_ns, user_id
+                         FROM events),
+             lf AS (SELECT 'time' AS layout,
+                           ts_ns // 21600000000000 AS fid, ts_ns
+                    FROM e
+                    UNION ALL
+                    SELECT 'hash' AS layout, user_id % 64 AS fid, ts_ns
+                    FROM e),
+             st AS (SELECT layout, fid, CAST(count(*) AS BIGINT) AS n,
+                           min(ts_ns) AS min_ts, max(ts_ns) AS max_ts
+                    FROM lf GROUP BY 1, 2),
+             pr AS (SELECT layout, n,
+                           (max_ts >= 1705363200000000000 AND
+                            min_ts < 1705384800000000000) AS read
+                    FROM st)
+             SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+                    CAST(sum(CASE WHEN read THEN 1 ELSE 0 END) AS BIGINT)
+                      AS files_read,
+                    CAST(sum(n) AS BIGINT) AS rows_total,
+                    CAST(sum(CASE WHEN read THEN n ELSE 0 END) AS BIGINT)
+                      AS rows_scanned,
+                    (1000000 * CAST(sum(CASE WHEN read THEN n ELSE 0 END)
+                       AS BIGINT)) // CAST(sum(n) AS BIGINT) AS scan_ppm
+             FROM pr GROUP BY 1""")
+    )
+  )
+}

@@ -29,7 +29,8 @@ object Registry {
       FqlQueries.all ++ ExtQueries.all ++ IngestQueries.all ++
       SaasQueries.all ++ SaasQueries2.all ++ SaasQueries3.all ++
       ObsQueries.all ++ SearchQueries.all ++ OlapQueries.all ++
-      TsQueries.all ++ AnalyticsQueries.all ++ CurateQueries.all
+      TsQueries.all ++ AnalyticsQueries.all ++ CurateQueries.all ++
+      CurateQueries2.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1007,4 +1007,52 @@ object TextAnalysis {
           .cast("long").as("n_tokens"),
         array_join(slice(col("w"), col("chunk_ix") * stride + 1, lit(win)), " ")
           .as("chunk"))
+
+  /** PMI collocation extraction (Church & Hanks 1990): the top-k word
+    * bigrams by pointwise mutual information, min-support filtered —
+    * the classic multi-word-expression detector ("new york" scores high
+    * because c_xy·N ≫ c_x·c_y). The score is the PMI ARGUMENT scaled to
+    * ppm, `(1e6·c_xy·N) div (c_x·c_y)`, exact integer floor division —
+    * log is monotone, so ranking by the argument IS ranking by PMI and
+    * no float ever appears. The numerator runs in DECIMAL(38,0):
+    * c_xy·N is a product of two corpus-scale counts and overflows
+    * BIGINT at 100 TB (the epochRates/PageRank lesson); the quotient is
+    * back in BIGINT range (≤ 1e6·N/minCount) and casts down exactly.
+    *
+    * Scale: unigram and bigram counting are two map-side-combined
+    * aggregates ([[graft.functions.WordShingles]] keeps shingling
+    * inside whole-stage codegen); N derives from the bigram COUNTS
+    * (sum of a vocabulary-cardinality table), never a second corpus
+    * scan. minCount prunes the bigram table BEFORE the two unigram
+    * joins, so joined relations are "frequent bigrams" × "vocab" —
+    * word-keyed, bounded by vocabulary, independent of corpus row
+    * count. Top-k is TakeOrderedAndProject (partial per-partition
+    * top-k, k-row merge), total-ordered (score desc, bigram asc).
+    */
+  def pmiCollocations(df: DataFrame, text: Column,
+                      minCount: Int = 5, k: Int = 50): DataFrame = {
+    val toks = df.select(text.as("t"))
+    val uni = toks.select(explode(
+        graft.functions.TextFunctions.wordShingles(col("t"), 1)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val bi = toks.select(explode(
+        graft.functions.TextFunctions.wordShingles(col("t"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+    val n = bi.agg(sum(col("c_xy")).as("n_bi"))
+    bi.filter(col("c_xy") >= minCount)
+      // bigrams are single-space joins of tokens that themselves contain
+      // no space, so the first/last-field split is exact
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(uni.select(col("w").as("w1"), col("c_w").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c_y")), "w2")
+      .crossJoin(n)
+      .withColumn("pmi_ppm", expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * c_xy * n_bi)" +
+          " div (CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)"))
+      .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"),
+        col("pmi_ppm"))
+      .orderBy(col("pmi_ppm").desc, col("bigram"))
+      .limit(k)
+  }
 }
