@@ -270,6 +270,19 @@ object Sketches {
     * Driver model state: the bitset words, ≤ mBits/8 bytes (≤ 4 MiB at
     * the 2^25 cap), assembled from a bit_or AGGREGATE over word index —
     * ≤ mBits/64 rows cross to the driver regardless of key count.
+    *
+    * ONE build action: bit positions are computed at the 2^25 cap and
+    * the word table rides a single aggregate whose per-word COUNT also
+    * yields the key-count the sizing needs (k rows per key, exactly) —
+    * no separate count() job, no distinct shuffle, no persist. The
+    * collected 2^25-grain words then FOLD DOWN to the sized bitset:
+    * with power-of-two sizes, bit mod 2^25 then mod m ≡ bit mod m, so
+    * OR-ing word W into W mod (m/64) reproduces exactly the bitset a
+    * direct mod-m build would have written — and the probe side's
+    * mask-m math matches bit for bit. (The r10 shape paid three driver
+    * round trips — count, build, probe — which at small scale tripled
+    * the scheduling floor; production pays the same three at 100 TB
+    * where they amortize, but the fold makes both scales two-job.)
     */
   def bloomPrunedSemiJoin(big: DataFrame, bigKey: Column,
                           small: DataFrame, smallKey: Column,
@@ -286,45 +299,46 @@ object Sketches {
              org.apache.spark.sql.types.ByteType => c.cast("long")
         case _ => c.cast("string")
       }
-    val keys = small.select(smallKey.as("__k")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // size the bitset to the build cardinality: ~16 bits/key keeps
-      // fp under ~1% at k=3; clamp to [2^18, 2^25] (32 KB – 4 MB)
-      val m =
-        if (mBits > 0) {
-          require(mBits % 64 == 0, "mBits must pack into longs"); mBits
-        } else {
-          val nKeys = keys.count()
-          val want = java.lang.Long.highestOneBit(
-            math.max(1L, nKeys * 16) * 2 - 1)
-          math.min(1L << 25, math.max(1L << 18, want)).toInt
-        }
-      require((m & (m - 1)) == 0, "mBits must be a power of two")
-      val h = shim.column(graft.functions.Md5First64(
-        shim.expression(hashKey(keys, col("__k")))))
-      val h1 = shiftrightunsigned(h, 32)
-      val h2 = h.bitwiseAND(lit(0xFFFFFFFFL))
-      val bits = explode(array((0 until k).map(j =>
-        (h1 + lit(j.toLong) * h2).bitwiseAND(lit(m.toLong - 1))): _*))
-      val wordRows = keys
-        .select(bits.as("bit"))
-        .select((col("bit") / 64).cast("int").as("w"),
-          shim.column(org.apache.spark.sql.catalyst.expressions.ShiftLeft(
-            shim.expression(lit(1L)),
-            shim.expression((col("bit") % 64).cast("int")))).as("mask"))
-        .groupBy(col("w")).agg(expr("bit_or(mask)").as("word"))
-        .collect()
-      val words = new Array[Long](m / 64)
-      wordRows.foreach(r => words(r.getInt(0)) = r.getLong(1))
-      val probe = shim.column(graft.functions.BloomProbe(
-        shim.expression(hashKey(big, bigKey)), words, k))
-      // residual join on the NATIVE key type (the r10 version string-cast
-      // the 100 TB side); the distinct key set is bounded by contract —
-      // broadcast it so survivors never shuffle
-      big.filter(probe)
-        .join(broadcast(keys), bigKey === col("__k"), "left_semi")
-    } finally keys.unpersist(blocking = false)
+    val mCap = 1 << 25
+    if (mBits > 0) require(mBits % 64 == 0 && (mBits & (mBits - 1)) == 0 &&
+      mBits <= mCap,
+      s"mBits must be a power of two packing into longs, at most $mCap")
+    val keyRows = small.select(smallKey.as("__k"))
+    val h = shim.column(graft.functions.Md5First64(
+      shim.expression(hashKey(keyRows, col("__k")))))
+    val h1 = shiftrightunsigned(h, 32)
+    val h2 = h.bitwiseAND(lit(0xFFFFFFFFL))
+    // duplicates in `small` are harmless here: bit_or is idempotent
+    val bits = explode(array((0 until k).map(j =>
+      (h1 + lit(j.toLong) * h2).bitwiseAND(lit(mCap.toLong - 1))): _*))
+    val wordRows = keyRows
+      .select(bits.as("bit"))
+      .select(expr("CAST(bit div 64 AS INT)").as("w"),
+        shim.column(org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+          shim.expression(lit(1L)),
+          shim.expression((col("bit") % 64).cast("int")))).as("mask"))
+      .groupBy(col("w"))
+      .agg(expr("bit_or(mask)").as("word"), count(lit(1)).as("nbits"))
+      .collect()
+    // every key row contributes exactly k bit rows ⇒ key-row count
+    // (an upper bound on distinct keys) falls out of the same pass
+    val nKeysUB = wordRows.iterator.map(_.getLong(2)).sum / math.max(k, 1)
+    // ~16 bits/key keeps fp under ~1% at k=3; clamp to [2^18, 2^25]
+    val m =
+      if (mBits > 0) mBits
+      else {
+        val want = java.lang.Long.highestOneBit(
+          math.max(1L, nKeysUB * 16) * 2 - 1)
+        math.min(1L << 25, math.max(1L << 18, want)).toInt
+      }
+    val words = new Array[Long](m / 64)
+    wordRows.foreach(r => words(r.getInt(0) % (m / 64)) |= r.getLong(1))
+    val probe = shim.column(graft.functions.BloomProbe(
+      shim.expression(hashKey(big, bigKey)), words, k))
+    // residual join on the NATIVE key type; the distinct key set is
+    // bounded by contract — broadcast it so survivors never shuffle
+    big.filter(probe)
+      .join(broadcast(keyRows.distinct()), bigKey === col("__k"), "left_semi")
   }
 
   /** HLL set algebra over two segments — |A|, |B|, |A∪B| from register
