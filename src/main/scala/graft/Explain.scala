@@ -48,7 +48,7 @@ object Explain {
     "x_obs_service_graph" -> "span service graph (trace-keyed subset co-partitioned join — the child side reuses the window's exchange)",
     "x_obs_funnel" -> "3-stage funnel (ONE user-clustered sorted pass with O(1) carry state → 4-row depth rollup)",
     "x_obs_transitions" -> "first-order journey transitions (sorted pair-formation pass → |stages|² count aggregate)",
-    "x_tda_betti" -> "sliding-window persistent homology (rank-window bounds each group to 60 samples before the in-group reduction)",
+    "x_tda_threshold" -> "sliding-window persistent homology (rank-window bounds each group to 60 samples before the in-group reduction)",
     "x_obs_hdr_rollup" -> "HDR sketch rollup (fine histogram → cell-wise merge → exact-rank quantiles; raw values touched once)",
     "x_topk_heavyhitters" -> "two-pass heavy hitters (Md5Mod sample → candidate broadcast → exact verify; full key set never shuffles)",
     "x_search_postings" -> "positional inverted index (posexplode → term-sharded HashAggregate)",
@@ -67,7 +67,10 @@ object Explain {
     "x_series_retention_ladder" -> "10m/1h/1d retention ladder (ONE scan via GROUPING SETS)",
     "x_quantile_normalize" -> "cross-source quantile normalization (distributed order-statistics explode, rank equi-join)",
     "x_drift_tvd" -> "distribution drift TVD (single-scan conditional-count histograms, cross-multiplied)",
-    "x_split_leakage" -> "train/test leakage matrix (ShingleHash 60-bit grams, presence-flag aggregate — no join)"
+    "x_split_leakage" -> "train/test leakage matrix (ShingleHash 60-bit grams, presence-flag aggregate — no join)",
+    "x_join_bloom" -> "bloom-pruned semi-join (codegen BloomProbe projection on the fact scan → broadcast residual; one build action)",
+    "x_text_pmi" -> "PMI collocations (codegen shingle counts, vocab-keyed joins after min-support prune, TakeOrderedAndProject)",
+    "x_layout_stats_prune" -> "file-stats scan pruning (|files|-row stats aggregate; pruning decision touches stats only)"
   )
 
   def main(args: Array[String]): Unit = {
