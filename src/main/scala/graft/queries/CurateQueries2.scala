@@ -18,36 +18,46 @@ object CurateQueries2 {
     // PMI collocations: top-50 bigrams by pointwise mutual information,
     // support >= 5. Score = (1e6·c_xy·N) div (c_x·c_y) — the PMI
     // argument in ppm (log is monotone ⇒ same ranking), exact integers
-    // only. Counting is two map-side-combined aggregates; joins are
-    // vocabulary-keyed; top-k is TakeOrderedAndProject.
+    // only. Token identity is the 60-bit md5 prefix (both engines draw
+    // identical hashes), so the counting aggregates shuffle longs and
+    // only the ≤100 winner word hashes resolve back to text; ties at
+    // the k-cutoff order by (pmi desc, h1, h2) in BOTH engines.
     GraftQuery(
       "x_text_pmi",
       (s, dir) =>
         TextAnalysis.pmiCollocations(Tables.documents(s, dir), col("text")),
-      Some("""WITH d AS (SELECT string_split(text, ' ') AS l
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
                          FROM documents),
-             ix AS (SELECT l, unnest(range(0, len(l))) AS i FROM d),
-             uni AS (SELECT l[i+1] AS w, CAST(count(*) AS BIGINT) AS c_w
-                     FROM ix GROUP BY 1),
-             bg AS (SELECT l[i+1] || ' ' || l[i+2] AS bigram,
-                           l[i+1] AS w1, l[i+2] AS w2
-                    FROM ix WHERE i < len(l) - 1),
-             bi AS (SELECT bigram, min(w1) AS w1, min(w2) AS w2,
-                           CAST(count(*) AS BIGINT) AS c_xy
-                    FROM bg GROUP BY 1),
+             ix AS (SELECT doc_id, l, unnest(range(0, len(l))) AS i FROM d),
+             t AS (SELECT doc_id, i, l[i+1] AS w,
+                          ('0x' || substr(md5(l[i+1]), 1, 15))::BIGINT AS h
+                   FROM ix),
+             b0 AS (SELECT doc_id, i, h AS h1,
+                           lead(h) OVER (PARTITION BY doc_id ORDER BY i)
+                             AS h2
+                    FROM t),
+             bi AS (SELECT h1, h2, CAST(count(*) AS BIGINT) AS c_xy
+                    FROM b0 WHERE h2 IS NOT NULL GROUP BY 1, 2),
+             uni AS (SELECT h, CAST(count(*) AS BIGINT) AS c_w
+                     FROM t GROUP BY 1),
              n AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bi FROM bi),
-             sc AS (SELECT bi.bigram, bi.c_xy, u1.c_w AS c_x,
-                           u2.c_w AS c_y,
-                           CAST((1000000::HUGEINT * bi.c_xy * n.n_bi)
-                             // (u1.c_w::HUGEINT * u2.c_w) AS BIGINT)
-                             AS pmi_ppm
-                    FROM bi
-                    JOIN uni u1 ON bi.w1 = u1.w
-                    JOIN uni u2 ON bi.w2 = u2.w
-                    CROSS JOIN n
-                    WHERE bi.c_xy >= 5)
-             SELECT bigram, c_xy, c_x, c_y, pmi_ppm
-             FROM sc ORDER BY pmi_ppm DESC, bigram LIMIT 50""")
+             top AS (SELECT bi.h1, bi.h2, bi.c_xy, u1.c_w AS c_x,
+                            u2.c_w AS c_y,
+                            CAST((1000000::HUGEINT * bi.c_xy * n.n_bi)
+                              // (u1.c_w::HUGEINT * u2.c_w) AS BIGINT)
+                              AS pmi_ppm
+                     FROM bi
+                     JOIN uni u1 ON bi.h1 = u1.h
+                     JOIN uni u2 ON bi.h2 = u2.h
+                     CROSS JOIN n
+                     WHERE bi.c_xy >= 5
+                     ORDER BY pmi_ppm DESC, h1, h2 LIMIT 50),
+             wmin AS (SELECT h, min(w) AS w FROM t GROUP BY 1)
+             SELECT w1.w || ' ' || w2.w AS bigram, top.c_xy, top.c_x,
+                    top.c_y, top.pmi_ppm
+             FROM top
+             JOIN wmin w1 ON top.h1 = w1.h
+             JOIN wmin w2 ON top.h2 = w2.h""")
     ),
 
     // l-diversity audit (Machanavajjhala et al. 2006), the companion to

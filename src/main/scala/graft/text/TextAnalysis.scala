@@ -1019,40 +1019,85 @@ object TextAnalysis {
     * BIGINT at 100 TB (the epochRates/PageRank lesson); the quotient is
     * back in BIGINT range (≤ 1e6·N/minCount) and casts down exactly.
     *
-    * Scale: unigram and bigram counting are two map-side-combined
-    * aggregates ([[graft.functions.WordShingles]] keeps shingling
-    * inside whole-stage codegen); N derives from the bigram COUNTS
-    * (sum of a vocabulary-cardinality table), never a second corpus
-    * scan. minCount prunes the bigram table BEFORE the two unigram
-    * joins, so joined relations are "frequent bigrams" × "vocab" —
-    * word-keyed, bounded by vocabulary, independent of corpus row
-    * count. Top-k is TakeOrderedAndProject (partial per-partition
-    * top-k, k-row merge), total-ordered (score desc, bigram asc).
+    * Scale: token IDENTITY is the 60-bit md5 prefix
+    * ([[graft.functions.ShingleHash]] n=1 — one codegen digest pass per
+    * doc), so both counting aggregates shuffle LONGS: unigram counts
+    * key on the token hash, bigram counts on the adjacent (h1, h2)
+    * pair built by a codegen slice+zip — token TEXT never crosses the
+    * network (the string formulation this replaces exploded ~12-byte
+    * bigram strings into the aggregate and measured 3.5× DuckDB at
+    * sf10, the allocation class killed in heavy-hitters r9 / HLL r8).
+    * N derives from the bigram counts, never a second corpus scan;
+    * minCount prunes before the two vocab-keyed joins; top-k is
+    * TakeOrderedAndProject totally ordered by (score desc, h1, h2).
+    * Only the ≤2k WINNER word hashes ever resolve back to text: one
+    * map-only pass filters (hash, word) pairs against the broadcast
+    * winner set and `min(word)` makes the choice deterministic under
+    * (vanishing, 60-bit) hash collisions — the same gram-hash identity
+    * contract as `x_text_dupgrams`/`x_split_leakage`. The k-row result
+    * returns pre-collected (driver model state, the kmeans/hllSetOps
+    * pattern).
     */
   def pmiCollocations(df: DataFrame, text: Column,
                       minCount: Int = 5, k: Int = 50): DataFrame = {
-    val toks = df.select(text.as("t"))
-    val uni = toks.select(explode(
-        graft.functions.TextFunctions.wordShingles(col("t"), 1)).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
-    val bi = toks.select(explode(
-        graft.functions.TextFunctions.wordShingles(col("t"), 2)).as("bigram"))
-      .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+    import org.apache.spark.sql.graftshim.shim
+    val spark = df.sparkSession
+    def tokH(t: Column): Column =
+      shim.column(graft.functions.ShingleHash(shim.expression(t), 1, 15))
+    val base = df.select(tokH(text).as("th"))
+    val uni = base.select(explode(col("th")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c_w"))
+    val m = greatest(size(col("th")) - 1, lit(0))
+    val bi = base
+      .select(explode(arrays_zip(
+        slice(col("th"), lit(1), m).as("h1"),
+        slice(col("th"), lit(2), m).as("h2"))).as("p"))
+      .select(col("p.h1").as("h1"), col("p.h2").as("h2"))
+      .groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("c_xy"))
     val n = bi.agg(sum(col("c_xy")).as("n_bi"))
-    bi.filter(col("c_xy") >= minCount)
-      // bigrams are single-space joins of tokens that themselves contain
-      // no space, so the first/last-field split is exact
-      .withColumn("w1", substring_index(col("bigram"), " ", 1))
-      .withColumn("w2", substring_index(col("bigram"), " ", -1))
-      .join(uni.select(col("w").as("w1"), col("c_w").as("c_x")), "w1")
-      .join(uni.select(col("w").as("w2"), col("c_w").as("c_y")), "w2")
+    val winners = bi.filter(col("c_xy") >= minCount)
+      .join(uni.select(col("h").as("h1"), col("c_w").as("c_x")), "h1")
+      .join(uni.select(col("h").as("h2"), col("c_w").as("c_y")), "h2")
       .crossJoin(n)
       .withColumn("pmi_ppm", expr(
         "CAST((CAST(1000000 AS DECIMAL(38,0)) * c_xy * n_bi)" +
           " div (CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)"))
-      .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"),
+      .select(col("h1"), col("h2"), col("c_xy"), col("c_x"), col("c_y"),
         col("pmi_ppm"))
-      .orderBy(col("pmi_ppm").desc, col("bigram"))
+      .orderBy(col("pmi_ppm").desc, col("h1"), col("h2"))
       .limit(k)
+      .collect()
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bigram",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("c_xy",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("c_x",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("c_y",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("pmi_ppm",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    if (winners.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+    val wordHs = winners.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+      .distinct.toSeq
+    val wordOf = df
+      .select(explode(arrays_zip(
+        tokH(text).as("h"),
+        graft.functions.TextFunctions.wordShingles(text, 1).as("w")))
+        .as("p"))
+      .select(col("p.h").as("h"), col("p.w").as("w"))
+      .filter(col("h").isin(wordHs: _*))
+      .groupBy(col("h")).agg(min(col("w")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(winners.map { r =>
+        org.apache.spark.sql.Row(
+          wordOf(r.getLong(0)) + " " + wordOf(r.getLong(1)),
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      }: _*)
+    spark.createDataFrame(rows, outSchema)
   }
 }

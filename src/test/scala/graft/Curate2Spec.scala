@@ -33,7 +33,8 @@ class Curate2Spec extends AnyFunSuite {
     val text = (Seq.fill(6)("p q") ++ Seq.fill(5)("p r")).mkString(" ") + " z"
     val out = TextAnalysis.pmiCollocations(Seq(text).toDF("text"), col("text"))
       .collect().map(r => (r.getString(0), r.getLong(4)))
-    assert(out.toSeq == Seq(("p q", 2000000L), ("p r", 2000000L),
+    // tie order is by (h1, h2) hash — assert the SET, not the sequence
+    assert(out.toSet == Set(("p q", 2000000L), ("p r", 2000000L),
       ("q p", 2000000L)))
   }
 
