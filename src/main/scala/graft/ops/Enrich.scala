@@ -28,6 +28,49 @@ object Enrich {
     */
   def staticFields(logs: DataFrame, fields: Seq[(String, Column)]): DataFrame =
     fields.foldLeft(logs) { case (d, (k, v)) => d.withColumn(k, v) }
+
+  /** CIDR longest-prefix-match enrichment — the real form of the geoip2
+    * lookup (`plugins/filter_geoip2/geoip2.c` resolves each record's IP
+    * against a prefix-keyed database): match `ip32` (an IPv4 address as
+    * an unsigned 32-bit value in a BIGINT) against a rule table of
+    * `(net, plen, label)` CIDR blocks, the MOST SPECIFIC (longest
+    * prefix) rule winning, unmatched rows keeping NULL.
+    *
+    * Scale: no trie and no range join — the rule table's DISTINCT
+    * prefix lengths (a handful: /8, /16, /24…) drive one broadcast
+    * LEFT equi-join each on `(ip32 & mask(plen)) = net`, longest plen
+    * first, and a `coalesce` picks the first (most specific) hit. The
+    * fact side stays map-only through every join — k broadcast hash
+    * probes per row, zero shuffles, zero row expansion (the explode-to-
+    * prefixes alternative multiplies the 100 TB side ×k and then needs
+    * a per-row max shuffle to undo it). Rules with the same plen must
+    * be disjoint (CIDR tables are); masks are plain integer bit math
+    * replayable by any engine.
+    */
+  def cidrJoin(logs: DataFrame, ip32: Column, rules: DataFrame,
+               labelCol: String = "label"): DataFrame = {
+    val plens = rules.select(col("plen")).distinct()
+      .collect().map(_.getLong(0).toInt).sorted.reverse
+    require(plens.forall(p => p >= 0 && p <= 32), "plen out of range")
+    val base = logs.withColumn("__ip", ip32.cast("long"))
+    val joined = plens.foldLeft(base) { (d, p) =>
+      val mask = if (p == 0) 0L else (0xFFFFFFFFL << (32 - p)) & 0xFFFFFFFFL
+      val r = rules.filter(col("plen") === p.toLong)
+        .select(col("net").as(s"__net_$p"),
+          col(labelCol).as(s"__label_$p"))
+      d.join(broadcast(r),
+        d("__ip").bitwiseAND(lit(mask)) === col(s"__net_$p"), "left")
+    }
+    val labels = plens.map(p => col(s"__label_$p"))
+    val matchedLen = plens.foldRight(lit(null).cast("long")) { (p, acc) =>
+      when(col(s"__label_$p").isNotNull, lit(p.toLong)).otherwise(acc)
+    }
+    joined
+      .withColumn(labelCol, coalesce(labels: _*))
+      .withColumn("matched_plen", matchedLen)
+      .drop("__ip")
+      .drop(plens.flatMap(p => Seq(s"__net_$p", s"__label_$p")): _*)
+  }
 }
 
 /** filter_checklist (reference `plugins/filter_checklist/checklist.c:416`):

@@ -107,6 +107,66 @@ object CurateQueries2 {
              FROM g GROUP BY 1, 2""")
     ),
 
+    // CIDR longest-prefix enrichment (the geoip2 lookup's real form):
+    // a 344-rule table over three prefix lengths, every fact row
+    // resolved to its most specific block by THREE chained broadcast
+    // left joins (one per distinct plen, longest first) + coalesce —
+    // the fact side is map-only, never shuffled, never row-expanded.
+    // IPs derive from md5(event_id) (both engines draw identical
+    // addresses); the rule table is generated from the same integer
+    // recurrences in both engines.
+    GraftQuery(
+      "x_enrich_cidr",
+      (s, dir) => {
+        import org.apache.spark.sql.graftshim.shim
+        val rules = (0 until 24).map(r =>
+            (((r * 11L) % 256) << 24, 8L, s"net8_$r")) ++
+          (0 until 64).map(r =>
+            (((r * 1031L) % 65536) << 16, 16L, s"net16_$r")) ++
+          (0 until 256).map(r =>
+            (((r * 7919L) % 16777216) << 8, 24L, s"net24_$r"))
+        import s.implicits._
+        val ruleDf = rules.toDF("net", "plen", "label")
+        val ip = shiftrightunsigned(shim.column(
+          graft.functions.Md5First64(shim.expression(col("event_id")))), 32)
+        graft.ops.Enrich.cidrJoin(
+            Tables.events(s, dir).select(col("event_id")), ip, ruleDf)
+          .groupBy(col("matched_plen"), col("label"))
+          .agg(count(lit(1)).as("n_rows"))
+      },
+      Some("""WITH ips AS (SELECT ('0x' || substr(md5(CAST(event_id
+                       AS VARCHAR)), 1, 8))::BIGINT AS ip
+                   FROM events),
+             rules AS (SELECT CAST((r*11) % 256 AS BIGINT) << 24 AS net,
+                         CAST(8 AS BIGINT) AS plen,
+                         'net8_' || CAST(r AS VARCHAR) AS label
+                       FROM (SELECT unnest(range(24)) AS r)
+                       UNION ALL
+                       SELECT CAST((r*1031) % 65536 AS BIGINT) << 16,
+                         16, 'net16_' || CAST(r AS VARCHAR)
+                       FROM (SELECT unnest(range(64)) AS r)
+                       UNION ALL
+                       SELECT CAST((r*7919) % 16777216 AS BIGINT) << 8,
+                         24, 'net24_' || CAST(r AS VARCHAR)
+                       FROM (SELECT unnest(range(256)) AS r)),
+             j AS (SELECT i.ip, r24.label AS l24, r16.label AS l16,
+                          r8.label AS l8
+                   FROM ips i
+                   LEFT JOIN (SELECT * FROM rules WHERE plen = 24) r24
+                     ON (i.ip & 4294967040) = r24.net
+                   LEFT JOIN (SELECT * FROM rules WHERE plen = 16) r16
+                     ON (i.ip & 4294901760) = r16.net
+                   LEFT JOIN (SELECT * FROM rules WHERE plen = 8) r8
+                     ON (i.ip & 4278190080) = r8.net)
+             SELECT CAST(CASE WHEN l24 IS NOT NULL THEN 24
+                              WHEN l16 IS NOT NULL THEN 16
+                              WHEN l8 IS NOT NULL THEN 8 END AS BIGINT)
+                      AS matched_plen,
+                    coalesce(l24, l16, l8) AS label,
+                    CAST(count(*) AS BIGINT) AS n_rows
+             FROM j GROUP BY 1, 2""")
+    ),
+
     // File-stats scan pruning: the data-skipping arithmetic behind
     // every lakehouse planner — per-file (min_ts, max_ts, n) stats
     // decide which files a 6-hour predicate window must read, WITHOUT

@@ -51,6 +51,26 @@ class Curate2Spec extends AnyFunSuite {
     }
   }
 
+  test("cidr join: longest prefix wins, unmatched rows keep null") {
+    // 10.0.0.0/8 (label "eight") contains 10.1.0.0/16 (label "sixteen")
+    val rules = Seq(
+      (10L << 24, 8L, "eight"),
+      ((10L << 24) | (1L << 16), 16L, "sixteen")
+    ).toDF("net", "plen", "label")
+    val probes = Seq(
+      (1L, (10L << 24) | (1L << 16) | 5L), // in /16 AND /8 -> /16 wins
+      (2L, (10L << 24) | (2L << 16) | 5L), // only /8
+      (3L, (11L << 24) | 1L)               // unmatched
+    ).toDF("id", "ip")
+    val out = graft.ops.Enrich.cidrJoin(probes, col("ip"), rules)
+      .select(col("id"), col("label"), col("matched_plen"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(out(1L) == ((Some("sixteen"), Some(16L))))
+    assert(out(2L) == ((Some("eight"), Some(8L))))
+    assert(out(3L) == ((None, None)))
+  }
+
   test("stats pruning: time layout prunes, hash layout reads everything") {
     val byLayout = SparkEntry.queries("x_layout_stats_prune")(spark, sf)
       .collect().map(r => r.getAs[String]("layout") -> r).toMap
