@@ -107,6 +107,30 @@ object CurateQueries2 {
              FROM g GROUP BY 1, 2""")
     ),
 
+    // Flesch-Kincaid readability in exact centi-grades (+10000 offset
+    // keeps the integer division identical under Spark's truncate-div
+    // and DuckDB's floor-div). Map-only — three regexp counts in one
+    // projection.
+    GraftQuery(
+      "x_text_readability",
+      (s, dir) =>
+        TextAnalysis.readability(Tables.documents(s, dir), col("doc_id"),
+          col("text")),
+      Some("""SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+                    greatest(CAST(len(regexp_extract_all(text, '[.!?]'))
+                      AS BIGINT), 1) AS sentences,
+                    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                      AS BIGINT) AS syllables,
+                    (39 * words * words + 1180 * syllables * sentences
+                      + 8441 * sentences * words) // (sentences * words)
+                      AS fk_centi_p10k,
+                    CASE WHEN fk_centi_p10k < 10800 THEN 'easy'
+                         WHEN fk_centi_p10k < 11300 THEN 'standard'
+                         ELSE 'hard' END AS band
+             FROM (SELECT doc_id, text FROM documents)""")
+    ),
+
     // CIDR longest-prefix enrichment (the geoip2 lookup's real form):
     // a 344-rule table over three prefix lengths, every fact row
     // resolved to its most specific block by THREE chained broadcast

@@ -1038,6 +1038,34 @@ object TextAnalysis {
     * returns pre-collected (driver model state, the kmeans/hllSetOps
     * pattern).
     */
+  /** Flesch-Kincaid grade-level readability — the edu-quality signal
+    * (FineWeb-Edu-class filters gate on it) — in EXACT integers: the
+    * grade `0.39·W/X + 11.8·S/W − 15.59` (W words, X sentences, S
+    * syllables) is scaled to centi-grades over the common denominator
+    * X·W and OFFSET by +10000 so the dividend stays positive — Spark's
+    * `div` truncates toward zero while DuckDB's `//` floors, and the
+    * offset makes both the same operation. Syllables are the standard
+    * vowel-group proxy (`[aeiouy]+` runs, lowercased); sentences are
+    * terminal-punctuation counts clamped to ≥1. Map-only: three regexp
+    * counts in one projection, no shuffle at any corpus size.
+    */
+  def readability(df: DataFrame, idCol: Column, text: Column): DataFrame =
+    df.select(idCol.as("doc_id"),
+        size(split(text, " ")).cast("long").as("words"),
+        greatest(size(regexp_extract_all(text, lit("[.!?]"), lit(0)))
+          .cast("long"), lit(1L)).as("sentences"),
+        size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("syllables"))
+      .withColumn("fk_centi_p10k", expr(
+        "(39 * words * words + 1180 * syllables * sentences" +
+          " + 8441 * sentences * words) div (sentences * words)"))
+      // 8441 = 10000 - 1559: the -15.59 grade constant folded into the
+      // positivity offset
+      .withColumn("band",
+        when(col("fk_centi_p10k") < 10800, "easy")
+          .when(col("fk_centi_p10k") < 11300, "standard")
+          .otherwise("hard"))
+
   def pmiCollocations(df: DataFrame, text: Column,
                       minCount: Int = 5, k: Int = 50): DataFrame = {
     import org.apache.spark.sql.graftshim.shim

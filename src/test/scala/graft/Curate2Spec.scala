@@ -51,6 +51,20 @@ class Curate2Spec extends AnyFunSuite {
     }
   }
 
+  test("readability: hand-computed FK grade on a known sentence pair") {
+    // "See spot run. It is fun." -> W=6, X=2, S=6 vowel groups;
+    // FK = 0.39*3 + 11.8*1 - 15.59 = -2.62 => 10000 - 262 = 9738
+    val out = TextAnalysis.readability(
+        Seq((1L, "See spot run. It is fun.")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .collect().head
+    assert(out.getAs[Long]("words") == 6L)
+    assert(out.getAs[Long]("sentences") == 2L)
+    assert(out.getAs[Long]("syllables") == 6L)
+    assert(out.getAs[Long]("fk_centi_p10k") == 9738L)
+    assert(out.getAs[String]("band") == "easy")
+  }
+
   test("cidr join: longest prefix wins, unmatched rows keep null") {
     // 10.0.0.0/8 (label "eight") contains 10.1.0.0/16 (label "sixteen")
     val rules = Seq(
