@@ -70,7 +70,9 @@ object Explain {
     "x_split_leakage" -> "train/test leakage matrix (ShingleHash 60-bit grams, presence-flag aggregate — no join)",
     "x_join_bloom" -> "bloom-pruned semi-join (codegen BloomProbe projection on the fact scan → broadcast residual; one build action)",
     "x_text_pmi" -> "PMI collocations (codegen shingle counts, vocab-keyed joins after min-support prune, TakeOrderedAndProject)",
-    "x_layout_stats_prune" -> "file-stats scan pruning (|files|-row stats aggregate; pruning decision touches stats only)"
+    "x_layout_stats_prune" -> "file-stats scan pruning (|files|-row stats aggregate; pruning decision touches stats only)",
+    "x_enrich_cidr" -> "CIDR longest-prefix enrichment (chained broadcast left joins per prefix length — fact side map-only)",
+    "x_text_readability" -> "Flesch-Kincaid readability (map-only regexp counts, exact centi-grade integers)"
   )
 
   def main(args: Array[String]): Unit = {
