@@ -424,4 +424,17 @@ class PlanSpec extends AnyFunSuite {
     val scans = "Scan parquet".r.findAllIn(plan).length
     assert(scans == 1, s"expected a single events scan, got $scans")
   }
+
+  test("cidr enrichment: every prefix length joins broadcast, fact side never shuffles") {
+    val plan = planOf("x_enrich_cidr")
+    val bhj = "BroadcastHashJoin ".r.findAllIn(plan).length
+    assert(bhj == 3, s"expected 3 broadcast left joins (one per plen), got $bhj:\n" +
+      plan.take(3000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "fact side must never shuffle for the join:\n" + plan.take(3000))
+    // the ONLY exchange is the final bounded (plen, label) rollup
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected only the final rollup exchange, got $exchanges:\n" +
+      plan.take(3000))
+  }
 }
