@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.model.Tables
+import graft.obs.Observability
 import graft.text.TextAnalysis
 
 /** Corpus-curation / governance gates, batch 3 (round 12): PMI
@@ -189,6 +190,86 @@ object CurateQueries2 {
                     coalesce(l24, l16, l8) AS label,
                     CAST(count(*) AS BIGINT) AS n_rows
              FROM j GROUP BY 1, 2""")
+    ),
+
+    // Z-order × stats pruning, quantified: the same events laid out
+    // time-sorted (fid = 256-minute file) vs z-ordered (fid = top-8
+    // z-curve bits = a (tb_hi4, cb_hi4) rectangle), pruned by a 2-dim
+    // predicate (middle-half time range ∧ cents < $20) using per-file
+    // (min,max) stats on BOTH dims. The time layout prunes only the
+    // time dim (~50% of rows scanned); the z-order cells are tight
+    // rectangles in BOTH dims, so the value band prunes too (~3%) —
+    // the measured version of the r9 `x_layout_zorder` cell-bounds
+    // invariant, and the reason z-ordering exists. Stats build is one
+    // |files|-row aggregate; pruning reads stats only.
+    GraftQuery(
+      "x_layout_zorder_prune",
+      (s, dir) => {
+        val terms = (0 until 16).map { i =>
+          s"(((tb >> $i) & 1) << ${2 * i}) + (((cb >> $i) & 1) << ${2 * i + 1})"
+        }.mkString(" + ")
+        val tLo = 16384L; val tHi = 32768L; val cHi = 2000L
+        Tables.events(s, dir)
+          .withColumn("cents", Observability.cents(col("value")))
+          .select(expr("(ts_ns div 1000 div 60000000) % 65536").as("tb"),
+            least(col("cents"), lit(65535L)).as("cb"))
+          .withColumn("z", expr(terms))
+          .select(explode(array(
+            struct(lit("time").as("layout"),
+              expr("tb div 256").as("fid")),
+            struct(lit("zorder").as("layout"),
+              expr("z div 16777216").as("fid")))).as("lf"),
+            col("tb"), col("cb"))
+          .select(col("lf.layout").as("layout"), col("lf.fid").as("fid"),
+            col("tb"), col("cb"))
+          .groupBy(col("layout"), col("fid"))
+          .agg(count(lit(1)).as("n"),
+            min(col("tb")).as("tb_min"), max(col("tb")).as("tb_max"),
+            min(col("cb")).as("cb_min"), max(col("cb")).as("cb_max"))
+          .withColumn("read",
+            col("tb_max") >= tLo && col("tb_min") < tHi &&
+              col("cb_min") < cHi)
+          .groupBy(col("layout"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(col("read"), 1L).otherwise(0L)).as("files_read"),
+            sum(col("n")).as("rows_total"),
+            sum(when(col("read"), col("n")).otherwise(0L))
+              .as("rows_scanned"))
+          .withColumn("scan_ppm",
+            expr("(1000000 * rows_scanned) div rows_total"))
+      },
+      Some {
+        val terms = (0 until 16).map { i =>
+          s"(((tb >> $i) & 1) << ${2 * i}) + (((cb >> $i) & 1) << ${2 * i + 1})"
+        }.mkString(" + ")
+        s"""WITH s AS (SELECT (epoch_ns(ts) // 1000 // 60000000) % 65536
+                       AS tb,
+                     least(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT), 65535) AS cb
+                   FROM events),
+             z AS (SELECT tb, cb, $terms AS z FROM s),
+             lf AS (SELECT 'time' AS layout, tb // 256 AS fid, tb, cb
+                    FROM z
+                    UNION ALL
+                    SELECT 'zorder', z // 16777216, tb, cb FROM z),
+             st AS (SELECT layout, fid, CAST(count(*) AS BIGINT) AS n,
+                           min(tb) AS tb_min, max(tb) AS tb_max,
+                           min(cb) AS cb_min, max(cb) AS cb_max
+                    FROM lf GROUP BY 1, 2),
+             pr AS (SELECT layout, n,
+                           (tb_max >= 16384 AND tb_min < 32768 AND
+                            cb_min < 2000) AS read
+                    FROM st)
+             SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+                    CAST(sum(CASE WHEN read THEN 1 ELSE 0 END) AS BIGINT)
+                      AS files_read,
+                    CAST(sum(n) AS BIGINT) AS rows_total,
+                    CAST(sum(CASE WHEN read THEN n ELSE 0 END) AS BIGINT)
+                      AS rows_scanned,
+                    (1000000 * CAST(sum(CASE WHEN read THEN n ELSE 0 END)
+                       AS BIGINT)) // CAST(sum(n) AS BIGINT) AS scan_ppm
+             FROM pr GROUP BY 1"""
+      }
     ),
 
     // File-stats scan pruning: the data-skipping arithmetic behind

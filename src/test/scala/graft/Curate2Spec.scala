@@ -85,6 +85,19 @@ class Curate2Spec extends AnyFunSuite {
     assert(out(3L) == ((None, None)))
   }
 
+  test("zorder pruning: both dims prune, never worse than time-sorted") {
+    val byLayout = SparkEntry.queries("x_layout_zorder_prune")(spark, sf)
+      .collect().map(r => r.getAs[String]("layout") -> r).toMap
+    val t = byLayout("time"); val z = byLayout("zorder")
+    assert(t.getAs[Long]("rows_total") == z.getAs[Long]("rows_total"))
+    // the 2-dim predicate prunes MORE under the z-curve layout: its
+    // cells are tight rectangles in both dims, so the value band cuts
+    // files the time layout must read
+    assert(z.getAs[Long]("rows_scanned") <= t.getAs[Long]("rows_scanned"))
+    assert(z.getAs[Long]("scan_ppm") <= 1000000L &&
+      t.getAs[Long]("scan_ppm") <= 1000000L)
+  }
+
   test("stats pruning: time layout prunes, hash layout reads everything") {
     val byLayout = SparkEntry.queries("x_layout_stats_prune")(spark, sf)
       .collect().map(r => r.getAs[String]("layout") -> r).toMap
