@@ -49,8 +49,18 @@ object Enrich {
     */
   def cidrJoin(logs: DataFrame, ip32: Column, rules: DataFrame,
                labelCol: String = "label"): DataFrame = {
-    val plens = rules.select(col("plen")).distinct()
-      .collect().map(_.getLong(0).toInt).sorted.reverse
+    // ONE driver action reads the distinct prefix lengths AND checks the
+    // disjointness contract (duplicate (plen, net) rules would silently
+    // fan out matching fact rows). Defensive cast: an INT/SMALLINT plen
+    // column must not ClassCastException at collect.
+    val plenAgg = rules
+      .groupBy(col("plen").cast("long").as("__p"))
+      .agg(count(lit(1)).as("__n"), countDistinct(col("net")).as("__nd"))
+      .collect()
+    plenAgg.foreach(r => require(r.getLong(1) == r.getLong(2),
+      s"rules at plen=${r.getLong(0)} repeat a net — same-length CIDR " +
+        "rules must be disjoint or matching fact rows duplicate"))
+    val plens = plenAgg.map(_.getLong(0).toInt).sorted.reverse
     require(plens.forall(p => p >= 0 && p <= 32), "plen out of range")
     val base = logs.withColumn("__ip", ip32.cast("long"))
     val joined = plens.foldLeft(base) { (d, p) =>
@@ -70,6 +80,65 @@ object Enrich {
       .withColumn("matched_plen", matchedLen)
       .drop("__ip")
       .drop(plens.flatMap(p => Seq(s"__net_$p", s"__label_$p")): _*)
+  }
+
+  /** IPv6 longest-prefix-match enrichment — the 128-bit twin of
+    * [[cidrJoin]], matching `filter_geoip2`'s IPv6 MaxMind capability
+    * (reference `plugins/filter_geoip2/geoip2.c:380` hands any address
+    * family to libmaxminddb's binary prefix tree). A 128-bit address is
+    * TWO BIGINTs `(hi, lo)` — big-endian halves of the address — and a
+    * /p mask is plain two-long bit math, replayable by any engine:
+    *
+    *   p ≤ 64 :  mask_hi = -1 << (64-p)  (p=0 ⇒ 0), mask_lo = 0
+    *   p > 64 :  mask_hi = -1 (all bits), mask_lo = -1 << (128-p)
+    *
+    * (`-1 << s` is the signed two's-complement value with the top
+    * `64-s` bits set — the identical bit pattern in Spark and DuckDB,
+    * so the equi-join keys hash-match.)
+    *
+    * Same scale shape as the IPv4 form: one broadcast LEFT equi-join
+    * per DISTINCT prefix length on the pre-masked `(net_hi, net_lo)`
+    * pair, longest plen first, `coalesce` picks the most specific hit,
+    * the fact side stays map-only with zero shuffles and zero row
+    * expansion. Rules carry `(net_hi, net_lo, plen, label)` with nets
+    * already masked; same-plen rules must be disjoint (enforced).
+    */
+  def cidrJoin6(logs: DataFrame, ipHi: Column, ipLo: Column,
+                rules: DataFrame, labelCol: String = "label"): DataFrame = {
+    val plenAgg = rules
+      .groupBy(col("plen").cast("long").as("__p"))
+      .agg(count(lit(1)).as("__n"),
+        countDistinct(col("net_hi"), col("net_lo")).as("__nd"))
+      .collect()
+    plenAgg.foreach(r => require(r.getLong(1) == r.getLong(2),
+      s"rules at plen=${r.getLong(0)} repeat a net — same-length CIDR " +
+        "rules must be disjoint or matching fact rows duplicate"))
+    val plens = plenAgg.map(_.getLong(0).toInt).sorted.reverse
+    require(plens.forall(p => p >= 0 && p <= 128), "plen out of range")
+    def maskHi(p: Int): Long =
+      if (p == 0) 0L else if (p >= 64) -1L else -1L << (64 - p)
+    def maskLo(p: Int): Long =
+      if (p <= 64) 0L else -1L << (128 - p)
+    val base = logs
+      .withColumn("__iph", ipHi.cast("long"))
+      .withColumn("__ipl", ipLo.cast("long"))
+    val joined = plens.foldLeft(base) { (d, p) =>
+      val r = rules.filter(col("plen") === p.toLong)
+        .select(col("net_hi").as(s"__nh_$p"), col("net_lo").as(s"__nl_$p"),
+          col(labelCol).as(s"__label_$p"))
+      d.join(broadcast(r),
+        d("__iph").bitwiseAND(lit(maskHi(p))) === col(s"__nh_$p") &&
+          d("__ipl").bitwiseAND(lit(maskLo(p))) === col(s"__nl_$p"), "left")
+    }
+    val labels = plens.map(p => col(s"__label_$p"))
+    val matchedLen = plens.foldRight(lit(null).cast("long")) { (p, acc) =>
+      when(col(s"__label_$p").isNotNull, lit(p.toLong)).otherwise(acc)
+    }
+    joined
+      .withColumn(labelCol, coalesce(labels: _*))
+      .withColumn("matched_plen", matchedLen)
+      .drop("__iph", "__ipl")
+      .drop(plens.flatMap(p => Seq(s"__nh_$p", s"__nl_$p", s"__label_$p")): _*)
   }
 }
 

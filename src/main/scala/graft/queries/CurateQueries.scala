@@ -77,6 +77,52 @@ object CurateQueries {
              GROUP BY 1""")
     ),
 
+    // Production half of the runtime filter in isolation: bitset build
+    // + map-side probe, NO residual join — survivors INCLUDE the
+    // bitset's deterministic false positives, and the oracle replays
+    // the exact same Kirsch-Mitzenmacher math (h1||h2 = first 8 md5
+    // bytes of the key's decimal rendering, bit_j = (h1 + j*h2) mod
+    // 2^20) from SQL, so the survivor set hash-matches bit for bit.
+    // This is the strongest check the bitset semantics can get — the
+    // parent gate only proves false positives were cleaned up AFTER.
+    GraftQuery(
+      "x_join_bloom_probe",
+      (s, dir) => {
+        val urgent = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        graft.sketch.Sketches.bloomProbeOnly(
+            Tables.lineitem(s, dir), col("l_orderkey"),
+            urgent, col("o_orderkey"), mBits = 1 << 20)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"))
+      },
+      Some("""WITH bh AS (SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                 1, 8))::BIGINT AS h1,
+                                ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                 9, 8))::BIGINT AS h2
+                         FROM orders WHERE o_orderpriority = '1-URGENT'),
+             bits AS (SELECT DISTINCT (h1 + j * h2) % 1048576 AS b
+                      FROM bh CROSS JOIN (VALUES (0), (1), (2)) t(j)),
+             lh AS (SELECT l_returnflag, l_quantity,
+                           ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+                            1, 8))::BIGINT AS h1,
+                           ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+                            9, 8))::BIGINT AS h2
+                    FROM lineitem),
+             surv AS (SELECT l_returnflag, l_quantity
+                      FROM lh
+                      WHERE h1 % 1048576 IN (SELECT b FROM bits)
+                        AND (h1 + h2) % 1048576 IN (SELECT b FROM bits)
+                        AND (h1 + 2 * h2) % 1048576 IN (SELECT b FROM bits))
+             SELECT l_returnflag,
+                    CAST(count(*) AS BIGINT) AS n_rows,
+                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                      AS sum_qty
+             FROM surv GROUP BY 1""")
+    ),
+
     // HLL set algebra: distinct-user reach of 'click' vs 'view' and
     // their overlap by inclusion-exclusion on register estimates — the
     // audience-overlap estimator. One grouped register build (<=2m rows)
@@ -133,6 +179,60 @@ object CurateQueries {
                         - (exact_a + exact_b - exact_union)) * 4
                       <= exact_union AS ok_inter
              FROM ea, eb, eu, ex""")
+    ),
+
+    // Production half of the set-ops estimator: register merge ONLY
+    // (the exact comparators above are the gate's ground truth and
+    // never ship). One scan -> one <=256-row bucket aggregate carrying
+    // per-segment maxima AND the union register -> one estimator row:
+    // the x_sketch_hll_build stage class.
+    GraftQuery(
+      "x_sketch_hll_setops_regs",
+      (s, dir) =>
+        graft.sketch.Sketches.hllSetOpsEstimates(Tables.events(s, dir),
+          col("event_type"), col("user_id"), "click", "view"),
+      Some("""WITH e AS (SELECT event_type AS g, user_id AS k FROM events
+                         WHERE event_type IN ('click', 'view')),
+             h AS (SELECT g, ('0x' || substr(md5(CAST(k AS VARCHAR)),
+                              1, 8))::BIGINT AS h
+                   FROM e),
+             r AS (SELECT g, h % 256 AS bucket,
+                          CASE WHEN h // 256 = 0 THEN 25
+                               ELSE 25 - length(bin(h // 256)) END AS rho
+                   FROM h),
+             b AS (SELECT bucket,
+                          max(CASE WHEN g = 'click' THEN rho END) AS ra,
+                          max(CASE WHEN g = 'view' THEN rho END) AS rb,
+                          max(rho) AS ru
+                   FROM r GROUP BY 1),
+             agg AS (SELECT
+                       count(ra) AS nb_a,
+                       sum(CASE WHEN ra IS NOT NULL
+                           THEN 1::BIGINT << (25 - ra) END) AS sp_a,
+                       count(rb) AS nb_b,
+                       sum(CASE WHEN rb IS NOT NULL
+                           THEN 1::BIGINT << (25 - rb) END) AS sp_b,
+                       count(ru) AS nb_u,
+                       sum(CASE WHEN ru IS NOT NULL
+                           THEN 1::BIGINT << (25 - ru) END) AS sp_u
+                     FROM b),
+             est AS (SELECT
+                       (71827 * ((CAST(256 * 256 AS BIGINT) * (1::BIGINT << 25))
+                         // (sp_a + (256 - nb_a) * (1::BIGINT << 25)))) // 100000
+                         AS est_a,
+                       (71827 * ((CAST(256 * 256 AS BIGINT) * (1::BIGINT << 25))
+                         // (sp_b + (256 - nb_b) * (1::BIGINT << 25)))) // 100000
+                         AS est_b,
+                       (71827 * ((CAST(256 * 256 AS BIGINT) * (1::BIGINT << 25))
+                         // (sp_u + (256 - nb_u) * (1::BIGINT << 25)))) // 100000
+                         AS est_union
+                     FROM agg)
+             SELECT CAST(est_a AS BIGINT) AS est_a,
+                    CAST(est_b AS BIGINT) AS est_b,
+                    CAST(est_union AS BIGINT) AS est_union,
+                    CAST(greatest(est_a + est_b - est_union, 0) AS BIGINT)
+                      AS est_inter
+             FROM est""")
     ),
 
     // Epoch-repeat mix: 2.0 effective epochs allocated by sqrt-flattened

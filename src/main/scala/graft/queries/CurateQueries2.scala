@@ -192,6 +192,84 @@ object CurateQueries2 {
              FROM j GROUP BY 1, 2""")
     ),
 
+    // IPv6 longest-prefix enrichment: 128-bit addresses as two BIGINTs
+    // (hi = 31 md5 bits * 2^32 + 32 md5 bits, so bit 63 is always 0 and
+    // no engine-specific shift-overflow semantics are in play; lo from
+    // an independent second digest). Three prefix lengths cross the
+    // interesting mask cases: /9 (hi-only mask, synthetic rules), /68
+    // (full hi + 4 lo bits, rules drawn from a 1/257 sample of the data
+    // itself), /128 (exact address, 1/509 sample) — LPM picks the
+    // deepest. Same scale shape as IPv4: one broadcast left join per
+    // plen, fact side map-only, zero expansion.
+    GraftQuery(
+      "x_enrich_cidr6",
+      (s, dir) => {
+        import org.apache.spark.sql.graftshim.shim
+        import s.implicits._
+        def h64(c: org.apache.spark.sql.Column) =
+          shim.column(graft.functions.Md5First64(shim.expression(c)))
+        def twoLong(c: org.apache.spark.sql.Column) = {
+          val a = shiftrightunsigned(h64(c), 32)
+          val b = h64(c).bitwiseAND(lit(0xFFFFFFFFL))
+          (a % 2147483648L) * 4294967296L + b
+        }
+        val withIp = Tables.events(s, dir).select(col("event_id"))
+          .withColumn("ip_hi", twoLong(col("event_id")))
+          .withColumn("ip_lo", twoLong(col("event_id") * 2 + 1))
+        val r9 = (0 until 24).map(r =>
+            (((r * 11L) % 256) << 55, 0L, 9L, s"net9_$r"))
+          .toDF("net_hi", "net_lo", "plen", "label")
+        val r68 = withIp.filter(col("event_id") % 257 === 0)
+          .select(col("ip_hi").as("net_hi"),
+            col("ip_lo").bitwiseAND(lit(-1L << 60)).as("net_lo"),
+            lit(68L).as("plen"), lit("net68").as("label")).distinct()
+        val r128 = withIp.filter(col("event_id") % 509 === 0)
+          .select(col("ip_hi").as("net_hi"), col("ip_lo").as("net_lo"),
+            lit(128L).as("plen"), lit("net128").as("label")).distinct()
+        graft.ops.Enrich.cidrJoin6(withIp, col("ip_hi"), col("ip_lo"),
+            r9.unionByName(r68).unionByName(r128))
+          .groupBy(col("matched_plen"), col("label"))
+          .agg(count(lit(1)).as("n_rows"))
+      },
+      Some("""WITH ips AS (SELECT event_id,
+                     ((('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                        1, 8))::BIGINT % 2147483648) * 4294967296
+                      + ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                         9, 8))::BIGINT) AS ip_hi,
+                     ((('0x' || substr(md5(CAST(event_id*2+1 AS VARCHAR)),
+                        1, 8))::BIGINT % 2147483648) * 4294967296
+                      + ('0x' || substr(md5(CAST(event_id*2+1 AS VARCHAR)),
+                         9, 8))::BIGINT) AS ip_lo
+                   FROM events),
+             r9 AS (SELECT CAST((r*11) % 256 AS BIGINT) << 55 AS net_hi,
+                           'net9_' || CAST(r AS VARCHAR) AS label
+                    FROM (SELECT unnest(range(24)) AS r)),
+             r68 AS (SELECT DISTINCT ip_hi AS net_hi,
+                            ip_lo & -1152921504606846976 AS net_lo
+                     FROM ips WHERE event_id % 257 = 0),
+             r128 AS (SELECT DISTINCT ip_hi AS net_hi, ip_lo AS net_lo
+                      FROM ips WHERE event_id % 509 = 0),
+             j AS (SELECT i.ip_hi,
+                          (r128.net_hi IS NOT NULL) AS m128,
+                          (r68.net_hi IS NOT NULL) AS m68,
+                          r9.label AS l9
+                   FROM ips i
+                   LEFT JOIN r128 ON i.ip_hi = r128.net_hi
+                     AND i.ip_lo = r128.net_lo
+                   LEFT JOIN r68 ON i.ip_hi = r68.net_hi
+                     AND (i.ip_lo & -1152921504606846976) = r68.net_lo
+                   LEFT JOIN r9 ON (i.ip_hi & -36028797018963968) = r9.net_hi)
+             SELECT CAST(CASE WHEN m128 THEN 128
+                              WHEN m68 THEN 68
+                              WHEN l9 IS NOT NULL THEN 9 END AS BIGINT)
+                      AS matched_plen,
+                    CASE WHEN m128 THEN 'net128'
+                         WHEN m68 THEN 'net68'
+                         ELSE l9 END AS label,
+                    CAST(count(*) AS BIGINT) AS n_rows
+             FROM j GROUP BY 1, 2""")
+    ),
+
     // Z-order × stats pruning, quantified: the same events laid out
     // time-sorted (fid = 256-minute file) vs z-ordered (fid = top-8
     // z-curve bits = a (tb_hi4, cb_hi4) rectangle), pruned by a 2-dim

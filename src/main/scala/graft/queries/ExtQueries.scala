@@ -106,8 +106,8 @@ object ExtQueries {
   // the tuned gate configuration (the library default minhashLsh keeps
   // k=128 for recall-critical dedup; the oracle mirrors whatever k is
   // used here via the shared constants).
-  private val MinhashK = 64
-  private val RowsPerBand = 4
+  private[queries] val MinhashK = 64
+  private[queries] val RowsPerBand = 4
 
   /** Shared DuckDB replay of simhash16 → banded-hamming pairs →
     * transitive closure (recursive CTE) ending in `comp(id, component)`
@@ -153,7 +153,7 @@ object ExtQueries {
   }
   private val HashParamRows = Dedup.hashParams(MinhashK).zipWithIndex
     .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
-  private val LshCtes = s"""
+  private[queries] val LshCtes = s"""
     WITH toks AS (
       SELECT doc_id,
              unnest(string_split(text, ' ')) AS tok,

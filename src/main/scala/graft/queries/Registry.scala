@@ -30,7 +30,7 @@ object Registry {
       SaasQueries.all ++ SaasQueries2.all ++ SaasQueries3.all ++
       ObsQueries.all ++ SearchQueries.all ++ OlapQueries.all ++
       TsQueries.all ++ AnalyticsQueries.all ++ CurateQueries.all ++
-      CurateQueries2.all
+      CurateQueries2.all ++ StreamQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

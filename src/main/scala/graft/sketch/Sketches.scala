@@ -271,44 +271,98 @@ object Sketches {
     * the 2^25 cap), assembled from a bit_or AGGREGATE over word index —
     * ≤ mBits/64 rows cross to the driver regardless of key count.
     *
-    * ONE build action: bit positions are computed at the 2^25 cap and
-    * the word table rides a single aggregate whose per-word COUNT also
-    * yields the key-count the sizing needs (k rows per key, exactly) —
-    * no separate count() job, no distinct shuffle, no persist. The
-    * collected 2^25-grain words then FOLD DOWN to the sized bitset:
-    * with power-of-two sizes, bit mod 2^25 then mod m ≡ bit mod m, so
-    * OR-ing word W into W mod (m/64) reproduces exactly the bitset a
-    * direct mod-m build would have written — and the probe side's
-    * mask-m math matches bit for bit. (The r10 shape paid three driver
-    * round trips — count, build, probe — which at small scale tripled
-    * the scheduling floor; production pays the same three at 100 TB
-    * where they amortize, but the fold makes both scales two-job.)
+    * ONE build action and ONE build-side evaluation: the bitset rides a
+    * single bit_or aggregate over the PERSISTED distinct-key relation,
+    * and the residual semi-join broadcasts that SAME materialized
+    * relation — a non-deterministic build side (sampled, rand-salted)
+    * cannot diverge between the bitset and the residual, because both
+    * read one pinned evaluation. Bit positions are computed at the 2^25
+    * cap and the word table's per-word COUNT also yields the key count
+    * the sizing needs (k rows per distinct key, exactly) — no separate
+    * count() job. The collected 2^25-grain words then FOLD DOWN to the
+    * sized bitset: with power-of-two sizes, bit mod 2^25 then mod m ≡
+    * bit mod m, so OR-ing word W into W mod (m/64) reproduces exactly
+    * the bitset a direct mod-m build would have written — and the probe
+    * side's mask-m math matches bit for bit.
+    *
+    * Model state: the distinct-key relation stays cached
+    * (MEMORY_AND_DISK) for the returned plan's residual join — it is
+    * broadcast-bounded by contract (the residual ships it to every
+    * executor regardless), and Spark's LRU evicts it when the session
+    * moves on.
     */
   def bloomPrunedSemiJoin(big: DataFrame, bigKey: Column,
                           small: DataFrame, smallKey: Column,
                           mBits: Int = -1, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.graftshim.shim
-    // narrowest zero-alloc hash input: integral keys render decimal
-    // digits into a reusable buffer (≡ the string cast, value-identical)
-    def hashKey(df: DataFrame, c: Column): Column =
-      df.select(c).schema.head.dataType match {
-        case org.apache.spark.sql.types.LongType |
-             org.apache.spark.sql.types.StringType => c
-        case org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.ByteType => c.cast("long")
-        case _ => c.cast("string")
-      }
+    // ONE evaluation of the build side, pinned: distinct keys persist,
+    // the bitset aggregate materializes the cache, the residual
+    // broadcast re-reads it
+    val keyRows = small.select(smallKey.as("__k")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (words, _) = bloomBuildWords(keyRows, col("__k"), mBits, k)
+    val probe = shim.column(graft.functions.BloomProbe(
+      shim.expression(bloomHashKey(big, bigKey)), words, k))
+    // residual join on the NATIVE key type; the distinct key set is
+    // bounded by contract — broadcast it so survivors never shuffle
+    big.filter(probe)
+      .join(broadcast(keyRows), bigKey === col("__k"), "left_semi")
+  }
+
+  /** Probe-only production path — the map-side half of
+    * [[bloomPrunedSemiJoin]] in isolation: build the bitset from the
+    * build side's keys (duplicates are harmless — bit_or is idempotent
+    * — so NO distinct shuffle happens anywhere) and return the probe
+    * side's surviving rows, INCLUDING the bitset's deterministic false
+    * positives. This is the operator a 100 TB runtime filter actually
+    * inserts before a shuffle: survivors ≈ |match| + fp·|probe| flow
+    * on to whatever exact join follows. With an explicit `mBits` the
+    * full bit math — h1‖h2 = first 8 md5 bytes of the key's decimal
+    * rendering, bit_j = (h1 + j·h2) mod m — is engine-replayable, so
+    * an oracle can reproduce the EXACT survivor set (false positives
+    * and all) from the same SQL-visible md5 math.
+    */
+  def bloomProbeOnly(big: DataFrame, bigKey: Column,
+                     small: DataFrame, smallKey: Column,
+                     mBits: Int = -1, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graftshim.shim
+    val keyRows = small.select(smallKey.as("__k"))
+    val (words, _) = bloomBuildWords(keyRows, col("__k"), mBits, k)
+    big.filter(shim.column(graft.functions.BloomProbe(
+      shim.expression(bloomHashKey(big, bigKey)), words, k)))
+  }
+
+  /** Narrowest zero-alloc hash input for the bloom digest: integral
+    * keys render decimal digits into a reusable buffer (≡ the string
+    * cast, value-identical); everything else casts to string once.
+    */
+  private def bloomHashKey(df: DataFrame, c: Column): Column =
+    df.select(c).schema.head.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.StringType => c
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => c.cast("long")
+      case _ => c.cast("string")
+    }
+
+  /** The one-action bitset build shared by [[bloomPrunedSemiJoin]] and
+    * [[bloomProbeOnly]]: k Kirsch-Mitzenmacher bit rows per key row →
+    * word-indexed bit_or aggregate (map-side combined, ≤ 2^25/64 rows
+    * to the driver) → fold to the sized power-of-two bitset. Returns
+    * the words and the key-row count that fell out of the same pass.
+    */
+  private def bloomBuildWords(keyRows: DataFrame, keyCol: Column,
+                              mBits: Int, k: Int): (Array[Long], Long) = {
+    import org.apache.spark.sql.graftshim.shim
     val mCap = 1 << 25
     if (mBits > 0) require(mBits % 64 == 0 && (mBits & (mBits - 1)) == 0 &&
       mBits <= mCap,
       s"mBits must be a power of two packing into longs, at most $mCap")
-    val keyRows = small.select(smallKey.as("__k"))
     val h = shim.column(graft.functions.Md5First64(
-      shim.expression(hashKey(keyRows, col("__k")))))
+      shim.expression(bloomHashKey(keyRows, keyCol))))
     val h1 = shiftrightunsigned(h, 32)
     val h2 = h.bitwiseAND(lit(0xFFFFFFFFL))
-    // duplicates in `small` are harmless here: bit_or is idempotent
     val bits = explode(array((0 until k).map(j =>
       (h1 + lit(j.toLong) * h2).bitwiseAND(lit(mCap.toLong - 1))): _*))
     val wordRows = keyRows
@@ -333,12 +387,7 @@ object Sketches {
       }
     val words = new Array[Long](m / 64)
     wordRows.foreach(r => words(r.getInt(0) % (m / 64)) |= r.getLong(1))
-    val probe = shim.column(graft.functions.BloomProbe(
-      shim.expression(hashKey(big, bigKey)), words, k))
-    // residual join on the NATIVE key type; the distinct key set is
-    // bounded by contract — broadcast it so survivors never shuffle
-    big.filter(probe)
-      .join(broadcast(keyRows.distinct()), bigKey === col("__k"), "left_semi")
+    (words, nKeysUB)
   }
 
   /** HLL set algebra over two segments — |A|, |B|, |A∪B| from register
@@ -403,5 +452,54 @@ object Sketches {
     regs.unpersist(blocking = false)
     df.sparkSession.createDataFrame(
       java.util.Arrays.asList(resultRows: _*), out.schema)
+  }
+
+  /** Production half of [[hllSetOps]] — register merge ONLY, the shape
+    * a 100 TB audience-overlap estimate actually runs (the exact
+    * comparators are the GATE's ground truth and never ship): |A|, |B|,
+    * |A∪B| estimates and the inclusion-exclusion |A∩B|, all from one
+    * register build. Stage shape is the `x_sketch_hll_build` class, not
+    * the gate's ~10-stage fan: ONE scan computes the packed
+    * bucket‖rank, ONE ≤m-row bucket aggregate carries BOTH per-segment
+    * maxima AND the union register in the same pass (union = max over
+    * segments, so it needs no second grouping, let alone a third data
+    * pass), and ONE single-row aggregate folds the three estimator
+    * sums. No persist, no crossJoins, nothing driver-side but the
+    * 1-row result. Estimator arithmetic is the integer-exact
+    * [[hllEstimateFromRegs]] chain, bit-replayable by the oracle.
+    */
+  def hllSetOpsEstimates(df: DataFrame, segCol: Column, key: Column,
+                         segA: String, segB: String,
+                         p: Int = 8): DataFrame = {
+    require(p == 8, "estimator constant α is instantiated for p=8")
+    val m = 1 << p
+    val w = 32 - p
+    val pows = (0 to w + 1).map(i => 1L << ((w + 1) - i)).toArray
+    val isLong = df.select(key.as("__k")).schema.head.dataType ==
+      org.apache.spark.sql.types.LongType
+    val packed = org.apache.spark.sql.graftshim.shim.column(
+      graft.functions.HllBucketRank(
+        org.apache.spark.sql.graftshim.shim.expression(
+          if (isLong) key else key.cast("string")), p))
+    val rho = expr("CAST(pk % 64 AS INT)")
+    val one = df.filter(segCol.isin(segA, segB))
+      .select(segCol.as("g"), packed.as("pk"))
+      .groupBy(expr("CAST(pk div 64 AS BIGINT)").as("bucket"))
+      .agg(max(when(col("g") === segA, rho)).as("ra"),
+        max(when(col("g") === segB, rho)).as("rb"),
+        max(rho).as("ru"))
+      .agg(count(col("ra")).as("nb_a"),
+        sum(element_at(typedLit(pows), col("ra") + 1)).as("sp_a"),
+        count(col("rb")).as("nb_b"),
+        sum(element_at(typedLit(pows), col("rb") + 1)).as("sp_b"),
+        count(col("ru")).as("nb_u"),
+        sum(element_at(typedLit(pows), col("ru") + 1)).as("sp_u"))
+    def est(sfx: String) = expr(
+      s"(71827 * (CAST(${m.toLong * m * (1L << (w + 1))} AS BIGINT) div " +
+        s"(sp_$sfx + ($m - nb_$sfx) * ${1L << (w + 1)}))) div 100000")
+    one.select(est("a").as("est_a"), est("b").as("est_b"),
+        est("u").as("est_union"))
+      .withColumn("est_inter",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
   }
 }

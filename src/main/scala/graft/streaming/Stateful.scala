@@ -170,6 +170,51 @@ object Stateful {
         })
   }
 
+  // ----------------------------------- incremental minhash-LSH dedup
+
+  final case class BandSig(band: Int, sig: String, docId: Long)
+  final case class DupOut(band: Int, docA: Long, docB: Long)
+  final case class KeeperState(keeper: Long)
+
+  /** Streaming/incremental MinHash-LSH dedup — the operational mode of
+    * a 100 TB training-corpus pipeline (the corpus arrives continuously;
+    * re-running batch LSH over all history per increment is quadratic
+    * in wall-clock): each arriving document's LSH band signatures
+    * (computed map-only upstream, [[graft.dedup.Dedup.bandSignatures]])
+    * are checked against every EARLIER document, and a collision emits
+    * `(band, keeper, doc)` in the batch it arrives.
+    *
+    * Keyed by `(band, sig)`, NOT by band alone: band-keyed state would
+    * concentrate the whole corpus's signature map into nBands (= 16-32)
+    * groups — a scale non-starter — while the composite key gives each
+    * group ONE long of state (the keeper = first-seen docId), hashed
+    * across every executor. NoTimeout is deliberate: a signature's
+    * keeper IS the dedup memory and must survive the stream (same
+    * contract as [[dedupStream]]).
+    *
+    * Replay contract: ascending docId across micro-batches (within a
+    * batch, ids apply in ascending order), so the keeper is the global
+    * minimum — exactly the batch oracle's
+    * `min(doc_id) OVER (PARTITION BY band, sig)`.
+    */
+  def minhashDedupStream(spark: SparkSession,
+                         rows: Dataset[BandSig]): Dataset[DupOut] = {
+    import spark.implicits._
+    rows.groupByKey(r => (r.band, r.sig))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (Int, String), it: Iterator[BandSig],
+         state: GroupState[KeeperState]) => {
+          val ids = it.map(_.docId).toSeq.sorted
+          val (keeper, dups) = state.getOption match {
+            case Some(s) => (s.keeper, ids)
+            case None =>
+              state.update(KeeperState(ids.head))
+              (ids.head, ids.tail)
+          }
+          dups.iterator.map(d => DupOut(key._1, keeper, d))
+        })
+  }
+
   /** Deterministic hash-priority order with keys computed ONCE per
     * element — `sortBy(md5Hex(...))` would re-run the digest on every
     * comparison (O(n log n) digests per group per micro-batch).

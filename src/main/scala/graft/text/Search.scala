@@ -95,7 +95,7 @@ object Search {
     val toks = tokens(docs, id, text)
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val totals = toks.agg(count(lit(1)).as("s_tokens"))
-      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
     val tf = toks.filter(col("term").isin(terms: _*))
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
       .withColumn("df", count(lit(1)).over(

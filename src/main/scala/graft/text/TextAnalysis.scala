@@ -1008,6 +1008,34 @@ object TextAnalysis {
         array_join(slice(col("w"), col("chunk_ix") * stride + 1, lit(win)), " ")
           .as("chunk"))
 
+  /** Flesch-Kincaid grade-level readability — the edu-quality signal
+    * (FineWeb-Edu-class filters gate on it) — in EXACT integers: the
+    * grade `0.39·W/X + 11.8·S/W − 15.59` (W words, X sentences, S
+    * syllables) is scaled to centi-grades over the common denominator
+    * X·W and OFFSET by +10000 so the dividend stays positive — Spark's
+    * `div` truncates toward zero while DuckDB's `//` floors, and the
+    * offset makes both the same operation. Syllables are the standard
+    * vowel-group proxy (`[aeiouy]+` runs, lowercased); sentences are
+    * terminal-punctuation counts clamped to ≥1. Map-only: three regexp
+    * counts in one projection, no shuffle at any corpus size.
+    */
+  def readability(df: DataFrame, idCol: Column, text: Column): DataFrame =
+    df.select(idCol.as("doc_id"),
+        size(split(text, " ")).cast("long").as("words"),
+        greatest(size(regexp_extract_all(text, lit("[.!?]"), lit(0)))
+          .cast("long"), lit(1L)).as("sentences"),
+        size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("syllables"))
+      .withColumn("fk_centi_p10k", expr(
+        "(39 * words * words + 1180 * syllables * sentences" +
+          " + 8441 * sentences * words) div (sentences * words)"))
+      // 8441 = 10000 - 1559: the -15.59 grade constant folded into the
+      // positivity offset
+      .withColumn("band",
+        when(col("fk_centi_p10k") < 10800, "easy")
+          .when(col("fk_centi_p10k") < 11300, "standard")
+          .otherwise("hard"))
+
   /** PMI collocation extraction (Church & Hanks 1990): the top-k word
     * bigrams by pointwise mutual information, min-support filtered —
     * the classic multi-word-expression detector ("new york" scores high
@@ -1038,34 +1066,6 @@ object TextAnalysis {
     * returns pre-collected (driver model state, the kmeans/hllSetOps
     * pattern).
     */
-  /** Flesch-Kincaid grade-level readability — the edu-quality signal
-    * (FineWeb-Edu-class filters gate on it) — in EXACT integers: the
-    * grade `0.39·W/X + 11.8·S/W − 15.59` (W words, X sentences, S
-    * syllables) is scaled to centi-grades over the common denominator
-    * X·W and OFFSET by +10000 so the dividend stays positive — Spark's
-    * `div` truncates toward zero while DuckDB's `//` floors, and the
-    * offset makes both the same operation. Syllables are the standard
-    * vowel-group proxy (`[aeiouy]+` runs, lowercased); sentences are
-    * terminal-punctuation counts clamped to ≥1. Map-only: three regexp
-    * counts in one projection, no shuffle at any corpus size.
-    */
-  def readability(df: DataFrame, idCol: Column, text: Column): DataFrame =
-    df.select(idCol.as("doc_id"),
-        size(split(text, " ")).cast("long").as("words"),
-        greatest(size(regexp_extract_all(text, lit("[.!?]"), lit(0)))
-          .cast("long"), lit(1L)).as("sentences"),
-        size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
-          .cast("long").as("syllables"))
-      .withColumn("fk_centi_p10k", expr(
-        "(39 * words * words + 1180 * syllables * sentences" +
-          " + 8441 * sentences * words) div (sentences * words)"))
-      // 8441 = 10000 - 1559: the -15.59 grade constant folded into the
-      // positivity offset
-      .withColumn("band",
-        when(col("fk_centi_p10k") < 10800, "easy")
-          .when(col("fk_centi_p10k") < 11300, "standard")
-          .otherwise("hard"))
-
   def pmiCollocations(df: DataFrame, text: Column,
                       minCount: Int = 5, k: Int = 50): DataFrame = {
     import org.apache.spark.sql.graftshim.shim
@@ -1122,8 +1122,14 @@ object TextAnalysis {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val rows: java.util.List[org.apache.spark.sql.Row] =
       java.util.Arrays.asList(winners.map { r =>
+        // a winner hash absent on the resolve pass means the corpus
+        // changed between the two actions — fail loudly, not with a
+        // bare NoSuchElementException
+        def word(h: Long): String = wordOf.getOrElse(h, sys.error(
+          s"winner hash $h missing on resolve pass — " +
+            "non-deterministic input between actions?"))
         org.apache.spark.sql.Row(
-          wordOf(r.getLong(0)) + " " + wordOf(r.getLong(1)),
+          word(r.getLong(0)) + " " + word(r.getLong(1)),
           r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
       }: _*)
     spark.createDataFrame(rows, outSchema)

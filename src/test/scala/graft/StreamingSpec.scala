@@ -1661,4 +1661,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains(("2024-01-01 00:00:00", "a", 2L, 3.0)))
     assert(rows.contains(("2024-01-01 00:00:00", "b", 1L, 5.0)))
   }
+
+  test("incremental minhash dedup: keeper survives batches, dups emit per band") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[BandSig]
+    val out = Stateful.minhashDedupStream(spark, in.toDS())
+    val q = out.writeStream.format("memory").queryName("mh_dedup")
+      .outputMode("append").start()
+    try {
+      // batch 1: docs 1 and 2 collide in band 0; doc 3 alone in band 1
+      in.addData(BandSig(0, "sigA", 1L), BandSig(0, "sigA", 2L),
+        BandSig(1, "sigX", 3L))
+      q.processAllAvailable()
+      // batch 2: doc 9 collides with the REMEMBERED keeper of band 0
+      // and with doc 3 in band 1; a fresh sig emits nothing
+      in.addData(BandSig(0, "sigA", 9L), BandSig(1, "sigX", 9L),
+        BandSig(2, "sigQ", 9L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("mh_dedup").as[DupOut].collect().toSet
+    assert(got == Set(DupOut(0, 1L, 2L), DupOut(0, 1L, 9L),
+      DupOut(1, 3L, 9L)))
+  }
 }
