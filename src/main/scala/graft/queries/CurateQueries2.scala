@@ -216,18 +216,26 @@ object CurateQueries2 {
         val withIp = Tables.events(s, dir).select(col("event_id"))
           .withColumn("ip_hi", twoLong(col("event_id")))
           .withColumn("ip_lo", twoLong(col("event_id") * 2 + 1))
+        // rule table = driver model state (a CIDR db is a static
+        // dimension): ONE sampled scan derives both data-drawn rule
+        // sets, so the probe pass is the only full scan in the plan —
+        // a distributed rule derivation here would re-scan the fact
+        // side once per branch plus once per broadcast build
+        val sampled = withIp
+          .filter(col("event_id") % 257 === 0 || col("event_id") % 509 === 0)
+          .collect()
+        val r68 = sampled.filter(_.getLong(0) % 257 == 0)
+          .map(r => (r.getLong(1), r.getLong(2) & (-1L << 60), 68L, "net68"))
+          .distinct.toSeq
+        val r128 = sampled.filter(_.getLong(0) % 509 == 0)
+          .map(r => (r.getLong(1), r.getLong(2), 128L, "net128"))
+          .distinct.toSeq
         val r9 = (0 until 24).map(r =>
-            (((r * 11L) % 256) << 55, 0L, 9L, s"net9_$r"))
+          (((r * 11L) % 256) << 55, 0L, 9L, s"net9_$r"))
+        val rules = (r9 ++ r68 ++ r128)
           .toDF("net_hi", "net_lo", "plen", "label")
-        val r68 = withIp.filter(col("event_id") % 257 === 0)
-          .select(col("ip_hi").as("net_hi"),
-            col("ip_lo").bitwiseAND(lit(-1L << 60)).as("net_lo"),
-            lit(68L).as("plen"), lit("net68").as("label")).distinct()
-        val r128 = withIp.filter(col("event_id") % 509 === 0)
-          .select(col("ip_hi").as("net_hi"), col("ip_lo").as("net_lo"),
-            lit(128L).as("plen"), lit("net128").as("label")).distinct()
         graft.ops.Enrich.cidrJoin6(withIp, col("ip_hi"), col("ip_lo"),
-            r9.unionByName(r68).unionByName(r128))
+            rules)
           .groupBy(col("matched_plen"), col("label"))
           .agg(count(lit(1)).as("n_rows"))
       },
