@@ -13,13 +13,13 @@ import graft.obs.Observability
   */
 object ObsQueries {
 
-  private def eventsWithCents(s: org.apache.spark.sql.SparkSession,
+  private[queries] def eventsWithCents(s: org.apache.spark.sql.SparkSession,
                               dir: String) =
     Tables.events(s, dir)
       .withColumn("cents", Observability.cents(col("value")))
 
   /** Shared oracle prelude: events with exact integer cents + ns time. */
-  private val S =
+  private[queries] val S =
     """WITH s AS (SELECT event_type, event_id, user_id, ts, props,
                    epoch_ns(ts) AS ts_ns,
                    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents

@@ -293,6 +293,302 @@ object StreamQueries {
              SELECT CAST(band AS BIGINT) AS band, keeper AS doc_a,
                     doc_id AS doc_b
              FROM k WHERE doc_id != keeper""")
+    ),
+
+    // PromQL counter-rate twin: per-sample increases decided online
+    // against the last sample across all previous micro-batches
+    // (reset => post-reset value, first sample => 0), then the SAME
+    // 10-min bucket rollup as the batch gate — the oracle is the batch
+    // oracle verbatim, because summing the per-sample increases per
+    // bucket IS the batch computation.
+    GraftQuery(
+      "x_obs_rate_stream",
+      (s, dir) => {
+        import s.implicits._
+        val wCum = Window.partitionBy(col("series"))
+          .orderBy(col("ts_ns"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val samples = ObsQueries.eventsWithCents(s, dir)
+          .select(col("event_type").as("series"), col("ts_ns"),
+            col("event_id"), col("cents"))
+          .withColumn("counter", sum(col("cents")).over(wCum) % 1000000L)
+          .select(col("series"), col("ts_ns").as("tsNs"),
+            col("event_id").as("ord"), col("counter"))
+          .as[Stateful.CounterSample].collect()
+          .sortBy(c => (c.tsNs, c.ord)).toSeq
+        implicit val sqlCtx = s.sqlContext
+        val in = MemoryStream[Stateful.CounterSample]
+        val table = sinkName("x_obs_rate_stream")
+        val q = startToMemory(Stateful.rateStream(s, in.toDS()), table)
+        try {
+          feed(in, samples)
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(table)
+          .groupBy(col("series"),
+            expr("((tsNs div 1000) div 600000000) * 600000000")
+              .as("bucket_us"))
+          .agg(sum(col("increase")).as("increase_cents"),
+            count(lit(1)).as("n_samples"))
+          .withColumn("rate_per_sec",
+            col("increase_cents").cast("double") / 60000.0)
+      },
+      Some(ObsQueries.S + """,
+             c AS (SELECT event_type AS series, ts_ns, event_id,
+                     CAST(sum(cents) OVER (PARTITION BY event_type
+                       ORDER BY ts_ns, event_id ROWS UNBOUNDED PRECEDING)
+                       % 1000000 AS BIGINT) AS counter
+                   FROM s),
+             d AS (SELECT series, ts_ns, counter,
+                     lag(counter) OVER (PARTITION BY series
+                       ORDER BY ts_ns, event_id) AS prev
+                   FROM c)
+             SELECT series,
+                    (ts_ns // 1000 // 600000000) * 600000000 AS bucket_us,
+                    CAST(sum(CASE WHEN prev IS NULL THEN 0
+                             WHEN counter < prev THEN counter
+                             ELSE counter - prev END) AS BIGINT)
+                      AS increase_cents,
+                    CAST(count(*) AS BIGINT) AS n_samples,
+                    CAST(sum(CASE WHEN prev IS NULL THEN 0
+                             WHEN counter < prev THEN counter
+                             ELSE counter - prev END) AS DOUBLE) / 60000.0
+                      AS rate_per_sec
+             FROM d GROUP BY 1, 2""")
+    ),
+
+    // Gap-fill LOCF twin: each arriving bucket first emits the carried-
+    // forward gap rows since its series' last observed bucket, then
+    // itself. Stream-side observed rows carry n_samples=1 (the stream
+    // sees pre-bucketed cells), so the oracle marks observed rows 1
+    // instead of the batch gate's raw-row counts — the fill structure
+    // is identical.
+    GraftQuery(
+      "x_series_gapfill_stream",
+      (s, dir) => {
+        import s.implicits._
+        val bs = TsQueries.buckets(s, dir)
+          .select(col("series"), col("bucket_us").as("bucketUs"),
+            col("cents"))
+          .as[Stateful.SeriesBucket].collect()
+          .sortBy(b => (b.series, b.bucketUs)).toSeq
+        implicit val sqlCtx = s.sqlContext
+        val in = MemoryStream[Stateful.SeriesBucket]
+        val table = sinkName("x_series_gapfill_stream")
+        val q = startToMemory(
+          Stateful.gapFillStream(s, in.toDS(), TsQueries.B), table)
+        try {
+          feed(in, bs)
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(table).select(col("series"),
+          col("bucketUs").as("bucket_us"), col("cents"),
+          col("nSamples").as("n_samples"), col("filled"))
+      },
+      Some(TsQueries.P + s""",
+             g AS (SELECT series,
+                     unnest(generate_series(prev_b + ${TsQueries.B},
+                       bucket_us - ${TsQueries.B}, ${TsQueries.B}))
+                       AS bucket_us,
+                     prev_c AS cents
+                   FROM p
+                   WHERE prev_b IS NOT NULL
+                     AND bucket_us - prev_b > ${TsQueries.B})
+             SELECT series, bucket_us, cents,
+                    CAST(1 AS BIGINT) AS n_samples,
+                    CAST(0 AS BIGINT) AS filled
+             FROM o
+             UNION ALL
+             SELECT series, bucket_us, cents,
+                    CAST(0 AS BIGINT) AS n_samples,
+                    CAST(1 AS BIGINT) AS filled
+             FROM g""")
+    ),
+
+    // CDC latest-wins twin: the continuously-materialized replica.
+    // Same synthesized change log as x_cdc_merge, fed ascending by
+    // sequence; the sink accumulates every interim winner and the gate
+    // reduces to final state (max-seq row per key, tombstones erased) —
+    // the batch oracle verbatim.
+    GraftQuery(
+      "x_cdc_stream",
+      (s, dir) => {
+        import s.implicits._
+        val changes = Tables.orders(s, dir)
+          .withColumn("k", explode(typedLit(Seq(0, 1, 2))))
+          .filter(col("k") === 0 ||
+            (col("k") === 1 && col("o_orderkey") % 3 === 0) ||
+            (col("k") === 2 && col("o_orderkey") % 9 === 0))
+          .select(col("o_orderkey").as("key"),
+            col("k").cast("long").as("seq"),
+            when(col("k") === 2 && col("o_orderkey") % 18 === 0, "D")
+              .otherwise("U").as("op"),
+            ((col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long") + col("k")).as("payload"))
+          .as[Stateful.Change].collect()
+          .sortBy(c => (c.seq, c.key)).toSeq
+        implicit val sqlCtx = s.sqlContext
+        val in = MemoryStream[Stateful.Change]
+        val table = sinkName("x_cdc_stream")
+        val q = startToMemory(Stateful.cdcStream(s, in.toDS()), table)
+        try {
+          feed(in, changes)
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(table).groupBy(col("key").as("o_orderkey"))
+          .agg(max(col("seq")).as("seq"),
+            expr("max_by(payload, seq)").as("val"),
+            expr("max_by(op, seq)").as("__op"))
+          .filter(col("__op") =!= "D").drop("__op")
+      },
+      Some("""WITH ch AS (SELECT o_orderkey, CAST(k AS BIGINT) AS seq,
+                     CASE WHEN k = 2 AND o_orderkey % 18 = 0 THEN 'D'
+                          ELSE 'U' END AS op,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) + k AS val
+                   FROM orders, (SELECT unnest(range(0, 3)) AS k)
+                   WHERE k = 0 OR (k = 1 AND o_orderkey % 3 = 0)
+                      OR (k = 2 AND o_orderkey % 9 = 0))
+             SELECT o_orderkey, CAST(max(seq) AS BIGINT) AS seq,
+                    CAST(arg_max(val, seq) AS BIGINT) AS val
+             FROM ch GROUP BY 1
+             HAVING arg_max(op, seq) <> 'D'""")
+    ),
+
+    // Sequence-packing twin: per-shard cursor advances doc by doc. Fed
+    // in the batch operator's global hash-priority order, the online
+    // token intervals equal the batch window's running sums — the
+    // oracle is the batch oracle verbatim.
+    GraftQuery(
+      "x_pack_stream",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id").as("docId"),
+            (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+              .cast("long") % 8).cast("int").as("shard"),
+            size(split(col("text"), " ")).cast("long").as("nTokens"))
+          .as[Stateful.Doc].collect()
+          .sortBy(d => (localMd5Hex(d.docId), d.docId)).toSeq
+        implicit val sqlCtx = s.sqlContext
+        val in = MemoryStream[Stateful.Doc]
+        val table = sinkName("x_pack_stream")
+        val q = startToMemory(
+          Stateful.packStream(s, in.toDS(), seqLen = 256), table)
+        try {
+          feed(in, docs)
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(table).select(col("docId").as("doc_id"),
+          (col("tokEnd") - col("tokBegin")).as("n_tokens"),
+          col("shard"), col("tokEnd").as("tok_end"),
+          col("tokBegin").as("tok_begin"),
+          col("firstSeq").as("first_seq"), col("lastSeq").as("last_seq"),
+          pmod(col("tokBegin"), lit(256L)).as("seq_offset"),
+          (col("lastSeq") - col("firstSeq") + 1).as("n_seqs"))
+      },
+      Some("""WITH t AS (
+               SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                           ::BIGINT % 8 AS INT) AS shard
+               FROM documents),
+             c AS (
+               SELECT doc_id, n_tokens, shard,
+                      CAST(SUM(n_tokens) OVER (PARTITION BY shard
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+               FROM t)
+             SELECT doc_id, n_tokens, shard, tok_end,
+                    CAST(tok_end - n_tokens AS BIGINT) AS tok_begin,
+                    CAST((tok_end - n_tokens) // 256 AS BIGINT) AS first_seq,
+                    CAST((tok_end - 1) // 256 AS BIGINT) AS last_seq,
+                    CAST((tok_end - n_tokens) % 256 AS BIGINT) AS seq_offset,
+                    CAST((tok_end - 1) // 256 - (tok_end - n_tokens) // 256 + 1
+                      AS BIGINT) AS n_seqs
+             FROM c""")
+    ),
+
+    // Per-domain quota twin: at most 20 docs per source domain, decided
+    // online in the batch operator's hash-priority order (earlier
+    // batches win — exactly the priority prefix).
+    GraftQuery(
+      "x_curate_domains_stream",
+      (s, dir) => {
+        import s.implicits._
+        val expected = graft.text.TextAnalysis.domainQuota(
+          Tables.documents(s, dir), col("doc_id"), col("source"),
+          cap = 20).count()
+        val docs = Tables.documents(s, dir)
+          .select(col("source").as("group"), col("doc_id").as("docId"),
+            lit(0L).as("nTokens"))
+          .as[Stateful.GroupedDoc].collect()
+          .sortBy(d => (localMd5Hex(d.docId), d.docId)).toSeq
+        implicit val sqlCtx = s.sqlContext
+        val in = MemoryStream[Stateful.GroupedDoc]
+        val table = sinkName("x_curate_domains_stream")
+        val q = startToMemory(
+          Stateful.quotaStream(s, in.toDS(), cap = 20,
+            idleTimeoutMs = 86400000L), table)
+        try {
+          feed(in, docs)
+          awaitRows(s, table, expected)
+        } finally q.stop()
+        s.table(table).select(col("docId").as("doc_id"),
+          col("group").as("domain"))
+      },
+      Some("""SELECT doc_id, domain FROM (
+               SELECT doc_id, source AS domain,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+               FROM documents)
+             WHERE rn <= 20""")
+    ),
+
+    // Token-budget mix twin: each language's budget fills online in
+    // hash-priority order; the kept set equals the batch running-total
+    // prefix.
+    GraftQuery(
+      "x_mix_budget_stream",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+          .select(col("lang").as("group"), col("doc_id").as("docId"),
+            size(split(col("text"), " ")).cast("long").as("nTokens"))
+          .as[Stateful.GroupedDoc].collect()
+          .sortBy(d => (localMd5Hex(d.docId), d.docId)).toSeq
+        implicit val sqlCtx = s.sqlContext
+        val in = MemoryStream[Stateful.GroupedDoc]
+        val table = sinkName("x_mix_budget_stream")
+        val q = startToMemory(
+          Stateful.budgetStream(s, in.toDS(), budgetPerGroup = 4000L),
+          table)
+        try {
+          feed(in, docs)
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(table).select(col("docId").as("doc_id"),
+          col("group").as("grp"), col("nTokens").as("n_tokens"))
+      },
+      Some("""SELECT doc_id, grp, n_tokens FROM (
+               SELECT doc_id, lang AS grp,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                      sum(len(string_split(text, ' ')))
+                        OVER (PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_tokens
+               FROM documents)
+             WHERE cum_tokens <= 4000""")
     )
   )
+
+  /** Driver-side twin of the executors' hash-priority key (full md5 hex
+    * of the id's decimal rendering) — used to feed replays in the batch
+    * operators' global priority order.
+    */
+  private def localMd5Hex(id: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(id.toString.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+  }
 }

@@ -13,9 +13,9 @@ import graft.obs.{Observability, Timeseries}
   */
 object TsQueries {
 
-  private val B = 600000000L // 10-min bucket, microseconds
+  private[queries] val B = 600000000L // 10-min bucket, microseconds
 
-  private def buckets(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[queries] def buckets(s: org.apache.spark.sql.SparkSession, dir: String) =
     Timeseries.bucketize(
       Tables.events(s, dir).withColumn("cents",
         Observability.cents(col("value"))),
@@ -34,7 +34,7 @@ object TsQueries {
                    FROM s GROUP BY 1, 2)"""
 
   /** Lagged prelude: each observed bucket with its predecessor. */
-  private val P = O +
+  private[queries] val P = O +
     s""",
              p AS (SELECT series, bucket_us, cents, n_samples,
                      lag(bucket_us) OVER w AS prev_b,
