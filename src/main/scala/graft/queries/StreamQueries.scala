@@ -579,6 +579,164 @@ object StreamQueries {
                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
                FROM documents)
              WHERE cum_tokens <= 4000""")
+    ),
+
+    // EWMA twin: per-series ≤16-cell lag window carried across
+    // micro-batches; each arriving bucket emits the identical ×2^16
+    // fixed-point sum — the oracle is the batch oracle verbatim.
+    GraftQuery(
+      "x_series_ewma_stream",
+      (s, dir) => {
+        import s.implicits._
+        val bs = TsQueries.buckets(s, dir)
+          .select(col("series"), col("bucket_us").as("bucketUs"),
+            col("cents"))
+          .as[Stateful.SeriesBucket].collect()
+          .sortBy(b => (b.series, b.bucketUs)).toSeq
+        implicit val sqlCtx = s.sqlContext
+        val in = MemoryStream[Stateful.SeriesBucket]
+        val table = sinkName("x_series_ewma_stream")
+        val q = startToMemory(Stateful.ewmaStream(s, in.toDS()), table)
+        try {
+          feed(in, bs)
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(table).select(col("series"),
+          col("bucketUs").as("bucket_us"), col("cents"),
+          col("ewmaFp").as("ewma_fp"))
+      },
+      Some {
+        val terms = (0 until 16).map { k =>
+          val wgt = 1L << (15 - k)
+          if (k == 0) s"cents * $wgt"
+          else s"coalesce(lag(cents, $k) OVER w, 0) * $wgt"
+        }.mkString(" + ")
+        TsQueries.O + s"""
+             SELECT series, bucket_us, cents,
+                    CAST($terms AS BIGINT) AS ewma_fp
+             FROM o
+             WINDOW w AS (PARTITION BY series ORDER BY bucket_us)"""
+      }
+    ),
+
+    // Burst-detection twin: per-service trailing-12 cells carried
+    // across micro-batches; every arriving pre-bucketed count re-emits
+    // its bucket's integer cross-multiplied evaluation. Fed in bucket
+    // order with each bucket exactly once, the trailing set equals the
+    // batch window's ROWS -12..-1 — the oracle is the batch oracle
+    // verbatim.
+    GraftQuery(
+      "x_obs_burst_stream",
+      (s, dir) => {
+        import s.implicits._
+        val counts = ObsQueries.eventsWithCents(s, dir)
+          .select(concat(lit("svc"), col("user_id") % 4).as("service"),
+            expr("((ts_ns div 1000) div 600000000) * 600000000")
+              .as("bucketUs"))
+          .groupBy(col("service"), col("bucketUs"))
+          .agg(count(lit(1)).as("n"))
+          .as[Stateful.BucketCount].collect()
+          .sortBy(b => (b.service, b.bucketUs)).toSeq
+        implicit val sqlCtx = s.sqlContext
+        val in = MemoryStream[Stateful.BucketCount]
+        val table = sinkName("x_obs_burst_stream")
+        val q = startToMemory(Stateful.burstStream(s, in.toDS()), table)
+        try {
+          feed(in, counts)
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(table).select(col("service"),
+          col("bucketUs").as("bucket_us"), col("cnt"),
+          col("prevSum").as("prev_sum"), col("prevN").as("prev_n"),
+          col("isBurst").as("is_burst"))
+      },
+      Some("""WITH s AS (SELECT 'svc' || CAST(user_id % 4 AS VARCHAR)
+                       AS service, epoch_ns(ts) AS ts_ns FROM events),
+             b AS (SELECT service,
+                     (ts_ns // 1000 // 600000000) * 600000000 AS bucket_us,
+                     CAST(count(*) AS BIGINT) AS cnt
+                   FROM s GROUP BY 1, 2),
+             r AS (SELECT *,
+                     CAST(sum(cnt) OVER w AS BIGINT) AS prev_sum,
+                     CAST(count(cnt) OVER w AS BIGINT) AS prev_n
+                   FROM b WINDOW w AS (PARTITION BY service
+                     ORDER BY bucket_us
+                     ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING))
+             SELECT service, bucket_us, cnt,
+                    coalesce(prev_sum, 0) AS prev_sum, prev_n,
+                    prev_n > 0 AND cnt * prev_n > prev_sum * 3 AS is_burst
+             FROM r""")
+    ),
+
+    // Funnel twin: the per-user 3-timestamp stage machine advanced
+    // online (strict-after + horizon rules make same-timestamp ties
+    // semantically inert, so the replay is deterministic); the sink's
+    // depth advances reduce to each user's final row and roll up to
+    // the batch gate's per-depth output, depth-0 users (present in
+    // events, never reaching stage 1) counted from the input side.
+    GraftQuery(
+      "x_obs_funnel_stream",
+      (s, dir) => {
+        import s.implicits._
+        val ev = ObsQueries.eventsWithCents(s, dir)
+        val totalUsers = ev.select(col("user_id")).distinct().count()
+        val stages = ev
+          .filter(col("event_type").isin("signup", "click", "purchase"))
+          .select(col("user_id").as("user"), col("ts_ns").as("tsNs"),
+            col("event_type").as("stage"))
+          .as[Stateful.FunnelEvent].collect()
+          .sortBy(e => (e.user, e.tsNs)).toSeq
+        implicit val sqlCtx = s.sqlContext
+        val in = MemoryStream[Stateful.FunnelEvent]
+        val table = sinkName("x_obs_funnel_stream")
+        val q = startToMemory(
+          Stateful.funnelStream(s, in.toDS(), "signup", "click",
+            "purchase", horizonNs = 604800000000000L), table)
+        try {
+          feed(in, stages)
+          q.processAllAvailable()
+        } finally q.stop()
+        // a user's later updates carry its earlier step times, so max()
+        // per column IS the final state
+        val finals = s.table(table).groupBy(col("user"))
+          .agg(max(col("depth")).as("depth"),
+            max(col("step12Ns")).as("s12"),
+            max(col("step23Ns")).as("s23"))
+        val reached = finals.groupBy(col("depth").cast("long").as("depth"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("s12")).cast("decimal(38,0)").cast("string")
+              .as("step12_ns_sum"),
+            sum(col("s23")).cast("decimal(38,0)").cast("string")
+              .as("step23_ns_sum"))
+        val n0 = totalUsers - finals.count()
+        if (n0 > 0)
+          reached.unionByName(
+            Seq((0L, n0, "0", "0")).toDF("depth", "n_users",
+              "step12_ns_sum", "step23_ns_sum"))
+        else reached
+      },
+      Some("""WITH e AS (SELECT user_id AS u, epoch_ns(ts) AS t,
+                     event_type AS st FROM events),
+             w1 AS (SELECT *, min(CASE WHEN st = 'signup' THEN t END)
+                      OVER (PARTITION BY u) AS t1 FROM e),
+             w2 AS (SELECT *, min(CASE WHEN st = 'click' AND t > t1
+                      AND t <= t1 + 604800000000000 THEN t END)
+                      OVER (PARTITION BY u) AS t2 FROM w1),
+             w3 AS (SELECT *, min(CASE WHEN st = 'purchase' AND t > t2
+                      AND t <= t2 + 604800000000000 THEN t END)
+                      OVER (PARTITION BY u) AS t3 FROM w2),
+             pu AS (SELECT u, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+                    FROM w3 GROUP BY 1)
+             SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                         WHEN t2 IS NOT NULL THEN 2
+                         WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+                      AS depth,
+                    CAST(count(*) AS BIGINT) AS n_users,
+                    CAST(CAST(COALESCE(sum(t2 - t1), 0) AS DECIMAL(38,0))
+                      AS VARCHAR) AS step12_ns_sum,
+                    CAST(CAST(COALESCE(sum(t3 - t2), 0) AS DECIMAL(38,0))
+                      AS VARCHAR) AS step23_ns_sum
+             FROM pu GROUP BY 1""")
     )
   )
 

@@ -22,7 +22,7 @@ object TsQueries {
       col("event_type"), col("ts_ns"), col("cents"), B)
 
   /** Shared oracle prelude: observed (series, bucket) sums. */
-  private val O =
+  private[queries] val O =
     s"""WITH s AS (SELECT event_type, epoch_ns(ts) AS ts_ns,
                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
                       AS cents

@@ -418,10 +418,17 @@ object Stateful {
   /** Streaming twin of [[graft.obs.Observability.burst]]: per-service
     * state keeps the newest `lookback`+1 (bucket, count) cells — bounded
     * by construction — and every arriving pre-bucketed count merges in
-    * and re-emits its bucket's evaluation against the trailing cells
-    * (same integer cross-multiply as the batch operator). Late counts
-    * for a retained bucket accumulate and re-evaluate; buckets older
-    * than the window are dropped, which IS the retention policy.
+    * IN BUCKET ORDER and immediately emits its bucket's evaluation
+    * against the trailing cells known at that point (same integer
+    * cross-multiply as the batch operator). Incremental evaluation —
+    * rather than merge-whole-batch-then-evaluate — makes bulk replay
+    * exact: fed each bucket once in order, every emission equals the
+    * batch window's ROWS -lookback..-1 row, regardless of micro-batch
+    * boundaries (the pre-r13 form silently dropped evaluations for
+    * buckets older than the 13 newest within one large batch). A late
+    * count for a retained bucket accumulates and re-evaluates against
+    * the then-current cells; buckets older than the window are dropped,
+    * which IS the retention policy.
     */
   def burstStream(spark: SparkSession, counts: Dataset[BucketCount],
                   num: Int = 3, den: Int = 1,
@@ -434,24 +441,26 @@ object Stateful {
           val cur = scala.collection.mutable.Map[Long, Long]()
           state.getOption.foreach(_.buckets.foreach { case (b, c) =>
             cur(b) = c })
-          val touched = scala.collection.mutable.SortedSet[Long]()
-          it.foreach { bc =>
+          val out = scala.collection.mutable.ArrayBuffer[BurstOut]()
+          it.toSeq.sortBy(_.bucketUs).foreach { bc =>
             cur(bc.bucketUs) = cur.getOrElse(bc.bucketUs, 0L) + bc.n
-            touched += bc.bucketUs
-          }
-          val kept = cur.toList.sortBy(-_._1).take(lookback + 1)
-          state.update(BurstState(kept))
-          val byBucket = kept.toMap
-          touched.iterator.filter(byBucket.contains).map { b =>
-            // trailing = the newest `lookback` retained buckets older
-            // than b — the streaming analogue of ROWS -lookback..-1
-            val trail = kept.filter(_._1 < b).sortBy(-_._1).take(lookback)
+            // trailing = the newest `lookback` cells strictly older
+            // than this bucket — the streaming ROWS -lookback..-1
+            val trail = cur.toList.filter(_._1 < bc.bucketUs)
+              .sortBy(-_._1).take(lookback)
             val prevSum = trail.map(_._2).sum
             val prevN = trail.size.toLong
-            val cnt = byBucket(b)
-            BurstOut(service, b, cnt, prevSum, prevN,
+            val cnt = cur(bc.bucketUs)
+            out += BurstOut(service, bc.bucketUs, cnt, prevSum, prevN,
               prevN > 0 && cnt * prevN * den > prevSum * num)
-          }.toList.iterator
+            if (cur.size > lookback + 1) {
+              val dead = cur.keys.toList.sorted
+                .dropRight(lookback + 1)
+              dead.foreach(cur.remove)
+            }
+          }
+          state.update(BurstState(cur.toList))
+          out.iterator
         })
   }
 
