@@ -737,6 +737,63 @@ object StreamQueries {
                     CAST(CAST(COALESCE(sum(t3 - t2), 0) AS DECIMAL(38,0))
                       AS VARCHAR) AS step23_ns_sum
              FROM pu GROUP BY 1""")
+    ),
+
+    // Tail-sampling twin (processor_sampling tail mode): whole traces
+    // buffer in group state and decide once quiet for decisionWaitMs —
+    // keep if ANY span breaches the latency threshold or carries an
+    // error status, emit all spans or none. The DECISION is a pure
+    // function of trace content, so although emission time is
+    // wall-clock (timeout-driven), the emitted multiset is
+    // deterministic and hash-replayable; the gate polls until the
+    // batch-computed kept-span count arrives.
+    GraftQuery(
+      "x_tail_sample_stream",
+      (s, dir) => {
+        import s.implicits._
+        val sp = ObsQueries.eventsWithCents(s, dir).select(
+          expr("CAST(event_id div 20 AS STRING)").as("traceId"),
+          col("event_id").cast("string").as("spanId"),
+          lit(0L).as("tsSec"),
+          (col("cents") % 1000L).as("durationMs"),
+          when(col("event_type") === "error" && col("event_id") % 97 === 0,
+            500).otherwise(200).as("statusCode"),
+          col("event_type").as("body"))
+        val keepCond = col("durationMs") >= 990 || col("statusCode") >= 500
+        val kept = sp.groupBy(col("traceId"))
+          .agg(max(when(keepCond, 1).otherwise(0)).as("__k"))
+          .filter(col("__k") === 1).select(col("traceId"))
+        val expected = sp.join(kept, "traceId").count()
+        val spans = sp.as[Stateful.Span].collect()
+          .sortBy(x => (x.traceId, x.spanId)).toSeq
+        implicit val sqlCtx = s.sqlContext
+        val in = MemoryStream[Stateful.Span]
+        val table = sinkName("x_tail_sample_stream")
+        val q = startToMemory(
+          Stateful.tailSample(s, in.toDS(),
+            Stateful.TailPolicy(maxLatencyMs = 990, errorStatusMin = 500),
+            decisionWaitMs = 800), table)
+        try {
+          feed(in, spans)
+          awaitRows(s, table, expected)
+        } finally q.stop()
+        s.table(table).select(col("traceId").as("trace_id"),
+          col("spanId").as("span_id"), col("durationMs").as("duration_ms"),
+          col("statusCode").cast("long").as("status_code"))
+      },
+      Some("""WITH sp AS (SELECT CAST(event_id // 20 AS VARCHAR) AS trace_id,
+                     CAST(event_id AS VARCHAR) AS span_id,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       % 1000 AS duration_ms,
+                     CASE WHEN event_type = 'error' AND event_id % 97 = 0
+                       THEN 500 ELSE 200 END AS status_code
+                   FROM events),
+             k AS (SELECT trace_id FROM sp GROUP BY 1
+                   HAVING max(CASE WHEN duration_ms >= 990
+                              OR status_code >= 500 THEN 1 ELSE 0 END) = 1)
+             SELECT sp.trace_id, sp.span_id, sp.duration_ms,
+                    CAST(sp.status_code AS BIGINT) AS status_code
+             FROM sp JOIN k USING (trace_id)""")
     )
   )
 
