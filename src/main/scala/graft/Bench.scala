@@ -33,8 +33,12 @@ object Bench {
     // suite variance is ±15% single-shot; report the median of N runs
     // per query so round-over-round regressions are detectable
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
-    // comma-separated name prefixes to bench a subset (iteration loop)
+    // comma-separated name prefixes to bench a subset (iteration loop);
+    // a trailing '$' pins a term to an EXACT name (so "x_dedup_minhash$"
+    // does not also select x_dedup_minhash_stream)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    def onlyMatches(n: String): Boolean = only.forall(_.exists(p =>
+      if (p.endsWith("$")) n == p.dropRight(1) else n.startsWith(p)))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -56,7 +60,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
-      only.forall(_.exists(n.startsWith))
+      onlyMatches(n)
     }
     // Warm the JVM (codegen, parquet reader, shuffle paths) on the
     // smallest scale factor so the measured numbers reflect steady-state
