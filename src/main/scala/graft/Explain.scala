@@ -71,11 +71,11 @@ object Explain {
     "x_join_bloom" -> "bloom-pruned semi-join (codegen BloomProbe projection on the fact scan → broadcast residual; one build action)",
     "x_text_pmi" -> "PMI collocations (codegen shingle counts, vocab-keyed joins after min-support prune, TakeOrderedAndProject)",
     "x_layout_stats_prune" -> "file-stats scan pruning (|files|-row stats aggregate; pruning decision touches stats only)",
-    "x_enrich_cidr" -> "CIDR longest-prefix enrichment (chained broadcast left joins per prefix length — fact side map-only)",
+    "x_enrich_cidr" -> "CIDR longest-prefix enrichment (ONE codegen'd binary-search lookup over a driver-built rule model — zero joins, fact side map-only)",
     "x_text_readability" -> "Flesch-Kincaid readability (map-only regexp counts, exact centi-grade integers)",
     "x_join_bloom_probe" -> "probe-only runtime filter (codegen BloomProbe inside the fact scan stage, no residual join — the map-side half in isolation)",
     "x_sketch_hll_setops_regs" -> "HLL set-ops production path (one bucket aggregate carries per-segment AND union registers; single estimator row)",
-    "x_enrich_cidr6" -> "IPv6 CIDR longest-prefix enrichment (two-long mask math, one broadcast left join per prefix length)"
+    "x_enrich_cidr6" -> "IPv6 CIDR longest-prefix enrichment (two-long unsigned binary-search lookup, zero joins)"
   )
 
   def main(args: Array[String]): Unit = {

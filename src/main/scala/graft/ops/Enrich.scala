@@ -2,6 +2,9 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.shim
+
+import graft.functions.{CidrLpm, CidrModel}
 
 /** Enrichment joins (SURVEY §2.3: kubernetes, geoip2, ecs, aws,
   * checklist). The reference does per-record hash/cache lookups against a
@@ -139,6 +142,60 @@ object Enrich {
       .withColumn("matched_plen", matchedLen)
       .drop("__iph", "__ipl")
       .drop(plens.flatMap(p => Seq(s"__nh_$p", s"__nl_$p", s"__label_$p")): _*)
+  }
+
+  /** Longest-prefix-match enrichment as ONE map-only projection — the
+    * fast path of [[cidrJoin]] when the rule table is driver-resident
+    * model state (a CIDR/geo database is a static dimension; MaxMind-
+    * class ≈ millions of rules ≈ tens of MB as long arrays). One
+    * bounded collect builds a [[graft.functions.CidrModel]] (per-plen
+    * sorted nets, binary search, longest first) carried as a plan
+    * reference object; label and `matched_plen` derive from the matched
+    * rule index via literal-array `get`, so the whole enrichment is
+    * zero joins, zero shuffles, zero row expansion — k chained
+    * broadcast probes and their per-join output row copies collapse
+    * into one codegen'd lookup. Bit-identical output to [[cidrJoin]]
+    * (same disjointness contract, enforced at model build).
+    */
+  def cidrLookup(logs: DataFrame, ip32: Column, rules: DataFrame,
+                 labelCol: String = "label"): DataFrame = {
+    val rows = rules.select(col("net").cast("long"),
+      col("plen").cast("long"), col(labelCol).cast("string")).collect()
+    val model = CidrModel.build(
+      rows.map(r => (r.getLong(0), 0L, r.getLong(1).toInt)), 32)
+    lpmSelect(logs, ip32.cast("long"), lit(0L), model,
+      rows.map(_.getString(2)), rows.map(_.getLong(1)), labelCol)
+  }
+
+  /** IPv6 twin of [[cidrLookup]]: two-long addresses and `/p` masks with
+    * the identical bit math as [[cidrJoin6]], one codegen'd binary-
+    * search lookup per row instead of one broadcast join per prefix
+    * length. Unsigned two-long compares make addresses with the top bit
+    * set order correctly.
+    */
+  def cidrLookup6(logs: DataFrame, ipHi: Column, ipLo: Column,
+                  rules: DataFrame, labelCol: String = "label"): DataFrame = {
+    val rows = rules.select(col("net_hi").cast("long"),
+      col("net_lo").cast("long"), col("plen").cast("long"),
+      col(labelCol).cast("string")).collect()
+    val model = CidrModel.build(
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt)), 128)
+    lpmSelect(logs, ipHi.cast("long"), ipLo.cast("long"), model,
+      rows.map(_.getString(3)), rows.map(_.getLong(2)), labelCol)
+  }
+
+  private def lpmSelect(logs: DataFrame, hi: Column, lo: Column,
+                        model: CidrModel, labels: Array[String],
+                        rulePlens: Array[Long], labelCol: String): DataFrame = {
+    // get() is 0-based and yields NULL for -1 (no match) and for a NULL
+    // index (null address) — exactly the left-join-no-hit semantics.
+    val idx = shim.column(
+      CidrLpm(shim.expression(hi), shim.expression(lo), model))
+    logs
+      .withColumn("__lpm", idx)
+      .withColumn(labelCol, get(lit(labels), col("__lpm")))
+      .withColumn("matched_plen", get(lit(rulePlens), col("__lpm")))
+      .drop("__lpm")
   }
 }
 

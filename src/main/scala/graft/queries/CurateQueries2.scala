@@ -134,12 +134,13 @@ object CurateQueries2 {
 
     // CIDR longest-prefix enrichment (the geoip2 lookup's real form):
     // a 344-rule table over three prefix lengths, every fact row
-    // resolved to its most specific block by THREE chained broadcast
-    // left joins (one per distinct plen, longest first) + coalesce —
-    // the fact side is map-only, never shuffled, never row-expanded.
-    // IPs derive from md5(event_id) (both engines draw identical
-    // addresses); the rule table is generated from the same integer
-    // recurrences in both engines.
+    // resolved to its most specific block by ONE codegen'd binary-
+    // search lookup (per-plen sorted nets, longest first — the router
+    // LPM technique) carried as a plan reference object: zero joins,
+    // zero shuffles, zero row expansion; the oracle replays the
+    // equivalent chained-left-join form. IPs derive from md5(event_id)
+    // (both engines draw identical addresses); the rule table is
+    // generated from the same integer recurrences in both engines.
     GraftQuery(
       "x_enrich_cidr",
       (s, dir) => {
@@ -154,7 +155,7 @@ object CurateQueries2 {
         val ruleDf = rules.toDF("net", "plen", "label")
         val ip = shiftrightunsigned(shim.column(
           graft.functions.Md5First64(shim.expression(col("event_id")))), 32)
-        graft.ops.Enrich.cidrJoin(
+        graft.ops.Enrich.cidrLookup(
             Tables.events(s, dir).select(col("event_id")), ip, ruleDf)
           .groupBy(col("matched_plen"), col("label"))
           .agg(count(lit(1)).as("n_rows"))
@@ -199,8 +200,8 @@ object CurateQueries2 {
     // interesting mask cases: /9 (hi-only mask, synthetic rules), /68
     // (full hi + 4 lo bits, rules drawn from a 1/257 sample of the data
     // itself), /128 (exact address, 1/509 sample) — LPM picks the
-    // deepest. Same scale shape as IPv4: one broadcast left join per
-    // plen, fact side map-only, zero expansion.
+    // deepest. Same shape as IPv4: one codegen'd two-long binary-search
+    // lookup per row, fact side map-only, zero joins, zero expansion.
     GraftQuery(
       "x_enrich_cidr6",
       (s, dir) => {
@@ -234,7 +235,7 @@ object CurateQueries2 {
           (((r * 11L) % 256) << 55, 0L, 9L, s"net9_$r"))
         val rules = (r9 ++ r68 ++ r128)
           .toDF("net_hi", "net_lo", "plen", "label")
-        graft.ops.Enrich.cidrJoin6(withIp, col("ip_hi"), col("ip_lo"),
+        graft.ops.Enrich.cidrLookup6(withIp, col("ip_hi"), col("ip_lo"),
             rules)
           .groupBy(col("matched_plen"), col("label"))
           .agg(count(lit(1)).as("n_rows"))

@@ -425,13 +425,16 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected a single events scan, got $scans")
   }
 
-  test("cidr enrichment: every prefix length joins broadcast, fact side never shuffles") {
+  test("cidr enrichment: ONE map-only LPM projection, zero joins, fact side never shuffles") {
     val plan = planOf("x_enrich_cidr")
-    val bhj = "BroadcastHashJoin ".r.findAllIn(plan).length
-    assert(bhj == 3, s"expected 3 broadcast left joins (one per plen), got $bhj:\n" +
+    // the r13 rework: the per-plen broadcast join chain collapsed into a
+    // single codegen'd cidr_lpm binary-search lookup — no join operator
+    // of any kind may appear
+    assert(!plan.contains("Join"), "LPM must be join-free:\n" + plan.take(3000))
+    assert(plan.contains("cidr_lpm"), "expected the cidr_lpm lookup:\n" +
       plan.take(3000))
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
-      "fact side must never shuffle for the join:\n" + plan.take(3000))
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected a single events scan, got $scans")
     // the ONLY exchange is the final bounded (plen, label) rollup
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected only the final rollup exchange, got $exchanges:\n" +
