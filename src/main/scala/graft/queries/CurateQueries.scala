@@ -269,6 +269,100 @@ object CurateQueries {
                            < (t.r_milli % 1000) * 1048576
                       THEN 1 ELSE 0 END AS BIGINT) AS n_copies
              FROM d JOIN t USING (domain)""")
+    ),
+
+    // Bottom-k hash-sample quantile sketch (KMV family): quantiles over
+    // an UNBOUNDED value domain in bounded memory — where
+    // x_quantiles_exact needs the domain to collapse into a histogram,
+    // the bottom-4096-by-id-hash sample bounds state at k for ANY
+    // domain (TakeOrdered: per-partition k-row heaps, values never
+    // shuffle). The gate carries the exact ±5-centile bounds from the
+    // cents histogram as ground truth; `ok` asserts the DKW O(1/√k)
+    // rank error sits inside them. Deterministic end to end — the
+    // oracle replays the identical hash sample and floor-rank pick.
+    GraftQuery(
+      "x_sketch_quantile_kmv",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val cents = graft.obs.Observability.cents(col("value"))
+        val est = graft.sketch.Sketches.kmvQuantiles(
+          ev, col("event_id"), cents)
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+        val cum = ev.groupBy(cents.as("v")).agg(count(lit(1)).as("cnt"))
+          .select(col("v"),
+            sum(col("cnt")).over(w.rowsBetween(Long.MinValue, 0)).as("cum"),
+            sum(col("cnt")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy())
+              .as("total"))
+          .select(col("v"), col("cum"), col("total"),
+            explode(lit(Array(50L, 90L, 99L))).as("q_centi"))
+        def needed(qShift: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          greatest(lit(1L), least(col("total"),
+            floor(col("total") * qShift / lit(100L)).cast("long")))
+        val lo = cum.filter(col("cum") >= needed(col("q_centi") - 5))
+          .groupBy(col("q_centi")).agg(min(col("v")).as("lo"))
+        val hi = cum.filter(col("cum") >= needed(col("q_centi") + 5))
+          .groupBy(col("q_centi")).agg(min(col("v")).as("hi"))
+        est.join(lo, "q_centi").join(hi, "q_centi")
+          .select(col("q_centi"), col("n_sample"), col("est"),
+            col("lo"), col("hi"),
+            (col("est") >= col("lo") && col("est") <= col("hi")).as("ok"))
+      },
+      Some("""WITH s AS (SELECT * FROM (
+                     SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                              1, 8))::BIGINT AS h,
+                            CAST(CAST(value AS DECIMAL(18,2)) * 100
+                              AS BIGINT) AS v
+                     FROM events) ORDER BY h, v LIMIT 4096),
+             r AS (SELECT v, row_number() OVER (ORDER BY v, h) AS rn,
+                          count(*) OVER () AS n
+                   FROM s),
+             q AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS q_centi),
+             e AS (SELECT q.q_centi, CAST(r.n AS BIGINT) AS n_sample, r.v AS est
+                   FROM r, q
+                   WHERE r.rn = ((r.n - 1) * q.q_centi) // 100 + 1),
+             c AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     AS v, CAST(count(*) AS BIGINT) AS cnt
+                   FROM events GROUP BY 1),
+             cc AS (SELECT v,
+                      sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                        AS cum,
+                      sum(cnt) OVER () AS total
+                    FROM c),
+             jq AS (SELECT cc.*, q.q_centi FROM cc, q),
+             lo AS (SELECT q_centi, min(v) AS lo FROM jq
+                    WHERE cum >= greatest(1, least(total,
+                      (total * (q_centi - 5)) // 100)) GROUP BY 1),
+             hi AS (SELECT q_centi, min(v) AS hi FROM jq
+                    WHERE cum >= greatest(1, least(total,
+                      (total * (q_centi + 5)) // 100)) GROUP BY 1)
+             SELECT e.q_centi, e.n_sample, e.est, lo.lo, hi.hi,
+                    e.est >= lo.lo AND e.est <= hi.hi AS ok
+             FROM e JOIN lo USING (q_centi) JOIN hi USING (q_centi)""")
+    ),
+
+    // Production half: the sample-path estimates alone (one TakeOrdered
+    // pass + a ≤k-row rank pick, no exact comparator) — the shape a
+    // 100 TB unbounded-domain quantile actually runs. Yardstick twin of
+    // x_sketch_quantile_kmv, as x_sketch_hll_build is for x_sketch_hll.
+    GraftQuery(
+      "x_sketch_quantile_kmv_sample",
+      (s, dir) =>
+        graft.sketch.Sketches.kmvQuantiles(Tables.events(s, dir),
+          col("event_id"), graft.obs.Observability.cents(col("value"))),
+      Some("""WITH s AS (SELECT * FROM (
+                     SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                              1, 8))::BIGINT AS h,
+                            CAST(CAST(value AS DECIMAL(18,2)) * 100
+                              AS BIGINT) AS v
+                     FROM events) ORDER BY h, v LIMIT 4096),
+             r AS (SELECT v, row_number() OVER (ORDER BY v, h) AS rn,
+                          count(*) OVER () AS n
+                   FROM s),
+             q AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS q_centi)
+             SELECT q.q_centi, CAST(r.n AS BIGINT) AS n_sample, r.v AS est
+             FROM r, q
+             WHERE r.rn = ((r.n - 1) * q.q_centi) // 100 + 1""")
     )
   )
 }

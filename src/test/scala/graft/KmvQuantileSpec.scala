@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sketch.Sketches
+
+/** Bottom-k hash-sample quantile sketch: boundedness, mergeability
+  * (the property that makes it a sketch), determinism, and rank
+  * accuracy on a known distribution.
+  */
+class KmvQuantileSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def mkDf(n: Int) =
+    spark.range(n.toLong).select(col("id"), (col("id") % 1000).as("v"))
+
+  test("sample is bounded at k and deterministic across evaluations") {
+    val df = mkDf(50000)
+    val s1 = Sketches.kmvQuantileSample(df, col("id"), col("v"), k = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val s2 = Sketches.kmvQuantileSample(df, col("id"), col("v"), k = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(s1.size == 256)
+    assert(s1.sorted == s2.sorted)
+  }
+
+  test("bottom-k of a union == bottom-k of the halves' bottom-k's (mergeable)") {
+    val a = mkDf(20000).filter(col("id") % 2 === 0)
+    val b = mkDf(20000).filter(col("id") % 2 === 1)
+    val whole = Sketches.kmvQuantileSample(mkDf(20000), col("id"), col("v"), 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // merge = smallest 128 (h, v) pairs of the halves' 128-row samples —
+    // no re-hash, no second look at the data
+    val merged = (Sketches.kmvQuantileSample(a, col("id"), col("v"), 128)
+        .collect() ++
+        Sketches.kmvQuantileSample(b, col("id"), col("v"), 128).collect())
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.take(128).toSeq
+    assert(merged == whole)
+  }
+
+  test("estimates sit within exact ±5-centile bounds on a skewed distribution") {
+    // squares: heavily right-skewed, unbounded-domain shape
+    val df = spark.range(100000).select(col("id"), (col("id") * col("id") % 999983L).as("v"))
+    val est = Sketches.kmvQuantiles(df, col("id"), col("v"), k = 4096,
+        qCentis = Seq(50, 90, 99))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val exact = df.select(col("v")).collect().map(_.getLong(0)).sorted
+    val n = exact.length
+    for ((q, e) <- est) {
+      val lo = exact(math.max(0, (n * (q - 5) / 100).toInt - 1))
+      val hi = exact(math.min(n - 1, (n * (q + 5) / 100).toInt))
+      assert(e >= lo && e <= hi, s"q=$q est=$e outside [$lo, $hi]")
+    }
+    assert(est.keySet == Set(50L, 90L, 99L))
+  }
+
+  test("n_sample caps at the input size when the input is smaller than k") {
+    val df = mkDf(100)
+    val out = Sketches.kmvQuantiles(df, col("id"), col("v"), k = 4096)
+      .collect()
+    assert(out.forall(_.getLong(1) == 100L))
+  }
+}

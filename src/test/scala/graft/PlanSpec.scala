@@ -425,6 +425,19 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected a single events scan, got $scans")
   }
 
+  test("kmv quantile sample is TakeOrdered: values never shuffle, no global sort") {
+    val plan = planOf("x_sketch_quantile_kmv_sample")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "bottom-k must be per-partition heaps + driver merge:\n" + plan.take(3000))
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected a single events scan, got $scans")
+    // no exchange below the TakeOrdered — the only data movement for the
+    // full input is the k-row driver merge (the post-sample rank window
+    // runs on <= k rows)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "full input must not shuffle:\n" + plan.take(3000))
+  }
+
   test("cidr enrichment: ONE map-only LPM projection, zero joins, fact side never shuffles") {
     val plan = planOf("x_enrich_cidr")
     // the r13 rework: the per-plen broadcast join chain collapsed into a
