@@ -794,6 +794,57 @@ object StreamQueries {
              SELECT sp.trace_id, sp.span_id, sp.duration_ms,
                     CAST(sp.status_code AS BIGINT) AS status_code
              FROM sp JOIN k USING (trace_id)""")
+    ),
+
+    // Incremental bottom-k quantile sketch: the KMV sample maintained
+    // online (h%16-sharded bottom-k state machines, admissions emitted,
+    // state only ever loses rows — the sink is a superset of the final
+    // sample), then the SAME floor-rank estimator as the batch gate
+    // re-takes bottom-k off the sink. Replayed in event_id order
+    // (hash-random h arrival exercises admission AND eviction across
+    // all four micro-batches); 1/5 of events for replay volume. The
+    // oracle is the batch sample gate's SQL on the same slice — order
+    // independence is the property under test.
+    GraftQuery(
+      "x_sketch_quantile_stream",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.graftshim.shim
+        val hv = Tables.events(s, dir)
+          .filter(col("user_id") % 5 === 0)
+          .select(col("event_id"),
+            shiftrightunsigned(shim.column(graft.functions.Md5First64(
+              shim.expression(col("event_id")))), 32).as("h"),
+            graft.obs.Observability.cents(col("value")).as("v"))
+        val rows = hv.collect().sortBy(_.getLong(0))
+          .map(r => Stateful.KmvRow((r.getLong(1) % 16).toInt,
+            r.getLong(1), r.getLong(2))).toSeq
+        implicit val sqlCtx = s.sqlContext
+        val in = MemoryStream[Stateful.KmvRow]
+        val table = sinkName("x_sketch_quantile_stream")
+        val q = startToMemory(
+          Stateful.kmvSampleStream(s, in.toDS(), k = 4096), table)
+        try {
+          feed(in, rows)
+          q.processAllAvailable()
+        } finally q.stop()
+        graft.sketch.Sketches.kmvEstimate(
+          s.table(table).select(col("h"), col("v")), k = 4096)
+      },
+      Some("""WITH s AS (SELECT * FROM (
+                     SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                              1, 8))::BIGINT AS h,
+                            CAST(CAST(value AS DECIMAL(18,2)) * 100
+                              AS BIGINT) AS v
+                     FROM events WHERE user_id % 5 = 0)
+                   ORDER BY h, v LIMIT 4096),
+             r AS (SELECT v, row_number() OVER (ORDER BY v, h) AS rn,
+                          count(*) OVER () AS n
+                   FROM s),
+             q AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS q_centi)
+             SELECT q.q_centi, CAST(r.n AS BIGINT) AS n_sample, r.v AS est
+             FROM r, q
+             WHERE r.rn = ((r.n - 1) * q.q_centi) // 100 + 1""")
     )
   )
 

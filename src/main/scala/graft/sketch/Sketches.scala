@@ -376,11 +376,21 @@ object Sketches {
     */
   def kmvQuantiles(df: DataFrame, id: Column, value: Column,
                    k: Int = 4096,
-                   qCentis: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+                   qCentis: Seq[Int] = Seq(50, 90, 99)): DataFrame =
+    kmvEstimate(kmvQuantileSample(df, id, value, k), k, qCentis)
+
+  /** The estimator half, decoupled so the STREAMING sample
+    * ([[graft.streaming.Stateful.kmvSampleStream]]'s sink — a superset
+    * of the bottom-k) feeds the same rank pick: re-take the k smallest
+    * `(h, v)` rows, then pick each centi-quantile's floor-rank element.
+    */
+  def kmvEstimate(hv: DataFrame, k: Int,
+                  qCentis: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
     require(qCentis.nonEmpty && qCentis.forall(q => q >= 0 && q <= 100))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"), col("h"))
-    val ranked = kmvQuantileSample(df, id, value, k)
-      .select(col("v"), col("h"))
+    val ranked = hv
+      .select(col("h").cast("long").as("h"), col("v").cast("long").as("v"))
+      .orderBy(col("h"), col("v")).limit(k)
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy()))

@@ -215,6 +215,50 @@ object Stateful {
         })
   }
 
+  // --------------------------------------- incremental bottom-k sample
+
+  final case class KmvRow(shard: Int, h: Long, v: Long)
+  final case class KmvState(hs: Array[Long], vs: Array[Long])
+
+  /** Streaming twin of [[graft.sketch.Sketches.kmvQuantileSample]]:
+    * the bottom-k hash sample maintained online. Sharded by `h % S`
+    * so state distributes across executors (a single global group
+    * would funnel every micro-batch through one task); each shard
+    * keeps ITS k smallest `(h, v)` pairs — bottom-k is mergeable, so
+    * bottom-k over the shard-state union equals the batch sample at
+    * any point in the stream.
+    *
+    * Emission contract (what makes the sink replayable): a batch row
+    * is emitted iff it survives the merge into its shard's bottom-k
+    * (merge = multiset-union sorted, take k, previous state winning
+    * ties). State only ever loses rows, so every row of the FINAL
+    * bottom-k was emitted in its arrival batch — the sink is a
+    * superset of the final sample whose own bottom-k IS the batch
+    * answer, independent of arrival order and batch boundaries.
+    * State per shard is ≤ k 16-byte pairs; NoTimeout, same rationale
+    * as [[dedupStream]] (the sample IS the memory).
+    */
+  def kmvSampleStream(spark: SparkSession, rows: Dataset[KmvRow],
+                      k: Int): Dataset[KmvRow] = {
+    import spark.implicits._
+    require(k >= 1, s"k=$k")
+    rows.groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (shard: Int, it: Iterator[KmvRow], state: GroupState[KmvState]) => {
+          val prev = state.getOption
+            .map(s => s.hs.zip(s.vs).toIndexedSeq)
+            .getOrElse(IndexedSeq.empty)
+          val batch = it.map(r => (r.h, r.v)).toIndexedSeq
+          // stable sort: equal (h, v) pairs keep prev before batch, so
+          // an already-admitted copy is never re-emitted by a tie
+          val merged = (prev.map((_, false)) ++ batch.map((_, true)))
+            .sortBy(_._1).take(k)
+          state.update(KmvState(merged.map(_._1._1).toArray,
+            merged.map(_._1._2).toArray))
+          merged.iterator.collect { case ((h, v), true) => KmvRow(shard, h, v) }
+        })
+  }
+
   /** Deterministic hash-priority order with keys computed ONCE per
     * element — `sortBy(md5Hex(...))` would re-run the digest on every
     * comparison (O(n log n) digests per group per micro-batch).

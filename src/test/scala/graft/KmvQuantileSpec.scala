@@ -56,6 +56,34 @@ class KmvQuantileSpec extends AnyFunSuite {
     assert(est.keySet == Set(50L, 90L, 99L))
   }
 
+  test("streaming twin: bottom-k of the sink equals the batch sample, any feed order") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rnd = new scala.util.Random(1303)
+    val data = (0 until 5000).map(i =>
+      graft.streaming.Stateful.KmvRow(
+        (rnd.nextInt(1 << 30) % 16), rnd.nextInt(1 << 30).toLong,
+        rnd.nextInt(1000).toLong))
+    // adversarial feed order: DESCENDING h, so every later row evicts —
+    // maximum admission churn
+    val feedOrder = data.sortBy(-_.h)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[graft.streaming.Stateful.KmvRow]
+    val q = graft.streaming.Stateful.kmvSampleStream(spark, in.toDS(), k = 64)
+      .writeStream.format("memory").queryName("kmv_stream_spec")
+      .outputMode("append").start()
+    try {
+      feedOrder.grouped(1000).foreach(c => in.addData(c))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sink = spark.table("kmv_stream_spec")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val batch = data.map(r => (r.h, r.v)).sorted.take(64)
+    assert(sink.sorted.take(64).toSeq == batch)
+    assert(sink.length >= 64 && sink.length < data.length,
+      s"sink ${sink.length} should show admissions+evictions, not everything")
+  }
+
   test("n_sample caps at the input size when the input is smaller than k") {
     val df = mkDf(100)
     val out = Sketches.kmvQuantiles(df, col("id"), col("v"), k = 4096)
