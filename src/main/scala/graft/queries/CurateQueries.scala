@@ -341,6 +341,37 @@ object CurateQueries {
              FROM e JOIN lo USING (q_centi) JOIN hi USING (q_centi)""")
     ),
 
+    // Grouped KMV: per-event-type quantiles over the unbounded cents
+    // domain — per-group bottom-1000 via row_number<=k (WindowGroupLimit:
+    // k rows per group map-side, never a whole-group buffer), floor-rank
+    // pick per group. ONE shuffle on the group key; memory k·|groups|
+    // for any domain.
+    GraftQuery(
+      "x_sketch_quantile_grouped",
+      (s, dir) =>
+        graft.sketch.Sketches.kmvGroupedQuantiles(Tables.events(s, dir),
+          col("event_type"), col("event_id"),
+          graft.obs.Observability.cents(col("value"))),
+      Some("""WITH hv AS (SELECT event_type AS g,
+                     ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                        1, 8))::BIGINT AS h,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+                   FROM events),
+             sk AS (SELECT g, h, v FROM (
+                      SELECT g, h, v, row_number() OVER (
+                        PARTITION BY g ORDER BY h, v) AS rnh
+                      FROM hv) WHERE rnh <= 1000),
+             r AS (SELECT g, v,
+                     row_number() OVER (PARTITION BY g ORDER BY v, h) AS rn,
+                     count(*) OVER (PARTITION BY g) AS n
+                   FROM sk),
+             q AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS q_centi)
+             SELECT r.g, q.q_centi, CAST(r.n AS BIGINT) AS n_sample,
+                    r.v AS est
+             FROM r, q
+             WHERE r.rn = ((r.n - 1) * q.q_centi) // 100 + 1""")
+    ),
+
     // Production half: the sample-path estimates alone (one TakeOrdered
     // pass + a ≤k-row rank pick, no exact comparator) — the shape a
     // 100 TB unbounded-domain quantile actually runs. Yardstick twin of

@@ -402,6 +402,47 @@ object Sketches {
       .select(col("q_centi"), col("n").as("n_sample"), col("v").as("est"))
   }
 
+  /** Grouped twin of [[kmvQuantiles]] — per-group p50/p90/p99 over an
+    * unbounded value domain (per-SERVICE latency percentiles, the form
+    * observability actually asks for): a per-group bottom-k by id hash
+    * via `row_number ≤ k`, which Spark's InferWindowGroupLimit rewrites
+    * to WindowGroupLimit — per-partition state is k rows PER GROUP
+    * map-side, never a whole group buffer — then the same floor-rank
+    * pick on each ≤k-row group sample. One shuffle on the group key
+    * (any grouped statistic pays it); where
+    * [[graft.ops.Quantiles.groupedQuantiles]] needs a bounded domain,
+    * this bounds memory at k·|groups| for any domain.
+    */
+  def kmvGroupedQuantiles(df: DataFrame, group: Column, id: Column,
+                          value: Column, k: Int = 1000,
+                          qCentis: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    import org.apache.spark.sql.graftshim.shim
+    // InferWindowGroupLimit only rewrites rank filters whose limit is
+    // <= spark.sql.window.group.limit.threshold (default 1000) — a k
+    // above it silently degrades to whole-group window buffers
+    require(k >= 1 && k <= 1000, s"k=$k out of (0, 1000]")
+    require(qCentis.nonEmpty && qCentis.forall(q => q >= 0 && q <= 100))
+    val hv = df.select(group.as("g"),
+      shiftrightunsigned(shim.column(graft.functions.Md5First64(
+        shim.expression(bloomHashKey(df, id)))), 32).as("h"),
+      value.cast("long").as("v"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("h"), col("v"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"), col("h"))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    hv.withColumn("rnh", row_number().over(wk))
+      .filter(col("rnh") <= k)
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(wn))
+      .select(col("g"), col("v"), col("rn"), col("n"),
+        explode(lit(qCentis.toArray.map(_.toLong))).as("q_centi"))
+      .filter(col("rn") ===
+        floor((col("n") - 1) * col("q_centi") / lit(100L)) + 1)
+      .select(col("g"), col("q_centi"), col("n").as("n_sample"),
+        col("v").as("est"))
+  }
+
   private def bloomHashKey(df: DataFrame, c: Column): Column =
     df.select(c).schema.head.dataType match {
       case org.apache.spark.sql.types.LongType |

@@ -84,6 +84,24 @@ class KmvQuantileSpec extends AnyFunSuite {
       s"sink ${sink.length} should show admissions+evictions, not everything")
   }
 
+  test("grouped == per-group ungrouped on every group") {
+    val df = spark.range(30000).select(col("id"),
+      (col("id") % 3).cast("string").as("g"),
+      (col("id") * 7919 % 99991).as("v"))
+    val grouped = Sketches.kmvGroupedQuantiles(df, col("g"), col("id"),
+        col("v"), k = 512)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    for (g <- Seq("0", "1", "2")) {
+      val single = Sketches.kmvQuantiles(df.filter(col("g") === g),
+          col("id"), col("v"), k = 512)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      for ((q, nv) <- single)
+        assert(grouped((g, q)) == nv, s"g=$g q=$q")
+    }
+    assert(grouped.size == 9)
+  }
+
   test("n_sample caps at the input size when the input is smaller than k") {
     val df = mkDf(100)
     val out = Sketches.kmvQuantiles(df, col("id"), col("v"), k = 4096)

@@ -438,6 +438,17 @@ class PlanSpec extends AnyFunSuite {
       "full input must not shuffle:\n" + plan.take(3000))
   }
 
+  test("grouped kmv sample is WindowGroupLimit: k rows per group map-side") {
+    val plan = planOf("x_sketch_quantile_grouped")
+    assert(plan.contains("WindowGroupLimit"),
+      "per-group bottom-k must bound map-side state at k rows:\n" +
+        plan.take(3000))
+    // one shuffle on the group key (both windows and the count reuse it)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected one group-key exchange, got $exchanges:\n" +
+      plan.take(3000))
+  }
+
   test("cidr enrichment: ONE map-only LPM projection, zero joins, fact side never shuffles") {
     val plan = planOf("x_enrich_cidr")
     // the r13 rework: the per-plen broadcast join chain collapsed into a
