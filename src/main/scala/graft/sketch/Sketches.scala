@@ -300,13 +300,25 @@ object Sketches {
     // broadcast re-reads it
     val keyRows = small.select(smallKey.as("__k")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (words, _) = bloomBuildWords(keyRows, col("__k"), mBits, k)
+    val (words, nKeys) = bloomBuildWords(keyRows, col("__k"), mBits, k)
     val probe = shim.column(graft.functions.BloomProbe(
       shim.expression(bloomHashKey(big, bigKey)), words, k))
-    // residual join on the NATIVE key type; the distinct key set is
-    // bounded by contract — broadcast it so survivors never shuffle
-    big.filter(probe)
-      .join(broadcast(keyRows), bigKey === col("__k"), "left_semi")
+    // residual join on the NATIVE key type. Size-aware: the bitset
+    // build already counted the distinct keys, so the residual picks
+    // its physical join for free. Below the threshold, broadcast —
+    // survivors never shuffle. Above it (30M keys ≈ 240 MB of build
+    // side at sf100), the broadcast hint comes OFF: on a real cluster
+    // that relation fans out |executors|× over the network, while the
+    // bloom probe has already pruned the survivor stream to
+    // ~|match| + fp·|big| rows — shuffling THAT is the plan a 100 TB
+    // runtime filter exists to feed. (On local[32] the two are within
+    // 15% of each other — broadcast pays no network in one JVM — so
+    // the threshold is a cluster-shape decision, not a local tune.)
+    val survivors = big.filter(probe)
+    if (nKeys <= 4_000_000L)
+      survivors.join(broadcast(keyRows), bigKey === col("__k"), "left_semi")
+    else
+      survivors.join(keyRows, bigKey === col("__k"), "left_semi")
   }
 
   /** Probe-only production path — the map-side half of
