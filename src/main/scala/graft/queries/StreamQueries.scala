@@ -845,6 +845,57 @@ object StreamQueries {
              SELECT q.q_centi, CAST(r.n AS BIGINT) AS n_sample, r.v AS est
              FROM r, q
              WHERE r.rn = ((r.n - 1) * q.q_centi) // 100 + 1""")
+    ),
+
+    // Grouped incremental bottom-k: per-(event_type, h%8) state machines
+    // maintain each service's sample online (hot groups spread over 8
+    // shards), the grouped estimator re-takes per-group bottom-1000 off
+    // the sink. Same superset/order-independence argument per group;
+    // the oracle is the grouped batch gate's SQL on the same 1/3 slice.
+    GraftQuery(
+      "x_sketch_quantile_grouped_stream",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.graftshim.shim
+        val hv = Tables.events(s, dir)
+          .filter(col("user_id") % 3 === 0)
+          .select(col("event_id"), col("event_type"),
+            shiftrightunsigned(shim.column(graft.functions.Md5First64(
+              shim.expression(col("event_id")))), 32).as("h"),
+            graft.obs.Observability.cents(col("value")).as("v"))
+        val rows = hv.collect().sortBy(_.getLong(0))
+          .map(r => Stateful.GKmvRow(r.getString(1),
+            (r.getLong(2) % 8).toInt, r.getLong(2), r.getLong(3))).toSeq
+        implicit val sqlCtx = s.sqlContext
+        val in = MemoryStream[Stateful.GKmvRow]
+        val table = sinkName("x_sketch_quantile_grouped_stream")
+        val q = startToMemory(
+          Stateful.kmvGroupedSampleStream(s, in.toDS(), k = 1000), table)
+        try {
+          feed(in, rows)
+          q.processAllAvailable()
+        } finally q.stop()
+        graft.sketch.Sketches.kmvGroupedEstimate(
+          s.table(table).select(col("g"), col("h"), col("v")), k = 1000)
+      },
+      Some("""WITH hv AS (SELECT event_type AS g,
+                     ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                        1, 8))::BIGINT AS h,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+                   FROM events WHERE user_id % 3 = 0),
+             sk AS (SELECT g, h, v FROM (
+                      SELECT g, h, v, row_number() OVER (
+                        PARTITION BY g ORDER BY h, v) AS rnh
+                      FROM hv) WHERE rnh <= 1000),
+             r AS (SELECT g, v,
+                     row_number() OVER (PARTITION BY g ORDER BY v, h) AS rn,
+                     count(*) OVER (PARTITION BY g) AS n
+                   FROM sk),
+             q AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS q_centi)
+             SELECT r.g, q.q_centi, CAST(r.n AS BIGINT) AS n_sample,
+                    r.v AS est
+             FROM r, q
+             WHERE r.rn = ((r.n - 1) * q.q_centi) // 100 + 1""")
     )
   )
 

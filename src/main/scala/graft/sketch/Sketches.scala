@@ -438,12 +438,25 @@ object Sketches {
       shiftrightunsigned(shim.column(graft.functions.Md5First64(
         shim.expression(bloomHashKey(df, id)))), 32).as("h"),
       value.cast("long").as("v"))
+    kmvGroupedEstimate(hv, k, qCentis)
+  }
+
+  /** Grouped estimator half, decoupled like [[kmvEstimate]] so the
+    * grouped STREAMING sink (a per-group superset of the sample) feeds
+    * the same per-group re-take + rank pick.
+    */
+  def kmvGroupedEstimate(ghv: DataFrame, k: Int,
+                         qCentis: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k=$k out of (0, 1000]")
+    require(qCentis.nonEmpty && qCentis.forall(q => q >= 0 && q <= 100))
     val wk = org.apache.spark.sql.expressions.Window
       .partitionBy(col("g")).orderBy(col("h"), col("v"))
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy(col("g")).orderBy(col("v"), col("h"))
     val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
-    hv.withColumn("rnh", row_number().over(wk))
+    ghv.select(col("g"), col("h").cast("long").as("h"),
+        col("v").cast("long").as("v"))
+      .withColumn("rnh", row_number().over(wk))
       .filter(col("rnh") <= k)
       .withColumn("rn", row_number().over(wr))
       .withColumn("n", count(lit(1)).over(wn))

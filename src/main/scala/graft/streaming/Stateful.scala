@@ -259,6 +259,38 @@ object Stateful {
         })
   }
 
+  final case class GKmvRow(g: String, shard: Int, h: Long, v: Long)
+
+  /** Grouped twin of [[kmvSampleStream]] — the incremental per-group
+    * bottom-k behind [[graft.sketch.Sketches.kmvGroupedQuantiles]]:
+    * state keys are `(group, h % S)`, so a hot group's sample
+    * maintenance spreads over S shards instead of funneling one task,
+    * and each shard holds ≤ k pairs. Same emission contract (batch rows
+    * that survive their merge), so per group the sink is a superset of
+    * the final sample and `kmvGroupedEstimate` over it equals the batch
+    * answer for every group, order-independent.
+    */
+  def kmvGroupedSampleStream(spark: SparkSession, rows: Dataset[GKmvRow],
+                             k: Int): Dataset[GKmvRow] = {
+    import spark.implicits._
+    require(k >= 1, s"k=$k")
+    rows.groupByKey(r => (r.g, r.shard))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (String, Int), it: Iterator[GKmvRow],
+         state: GroupState[KmvState]) => {
+          val prev = state.getOption
+            .map(s => s.hs.zip(s.vs).toIndexedSeq)
+            .getOrElse(IndexedSeq.empty)
+          val batch = it.map(r => (r.h, r.v)).toIndexedSeq
+          val merged = (prev.map((_, false)) ++ batch.map((_, true)))
+            .sortBy(_._1).take(k)
+          state.update(KmvState(merged.map(_._1._1).toArray,
+            merged.map(_._1._2).toArray))
+          merged.iterator.collect { case ((h, v), true) =>
+            GKmvRow(key._1, key._2, h, v) }
+        })
+  }
+
   /** Deterministic hash-priority order with keys computed ONCE per
     * element — `sortBy(md5Hex(...))` would re-run the digest on every
     * comparison (O(n log n) digests per group per micro-batch).

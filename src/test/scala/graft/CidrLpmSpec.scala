@@ -76,6 +76,58 @@ class CidrLpmSpec extends AnyFunSuite {
       (3L, None, None)))
   }
 
+  test("property: model lookup == naive deepest-match scan on 200 random tables") {
+    // pure-Scala reference model: linear scan for the deepest rule whose
+    // masked address equals its net — no sorting, no binary search
+    def mHi(maxPlen: Int, p: Int): Long =
+      if (maxPlen == 32) { if (p == 0) 0L else (0xFFFFFFFFL << (32 - p)) & 0xFFFFFFFFL }
+      else if (p == 0) 0L else if (p >= 64) -1L else -1L << (64 - p)
+    def mLo(maxPlen: Int, p: Int): Long =
+      if (maxPlen == 32 || p <= 64) 0L else -1L << (128 - p)
+    def naive(rules: Array[(Long, Long, Int)], maxPlen: Int,
+              hi: Long, lo: Long): Int = {
+      var best = -1; var bestP = -1; var i = 0
+      while (i < rules.length) {
+        val (nh, nl, p) = rules(i)
+        if (p > bestP && (hi & mHi(maxPlen, p)) == nh &&
+            (lo & mLo(maxPlen, p)) == nl) { best = i; bestP = p }
+        i += 1
+      }
+      best
+    }
+    val rnd = new scala.util.Random(1304)
+    for (iter <- 0 until 200) {
+      val maxPlen = if (iter % 2 == 0) 32 else 128
+      val nRules = 1 + rnd.nextInt(40)
+      val rules = (0 until nRules).map { _ =>
+        val p = rnd.nextInt(maxPlen + 1)
+        val h = if (maxPlen == 32) rnd.nextLong() & 0xFFFFFFFFL else rnd.nextLong()
+        val l = if (maxPlen == 32) 0L else rnd.nextLong()
+        (h & mHi(maxPlen, p), l & mLo(maxPlen, p), p)
+      }.groupBy(r => (r._3, r._1, r._2)).map(_._2.head).toArray
+      val model = CidrModel.build(rules, maxPlen)
+      for (_ <- 0 until 50) {
+        // half the probes target a random rule's block (guaranteed deep
+        // matches), half are uniform
+        val (hi0, lo0) =
+          if (rnd.nextBoolean() && rules.nonEmpty) {
+            val (nh, nl, p) = rules(rnd.nextInt(rules.length))
+            (nh | (rnd.nextLong() & ~mHi(maxPlen, p)),
+             nl | (rnd.nextLong() & ~mLo(maxPlen, p)))
+          } else (rnd.nextLong(), rnd.nextLong())
+        val (hi, lo) =
+          if (maxPlen == 32) (hi0 & 0xFFFFFFFFL, 0L) else (hi0, lo0)
+        val got = model.lookup(hi, lo)
+        val want = naive(rules, maxPlen, hi, lo)
+        // equal RULE only guaranteed when plens are unique per depth —
+        // same-plen disjointness means at most one rule matches per
+        // depth, so the indices must agree exactly
+        assert(got == want,
+          s"iter=$iter maxPlen=$maxPlen hi=$hi lo=$lo got=$got want=$want")
+      }
+    }
+  }
+
   test("CidrModel.build rejects same-plen duplicate nets and bad plens") {
     intercept[IllegalArgumentException] {
       CidrModel.build(Array((5L, 0L, 9), (5L, 0L, 9)), 128)

@@ -102,6 +102,35 @@ class KmvQuantileSpec extends AnyFunSuite {
     assert(grouped.size == 9)
   }
 
+  test("grouped streaming twin: per-group sink bottom-k equals each group's batch sample") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rnd = new scala.util.Random(1305)
+    val data = (0 until 6000).map { _ =>
+      val h = rnd.nextInt(1 << 30).toLong
+      graft.streaming.Stateful.GKmvRow(
+        s"g${rnd.nextInt(3)}", (h % 4).toInt, h, rnd.nextInt(1000).toLong)
+    }
+    val feedOrder = data.sortBy(-_.h) // maximum eviction churn
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[graft.streaming.Stateful.GKmvRow]
+    val q = graft.streaming.Stateful
+      .kmvGroupedSampleStream(spark, in.toDS(), k = 32)
+      .writeStream.format("memory").queryName("gkmv_stream_spec")
+      .outputMode("append").start()
+    try {
+      feedOrder.grouped(1500).foreach(c => in.addData(c))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sink = spark.table("gkmv_stream_spec").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    for (g <- Seq("g0", "g1", "g2")) {
+      val sinkG = sink.filter(_._1 == g).map(r => (r._2, r._3)).sorted.take(32).toSeq
+      val batchG = data.filter(_.g == g).map(r => (r.h, r.v)).sorted.take(32)
+      assert(sinkG == batchG, s"group $g")
+    }
+  }
+
   test("n_sample caps at the input size when the input is smaller than k") {
     val df = mkDf(100)
     val out = Sketches.kmvQuantiles(df, col("id"), col("v"), k = 4096)
