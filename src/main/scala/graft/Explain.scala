@@ -43,6 +43,7 @@ object Explain {
     "x_dedup_substring" -> "exact-substring dup detection (stride-sampled windows shuffled as 60-bit hashes)",
     "x_sketch_hll" -> "HyperLogLog distinct estimate (bounded-cardinality register aggregate, integer-exact estimator)",
     "x_sketch_quantile_kmv_sample" -> "KMV bottom-k quantile sketch (TakeOrdered per-partition heaps — full input never shuffles, rank pick on ≤k rows)",
+    "x_sketch_quantile_grouped" -> "grouped KMV quantiles (WindowGroupLimit-bounded per-group bottom-k — k rows per group map-side, one group-key exchange)",
     "x_fuzzy_join" -> "edit-distance fuzzy join (gram-grouped pair expansion, id-only candidate stream, levenshtein verify)",
     "x_asof_join" -> "as-of join (merge form: union + one keyed window, zero join nodes)",
     "x_obs_rate" -> "PromQL counter rate (one series-keyed window; bucket agg partial-combines map-side)",
