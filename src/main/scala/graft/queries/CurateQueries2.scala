@@ -420,6 +420,106 @@ object CurateQueries2 {
                     (1000000 * CAST(sum(CASE WHEN read THEN n ELSE 0 END)
                        AS BIGINT)) // CAST(sum(n) AS BIGINT) AS scan_ppm
              FROM pr GROUP BY 1""")
+    ),
+
+    // t-closeness audit (Li, Li & Venkatasubramanian 2007), completing
+    // the k-anonymity / l-diversity trio: an l-diverse class whose
+    // sensitive-value DISTRIBUTION still skews far from the table-wide
+    // one leaks attribute information. QI class = (order year,
+    // priority); sensitive attribute = the $50k price band (m = 10
+    // ordered bins). Closeness = ordered-EMD, Σ_{i<m-1} |cumP_i −
+    // cumQ_i| / (m−1) — kept integer-exact as emd_num = Σ |C_i·N −
+    // G_i·n| (units 1/(n·N)); the t = 0.2 verdict cross-multiplies:
+    // 5·emd_num > 9·n·N. Scale shape: two count aggregates over one
+    // scan; the cumulative sums run on the |classes|×10 grid (class
+    // count, not row count, sizes every window); the 10-row global
+    // distribution broadcasts. emd_num peaks at (m−1)·n·N — BIGINT
+    // holds to ~10^9 rows per class; past that lift to DECIMAL(38,0)
+    // like the mixing gates.
+    GraftQuery(
+      "x_tcloseness",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = Tables.orders(s, dir).select(
+          year(col("o_orderdate")).cast("long").as("yr"),
+          col("o_orderpriority").as("prio"),
+          expr("least(9, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100" +
+            " AS BIGINT) div 5000000)").as("band"))
+        val cc = o.groupBy(col("yr"), col("prio"), col("band"))
+          .agg(count(lit(1)).as("c"))
+        val bands = s.range(0, 10).select(col("id").as("band"))
+        val grid = cc.select(col("yr"), col("prio")).distinct()
+          .crossJoin(broadcast(bands))
+        val filled = grid.join(cc, Seq("yr", "prio", "band"), "left")
+          .select(col("yr"), col("prio"), col("band"),
+            coalesce(col("c"), lit(0L)).as("c"))
+        val wCum = Window.partitionBy(col("yr"), col("prio"))
+          .orderBy(col("band"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(col("yr"), col("prio"))
+        val cum = filled
+          .withColumn("cum_c", sum(col("c")).over(wCum))
+          .withColumn("n_rows", sum(col("c")).over(wAll))
+        val gc = broadcast(bands)
+          .join(o.groupBy(col("band")).agg(count(lit(1)).as("g")),
+            Seq("band"), "left")
+          .select(col("band"), coalesce(col("g"), lit(0L)).as("g"))
+        val wG = Window.orderBy(col("band"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val gCum = gc.withColumn("cum_g", sum(col("g")).over(wG))
+        val nTot = o.agg(count(lit(1)).as("n_total"))
+        cum.join(broadcast(gCum.select(col("band"), col("cum_g"))),
+            Seq("band"))
+          .crossJoin(broadcast(nTot))
+          .filter(col("band") < 9)
+          .groupBy(col("yr"), col("prio"))
+          .agg(max(col("n_rows")).as("n_rows"),
+            sum(abs(col("cum_c") * col("n_total") -
+              col("cum_g") * col("n_rows"))).as("emd_num"),
+            max(col("n_total")).as("nt"))
+          .withColumn("t_fail",
+            when(col("emd_num") * 5 > lit(9L) * col("n_rows") * col("nt"),
+              lit(1L)).otherwise(lit(0L)))
+          .drop("nt")
+      },
+      Some("""WITH o AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                     o_orderpriority AS prio,
+                     least(9, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) // 5000000) AS band
+                   FROM orders),
+             cc AS (SELECT yr, prio, band, CAST(count(*) AS BIGINT) AS c
+                    FROM o GROUP BY 1, 2, 3),
+             bands AS (SELECT unnest(range(0, 10)) AS band),
+             grid AS (SELECT yr, prio, band
+                      FROM (SELECT DISTINCT yr, prio FROM cc), bands),
+             filled AS (SELECT g.yr, g.prio, g.band,
+                          coalesce(cc.c, 0) AS c
+                        FROM grid g LEFT JOIN cc ON cc.yr = g.yr
+                          AND cc.prio = g.prio AND cc.band = g.band),
+             cum AS (SELECT yr, prio, band,
+                       CAST(sum(c) OVER (PARTITION BY yr, prio
+                         ORDER BY band) AS BIGINT) AS cum_c,
+                       CAST(sum(c) OVER (PARTITION BY yr, prio)
+                         AS BIGINT) AS n_rows
+                     FROM filled),
+             gb AS (SELECT band, CAST(count(*) AS BIGINT) AS g
+                    FROM o GROUP BY 1),
+             gfill AS (SELECT b.band, coalesce(gb.g, 0) AS g
+                       FROM bands b LEFT JOIN gb ON gb.band = b.band),
+             gcum AS (SELECT band, CAST(sum(g) OVER (ORDER BY band)
+                        AS BIGINT) AS cum_g FROM gfill),
+             n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM o)
+             SELECT c2.yr, c2.prio,
+                    CAST(max(c2.n_rows) AS BIGINT) AS n_rows,
+                    CAST(sum(abs(c2.cum_c * n.n_total -
+                      g.cum_g * c2.n_rows)) AS BIGINT) AS emd_num,
+                    CAST(CASE WHEN sum(abs(c2.cum_c * n.n_total -
+                        g.cum_g * c2.n_rows)) * 5 >
+                        9 * max(c2.n_rows) * max(n.n_total)
+                      THEN 1 ELSE 0 END AS BIGINT) AS t_fail
+             FROM cum c2 JOIN gcum g USING (band) CROSS JOIN n
+             WHERE c2.band < 9
+             GROUP BY 1, 2""")
     )
   )
 }

@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.obs.Observability.cents
+
+/** Second warehouse-surface batch: skyline (Pareto front), Deequ-style
+  * constraint validation, and snapshot reconciliation (table diff) —
+  * the data-quality and multi-criteria cuts a lakehouse team runs over
+  * the same tables the log pipeline lands.
+  */
+object OlapQueries2 {
+
+  def all: Seq[GraftQuery] = Seq(
+
+    // Skyline / Pareto front: the parts no other part beats on BOTH
+    // (cheaper, bigger). Spark side is the two-phase distributed
+    // skyline (partition-local streaming dominance scan, then the same
+    // kernel once over the tiny survivor union — ops/Skyline.scala);
+    // the oracle is the O(n²) NOT EXISTS form the operator avoids.
+    GraftQuery(
+      "x_olap_skyline",
+      (s, dir) => {
+        val p = Tables.part(s, dir).select(col("p_partkey"),
+          cents(col("p_retailprice")).as("price_cents"),
+          col("p_size").cast("long").as("psize"))
+        graft.ops.Skyline.skyline2d(p, "price_cents", "psize")
+      },
+      Some("""WITH p AS (SELECT p_partkey,
+                     CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS price_cents,
+                     CAST(p_size AS BIGINT) AS psize FROM part)
+             SELECT p_partkey, price_cents, psize FROM p a
+             WHERE NOT EXISTS (SELECT 1 FROM p b
+               WHERE b.price_cents <= a.price_cents AND b.psize >= a.psize
+                 AND (b.price_cents < a.price_cents OR b.psize > a.psize))""")
+    ),
+
+    // Data-quality constraint suite (Deequ-shaped `check` rather than
+    // the x_profile_table profiler): not-null, primary-key uniqueness,
+    // range, accepted-set, and referential-integrity verdicts over a
+    // deterministically-dirtied orders snapshot (NULL/orphan custkeys,
+    // negated prices, bogus statuses, duplicated keys — so every
+    // counter is exercised non-zero). Scale shape: the four row-local
+    // checks ride ONE aggregate over one scan; the FK check is the one
+    // unavoidable shuffle (anti-join against the dimension's keys) and
+    // at 100 TB it's exactly the bloom-prunable semi-join family
+    // (x_join_bloom_probe) — everything else never shuffles a row.
+    GraftQuery(
+      "x_dq_constraints",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val mut = o.select(col("o_orderkey"),
+          when(col("o_orderkey") % 977 === 0, lit(null).cast("long"))
+            .when(col("o_orderkey") % 997 === 0, lit(-1L))
+            .otherwise(col("o_custkey")).as("cust"),
+          when(col("o_orderkey") % 991 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("status"),
+          when(col("o_orderkey") % 983 === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")).as("price"))
+        val dirty = mut.unionAll(mut.filter(col("o_orderkey") % 1009 === 0))
+        val agg = dirty.agg(
+          count(lit(1)).as("n"),
+          sum(col("cust").isNull.cast("long")).as("v_null"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_dup"),
+          sum((col("price") <= 0).cast("long")).as("v_range"),
+          sum((!col("status").isin("O", "F", "P")).cast("long")).as("v_set"))
+        val fk = dirty.filter(col("cust").isNotNull)
+          .join(Tables.customer(s, dir).select(col("c_custkey")),
+            col("cust") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("v_fk"))
+        agg.crossJoin(broadcast(fk))
+          .select(expr("stack(5, " +
+            "'not_null:o_custkey', v_null, " +
+            "'unique:o_orderkey', v_dup, " +
+            "'range:o_totalprice_gt0', v_range, " +
+            "'accepted:o_orderstatus', v_set, " +
+            "'fk:o_custkey_customer', v_fk) AS (cname, violations)"),
+            col("n").as("checked"))
+          .withColumn("pass", col("violations") === 0L)
+      },
+      Some("""WITH mut AS (SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 977 = 0 THEN NULL
+                          WHEN o_orderkey % 997 = 0 THEN -1
+                          ELSE o_custkey END AS cust,
+                     CASE WHEN o_orderkey % 991 = 0 THEN 'X'
+                          ELSE o_orderstatus END AS status,
+                     CASE WHEN o_orderkey % 983 = 0 THEN -o_totalprice
+                          ELSE o_totalprice END AS price
+                   FROM orders),
+             dirty AS (SELECT * FROM mut
+               UNION ALL SELECT * FROM mut WHERE o_orderkey % 1009 = 0),
+             a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN cust IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS v_null,
+                     CAST(count(*) - count(DISTINCT o_orderkey)
+                       AS BIGINT) AS v_dup,
+                     CAST(sum(CASE WHEN price <= 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS v_range,
+                     CAST(sum(CASE WHEN status NOT IN ('O','F','P')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_set
+                   FROM dirty),
+             fk AS (SELECT CAST(count(*) AS BIGINT) AS v_fk FROM dirty d
+                    WHERE d.cust IS NOT NULL AND NOT EXISTS
+                      (SELECT 1 FROM customer c WHERE c.c_custkey = d.cust)),
+             st AS (SELECT 'not_null:o_custkey' AS cname,
+                      v_null AS violations, n FROM a
+               UNION ALL SELECT 'unique:o_orderkey', v_dup, n FROM a
+               UNION ALL SELECT 'range:o_totalprice_gt0', v_range, n FROM a
+               UNION ALL SELECT 'accepted:o_orderstatus', v_set, n FROM a
+               UNION ALL SELECT 'fk:o_custkey_customer',
+                      (SELECT v_fk FROM fk), n FROM a)
+             SELECT cname, violations, n AS checked,
+                    violations = 0 AS pass FROM st""")
+    ),
+
+    // Snapshot reconciliation (table diff): two deterministic snapshots
+    // of orders (rows dropped on each side, prices/priorities mutated
+    // on one) full-outer-joined on the key into row-level
+    // added/removed/changed verdicts with per-column change flags — the
+    // lakehouse audit that answers "what did yesterday's load change".
+    // Scale shape: ONE full-outer sort-merge join on the snapshot key
+    // (bucket both snapshots by key at 100 TB and it's shuffle-free);
+    // the unchanged mass is filtered before anything leaves the join.
+    GraftQuery(
+      "x_table_diff",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(col("o_orderkey"),
+          cents(col("o_totalprice")).as("cents"),
+          col("o_orderpriority").as("prio"))
+        val snapA = o.filter(col("o_orderkey") % 97 =!= 3)
+        val snapB = o.filter(col("o_orderkey") % 97 =!= 5)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 11 === 0, col("cents") + 100)
+              .otherwise(col("cents")).as("cents"),
+            when(col("o_orderkey") % 13 === 0, lit("9-RECHECK"))
+              .otherwise(col("prio")).as("prio"))
+        snapA.as("a")
+          .join(snapB.as("b"),
+            col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
+          .select(
+            coalesce(col("a.o_orderkey"), col("b.o_orderkey"))
+              .as("o_orderkey"),
+            when(col("a.o_orderkey").isNull, "added")
+              .when(col("b.o_orderkey").isNull, "removed")
+              .when(col("a.cents") =!= col("b.cents") ||
+                col("a.prio") =!= col("b.prio"), "changed")
+              .otherwise("unchanged").as("status"),
+            coalesce(col("a.cents") =!= col("b.cents"), lit(false))
+              .as("chg_price"),
+            coalesce(col("a.prio") =!= col("b.prio"), lit(false))
+              .as("chg_prio"))
+          .filter(col("status") =!= "unchanged")
+      },
+      Some("""WITH o AS (SELECT o_orderkey,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS cents,
+                     o_orderpriority AS prio FROM orders),
+             a AS (SELECT * FROM o WHERE o_orderkey % 97 <> 3),
+             b AS (SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 11 = 0 THEN cents + 100
+                          ELSE cents END AS cents,
+                     CASE WHEN o_orderkey % 13 = 0 THEN '9-RECHECK'
+                          ELSE prio END AS prio
+                   FROM o WHERE o_orderkey % 97 <> 5),
+             j AS (SELECT coalesce(a.o_orderkey, b.o_orderkey)
+                       AS o_orderkey,
+                     CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                          WHEN b.o_orderkey IS NULL THEN 'removed'
+                          WHEN a.cents <> b.cents OR a.prio <> b.prio
+                            THEN 'changed'
+                          ELSE 'unchanged' END AS status,
+                     coalesce(a.cents <> b.cents, false) AS chg_price,
+                     coalesce(a.prio <> b.prio, false) AS chg_prio
+                   FROM a FULL OUTER JOIN b
+                     ON a.o_orderkey = b.o_orderkey)
+             SELECT o_orderkey, status, chg_price, chg_prio FROM j
+             WHERE status <> 'unchanged'""")
+    )
+  )
+}

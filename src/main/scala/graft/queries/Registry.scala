@@ -29,6 +29,7 @@ object Registry {
       FqlQueries.all ++ ExtQueries.all ++ IngestQueries.all ++
       SaasQueries.all ++ SaasQueries2.all ++ SaasQueries3.all ++
       ObsQueries.all ++ SearchQueries.all ++ OlapQueries.all ++
+      OlapQueries2.all ++
       TsQueries.all ++ AnalyticsQueries.all ++ CurateQueries.all ++
       CurateQueries2.all ++ StreamQueries.all
 

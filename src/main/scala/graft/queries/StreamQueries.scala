@@ -896,6 +896,89 @@ object StreamQueries {
                     r.v AS est
              FROM r, q
              WHERE r.rn = ((r.n - 1) * q.q_centi) // 100 + 1""")
+    ),
+
+    // Stream-stream INTERVAL JOIN twin (x_interval_join): the one
+    // Structured Streaming surface the flatMapGroupsWithState twins
+    // don't touch — Spark's native watermarked stream-stream join.
+    // Clicks and purchases feed as two MemoryStreams in four GLOBAL
+    // TIME SLICES (both streams advance through the same disjoint time
+    // ranges, a full processAllAvailable between slices), so watermarks
+    // genuinely advance across batches and the join's state-retention
+    // machinery runs, while no row ever arrives behind the 24 h
+    // watermark — which is exactly the condition under which Spark
+    // guarantees the inner-join result is COMPLETE. The sink therefore
+    // hash-matches the batch interval-join oracle verbatim. At 100 TB
+    // this operator IS the deployment shape: state is bounded by
+    // (watermark delay + 6 h window) per key and both sides shuffle
+    // only on user_id.
+    GraftQuery(
+      "x_interval_join_stream",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir).filter(col("user_id") % 3 === 0)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("cus"))
+          .as[(Long, Long, Long)].collect().sortBy(_._3).toSeq
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("pus"),
+            col("value"))
+          .as[(Long, Long, Double)].collect().sortBy(_._2).toSeq
+        val allTs = (clicks.map(_._3) ++ purchases.map(_._2)).sorted
+        val cuts = Seq(1, 2, 3)
+          .map(i => allTs(math.min(allTs.length * i / 4, allTs.length - 1)))
+        def sliceOf(t: Long): Int = cuts.count(_ <= t)
+        implicit val sqlCtx = s.sqlContext
+        val inC = MemoryStream[(Long, Long, Long)]
+        val inP = MemoryStream[(Long, Long, Double)]
+        val cDs = inC.toDS().toDF("click_id", "user_id", "cus")
+          .withColumn("cts", timestamp_micros(col("cus")))
+          .withWatermark("cts", "24 hours")
+        val pDs = inP.toDS().toDF("p_user", "pus", "purchase_value")
+          .withColumn("pts", timestamp_micros(col("pus")))
+          .withWatermark("pts", "24 hours")
+        val joined = cDs.join(pDs,
+            col("user_id") === col("p_user") &&
+              col("pts") <= col("cts") &&
+              col("pts") >= col("cts") - expr("INTERVAL 6 HOURS"))
+          .select(col("click_id"), col("user_id"),
+            col("cus").as("click_us"), col("pus").as("purchase_us"),
+            col("purchase_value"))
+        val table = sinkName("x_interval_join_stream")
+        // the stream-stream join keeps FOUR state stores per shuffle
+        // partition and commits each every micro-batch — at the replay's
+        // toy state size that overhead IS the gate's cost, so the replay
+        // pins its state partitioning to 4 (restored after the run; the
+        // conf is read once at query start)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          val q = startToMemory(
+            joined.as[(Long, Long, Long, Long, Double)], table)
+          try {
+            val cBy = clicks.groupBy(c => sliceOf(c._3))
+            val pBy = purchases.groupBy(p => sliceOf(p._2))
+            (0 to 3).foreach { i =>
+              cBy.get(i).foreach(rows => inC.addData(rows))
+              pBy.get(i).foreach(rows => inP.addData(rows))
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.table(table)
+      },
+      Some("""WITH c AS (SELECT event_id AS click_id, user_id, ts AS cts
+                   FROM events
+                   WHERE event_type = 'click' AND user_id % 3 = 0),
+             p AS (SELECT user_id AS p_user, ts AS pts,
+                     value AS purchase_value
+                   FROM events
+                   WHERE event_type = 'purchase' AND user_id % 3 = 0)
+             SELECT click_id, user_id, epoch_us(cts) AS click_us,
+                    epoch_us(pts) AS purchase_us, purchase_value
+             FROM c JOIN p ON user_id = p_user
+               AND pts <= cts AND pts >= cts - INTERVAL 6 HOUR""")
     )
   )
 

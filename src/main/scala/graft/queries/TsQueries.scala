@@ -206,6 +206,84 @@ object TsQueries {
                     CAST((sum(cents) * 1000) // count(*) AS BIGINT)
                       AS mean_milli
              FROM s GROUP BY 1, 2""")
+    ),
+
+    // Autocorrelation (ACF lags 1–3) per series: Pearson r between the
+    // series and its k-step lead over the (ts, id)-ordered sequence —
+    // the seasonality/memory detector an anomaly pipeline runs before
+    // picking window sizes. All moment sums are exact integers
+    // (DECIMAL(38,0) — n·Σx² overflows BIGINT at corpus scale) and the
+    // only floating-point steps are one cast, two correctly-rounded
+    // sqrts, and one IEEE multiply+divide on identical operands, so the
+    // doubles hash-match DuckDB bit-for-bit. Scale shape: the lead()
+    // windows partition by series key (real deployments have hosts ×
+    // metrics of them, far more than cores) and the moment aggregate is
+    // one map-side-combined pass; 3 rows out per series.
+    GraftQuery(
+      "x_series_acf",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts_ns"), col("event_id"))
+        val led = Tables.events(s, dir)
+          .select(col("event_type"), col("ts_ns"), col("event_id"),
+            Observability.cents(col("value")).as("x"))
+          .select(col("event_type"), col("x"),
+            lead(col("x"), 1).over(w).as("x1"),
+            lead(col("x"), 2).over(w).as("x2"),
+            lead(col("x"), 3).over(w).as("x3"))
+        val d = "decimal(38,0)"
+        val agg = led
+          .select(col("event_type"), expr("stack(3, " +
+            "CAST(1 AS BIGINT), x, x1, " +
+            "CAST(2 AS BIGINT), x, x2, " +
+            "CAST(3 AS BIGINT), x, x3) AS (lag, xv, yv)"))
+          .filter(col("yv").isNotNull)
+          .groupBy(col("event_type"), col("lag"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("xv").cast(d)).as("sx"),
+            sum(col("yv").cast(d)).as("sy"),
+            sum((col("xv") * col("yv")).cast(d)).as("sxy"),
+            sum((col("xv") * col("xv")).cast(d)).as("sxx"),
+            sum((col("yv") * col("yv")).cast(d)).as("syy"))
+        agg.select(col("event_type"), col("lag"), col("n_pairs"),
+          ((col("n_pairs").cast(d) * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (sqrt((col("n_pairs").cast(d) * col("sxx") -
+              col("sx") * col("sx")).cast("double")) *
+             sqrt((col("n_pairs").cast(d) * col("syy") -
+               col("sy") * col("sy")).cast("double")))).as("acf"))
+      },
+      Some("""WITH e AS (SELECT event_type, epoch_ns(ts) AS ts_ns, event_id,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS x
+                   FROM events),
+             led AS (SELECT event_type, x,
+                       lead(x, 1) OVER w AS x1,
+                       lead(x, 2) OVER w AS x2,
+                       lead(x, 3) OVER w AS x3
+                     FROM e WINDOW w AS (PARTITION BY event_type
+                       ORDER BY ts_ns, event_id)),
+             st AS (SELECT event_type, lag, xv, yv FROM (
+                      SELECT event_type, CAST(1 AS BIGINT) AS lag,
+                             x AS xv, x1 AS yv FROM led
+                      UNION ALL SELECT event_type, 2, x, x2 FROM led
+                      UNION ALL SELECT event_type, 3, x, x3 FROM led)
+                    WHERE yv IS NOT NULL),
+             agg AS (SELECT event_type, lag,
+                       CAST(count(*) AS BIGINT) AS n_pairs,
+                       sum(CAST(xv AS HUGEINT)) AS sx,
+                       sum(CAST(yv AS HUGEINT)) AS sy,
+                       sum(CAST(xv AS HUGEINT) * yv) AS sxy,
+                       sum(CAST(xv AS HUGEINT) * xv) AS sxx,
+                       sum(CAST(yv AS HUGEINT) * yv) AS syy
+                     FROM st GROUP BY 1, 2)
+             SELECT event_type, lag, n_pairs,
+                    CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+                      (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+                       sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+                      AS acf
+             FROM agg""")
     )
   )
 }
