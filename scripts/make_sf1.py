@@ -104,3 +104,27 @@ COPY (
 for t in ("documents", "embeddings", "events", "orders", "lineitem"):
     n = con.sql(f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')").fetchone()[0]
     print(f"{out}/{t}.parquet: {n} rows")
+
+# part/customer (round 13): disjoint key spaces per replica. part keeps
+# its (price, size) multiset — skyline duplicates are the workload's
+# nature; customer custkeys shift by r*1e6 to MATCH the orders shift,
+# so per-replica FK structure (x_dq_constraints) replicates exactly.
+con.sql(f"""
+COPY (
+  SELECT p_partkey + r * 10000000 AS p_partkey,
+         p_name, p_brand, p_type, p_size, p_retailprice
+  FROM read_parquet('{src}/part.parquet'),
+       (SELECT unnest(range({replicas})) AS r)
+) TO '{out}/part.parquet' (FORMAT PARQUET)
+""")
+con.sql(f"""
+COPY (
+  SELECT c_custkey + r * 1000000 AS c_custkey,
+         c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM read_parquet('{src}/customer.parquet'),
+       (SELECT unnest(range({replicas})) AS r)
+) TO '{out}/customer.parquet' (FORMAT PARQUET)
+""")
+for t in ("part", "customer"):
+    n = con.sql(f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')").fetchone()[0]
+    print(f"{out}/{t}.parquet: {n} rows")

@@ -77,7 +77,12 @@ object Explain {
     "x_text_readability" -> "Flesch-Kincaid readability (map-only regexp counts, exact centi-grade integers)",
     "x_join_bloom_probe" -> "probe-only runtime filter (codegen BloomProbe inside the fact scan stage, no residual join — the map-side half in isolation)",
     "x_sketch_hll_setops_regs" -> "HLL set-ops production path (one bucket aggregate carries per-segment AND union registers; single estimator row)",
-    "x_enrich_cidr6" -> "IPv6 CIDR longest-prefix enrichment (two-long unsigned binary-search lookup, zero joins)"
+    "x_enrich_cidr6" -> "IPv6 CIDR longest-prefix enrichment (two-long unsigned binary-search lookup, zero joins)",
+    "x_olap_skyline" -> "two-phase distributed skyline (per-partition Tungsten sort + O(1)-memory dominance scan, survivor union re-scanned once — no all-pairs join)",
+    "x_dq_constraints" -> "DQ constraint suite (four row-local checks in ONE aggregate; FK verdict via anti-join — the only shuffle)",
+    "x_table_diff" -> "snapshot reconciliation (ONE full-outer join on the key; change flags computed inside the join projection)",
+    "x_tcloseness" -> "t-closeness ordered-EMD audit (grid-sized windows; 10-row global distribution broadcast)",
+    "x_series_acf" -> "per-series autocorrelation (ONE series-keyed window feeds three lag pairs; moment sums partial-combine map-side)"
   )
 
   def main(args: Array[String]): Unit = {

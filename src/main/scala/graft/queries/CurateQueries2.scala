@@ -430,10 +430,10 @@ object CurateQueries2 {
     // ordered bins). Closeness = ordered-EMD, Σ_{i<m-1} |cumP_i −
     // cumQ_i| / (m−1) — kept integer-exact as emd_num = Σ |C_i·N −
     // G_i·n| (units 1/(n·N)); the t = 0.2 verdict cross-multiplies:
-    // 5·emd_num > 9·n·N. Scale shape: two count aggregates over one
-    // scan; the cumulative sums run on the |classes|×10 grid (class
-    // count, not row count, sizes every window); the 10-row global
-    // distribution broadcasts. emd_num peaks at (m−1)·n·N — BIGINT
+    // 5·emd_num > 9·n·N. Scale shape: ONE count aggregate over ONE
+    // corpus scan — the audit-sized class-count table collects as model
+    // state and the grid fill, cumulative sums, global distribution,
+    // and N all derive from it locally. emd_num peaks at (m−1)·n·N — BIGINT
     // holds to ~10^9 rows per class; past that lift to DECIMAL(38,0)
     // like the mixing gates.
     GraftQuery(
@@ -445,8 +445,18 @@ object CurateQueries2 {
           col("o_orderpriority").as("prio"),
           expr("least(9, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100" +
             " AS BIGINT) div 5000000)").as("band"))
-        val cc = o.groupBy(col("yr"), col("prio"), col("band"))
-          .agg(count(lit(1)).as("c"))
+        // ONE corpus scan: the class-count table is audit-sized
+        // (|classes|×10 rows) and every downstream step — grid fill,
+        // cumulative sums, global distribution, N — derives from it, so
+        // it collects once as model state (the CIDR-rules pattern); the
+        // lazy plan would otherwise re-scan the corpus per reference
+        val cc = s.createDataFrame(
+          java.util.Arrays.asList(
+            o.groupBy(col("yr"), col("prio"), col("band"))
+              .agg(count(lit(1)).as("c")).collect(): _*),
+          new org.apache.spark.sql.types.StructType()
+            .add("yr", "long").add("prio", "string")
+            .add("band", "long").add("c", "long"))
         val bands = s.range(0, 10).select(col("id").as("band"))
         val grid = cc.select(col("yr"), col("prio")).distinct()
           .crossJoin(broadcast(bands))
@@ -460,14 +470,16 @@ object CurateQueries2 {
         val cum = filled
           .withColumn("cum_c", sum(col("c")).over(wCum))
           .withColumn("n_rows", sum(col("c")).over(wAll))
+        // global distribution and N derive from the class counts (Σ by
+        // band / Σ overall) — the corpus is scanned exactly ONCE
         val gc = broadcast(bands)
-          .join(o.groupBy(col("band")).agg(count(lit(1)).as("g")),
+          .join(cc.groupBy(col("band")).agg(sum(col("c")).as("g")),
             Seq("band"), "left")
           .select(col("band"), coalesce(col("g"), lit(0L)).as("g"))
         val wG = Window.orderBy(col("band"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val gCum = gc.withColumn("cum_g", sum(col("g")).over(wG))
-        val nTot = o.agg(count(lit(1)).as("n_total"))
+        val nTot = cc.agg(sum(col("c")).as("n_total"))
         cum.join(broadcast(gCum.select(col("band"), col("cum_g"))),
             Seq("band"))
           .crossJoin(broadcast(nTot))

@@ -59,17 +59,23 @@ object OlapQueries2 {
           when(col("o_orderkey") % 983 === 0, -col("o_totalprice"))
             .otherwise(col("o_totalprice")).as("price"))
         val dirty = mut.unionAll(mut.filter(col("o_orderkey") % 1009 === 0))
+        // row-local checks in ONE Expand-free aggregate (a countDistinct
+        // here would Expand every row ×2); uniqueness instead folds
+        // through a key-grouped count with map-side partials —
+        // Σcnt − |keys| ≡ n − distinct
         val agg = dirty.agg(
           count(lit(1)).as("n"),
           sum(col("cust").isNull.cast("long")).as("v_null"),
-          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_dup"),
           sum((col("price") <= 0).cast("long")).as("v_range"),
           sum((!col("status").isin("O", "F", "P")).cast("long")).as("v_set"))
+        val dup = dirty.groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("cnt"))
+          .agg((sum(col("cnt")) - count(lit(1))).as("v_dup"))
         val fk = dirty.filter(col("cust").isNotNull)
           .join(Tables.customer(s, dir).select(col("c_custkey")),
             col("cust") === col("c_custkey"), "left_anti")
           .agg(count(lit(1)).as("v_fk"))
-        agg.crossJoin(broadcast(fk))
+        agg.crossJoin(broadcast(dup)).crossJoin(broadcast(fk))
           .select(expr("stack(5, " +
             "'not_null:o_custkey', v_null, " +
             "'unique:o_orderkey', v_dup, " +
@@ -136,7 +142,7 @@ object OlapQueries2 {
             when(col("o_orderkey") % 13 === 0, lit("9-RECHECK"))
               .otherwise(col("prio")).as("prio"))
         snapA.as("a")
-          .join(snapB.as("b"),
+          .join(snapB.as("b").hint("shuffle_hash"),
             col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
           .select(
             coalesce(col("a.o_orderkey"), col("b.o_orderkey"))
