@@ -141,8 +141,17 @@ object OlapQueries2 {
               .otherwise(col("cents")).as("cents"),
             when(col("o_orderkey") % 13 === 0, lit("9-RECHECK"))
               .otherwise(col("prio")).as("prio"))
+        // size-aware join pick (the bloom-residual-join precedent): the
+        // shuffle-hash FOJ skips both sorts and is 5× faster when the
+        // build side's per-task hash map fits executor memory, but it
+        // OOMs outright at 150M build rows — past the threshold the
+        // robust sort-merge takes over. The cutoff is a cluster-shape
+        // decision (size it to executor memory × shuffle parallelism).
+        val shjFits = snapB.queryExecution.optimizedPlan.stats.sizeInBytes <
+          (1L << 28)
         snapA.as("a")
-          .join(snapB.as("b").hint("shuffle_hash"),
+          .join(if (shjFits) snapB.as("b").hint("shuffle_hash")
+                else snapB.as("b"),
             col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
           .select(
             coalesce(col("a.o_orderkey"), col("b.o_orderkey"))
@@ -182,6 +191,86 @@ object OlapQueries2 {
                      ON a.o_orderkey = b.o_orderkey)
              SELECT o_orderkey, status, chg_price, chg_prio FROM j
              WHERE status <> 'unchanged'""")
+    ),
+
+    // Schema-evolution merged read: two parquet generations of the same
+    // table (v2 adds a column), read back through Spark's mergeSchema
+    // footer union — old files surface the new column as NULL. The
+    // oracle derives the same union logically. Scale shape: schema
+    // merge is a per-file FOOTER operation (no data pass); the
+    // aggregate downstream is the usual one-scan group-by.
+    GraftQuery(
+      "x_schema_merge",
+      (s, dir) => {
+        // a 1/23 key sample: the merged-read path under test is a
+        // per-file footer union — identical on a sample, so the gate
+        // does not bill a full-table rewrite every run
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 23 === 0)
+          .select(col("o_orderkey"),
+            cents(col("o_totalprice")).as("cents"),
+            col("o_orderpriority").as("prio"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_schema").toString
+        o.filter(col("o_orderkey") % 2 === 0).select("o_orderkey", "cents")
+          .write.mode("overwrite").parquet(tmp + "/v1")
+        o.filter(col("o_orderkey") % 2 =!= 0)
+          .write.mode("overwrite").parquet(tmp + "/v2")
+        s.read.option("mergeSchema", "true")
+          .parquet(tmp + "/v1", tmp + "/v2")
+          .groupBy(coalesce(col("prio"), lit("<missing>")).as("prio"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS cents,
+                     CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                          ELSE o_orderpriority END AS prio
+                   FROM orders WHERE o_orderkey % 23 = 0)
+             SELECT coalesce(prio, '<missing>') AS prio,
+                    CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(cents) AS BIGINT) AS sum_cents
+             FROM o GROUP BY 1""")
+    ),
+
+    // Sliding-window distinct users via PANE-SKETCH MERGING (the
+    // mergeable twin of x_obs_sliding_distinct's exact form): raw
+    // events aggregate into per-(series, 10-min pane) HLL registers
+    // once; each 30-min hopping window merges its 3 pane sketches by
+    // register max. The pane explode runs on register rows, never
+    // events — the reason mergeable sketches exist at 100 TB.
+    GraftQuery(
+      "x_sketch_hll_sliding",
+      (s, dir) =>
+        graft.sketch.Sketches.hllSlidingEstimate(
+          Tables.events(s, dir), col("event_type"),
+          expr("ts_ns div 600000000000").as("pane"), col("user_id"),
+          panes = 3),
+      Some("""WITH e AS (SELECT event_type AS g,
+                     epoch_ns(ts) // 600000000000 AS pane,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                       ::BIGINT AS h
+                   FROM events),
+             regs AS (SELECT g, pane, h % 256 AS bucket,
+                       max(CASE WHEN h // 256 = 0 THEN 25
+                           ELSE 25 - length(bin(h // 256)) END) AS register
+                      FROM e GROUP BY 1, 2, 3),
+             wr AS (SELECT g, pane + off AS win, bucket, register
+                    FROM regs, (SELECT unnest(range(0, 3)) AS off)),
+             mr AS (SELECT g, win, bucket, max(register) AS register
+                    FROM wr GROUP BY 1, 2, 3),
+             agg AS (SELECT g, win, CAST(count(*) AS BIGINT) AS nb,
+                       CAST(sum(1::BIGINT << (25 - register)) AS BIGINT)
+                         AS s_present
+                     FROM mr GROUP BY 1, 2),
+             fin AS (SELECT g, win, nb,
+                       s_present + (256 - nb) * (1::BIGINT << 25)
+                         AS s_scaled
+                     FROM agg)
+             SELECT g, win, nb AS nonzero_buckets, s_scaled,
+                    (71827 * ((CAST(256 * 256 AS BIGINT) *
+                      (1::BIGINT << 25)) // s_scaled)) // 100000 AS est
+             FROM fin""")
     )
   )
 }

@@ -185,6 +185,50 @@ object Sketches {
         expr("(71827 * q1) div 100000").as("est"))
   }
 
+  /** Sliding-window distinct estimate by PANE-SKETCH MERGING — the
+    * mergeability argument in operative form: raw rows aggregate into
+    * per-(series, pane) registers exactly ONCE; each pane's sketch then
+    * feeds the `panes` hopping windows that contain it and windows
+    * merge by register max (associative, idempotent). The explode runs
+    * on REGISTER rows (≤ |series|·|panes|·m), never on events — at
+    * 100 TB the raw stream is touched once per pane regardless of how
+    * many window widths ride on the same pane sketches. Integer-exact
+    * estimator identical to [[hllGroupedEstimate]] (p = 8).
+    */
+  def hllSlidingEstimate(df: DataFrame, series: Column, paneCol: Column,
+                         key: Column, panes: Int, p: Int = 8): DataFrame = {
+    require(p == 8, "estimator constant α is instantiated for p=8")
+    val isLong = df.select(key.as("__k")).schema.head.dataType ==
+      org.apache.spark.sql.types.LongType
+    val packed = org.apache.spark.sql.graftshim.shim.column(
+      graft.functions.HllBucketRank(
+        org.apache.spark.sql.graftshim.shim.expression(
+          if (isLong) key else key.cast("string")), p))
+    val regs = df.select(series.as("g"), paneCol.as("pane"), packed.as("pk"))
+      .groupBy(col("g"), col("pane"),
+        expr("CAST(pk div 64 AS BIGINT)").as("bucket"))
+      .agg(max(expr("CAST(pk % 64 AS INT)")).as("register"))
+    // trailing windows: window w merges panes [w-(panes-1), w] — "the
+    // last `panes` panes ending at w" — so pane p feeds windows p..p+k
+    val merged = regs
+      .withColumn("win",
+        explode(expr(s"sequence(pane, pane + ${panes - 1})")))
+      .groupBy(col("g"), col("win"), col("bucket"))
+      .agg(max(col("register")).as("register"))
+    val m = 1 << p
+    val w = 32 - p
+    val pows = (0 to w + 1).map(i => 1L << ((w + 1) - i)).toArray
+    merged.groupBy(col("g"), col("win"))
+      .agg(count(lit(1)).as("nb"),
+        sum(element_at(typedLit(pows), col("register") + 1)).as("s_present"))
+      .withColumn("s_scaled",
+        col("s_present") + (lit(m.toLong) - col("nb")) * (1L << (w + 1)))
+      .withColumn("q1",
+        expr(s"CAST(${m.toLong * m * (1L << (w + 1))} AS BIGINT) div s_scaled"))
+      .select(col("g"), col("win"), col("nb").as("nonzero_buckets"),
+        col("s_scaled"), expr("(71827 * q1) div 100000").as("est"))
+  }
+
   /** Estimate + the exact comparator a sketch exists to avoid — the
     * gate's ground truth (production drops it and keeps
     * [[hllEstimateFromRegs]]). The comparator's exact-distinct shuffle

@@ -464,4 +464,40 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected only the final rollup exchange, got $exchanges:\n" +
       plan.take(3000))
   }
+
+  test("skyline is two scan passes, no join, one survivor exchange") {
+    val plan = planOf("x_olap_skyline")
+    assert(!plan.contains("Join"), "skyline must never join:\n" + plan.take(3000))
+    // phase 1 prunes partition-local; only survivors cross the single
+    // repartition(1) exchange
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one part scan, got $scans")
+    assert("MapPartitions".r.findAllIn(plan).length == 2,
+      "expected the local + global dominance scans:\n" + plan.take(3000))
+  }
+
+  test("dq constraints: FK verdict broadcasts, no Expand anywhere") {
+    val plan = planOf("x_dq_constraints")
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), plan.take(3000))
+    // the r13 lesson: countDistinct next to row-local sums Expands
+    // every row ×2 — the split form must never reintroduce it
+    assert(!plan.contains("Expand"), "row-local checks must stay Expand-free")
+  }
+
+  test("table diff is ONE shuffle-hash full-outer join, no sort") {
+    val plan = planOf("x_table_diff")
+    assert(plan.contains("ShuffledHashJoin") && plan.contains("FullOuter"),
+      plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), "FOJ must not pay two sorts:\n" +
+      plan.take(3000))
+  }
+
+  test("acf: one series-keyed window feeds all three lag pairs") {
+    val plan = planOf("x_series_acf")
+    assert("Window".r.findAllIn(plan).length >= 1)
+    assert(!plan.contains("Join"), "lags come from lead(), never a self-join")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one events scan, got $scans")
+  }
 }

@@ -134,4 +134,25 @@ class SkylineDqSpec extends AnyFunSuite {
     assert(math.abs(acf("x1") - (-1.0)) < 1e-12)
     assert(math.abs(acf("x2") - 1.0) < 1e-12)
   }
+
+  test("hllSlidingEstimate: merged pane sketches equal the direct sketch") {
+    import graft.sketch.Sketches
+    // keys spread over panes 0..2; the window ending at pane 2 merges
+    // all three pane sketches and must equal the direct estimate over
+    // the union, because register max is associative
+    val rows = (1L to 300L).map(k => ("s", k % 3, k)).toDF("g", "pane", "k")
+    val sliding = Sketches.hllSlidingEstimate(rows, col("g"), col("pane"),
+        col("k"), panes = 3)
+      .filter(col("win") === 2L).select("est").as[Long].collect()
+    val direct = Sketches.hllGroupedEstimate(rows, col("g"), col("k"))
+      .select("est").as[Long].collect()
+    assert(sliding.toSeq == direct.toSeq)
+    // the window covering only pane 0 equals the pane-0-only sketch
+    val w0 = Sketches.hllSlidingEstimate(rows, col("g"), col("pane"),
+        col("k"), panes = 3)
+      .filter(col("win") === 0L).select("est").as[Long].collect()
+    val p0 = Sketches.hllGroupedEstimate(rows.filter(col("pane") === 0L),
+        col("g"), col("k")).select("est").as[Long].collect()
+    assert(w0.toSeq == p0.toSeq)
+  }
 }
