@@ -82,7 +82,8 @@ object Explain {
     "x_dq_constraints" -> "DQ constraint suite (four row-local checks in ONE aggregate; FK verdict via anti-join — the only shuffle)",
     "x_table_diff" -> "snapshot reconciliation (ONE full-outer join on the key; change flags computed inside the join projection)",
     "x_tcloseness" -> "t-closeness ordered-EMD audit (grid-sized windows; 10-row global distribution broadcast)",
-    "x_series_acf" -> "per-series autocorrelation (ONE series-keyed window feeds three lag pairs; moment sums partial-combine map-side)"
+    "x_series_acf" -> "per-series autocorrelation (ONE series-keyed window feeds three lag pairs; moment sums partial-combine map-side)",
+    "x_sketch_hll_sliding" -> "sliding distinct via pane-sketch merging (events aggregate once per pane; the window explode runs on register rows only)"
   )
 
   def main(args: Array[String]): Unit = {

@@ -257,6 +257,43 @@ object StreamQueries {
              FROM documents GROUP BY 1""")
     ),
 
+    // Native streaming dedup (20th replay gate) — the Spark-first
+    // counterpoint to dedupStream's custom keeper state machine:
+    // `dropDuplicatesWithinWatermark` IS this operator when the keeper
+    // id doesn't matter, and using the built-in (RocksDB-ready state
+    // store, watermark-bounded eviction) beats custom state wherever
+    // its contract fits. The emitted keeper row is whichever duplicate
+    // arrived first within a micro-batch partition — NOT total-order
+    // deterministic — so the gate projects the kept-key SET (exactly
+    // the distinct-hash relation) and leaves keeper-id determinism to
+    // the custom twin. Watermark 2 days > the corpus' time span keeps
+    // the replay exact; in production the delay IS the dedup horizon —
+    // this operator's documented contract ("WithinWatermark").
+    GraftQuery(
+      "x_dedup_native_stream",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+          .select(md5(col("text")).as("hash"), col("doc_id").as("docId"))
+          .as[Stateful.HashedDoc].collect().sortBy(_.docId).toSeq
+        implicit val sqlCtx = s.sqlContext
+        val in = MemoryStream[Stateful.HashedDoc]
+        val deduped = in.toDS().toDF("hash", "docId")
+          .withColumn("ts",
+            timestamp_seconds(lit(1700000000L) + col("docId")))
+          .withWatermark("ts", "2 days")
+          .dropDuplicatesWithinWatermark("hash")
+        val table = sinkName("x_dedup_native_stream")
+        val q = startToMemory(deduped, table)
+        try {
+          feed(in, docs)
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(table).select(col("hash").as("content_hash"))
+      },
+      Some("SELECT DISTINCT md5(text) AS content_hash FROM documents")
+    ),
+
     // Incremental MinHash-LSH dedup (VERDICT r12 #6): band signatures
     // computed map-only upstream (the batch bandSignatures operator —
     // in production this projection rides the ingest micro-batch), the
@@ -979,6 +1016,71 @@ object StreamQueries {
                     epoch_us(pts) AS purchase_us, purchase_value
              FROM c JOIN p ON user_id = p_user
                AND pts <= cts AND pts >= cts - INTERVAL 6 HOUR""")
+    ),
+
+    // Sliding-HLL twin (19th replay gate): the continuous
+    // distinct-users dashboard. Per-series state is a window-width ring
+    // of pane register sets; register max is associative, commutative
+    // AND idempotent, so micro-batch boundaries cannot change any
+    // register; trailing windows finalize when a later pane arrives
+    // (pane-ordered feed ≙ event-time watermark) and a rank<0 sentinel
+    // flushes the tail. The sink hash-matches the batch
+    // x_sketch_hll_sliding oracle verbatim.
+    GraftQuery(
+      "x_sketch_hll_sliding_stream",
+      (s, dir) => {
+        import s.implicits._
+        val pk = org.apache.spark.sql.graftshim.shim.column(
+          graft.functions.HllBucketRank(
+            org.apache.spark.sql.graftshim.shim.expression(col("user_id")),
+            8))
+        val rows = Tables.events(s, dir)
+          .select(col("event_type").as("series"),
+            expr("ts_ns div 600000000000").as("pane"), pk.as("pk"))
+          .select(col("series"), col("pane"),
+            expr("CAST(pk div 64 AS INT)").as("bucket"),
+            expr("CAST(pk % 64 AS INT)").as("rank"))
+          .as[Stateful.HllPaneRow].collect()
+          .sortBy(r => (r.pane, r.series, r.bucket, r.rank)).toSeq
+        val sentinels = rows.map(_.series).distinct
+          .map(g => Stateful.HllPaneRow(g, Long.MaxValue, 0, -1))
+        implicit val sqlCtx = s.sqlContext
+        val in = MemoryStream[Stateful.HllPaneRow]
+        val table = sinkName("x_sketch_hll_sliding_stream")
+        val q = startToMemory(Stateful.hllSlidingStream(s, in.toDS()), table)
+        try {
+          feed(in, rows ++ sentinels)
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(table).select(col("series").as("g"), col("win"),
+          col("nb").as("nonzero_buckets"), col("sScaled").as("s_scaled"),
+          col("est"))
+      },
+      Some("""WITH e AS (SELECT event_type AS g,
+                     epoch_ns(ts) // 600000000000 AS pane,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                       ::BIGINT AS h
+                   FROM events),
+             regs AS (SELECT g, pane, h % 256 AS bucket,
+                       max(CASE WHEN h // 256 = 0 THEN 25
+                           ELSE 25 - length(bin(h // 256)) END) AS register
+                      FROM e GROUP BY 1, 2, 3),
+             wr AS (SELECT g, pane + off AS win, bucket, register
+                    FROM regs, (SELECT unnest(range(0, 3)) AS off)),
+             mr AS (SELECT g, win, bucket, max(register) AS register
+                    FROM wr GROUP BY 1, 2, 3),
+             agg AS (SELECT g, win, CAST(count(*) AS BIGINT) AS nb,
+                       CAST(sum(1::BIGINT << (25 - register)) AS BIGINT)
+                         AS s_present
+                     FROM mr GROUP BY 1, 2),
+             fin AS (SELECT g, win, nb,
+                       s_present + (256 - nb) * (1::BIGINT << 25)
+                         AS s_scaled
+                     FROM agg)
+             SELECT g, win, nb AS nonzero_buckets, s_scaled,
+                    (71827 * ((CAST(256 * 256 AS BIGINT) *
+                      (1::BIGINT << 25)) // s_scaled)) // 100000 AS est
+             FROM fin""")
     )
   )
 

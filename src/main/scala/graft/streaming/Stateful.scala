@@ -657,4 +657,83 @@ object Stateful {
           out.iterator
         })
   }
+
+  // ------------------------------------------- sliding HLL (pane merge)
+
+  final case class HllPaneRow(series: String, pane: Long, bucket: Int,
+                              rank: Int)
+  final case class HllCell(pane: Long, bucket: Int, rank: Int)
+  final case class HllSlideState(cells: List[HllCell], maxPane: Long,
+                                 lastFinal: Long)
+  final case class HllWinOut(series: String, win: Long, nb: Long,
+                             sScaled: Long, est: Long)
+
+  /** Streaming twin of [[graft.sketch.Sketches.hllSlidingEstimate]] —
+    * the continuous distinct-users dashboard: per-series state holds a
+    * WINDOW-WIDTH RING of pane register sets (≤ (panes+1)·m cells, the
+    * irreducible sketch state), arriving (pane, bucket, rank) cells
+    * merge by register max (associative, commutative, idempotent — so
+    * micro-batch boundaries can never change a register), and a
+    * trailing window w = panes [w-(panes-1), w] finalizes the moment a
+    * LATER pane arrives (the feed is pane-ordered; an event-time
+    * watermark plays this role in production). A rank<0 sentinel row
+    * flushes each series' remaining windows — the flush_ms convention
+    * of the other replay twins. Estimator math is the integer-exact
+    * p=8 formula shared with the batch oracle.
+    */
+  def hllSlidingStream(spark: SparkSession, rows: Dataset[HllPaneRow],
+                       panes: Int = 3): Dataset[HllWinOut] = {
+    import spark.implicits._
+    val w1 = panes - 1
+    rows.groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (series: String, it: Iterator[HllPaneRow],
+         state: GroupState[HllSlideState]) => {
+          val st = state.getOption
+            .getOrElse(HllSlideState(Nil, Long.MinValue, Long.MinValue))
+          val cells = scala.collection.mutable.Map[(Long, Int), Int]()
+          st.cells.foreach(c => cells((c.pane, c.bucket)) = c.rank)
+          var maxPane = st.maxPane
+          var lastFinal = st.lastFinal
+          val out = scala.collection.mutable.ArrayBuffer[HllWinOut]()
+          def estimate(win: Long): HllWinOut = {
+            val regs = scala.collection.mutable.Map[Int, Int]()
+            cells.foreach { case ((p, b), r) =>
+              if (p >= win - w1 && p <= win)
+                regs(b) = math.max(regs.getOrElse(b, 0), r)
+            }
+            val nb = regs.size.toLong
+            val sPresent = regs.valuesIterator.map(r => 1L << (25 - r)).sum
+            val sScaled = sPresent + (256L - nb) * (1L << 25)
+            val est = 71827L * ((256L * 256L * (1L << 25)) / sScaled) / 100000L
+            HllWinOut(series, win, nb, sScaled, est)
+          }
+          def flushUpTo(wMax: Long): Unit = {
+            // only windows that contain at least one pane exist
+            val wins = cells.keysIterator.map(_._1).toSet.toSeq
+              .flatMap((p: Long) => p to p + w1)
+              .filter(w => w > lastFinal && w <= wMax).distinct.sorted
+            wins.foreach(w => out += estimate(w))
+            if (wMax > lastFinal) lastFinal = wMax
+            // windows > wMax need panes >= wMax - (panes - 2)
+            cells.filterInPlace { case ((p, _), _) => p >= wMax - w1 + 1 }
+          }
+          it.toSeq.sortBy(r => (r.pane, r.bucket, r.rank)).foreach { r =>
+            if (r.rank < 0) {
+              if (maxPane != Long.MinValue) flushUpTo(maxPane + w1)
+            } else {
+              if (r.pane > maxPane) {
+                if (maxPane != Long.MinValue) flushUpTo(r.pane - 1)
+                maxPane = r.pane
+              }
+              val k = (r.pane, r.bucket)
+              cells(k) = math.max(cells.getOrElse(k, 0), r.rank)
+            }
+          }
+          state.update(HllSlideState(
+            cells.iterator.map { case ((p, b), r) => HllCell(p, b, r) }.toList,
+            maxPane, lastFinal))
+          out.iterator
+        })
+  }
 }
