@@ -271,6 +271,90 @@ object OlapQueries2 {
                     (71827 * ((CAST(256 * 256 AS BIGINT) *
                       (1::BIGINT << 25)) // s_scaled)) // 100000 AS est
              FROM fin""")
+    ),
+
+    // ANN quality gate: recall@5 of the IVF nprobe=2 search against the
+    // brute-force ground truth, per query, in integer basis points —
+    // THE accept/reject metric for every approximate index the ANN
+    // family ships (an index nobody measured recall on is not a search
+    // path, it's a random number generator). Both rankings are already
+    // individually oracle-gated (x_sim_cosine_topk, x_ann_ivf_search);
+    // this joins them. Scale shape: ground truth runs on a bounded
+    // query sample (10 queries — the audit pattern), so the brute-force
+    // term stays a broadcast map-only pass however big the corpus.
+    GraftQuery(
+      "x_ann_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .withColumn("embedding", col("embedding").cast("array<double>"))
+        val queries = emb.filter(col("vec_id") < 10)
+        val bf = graft.sim.Similarity.bruteForceTopK(
+            emb, queries, "vec_id", "embedding", k = 5)
+          .select(col("qid"), col("cid"))
+        val ivf = graft.sim.Similarity.ivfTopK(
+            emb, emb.filter(col("vec_id") % 100 === 0), queries,
+            "vec_id", "embedding", k = 5, nprobe = 2)
+          .select(col("qid").as("iqid"), col("cid").as("icid"))
+        bf.join(ivf,
+            col("qid") === col("iqid") && col("cid") === col("icid"),
+            "left")
+          .groupBy(col("qid"))
+          .agg(count(col("icid")).as("n_hits"))
+          .withColumn("recall_bp", col("n_hits") * 2000L)
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                         FROM embeddings WHERE vec_id < 10),
+             c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                   FROM embeddings),
+             bfd AS (SELECT qid, cid,
+                       round(list_dot_product(qv, cv) /
+                             (sqrt(list_dot_product(qv, qv)) *
+                              sqrt(list_dot_product(cv, cv))), 3) AS cos
+                     FROM q, c WHERE qid <> cid),
+             bf AS (SELECT qid, cid FROM (
+                      SELECT *, row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, cid) AS rank FROM bfd)
+                    WHERE rank <= 5),
+             cent AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv2
+                      FROM embeddings WHERE vec_id % 100 = 0),
+             v AS (SELECT vec_id, embedding::DOUBLE[] AS ev
+                   FROM embeddings),
+             ascore AS (SELECT v.vec_id, c2.cent_id,
+                          round(list_dot_product(v.ev, c2.cv2) /
+                                (sqrt(list_dot_product(v.ev, v.ev)) *
+                                 sqrt(list_dot_product(c2.cv2, c2.cv2))), 6)
+                            AS cos
+                        FROM v, cent c2),
+             assign AS (SELECT vec_id, cent_id AS cell FROM (
+                          SELECT *, row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos DESC, cent_id) AS rnk
+                          FROM ascore)
+                        WHERE rnk = 1),
+             probes AS (SELECT vec_id AS qid, cent_id AS cell FROM (
+                          SELECT *, row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos DESC, cent_id) AS rnk
+                          FROM ascore WHERE vec_id < 10)
+                        WHERE rnk <= 2),
+             scored AS (SELECT p.qid, v2.vec_id AS cid,
+                          round(list_dot_product(qv.ev, v2.ev) /
+                                (sqrt(list_dot_product(qv.ev, qv.ev)) *
+                                 sqrt(list_dot_product(v2.ev, v2.ev))), 3)
+                            AS cos
+                        FROM probes p
+                        JOIN v qv ON qv.vec_id = p.qid
+                        JOIN assign a ON a.cell = p.cell
+                        JOIN v v2 ON v2.vec_id = a.vec_id
+                        WHERE v2.vec_id <> p.qid),
+             ivf AS (SELECT qid, cid FROM (
+                       SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY cos DESC, cid) AS rank
+                       FROM scored)
+                     WHERE rank <= 5)
+             SELECT bf.qid, CAST(count(ivf.cid) AS BIGINT) AS n_hits,
+                    CAST(count(ivf.cid) * 2000 AS BIGINT) AS recall_bp
+             FROM bf LEFT JOIN ivf
+               ON bf.qid = ivf.qid AND bf.cid = ivf.cid
+             GROUP BY 1""")
     )
   )
 }
