@@ -1,8 +1,11 @@
 # partial sf100 for the round-13 lakehouse-audit decade pins:
 # orders/events/part/customer only (the new gates' tables)
+import os
+
 import duckdb
 con = duckdb.connect()
 src, out, R = "/root/testdata/sf0.1", "/tmp/sf100", 1000
+os.makedirs(out, exist_ok=True)
 con.sql(f"""COPY (SELECT o_orderkey + r*10000000 AS o_orderkey, o_custkey + r*1000000 AS o_custkey,
   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
   FROM read_parquet('{src}/orders.parquet'), (SELECT unnest(range({R})) AS r)) TO '{out}/orders.parquet' (FORMAT PARQUET)""")

@@ -42,6 +42,9 @@ object Skyline {
     // keep a row iff its max beats every strictly-cheaper row's max, or
     // it exactly ties the row that currently holds the best max
     def scan(it: Iterator[Row]): Iterator[Row] = new Iterator[Row] {
+      // `started` keeps the sentinel out of band: a first row whose max
+      // IS Long.MinValue is still trivially non-dominated and must pass
+      private var started = false
       private var bestMax = Long.MinValue
       private var bestMin = Long.MinValue
       private var nextRow: Row = null
@@ -50,8 +53,9 @@ object Skyline {
         while (nextRow == null && it.hasNext) {
           val r = it.next()
           val (x, y) = (r.getLong(mi), r.getLong(ma))
-          if (y > bestMax) { bestMax = y; bestMin = x; nextRow = r }
-          else if (y == bestMax && x == bestMin) nextRow = r
+          if (!started || y > bestMax) {
+            started = true; bestMax = y; bestMin = x; nextRow = r
+          } else if (y == bestMax && x == bestMin) nextRow = r
         }
       }
       advance()

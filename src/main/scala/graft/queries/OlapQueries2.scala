@@ -210,8 +210,12 @@ object OlapQueries2 {
           .select(col("o_orderkey"),
             cents(col("o_totalprice")).as("cents"),
             col("o_orderpriority").as("prio"))
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_schema").toString
+        // ONE fixed scratch dir, overwritten per run — a fresh
+        // createTempDirectory here would leak two parquet snapshots per
+        // invocation across bench/verify iterations
+        val tmp = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft_schema_merge")
+          .getAbsolutePath
         o.filter(col("o_orderkey") % 2 === 0).select("o_orderkey", "cents")
           .write.mode("overwrite").parquet(tmp + "/v1")
         o.filter(col("o_orderkey") % 2 =!= 0)

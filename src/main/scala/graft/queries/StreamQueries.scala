@@ -266,9 +266,11 @@ object StreamQueries {
     // arrived first within a micro-batch partition — NOT total-order
     // deterministic — so the gate projects the kept-key SET (exactly
     // the distinct-hash relation) and leaves keeper-id determinism to
-    // the custom twin. Watermark 2 days > the corpus' time span keeps
-    // the replay exact; in production the delay IS the dedup horizon —
-    // this operator's documented contract ("WithinWatermark").
+    // the custom twin. The watermark delay is sized from the DATA (the
+    // full docId span + a day), so no duplicate can ever recur behind
+    // the horizon and the replay stays exact at every scale-up; in
+    // production the delay IS the dedup horizon — this operator's
+    // documented contract ("WithinWatermark").
     GraftQuery(
       "x_dedup_native_stream",
       (s, dir) => {
@@ -278,10 +280,11 @@ object StreamQueries {
           .as[Stateful.HashedDoc].collect().sortBy(_.docId).toSeq
         implicit val sqlCtx = s.sqlContext
         val in = MemoryStream[Stateful.HashedDoc]
+        val spanSec = docs.lastOption.map(_.docId).getOrElse(0L) + 86400L
         val deduped = in.toDS().toDF("hash", "docId")
           .withColumn("ts",
             timestamp_seconds(lit(1700000000L) + col("docId")))
-          .withWatermark("ts", "2 days")
+          .withWatermark("ts", s"$spanSec seconds")
           .dropDuplicatesWithinWatermark("hash")
         val table = sinkName("x_dedup_native_stream")
         val q = startToMemory(deduped, table)

@@ -123,14 +123,30 @@ object Sketches {
     * sketch's own 1.04/√m ≈ 6.5% standard error, which is what the
     * gate's `ok` column asserts (|est−exact| ≤ 20%·exact ≈ 3σ).
     */
-  def hllEstimateFromRegs(regs: DataFrame, p: Int = 8): DataFrame = {
+  def hllEstimateFromRegs(regs: DataFrame, p: Int = 8): DataFrame =
+    estimatorTail(regs, Nil, p)
+      .select(lit(1 << p).as("m"), col("nb").as("nonzero_buckets"),
+        col("s_scaled"), col("est"))
+
+  /** The p=8 integer estimator tail, shared by every register→estimate
+    * fold (ungrouped, grouped, sliding): one (keys…, nb, s_scaled, est)
+    * row per key group. 2^(w+1−register) comes from a literal power
+    * table — integer-exact and free of shift-signature pitfalls;
+    * register ∈ [1, w+1]. The streaming twin
+    * ([[graft.streaming.Stateful.hllSlidingStream]]) carries a local
+    * Scala mirror of this arithmetic for its driver-free state folds —
+    * change one, change both.
+    */
+  private def estimatorTail(regs: DataFrame, keyCols: Seq[String],
+                            p: Int): DataFrame = {
     require(p == 8, "estimator constant α is instantiated for p=8")
     val m = 1 << p
     val w = 32 - p
-    // 2^(w+1-register) via a literal power table — integer-exact and
-    // free of shift-signature pitfalls; register ∈ [1, w+1]
     val pows = (0 to w + 1).map(i => 1L << ((w + 1) - i)).toArray
-    regs.agg(
+    val grouped =
+      if (keyCols.isEmpty) regs.groupBy()
+      else regs.groupBy(keyCols.map(col): _*)
+    grouped.agg(
         count(lit(1)).as("nb"),
         sum(element_at(typedLit(pows), col("register") + 1)).as("s_present"))
       .withColumn("s_scaled",
@@ -138,8 +154,7 @@ object Sketches {
       .withColumn("q1",
         expr(s"CAST(${m.toLong * m * (1L << (w + 1))} AS BIGINT) div s_scaled"))
       .withColumn("est", expr("(71827 * q1) div 100000"))
-      .select(lit(m).as("m"), col("nb").as("nonzero_buckets"),
-        col("s_scaled"), col("est"))
+      .drop("s_present", "q1")
   }
 
   /** Per-group register tables — the production half of
@@ -168,22 +183,10 @@ object Sketches {
     * group with the same integer-exact estimator as [[hllEstimateFromRegs]].
     */
   def hllGroupedEstimate(df: DataFrame, group: Column, key: Column,
-                         p: Int = 8): DataFrame = {
-    require(p == 8, "estimator constant α is instantiated for p=8")
-    val m = 1 << p
-    val w = 32 - p
-    val pows = (0 to w + 1).map(i => 1L << ((w + 1) - i)).toArray
-    hllGroupedRegisters(df, group, key, p)
-      .groupBy(col("g"))
-      .agg(count(lit(1)).as("nb"),
-        sum(element_at(typedLit(pows), col("register") + 1)).as("s_present"))
-      .withColumn("s_scaled",
-        col("s_present") + (lit(m.toLong) - col("nb")) * (1L << (w + 1)))
-      .withColumn("q1",
-        expr(s"CAST(${m.toLong * m * (1L << (w + 1))} AS BIGINT) div s_scaled"))
+                         p: Int = 8): DataFrame =
+    estimatorTail(hllGroupedRegisters(df, group, key, p), Seq("g"), p)
       .select(col("g"), col("nb").as("nonzero_buckets"), col("s_scaled"),
-        expr("(71827 * q1) div 100000").as("est"))
-  }
+        col("est"))
 
   /** Sliding-window distinct estimate by PANE-SKETCH MERGING — the
     * mergeability argument in operative form: raw rows aggregate into
@@ -215,18 +218,9 @@ object Sketches {
         explode(expr(s"sequence(pane, pane + ${panes - 1})")))
       .groupBy(col("g"), col("win"), col("bucket"))
       .agg(max(col("register")).as("register"))
-    val m = 1 << p
-    val w = 32 - p
-    val pows = (0 to w + 1).map(i => 1L << ((w + 1) - i)).toArray
-    merged.groupBy(col("g"), col("win"))
-      .agg(count(lit(1)).as("nb"),
-        sum(element_at(typedLit(pows), col("register") + 1)).as("s_present"))
-      .withColumn("s_scaled",
-        col("s_present") + (lit(m.toLong) - col("nb")) * (1L << (w + 1)))
-      .withColumn("q1",
-        expr(s"CAST(${m.toLong * m * (1L << (w + 1))} AS BIGINT) div s_scaled"))
+    estimatorTail(merged, Seq("g", "win"), p)
       .select(col("g"), col("win"), col("nb").as("nonzero_buckets"),
-        col("s_scaled"), expr("(71827 * q1) div 100000").as("est"))
+        col("s_scaled"), col("est"))
   }
 
   /** Estimate + the exact comparator a sketch exists to avoid — the

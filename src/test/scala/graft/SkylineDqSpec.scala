@@ -155,4 +155,16 @@ class SkylineDqSpec extends AnyFunSuite {
         col("g"), col("k")).select("est").as[Long].collect()
     assert(w0.toSeq == p0.toSeq)
   }
+
+  test("hllSlidingEstimate: pane gaps emit only windows containing a pane") {
+    import graft.sketch.Sketches
+    // panes {0, 5}: windows = {0,1,2} ∪ {5,6,7}, nothing for 3/4 —
+    // the streaming twin must agree (its flush skips empty windows)
+    val rows = (1L to 100L).map(k => ("s", if (k % 2 == 0) 0L else 5L, k))
+      .toDF("g", "pane", "k")
+    val wins = Sketches.hllSlidingEstimate(rows, col("g"), col("pane"),
+        col("k"), panes = 3)
+      .select("win").as[Long].collect().sorted.toSeq
+    assert(wins == Seq(0L, 1L, 2L, 5L, 6L, 7L))
+  }
 }
