@@ -1021,6 +1021,81 @@ object StreamQueries {
                AND pts <= cts AND pts >= cts - INTERVAL 6 HOUR""")
     ),
 
+    // Native STREAMING session windows (21st replay gate): Spark's
+    // session_window aggregate under a watermark — a different engine
+    // path from batch session_window (merging session state store) and
+    // from the flatMapGroupsWithState twins. Events feed in four global
+    // time slices (the interval-join protocol: nothing ever arrives
+    // behind the watermark), and one far-future flush event on a
+    // sentinel user (-1, filtered from the sink) pushes the watermark
+    // past every real session's close so append mode emits them all.
+    // The sink hash-matches the batch x_sessionize oracle restricted to
+    // the same replay subset.
+    GraftQuery(
+      "x_sessionize_stream",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir).filter(col("user_id") % 5 === 0)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("value"))
+          .as[(Long, Long, Double)].collect().sortBy(_._2).toSeq
+        val allTs = ev.map(_._2).sorted
+        val cuts = Seq(1, 2, 3)
+          .map(i => allTs(math.min(allTs.length * i / 4, allTs.length - 1)))
+        def sliceOf(t: Long): Int = cuts.count(_ <= t)
+        val flush = (-1L, allTs.last + 864000L * 1000000L, 0.0)
+        implicit val sqlCtx = s.sqlContext
+        val in = MemoryStream[(Long, Long, Double)]
+        val sessions = in.toDS().toDF("user_id", "us", "value")
+          .withColumn("ts", timestamp_micros(col("us")))
+          .withWatermark("ts", "1 hour")
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(28,6)")).cast("double")
+              .as("value_sum"))
+          .select(col("user_id"),
+            unix_micros(col("sw.start")).as("session_start"),
+            unix_micros(col("sw.end")).as("session_end"),
+            col("n_events"), col("value_sum"))
+        val table = sinkName("x_sessionize_stream")
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          val q = startToMemory(sessions, table)
+          try {
+            val by = ev.groupBy(e => sliceOf(e._2))
+            (0 to 3).foreach { i =>
+              by.get(i).foreach(rows => in.addData(rows))
+              q.processAllAvailable()
+            }
+            in.addData(flush)
+            q.processAllAvailable()
+          } finally q.stop()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.table(table).filter(col("user_id") >= 0)
+      },
+      Some("""WITH x AS (
+               SELECT user_id, ts, value,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                           THEN 1 ELSE 0 END AS new_s
+               FROM events
+               WHERE user_id % 5 = 0
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             y AS (
+               SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+               FROM x)
+             SELECT user_id,
+                    epoch_us(min(ts)) AS session_start,
+                    epoch_us(max(ts)) + 1800000000 AS session_end,
+                    CAST(count(*) AS BIGINT) AS n_events,
+                    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                      AS value_sum
+             FROM y GROUP BY user_id, sid""")
+    ),
+
     // Sliding-HLL twin (19th replay gate): the continuous
     // distinct-users dashboard. Per-series state is a window-width ring
     // of pane register sets; register max is associative, commutative
