@@ -175,7 +175,10 @@ object Bench {
       }).sorted
       val med = times(times.size / 2)
       val retried =
-        if (med > 0 && stormRetries > 0 &&
+        // pins are COUNT-action medians; a hash-action run does strictly
+        // more work per query, so comparing it against them would burn
+        // the retry budget on healthy readings — retry only like-for-like
+        if (med > 0 && stormRetries > 0 && action == "count" &&
             pins.get(name).exists(p => med > 2 * p)) {
           stormRetries -= 1
           System.err.println(f"[bench] $name%s median $med%.2f s exceeds " +

@@ -62,17 +62,60 @@ object StreamQueries {
     }
   }
 
-  private def startToMemory[T](ds: Dataset[T], table: String) =
+  /** Read the finished replay's sink (Dataset construction analyzes
+    * eagerly, pinning the MemorySink relation in the returned plan) and
+    * DROP the temp view: without the drop, every timed re-run of every
+    * replay gate leaves its full sink registered in the driver catalog
+    * for the session's lifetime — unbounded driver growth across a
+    * bench suite.
+    */
+  private def takeSink(s: SparkSession, table: String): DataFrame = {
+    // restore the session's shuffle partitioning first (startToMemory
+    // pinned it to 4 for the replay) so the gate's post-sink batch
+    // aggregations run at normal parallelism
+    if (savedParts != null) {
+      s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      savedParts = null
+    }
+    val df = s.table(table)
+    s.catalog.dropTempView(table)
+    df
+  }
+
+  /** Replay state is tiny, so every replay query's state partitioning
+    * pins to 4 — the conf is captured at query start, and 4 state
+    * stores commit per micro-batch instead of 32·k (measured
+    * 32.3 → 7.4 s on the stream-stream gate from this pin alone). The
+    * previous value restores in [[takeSink]], which every gate calls
+    * after `q.stop()`.
+    */
+  private var savedParts: String = null
+
+  private def startToMemory[T](ds: Dataset[T], table: String) = {
+    val sess = ds.sparkSession
+    if (savedParts == null)
+      savedParts = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", "4")
     ds.writeStream.format("memory").queryName(table)
       .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+  }
 
   /** Feed `rows` (already in replay order) in four deterministic chunks
     * so the replay genuinely crosses micro-batch boundaries (state
-    * carried, not single-batch luck).
+    * carried, not single-batch luck). Pass the NoTimeout query handle
+    * to DRAIN between chunks — queued addData blocks otherwise coalesce
+    * into one batch at the next trigger, and the boundary crossing the
+    * doc promises would be left to trigger-timing luck.
+    * ProcessingTimeTimeout gates pass no handle (processAllAvailable
+    * never returns for them on Spark 4.1) and rely on trigger pacing.
     */
-  private def feed[T](in: MemoryStream[T], rows: Seq[T]): Unit = {
+  private def feed[T](in: MemoryStream[T], rows: Seq[T],
+      q: org.apache.spark.sql.streaming.StreamingQuery = null): Unit = {
     val chunk = math.max(1, (rows.size + 3) / 4)
-    rows.grouped(chunk).foreach(c => in.addData(c))
+    rows.grouped(chunk).foreach { c =>
+      in.addData(c)
+      if (q != null) q.processAllAvailable()
+    }
   }
 
   private val mlRules =
@@ -115,7 +158,7 @@ object StreamQueries {
           feed(in, collected ++ sentinels)
           awaitRows(s, table, expected)
         } finally q.stop()
-        s.table(table).select(col("key"),
+        takeSink(s, table).select(col("key"),
           col("firstSeq").as("first_seq"),
           col("nLines").cast("long").as("n_lines"), col("message"))
       },
@@ -164,7 +207,7 @@ object StreamQueries {
           feed(in, recs)
           awaitRows(s, table, expected)
         } finally q.stop()
-        s.table(table).select(col("tsSec").as("event_id"),
+        takeSink(s, table).select(col("tsSec").as("event_id"),
           col("tag").as("event_type"))
       },
       Some("""SELECT event_id, event_type FROM (
@@ -214,7 +257,7 @@ object StreamQueries {
           feed(in, recs)
           awaitRows(s, table, expected)
         } finally q.stop()
-        s.table(table).select(col("tsSec").as("event_id"),
+        takeSink(s, table).select(col("tsSec").as("event_id"),
           col("tag").as("event_type"))
       },
       Some("""WITH fl AS (SELECT event_type, event_id AS fid,
@@ -247,10 +290,9 @@ object StreamQueries {
         val table = sinkName("x_dedup_exact_stream")
         val q = startToMemory(Stateful.dedupStream(s, in.toDS()), table)
         try {
-          feed(in, docs)
-          q.processAllAvailable()
+          feed(in, docs, q)
         } finally q.stop()
-        s.table(table).select(col("hash").as("content_hash"),
+        takeSink(s, table).select(col("hash").as("content_hash"),
           col("docId").as("keep_id"))
       },
       Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id
@@ -289,10 +331,9 @@ object StreamQueries {
         val table = sinkName("x_dedup_native_stream")
         val q = startToMemory(deduped, table)
         try {
-          feed(in, docs)
-          q.processAllAvailable()
+          feed(in, docs, q)
         } finally q.stop()
-        s.table(table).select(col("hash").as("content_hash"))
+        takeSink(s, table).select(col("hash").as("content_hash"))
       },
       Some("SELECT DISTINCT md5(text) AS content_hash FROM documents")
     ),
@@ -320,10 +361,9 @@ object StreamQueries {
         val q = startToMemory(
           Stateful.minhashDedupStream(s, in.toDS()), table)
         try {
-          feed(in, bands)
-          q.processAllAvailable()
+          feed(in, bands, q)
         } finally q.stop()
-        s.table(table).select(col("band").cast("long").as("band"),
+        takeSink(s, table).select(col("band").cast("long").as("band"),
           col("docA").as("doc_a"), col("docB").as("doc_b"))
       },
       Some(ExtQueries.LshCtes + """
@@ -361,10 +401,9 @@ object StreamQueries {
         val table = sinkName("x_obs_rate_stream")
         val q = startToMemory(Stateful.rateStream(s, in.toDS()), table)
         try {
-          feed(in, samples)
-          q.processAllAvailable()
+          feed(in, samples, q)
         } finally q.stop()
-        s.table(table)
+        takeSink(s, table)
           .groupBy(col("series"),
             expr("((tsNs div 1000) div 600000000) * 600000000")
               .as("bucket_us"))
@@ -418,10 +457,9 @@ object StreamQueries {
         val q = startToMemory(
           Stateful.gapFillStream(s, in.toDS(), TsQueries.B), table)
         try {
-          feed(in, bs)
-          q.processAllAvailable()
+          feed(in, bs, q)
         } finally q.stop()
-        s.table(table).select(col("series"),
+        takeSink(s, table).select(col("series"),
           col("bucketUs").as("bucket_us"), col("cents"),
           col("nSamples").as("n_samples"), col("filled"))
       },
@@ -472,10 +510,9 @@ object StreamQueries {
         val table = sinkName("x_cdc_stream")
         val q = startToMemory(Stateful.cdcStream(s, in.toDS()), table)
         try {
-          feed(in, changes)
-          q.processAllAvailable()
+          feed(in, changes, q)
         } finally q.stop()
-        s.table(table).groupBy(col("key").as("o_orderkey"))
+        takeSink(s, table).groupBy(col("key").as("o_orderkey"))
           .agg(max(col("seq")).as("seq"),
             expr("max_by(payload, seq)").as("val"),
             expr("max_by(op, seq)").as("__op"))
@@ -516,10 +553,9 @@ object StreamQueries {
         val q = startToMemory(
           Stateful.packStream(s, in.toDS(), seqLen = 256), table)
         try {
-          feed(in, docs)
-          q.processAllAvailable()
+          feed(in, docs, q)
         } finally q.stop()
-        s.table(table).select(col("docId").as("doc_id"),
+        takeSink(s, table).select(col("docId").as("doc_id"),
           (col("tokEnd") - col("tokBegin")).as("n_tokens"),
           col("shard"), col("tokEnd").as("tok_end"),
           col("tokBegin").as("tok_begin"),
@@ -574,7 +610,7 @@ object StreamQueries {
           feed(in, docs)
           awaitRows(s, table, expected)
         } finally q.stop()
-        s.table(table).select(col("docId").as("doc_id"),
+        takeSink(s, table).select(col("docId").as("doc_id"),
           col("group").as("domain"))
       },
       Some("""SELECT doc_id, domain FROM (
@@ -604,10 +640,9 @@ object StreamQueries {
           Stateful.budgetStream(s, in.toDS(), budgetPerGroup = 4000L),
           table)
         try {
-          feed(in, docs)
-          q.processAllAvailable()
+          feed(in, docs, q)
         } finally q.stop()
-        s.table(table).select(col("docId").as("doc_id"),
+        takeSink(s, table).select(col("docId").as("doc_id"),
           col("group").as("grp"), col("nTokens").as("n_tokens"))
       },
       Some("""SELECT doc_id, grp, n_tokens FROM (
@@ -638,10 +673,9 @@ object StreamQueries {
         val table = sinkName("x_series_ewma_stream")
         val q = startToMemory(Stateful.ewmaStream(s, in.toDS()), table)
         try {
-          feed(in, bs)
-          q.processAllAvailable()
+          feed(in, bs, q)
         } finally q.stop()
-        s.table(table).select(col("series"),
+        takeSink(s, table).select(col("series"),
           col("bucketUs").as("bucket_us"), col("cents"),
           col("ewmaFp").as("ewma_fp"))
       },
@@ -682,10 +716,9 @@ object StreamQueries {
         val table = sinkName("x_obs_burst_stream")
         val q = startToMemory(Stateful.burstStream(s, in.toDS()), table)
         try {
-          feed(in, counts)
-          q.processAllAvailable()
+          feed(in, counts, q)
         } finally q.stop()
-        s.table(table).select(col("service"),
+        takeSink(s, table).select(col("service"),
           col("bucketUs").as("bucket_us"), col("cnt"),
           col("prevSum").as("prev_sum"), col("prevN").as("prev_n"),
           col("isBurst").as("is_burst"))
@@ -733,21 +766,24 @@ object StreamQueries {
           Stateful.funnelStream(s, in.toDS(), "signup", "click",
             "purchase", horizonNs = 604800000000000L), table)
         try {
-          feed(in, stages)
-          q.processAllAvailable()
+          feed(in, stages, q)
         } finally q.stop()
         // a user's later updates carry its earlier step times, so max()
         // per column IS the final state
-        val finals = s.table(table).groupBy(col("user"))
+        val finals = takeSink(s, table).groupBy(col("user"))
           .agg(max(col("depth")).as("depth"),
             max(col("step12Ns")).as("s12"),
             max(col("step23Ns")).as("s23"))
+        // cast BEFORE the sum: step gaps are bounded by the 7-day
+        // horizon (~6e14 ns), so a LongType sum overflows past ~15k
+        // users while the oracle sums in DECIMAL — decimal in, decimal
+        // out keeps the fold exact at any user count
         val reached = finals.groupBy(col("depth").cast("long").as("depth"))
           .agg(count(lit(1)).as("n_users"),
-            sum(col("s12")).cast("decimal(38,0)").cast("string")
-              .as("step12_ns_sum"),
-            sum(col("s23")).cast("decimal(38,0)").cast("string")
-              .as("step23_ns_sum"))
+            sum(col("s12").cast("decimal(38,0)")).cast("decimal(38,0)")
+              .cast("string").as("step12_ns_sum"),
+            sum(col("s23").cast("decimal(38,0)")).cast("decimal(38,0)")
+              .cast("string").as("step23_ns_sum"))
         val n0 = totalUsers - finals.count()
         if (n0 > 0)
           reached.unionByName(
@@ -817,7 +853,7 @@ object StreamQueries {
           feed(in, spans)
           awaitRows(s, table, expected)
         } finally q.stop()
-        s.table(table).select(col("traceId").as("trace_id"),
+        takeSink(s, table).select(col("traceId").as("trace_id"),
           col("spanId").as("span_id"), col("durationMs").as("duration_ms"),
           col("statusCode").cast("long").as("status_code"))
       },
@@ -865,11 +901,10 @@ object StreamQueries {
         val q = startToMemory(
           Stateful.kmvSampleStream(s, in.toDS(), k = 4096), table)
         try {
-          feed(in, rows)
-          q.processAllAvailable()
+          feed(in, rows, q)
         } finally q.stop()
         graft.sketch.Sketches.kmvEstimate(
-          s.table(table).select(col("h"), col("v")), k = 4096)
+          takeSink(s, table).select(col("h"), col("v")), k = 4096)
       },
       Some("""WITH s AS (SELECT * FROM (
                      SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
@@ -912,11 +947,10 @@ object StreamQueries {
         val q = startToMemory(
           Stateful.kmvGroupedSampleStream(s, in.toDS(), k = 1000), table)
         try {
-          feed(in, rows)
-          q.processAllAvailable()
+          feed(in, rows, q)
         } finally q.stop()
         graft.sketch.Sketches.kmvGroupedEstimate(
-          s.table(table).select(col("g"), col("h"), col("v")), k = 1000)
+          takeSink(s, table).select(col("g"), col("h"), col("v")), k = 1000)
       },
       Some("""WITH hv AS (SELECT event_type AS g,
                      ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
@@ -986,27 +1020,22 @@ object StreamQueries {
             col("cus").as("click_us"), col("pus").as("purchase_us"),
             col("purchase_value"))
         val table = sinkName("x_interval_join_stream")
-        // the stream-stream join keeps FOUR state stores per shuffle
-        // partition and commits each every micro-batch — at the replay's
-        // toy state size that overhead IS the gate's cost, so the replay
-        // pins its state partitioning to 4 (restored after the run; the
-        // conf is read once at query start)
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        // startToMemory pins the state partitioning to 4 (the
+        // stream-stream join keeps FOUR state stores per shuffle
+        // partition and commits each every micro-batch — 32.3 → 7.4 s
+        // from that pin); takeSink restores it
+        val q = startToMemory(
+          joined.as[(Long, Long, Long, Long, Double)], table)
         try {
-          val q = startToMemory(
-            joined.as[(Long, Long, Long, Long, Double)], table)
-          try {
-            val cBy = clicks.groupBy(c => sliceOf(c._3))
-            val pBy = purchases.groupBy(p => sliceOf(p._2))
-            (0 to 3).foreach { i =>
-              cBy.get(i).foreach(rows => inC.addData(rows))
-              pBy.get(i).foreach(rows => inP.addData(rows))
-              q.processAllAvailable()
-            }
-          } finally q.stop()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        s.table(table)
+          val cBy = clicks.groupBy(c => sliceOf(c._3))
+          val pBy = purchases.groupBy(p => sliceOf(p._2))
+          (0 to 3).foreach { i =>
+            cBy.get(i).foreach(rows => inC.addData(rows))
+            pBy.get(i).foreach(rows => inP.addData(rows))
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        takeSink(s, table)
       },
       Some("""WITH c AS (SELECT event_id AS click_id, user_id, ts AS cts
                    FROM events
@@ -1059,21 +1088,17 @@ object StreamQueries {
             unix_micros(col("sw.end")).as("session_end"),
             col("n_events"), col("value_sum"))
         val table = sinkName("x_sessionize_stream")
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = startToMemory(sessions, table)
         try {
-          val q = startToMemory(sessions, table)
-          try {
-            val by = ev.groupBy(e => sliceOf(e._2))
-            (0 to 3).foreach { i =>
-              by.get(i).foreach(rows => in.addData(rows))
-              q.processAllAvailable()
-            }
-            in.addData(flush)
+          val by = ev.groupBy(e => sliceOf(e._2))
+          (0 to 3).foreach { i =>
+            by.get(i).foreach(rows => in.addData(rows))
             q.processAllAvailable()
-          } finally q.stop()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        s.table(table).filter(col("user_id") >= 0)
+          }
+          in.addData(flush)
+          q.processAllAvailable()
+        } finally q.stop()
+        takeSink(s, table).filter(col("user_id") >= 0)
       },
       Some("""WITH x AS (
                SELECT user_id, ts, value,
@@ -1127,10 +1152,9 @@ object StreamQueries {
         val table = sinkName("x_sketch_hll_sliding_stream")
         val q = startToMemory(Stateful.hllSlidingStream(s, in.toDS()), table)
         try {
-          feed(in, rows ++ sentinels)
-          q.processAllAvailable()
+          feed(in, rows ++ sentinels, q)
         } finally q.stop()
-        s.table(table).select(col("series").as("g"), col("win"),
+        takeSink(s, table).select(col("series").as("g"), col("win"),
           col("nb").as("nonzero_buckets"), col("sScaled").as("s_scaled"),
           col("est"))
       },

@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** One-slot cache for [[bloomPrunedSemiJoin]]'s persisted distinct-key
+    * relation — see that method's model-state note.
+    */
+  private val lastKeyCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   /** Count-min sketch (Cormode & Muthukrishnan 2005): `d` hash rows ×
     * `w` counters summarize token frequencies in ONE corpus aggregate
     * whose key cardinality is bounded by d·w — at any corpus size the
@@ -326,8 +332,10 @@ object Sketches {
     * Model state: the distinct-key relation stays cached
     * (MEMORY_AND_DISK) for the returned plan's residual join — it is
     * broadcast-bounded by contract (the residual ships it to every
-    * executor regardless), and Spark's LRU evicts it when the session
-    * moves on.
+    * executor regardless). The cache is BOUNDED TO ONE RESIDENT SET
+    * (the GraphFixtures pattern): each invocation unpersists the
+    * previous invocation's relation, so a bench/suite session running
+    * this hundreds of times holds at most one key cache, not hundreds.
     */
   def bloomPrunedSemiJoin(big: DataFrame, bigKey: Column,
                           small: DataFrame, smallKey: Column,
@@ -338,6 +346,10 @@ object Sketches {
     // broadcast re-reads it
     val keyRows = small.select(smallKey.as("__k")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastKeyCache.getAndSet(keyRows) match {
+      case null => ()
+      case prev => prev.unpersist(blocking = false)
+    }
     val (words, nKeys) = bloomBuildWords(keyRows, col("__k"), mBits, k)
     val probe = shim.column(graft.functions.BloomProbe(
       shim.expression(bloomHashKey(big, bigKey)), words, k))
@@ -382,10 +394,6 @@ object Sketches {
       shim.expression(bloomHashKey(big, bigKey)), words, k)))
   }
 
-  /** Narrowest zero-alloc hash input for the bloom digest: integral
-    * keys render decimal digits into a reusable buffer (≡ the string
-    * cast, value-identical); everything else casts to string once.
-    */
   /** Bottom-k hash-sample for quantile estimation — the KMV/bottom-k
     * family (Bar-Yossef et al. 2002; the sampling backbone of BlinkDB-
     * style approximate engines): keep the k rows whose 32-bit id hash
@@ -506,6 +514,10 @@ object Sketches {
         col("v").as("est"))
   }
 
+  /** Narrowest zero-alloc hash input for the bloom digest: integral
+    * keys render decimal digits into a reusable buffer (≡ the string
+    * cast, value-identical); everything else casts to string once.
+    */
   private def bloomHashKey(df: DataFrame, c: Column): Column =
     df.select(c).schema.head.dataType match {
       case org.apache.spark.sql.types.LongType |
@@ -581,7 +593,10 @@ object Sketches {
     val m = 1 << p
     val w = 32 - p
     val pows = (0 to w + 1).map(i => 1L << ((w + 1) - i)).toArray
-    val sub = df.filter(segCol.isin(segA, segB))
+    // NULL keys are excluded up front so the grouped exact pass keeps
+    // countDistinct semantics (a groupBy would otherwise count a NULL
+    // key as one extra distinct value in every branch)
+    val sub = df.filter(segCol.isin(segA, segB) && key.isNotNull)
       .select(segCol.as("g"), key.as("k"))
     // ONE register build feeds three estimator branches; Catalyst does
     // not share the scan subtree across them (house precedent:

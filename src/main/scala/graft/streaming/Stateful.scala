@@ -519,20 +519,29 @@ object Stateful {
             cur(b) = c })
           val out = scala.collection.mutable.ArrayBuffer[BurstOut]()
           it.toSeq.sortBy(_.bucketUs).foreach { bc =>
-            cur(bc.bucketUs) = cur.getOrElse(bc.bucketUs, 0L) + bc.n
-            // trailing = the newest `lookback` cells strictly older
-            // than this bucket — the streaming ROWS -lookback..-1
-            val trail = cur.toList.filter(_._1 < bc.bucketUs)
-              .sortBy(-_._1).take(lookback)
-            val prevSum = trail.map(_._2).sum
-            val prevN = trail.size.toLong
-            val cnt = cur(bc.bucketUs)
-            out += BurstOut(service, bc.bucketUs, cnt, prevSum, prevN,
-              prevN > 0 && cnt * prevN * den > prevSum * num)
-            if (cur.size > lookback + 1) {
-              val dead = cur.keys.toList.sorted
-                .dropRight(lookback + 1)
-              dead.foreach(cur.remove)
+            // a count older than the retained window is DROPPED, not
+            // evaluated: its true trailing cells (the batch ROWS
+            // -lookback..-1 frame) were evicted, so any emission here
+            // would score it against fabricated zeros
+            val retainedFloor =
+              if (cur.size <= lookback) Long.MinValue
+              else cur.keys.toList.sorted.dropRight(lookback).last
+            if (bc.bucketUs >= retainedFloor) {
+              cur(bc.bucketUs) = cur.getOrElse(bc.bucketUs, 0L) + bc.n
+              // trailing = the newest `lookback` cells strictly older
+              // than this bucket — the streaming ROWS -lookback..-1
+              val trail = cur.toList.filter(_._1 < bc.bucketUs)
+                .sortBy(-_._1).take(lookback)
+              val prevSum = trail.map(_._2).sum
+              val prevN = trail.size.toLong
+              val cnt = cur(bc.bucketUs)
+              out += BurstOut(service, bc.bucketUs, cnt, prevSum, prevN,
+                prevN > 0 && cnt * prevN * den > prevSum * num)
+              if (cur.size > lookback + 1) {
+                val dead = cur.keys.toList.sorted
+                  .dropRight(lookback + 1)
+                dead.foreach(cur.remove)
+              }
             }
           }
           state.update(BurstState(cur.toList))
