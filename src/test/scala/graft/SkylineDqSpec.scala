@@ -167,4 +167,16 @@ class SkylineDqSpec extends AnyFunSuite {
       .select("win").as[Long].collect().sorted.toSeq
     assert(wins == Seq(0L, 1L, 2L, 5L, 6L, 7L))
   }
+
+  test("replay harness hygiene: sink view dropped, partitions restored") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val df = graft.queries.Registry.queries("x_dedup_exact_stream")(spark, sf)
+    assert(df.count() > 0)
+    // takeSink restored the pinned shuffle partitioning...
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    // ...and dropped the memory-sink temp view from the catalog
+    val leftover = spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("x_dedup_exact_stream"))
+    assert(leftover.isEmpty, leftover.map(_.name).toSeq.toString)
+  }
 }
