@@ -72,15 +72,30 @@ object ClassicConfig {
     * hold (streaming) sources.
     */
   def assemble(spark: SparkSession, confText: String,
-               streams: Map[String, DataFrame] = Map.empty): Map[String, DataFrame] = {
-    val sections = parse(confText)
+               streams: Map[String, DataFrame] = Map.empty): Map[String, DataFrame] =
+    assembleSections(spark, parse(confText), streams)
+
+  /** Shared assembly over the section IR — the classic frontend parses
+    * straight into it; the YAML frontend ([[YamlConfig]]) translates its
+    * node tree into the same sections plus the two YAML-only surfaces:
+    * named multiline parsers (`multiline_parsers:` → `mlParsers`) and
+    * per-input processor chains (`processors.logs` on an input →
+    * `inputProcessors`, aligned with the INPUT section order; processors
+    * run on THEIR input's frame before the union, ahead of all routed
+    * filters — flb runs them inside the input instance, pre-router).
+    */
+  def assembleSections(spark: SparkSession, sections: Seq[Section],
+               streams: Map[String, DataFrame] = Map.empty,
+               mlParsers: Map[String, Seq[graft.streaming.Multiline.Rule]] = Map.empty,
+               inputProcessors: Seq[Seq[Section]] = Nil): Map[String, DataFrame] = {
     val parsers = sections.filter(_.name == "PARSER")
       .map(s => s.required("name") -> s).toMap
 
     // ---------------------------------------------------------- inputs
-    val inputs = sections.filter(_.name == "INPUT").map { s =>
+    val inputSections = sections.filter(_.name == "INPUT")
+    val inputs = inputSections.zipWithIndex.map { case (s, i) =>
       val tag = s.get("tag").getOrElse(s.required("name"))
-      streams.get(tag) match {
+      val frame = streams.get(tag) match {
         case Some(df) =>
           if (df.columns.contains("tag")) df else df.withColumn("tag", lit(tag))
         case None => s.required("name").toLowerCase match {
@@ -94,13 +109,18 @@ object ClassicConfig {
             s"[INPUT] $other needs an injected stream for tag '$tag'")
         }
       }
+      // input-attached processors: unrouted (no Match gate — they see
+      // exactly their input's records)
+      inputProcessors.lift(i).getOrElse(Nil).foldLeft(frame) { (df, p) =>
+        applyFilter(df, p, parsers, mlParsers)
+      }
     }
     require(inputs.nonEmpty, "config has no [INPUT]")
     val source = inputs.reduce(_.unionByName(_, allowMissingColumns = true))
 
     // --------------------------------------------------------- filters
     val filtered = sections.filter(_.name == "FILTER").foldLeft(source) {
-      (df, s) => applyFilter(df, s, parsers)
+      (df, s) => applyFilter(df, s, parsers, mlParsers)
     }
 
     // ---------------------------------------------------- stream tasks
@@ -201,7 +221,8 @@ object ClassicConfig {
     * exactly the per-chunk gating of flb_filter.c).
     */
   private def applyFilter(df: DataFrame, s: Section,
-                          parsers: Map[String, Section]): DataFrame = {
+                          parsers: Map[String, Section],
+                          mlParsers: Map[String, Seq[graft.streaming.Multiline.Rule]] = Map.empty): DataFrame = {
     val pat = s.get("match").getOrElse("*")
     val cond = Router.tagMatch(col("tag"), pat)
     val matched = df.filter(cond)
@@ -326,7 +347,76 @@ object ClassicConfig {
         // once a record is re-tagged out of the pattern).
         RewriteTag.reinjectLoop(df, "tag", rules)
 
+      case "content_modifier" =>
+        // processor_content_modifier (cm.h:34-41) as a filter/processor:
+        // one action per section, like the YAML processor form
+        import graft.ops.ContentModifier
+        val key = () => s.required("key")
+        val out = s.required("action").toLowerCase match {
+          case "insert" =>
+            ContentModifier.insert(matched, key(), lit(s.required("value")))
+          case "upsert" =>
+            ContentModifier.upsert(matched, key(), lit(s.required("value")))
+          case "delete" => ContentModifier.delete(matched, key())
+          case "rename" =>
+            ContentModifier.rename(matched, key(), s.required("value"))
+          case "hash" => ContentModifier.hash(matched, key())
+          case "extract" =>
+            val pattern = s.required("pattern")
+            val names = graft.parse.Parsers.groupNames(pattern)
+            require(names.nonEmpty,
+              "content_modifier extract: pattern has no named groups")
+            ContentModifier.extract(matched, col(key()), pattern,
+              names.zipWithIndex.map { case (n, i) => (i + 1, n) })
+          case "convert" =>
+            ContentModifier.convert(matched, key(),
+              s.required("converted_type").toLowerCase match {
+                case "int"     => "long"
+                case "double"  => "double"
+                case "string"  => "string"
+                case "boolean" => "boolean"
+                case other => throw new IllegalArgumentException(
+                  s"content_modifier converted_type $other")
+              })
+          case other => throw new IllegalArgumentException(
+            s"content_modifier action $other")
+        }
+        rejoin(out)
+
+      case "multiline" =>
+        // filter_multiline with a NAMED parser (YAML multiline_parsers
+        // or a built-in mode). Assembly REPLACES the record shape with
+        // (tag, first_<order>, n_lines, message) — the reference
+        // likewise emits the concatenated record in place of the parts.
+        val pname = s.get("multiline.parser")
+          .getOrElse(s.required("multiline_parser"))
+        val rules = mlParsers.get(pname).orElse(builtinMode(pname))
+          .getOrElse(throw new IllegalArgumentException(
+            s"multiline parser '$pname' is neither defined nor built-in"))
+        val lineCol = s.get("multiline.key_content").getOrElse("log")
+        val orderCol = s.get("multiline.order_key").getOrElse {
+          if (matched.columns.contains("seq")) "seq"
+          else if (matched.columns.contains("ts_ns")) "ts_ns"
+          else throw new IllegalArgumentException(
+            "multiline filter needs a 'seq' or 'ts_ns' order column " +
+              "(or an explicit multiline.order_key)")
+        }
+        rejoin(graft.streaming.Multiline.assembleBatch(
+          matched, Seq("tag"), orderCol, lineCol, rules))
+
       case other => throw new IllegalArgumentException(s"[FILTER] $other unsupported")
+    }
+  }
+
+  /** Built-in multiline modes by name (flb_ml_mode.c names). */
+  private def builtinMode(name: String): Option[Seq[graft.streaming.Multiline.Rule]] = {
+    import graft.streaming.Multiline.Modes
+    name.toLowerCase match {
+      case "java"   => Some(Modes.java)
+      case "python" => Some(Modes.python)
+      case "go"     => Some(Modes.go)
+      case "ruby"   => Some(Modes.ruby)
+      case _        => None
     }
   }
 

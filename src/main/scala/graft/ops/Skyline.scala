@@ -35,6 +35,10 @@ object Skyline {
     * column `maxCol`; all other columns ride along as payload.
     */
   def skyline2d(df: DataFrame, minCol: String, maxCol: String): DataFrame = {
+    // NULL in either coordinate has no dominance order — such rows are
+    // excluded up front (also keeps the primitive getLong kernel below
+    // NPE-safe; without this a single NULL row throws at runtime)
+    val clean = df.filter(col(minCol).isNotNull && col(maxCol).isNotNull)
     val enc = Encoders.row(df.schema)
     val mi = df.schema.fieldIndex(minCol)
     val ma = df.schema.fieldIndex(maxCol)
@@ -62,7 +66,7 @@ object Skyline {
       override def hasNext: Boolean = nextRow != null
       override def next(): Row = { val r = nextRow; advance(); r }
     }
-    val local = df
+    val local = clean
       .sortWithinPartitions(col(minCol).asc, col(maxCol).desc)
       .mapPartitions(scan)(enc)
     local

@@ -1213,6 +1213,45 @@ object IngestQueries {
                strftime(ts, '%M%S') || '.jsonl' AS object_key,
              event_id
              FROM events""")
+    ),
+
+    // Blob event class (VERDICT r13 gap #4; src/flb_input_blob.c +
+    // out_azure_blob's block-list commit): file-reference records
+    // delivered in ordered 256-unit parts, sink commits the part list.
+    // The chunk schedule is a codegen'd sequence+explode (map-only —
+    // at 100 TB the parts never shuffle; only the tiny per-blob
+    // manifest rows do, one exchange). The oracle re-derives every
+    // part boundary, per-part digest, and the ordered
+    // digest-of-digests commit.
+    GraftQuery(
+      "f_blob_delivery",
+      (s, dir) => {
+        import graft.sources.Blob
+        val blobs = Tables.documents(s, dir)
+          .select(col("doc_id").as("blob_id"), col("text"),
+            length(col("text")).as("blob_len"))
+        val parts = Blob.chunkPlan(blobs, col("blob_len"), 256L)
+        Blob.commitManifest(parts, "blob_id",
+            md5(Blob.textPayload(parts, col("text")).cast("binary")))
+          .withColumn("delivered_len", col("delivered_len").cast("long"))
+      },
+      Some("""WITH exploded AS (
+               SELECT doc_id AS blob_id, text,
+                      unnest(generate_series(0,
+                        CAST(ceil(length(text) / 256.0) AS BIGINT) - 1))
+                        AS part_idx
+               FROM documents),
+             parts AS (
+               SELECT blob_id, part_idx,
+                      md5(substring(text, CAST(part_idx * 256 + 1 AS BIGINT),
+                                    256)) AS digest,
+                      least(256, length(text) - part_idx * 256) AS len
+               FROM exploded)
+             SELECT blob_id, count(*) AS n_parts,
+                    CAST(sum(len) AS BIGINT) AS delivered_len,
+                    md5(string_agg(digest, '' ORDER BY part_idx))
+                      AS blocklist_md5
+             FROM parts GROUP BY blob_id""")
     )
   )
 

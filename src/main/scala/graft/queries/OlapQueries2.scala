@@ -210,11 +210,14 @@ object OlapQueries2 {
           .select(col("o_orderkey"),
             cents(col("o_totalprice")).as("cents"),
             col("o_orderpriority").as("prio"))
-        // ONE fixed scratch dir, overwritten per run — a fresh
-        // createTempDirectory here would leak two parquet snapshots per
-        // invocation across bench/verify iterations
+        // ONE fixed scratch dir PER SESSION, overwritten per run — a
+        // fresh createTempDirectory would leak two parquet snapshots
+        // per invocation across bench/verify iterations, while a
+        // host-global fixed path would let two concurrent sessions on
+        // one machine clobber each other's files mid-read
         val tmp = new java.io.File(
-          System.getProperty("java.io.tmpdir"), "graft_schema_merge")
+          System.getProperty("java.io.tmpdir"),
+          "graft_schema_merge_" + s.sparkContext.applicationId)
           .getAbsolutePath
         o.filter(col("o_orderkey") % 2 === 0).select("o_orderkey", "cents")
           .write.mode("overwrite").parquet(tmp + "/v1")

@@ -31,7 +31,7 @@ object Registry {
       ObsQueries.all ++ SearchQueries.all ++ OlapQueries.all ++
       OlapQueries2.all ++
       TsQueries.all ++ AnalyticsQueries.all ++ CurateQueries.all ++
-      CurateQueries2.all ++ StreamQueries.all
+      CurateQueries2.all ++ StreamQueries.all ++ ConfigQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

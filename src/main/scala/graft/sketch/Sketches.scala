@@ -336,6 +336,12 @@ object Sketches {
     * (the GraphFixtures pattern): each invocation unpersists the
     * previous invocation's relation, so a bench/suite session running
     * this hundreds of times holds at most one key cache, not hundreds.
+    * CONTRACT: the next invocation therefore INVALIDATES the cache
+    * backing any plan this call returned — an earlier plan still
+    * executes correctly (persist is advisory; Spark recomputes the
+    * distinct on a cache miss) but re-pays the distinct per action.
+    * Build-once-use-once, or execute each returned plan before
+    * constructing the next; two live plans never both hold the cache.
     */
   def bloomPrunedSemiJoin(big: DataFrame, bigKey: Column,
                           small: DataFrame, smallKey: Column,

@@ -526,7 +526,12 @@ object Stateful {
             val retainedFloor =
               if (cur.size <= lookback) Long.MinValue
               else cur.keys.toList.sorted.dropRight(lookback).last
-            if (bc.bucketUs >= retainedFloor) {
+            // STRICTLY newer than the oldest retained bucket: a late
+            // count EQUAL to the floor bucket has its own trailing
+            // cells already evicted, so evaluating it would score
+            // against a truncated window — boundary late arrivals
+            // follow the same drop-not-fabricate rule as older ones
+            if (bc.bucketUs > retainedFloor) {
               cur(bc.bucketUs) = cur.getOrElse(bc.bucketUs, 0L) + bc.n
               // trailing = the newest `lookback` cells strictly older
               // than this bucket — the streaming ROWS -lookback..-1

@@ -1,0 +1,390 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.config.{ClassicConfig, Yaml, YamlConfig}
+import graft.config.Yaml.{YMap, YSeq, YStr}
+
+/** YAML config frontend: the reference's modern pipeline format
+  * (flb_cf_yaml.c) — parser subset, section translation, and
+  * classic↔yaml assembly equivalence.
+  */
+class YamlSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // ------------------------------------------------------------ parser
+
+  test("parse: nested mappings, sequences, inline map items") {
+    val m = Yaml.parse(
+      """service:
+        |  flush: 1
+        |  log_level: info
+        |pipeline:
+        |  inputs:
+        |    - name: tail
+        |      path: /var/log/app.log
+        |      tag: app.log
+        |    - name: dummy
+        |  outputs:
+        |    - name: stdout
+        |      match: '*'
+        |""".stripMargin)
+    val svc = m.get("service").get.asInstanceOf[YMap]
+    assert(svc.str("flush").contains("1"))
+    assert(svc.str("log_level").contains("info"))
+    val pipe = m.get("pipeline").get.asInstanceOf[YMap]
+    val ins = pipe.seq("inputs")
+    assert(ins.size == 2)
+    assert(ins(0).asInstanceOf[YMap].str("path").contains("/var/log/app.log"))
+    assert(ins(1).asInstanceOf[YMap].str("name").contains("dummy"))
+    val outs = pipe.seq("outputs")
+    assert(outs(0).asInstanceOf[YMap].str("match").contains("*"))
+  }
+
+  test("parse: comments, doc markers, blank lines, trailing comments") {
+    val m = Yaml.parse(
+      """---
+        |# full-line comment
+        |a: 1   # trailing comment
+        |
+        |b: value # with # later hash
+        |c: "quoted # not a comment"
+        |d: 'single # also kept'
+        |""".stripMargin)
+    assert(m.str("a").contains("1"))
+    assert(m.str("b").contains("value"))
+    assert(m.str("c").contains("quoted # not a comment"))
+    assert(m.str("d").contains("single # also kept"))
+  }
+
+  test("parse: quoted scalars and escapes") {
+    val m = Yaml.parse(
+      """a: "line\nbreak"
+        |b: 'it''s quoted'
+        |c: "tab\there"
+        |'quoted key': v
+        |""".stripMargin)
+    assert(m.str("a").contains("line\nbreak"))
+    assert(m.str("b").contains("it's quoted"))
+    assert(m.str("c").contains("tab\there"))
+    assert(m.str("quoted key").contains("v"))
+  }
+
+  test("parse: literal block scalar keeps newlines; folded joins") {
+    val m = Yaml.parse(
+      """code: |
+        |  function f(x)
+        |    return x + 1
+        |  end
+        |next_key: here
+        |folded: >
+        |  one
+        |  two
+        |
+        |  three
+        |stripped: |-
+        |  no trailing
+        |""".stripMargin)
+    assert(m.str("code").contains("function f(x)\n  return x + 1\nend\n"))
+    assert(m.str("next_key").contains("here"))
+    assert(m.str("folded").contains("one two\nthree\n"))
+    assert(m.str("stripped").contains("no trailing"))
+  }
+
+  test("parse: empty block scalar does not swallow the next key") {
+    val m = Yaml.parse(
+      """a: |
+        |b: after
+        |""".stripMargin)
+    assert(m.str("a").contains(""))
+    assert(m.str("b").contains("after"))
+  }
+
+  test("parse: flow sequence and flow mapping") {
+    val m = Yaml.parse(
+      """list: [a, b, "c, d"]
+        |map: {k: v, n: 2}
+        |""".stripMargin)
+    assert(m.get("list").get == YSeq(Vector(YStr("a"), YStr("b"), YStr("c, d"))))
+    val fm = m.get("map").get.asInstanceOf[YMap]
+    assert(fm.str("k").contains("v") && fm.str("n").contains("2"))
+  }
+
+  test("parse: sequence of scalars under a property (slist)") {
+    val m = Yaml.parse(
+      """pipeline:
+        |  inputs:
+        |    - name: http
+        |      success_header:
+        |        - foo bar
+        |        - bar foo
+        |""".stripMargin)
+    val in = m.get("pipeline").get.asInstanceOf[YMap]
+      .seq("inputs")(0).asInstanceOf[YMap]
+    assert(in.seq("success_header") ==
+      Vector(YStr("foo bar"), YStr("bar foo")))
+  }
+
+  test("parse: sequence at the same indent as its key") {
+    val m = Yaml.parse(
+      """parsers:
+        |- name: json
+        |  format: json
+        |- name: re
+        |  format: regex
+        |""".stripMargin)
+    assert(m.seq("parsers").size == 2)
+  }
+
+  test("parse: deep nesting (processors under an input)") {
+    val m = Yaml.parse(
+      """pipeline:
+        |  inputs:
+        |    - name: dummy
+        |      processors:
+        |        logs:
+        |          - name: record_modifier
+        |            record:
+        |              - powered_by graft
+        |          - name: content_modifier
+        |            action: insert
+        |            key: k
+        |            value: v
+        |  outputs:
+        |    - name: stdout
+        |      match: '*'
+        |""".stripMargin)
+    val in = m.get("pipeline").get.asInstanceOf[YMap]
+      .seq("inputs")(0).asInstanceOf[YMap]
+    val logs = in.get("processors").get.asInstanceOf[YMap].seq("logs")
+    assert(logs.size == 2)
+    assert(logs(1).asInstanceOf[YMap].str("action").contains("insert"))
+  }
+
+  test("parse: tabs in indentation and leftover content are errors") {
+    intercept[IllegalArgumentException](Yaml.parse("a:\n\tb: 1"))
+    intercept[IllegalArgumentException](
+      Yaml.parse("a: 1\n    stray: deeper\nb: 2"))
+  }
+
+  // ----------------------------------------------------- interpolation
+
+  test("env interpolation: config env, then empty for undefined") {
+    assert(YamlConfig.interpolate("x-${name}-y", Map("name" -> "N")) == "x-N-y")
+    assert(YamlConfig.interpolate("x-${undefined_graft_var}-y", Map.empty) == "x--y")
+    assert(YamlConfig.interpolate("no vars", Map("a" -> "b")) == "no vars")
+  }
+
+  // -------------------------------------------------------- translation
+
+  test("load: sections, env, service, multiline parsers, stream tasks") {
+    val doc = YamlConfig.load(
+      """env:
+        |  svc_tag: app.x
+        |service:
+        |  flush: 5
+        |parsers:
+        |  - name: web
+        |    format: regex
+        |    regex: ^(?<verb>\S+) (?<path>\S+)$
+        |multiline_parsers:
+        |  - name: exc
+        |    type: regex
+        |    rules:
+        |      - state: start_state
+        |        regex: "/^ERROR/"
+        |        next_state: cont
+        |      - state: cont
+        |        regex: "/^\\s+at/"
+        |        next_state: cont
+        |stream_processor:
+        |  - name: t1
+        |    exec: SELECT COUNT(*) AS n FROM STREAM:CONF;
+        |pipeline:
+        |  inputs:
+        |    - name: dummy
+        |      tag: ${svc_tag}
+        |  outputs:
+        |    - name: "null"
+        |      match: '*'
+        |""".stripMargin)
+    assert(doc.service("flush") == "5")
+    assert(doc.env("svc_tag") == "app.x")
+    val input = doc.sections.find(_.name == "INPUT").get
+    assert(input.get("tag").contains("app.x")) // interpolated
+    assert(doc.sections.count(_.name == "PARSER") == 1)
+    assert(doc.sections.count(_.name == "STREAM_TASK") == 1)
+    val rules = doc.mlParsers("exc")
+    assert(rules.size == 2)
+    assert(rules(0).fromStates == Set("start")) // start_state normalized
+    assert(rules(0).regex == "^ERROR")          // slashes stripped
+    assert(rules(1).fromStates == Set("cont"))
+  }
+
+  test("load: includes merge with cycle guard and env export") {
+    val inc = Map(
+      "base.yaml" ->
+        """env:
+          |  base_var: from-include
+          |pipeline:
+          |  filters:
+          |    - name: modify
+          |      match: '*'
+          |      add: included yes
+          |""".stripMargin)
+    val doc = YamlConfig.load(
+      """includes:
+        |  - base.yaml
+        |pipeline:
+        |  inputs:
+        |    - name: dummy
+        |      tag: t
+        |""".stripMargin, inc.get)
+    assert(doc.sections.exists(s =>
+      s.name == "FILTER" && s.get("add").contains("included yes")))
+    assert(doc.env("base_var") == "from-include")
+    val cyc = Map("a.yaml" -> "includes:\n  - a.yaml\n")
+    intercept[IllegalArgumentException](
+      YamlConfig.load("includes:\n  - a.yaml\n", cyc.get))
+  }
+
+  // ---------------------------------------------------------- assembly
+
+  test("assemble: yaml pipeline ≡ classic pipeline on the same records") {
+    val in = Seq(
+      ("GET /a 200", "app.web"), ("GET /x 500", "app.web"),
+      ("POST /b 200", "app.web"), ("noise", "other")
+    ).toDF("log", "tag")
+    val yaml =
+      """pipeline:
+        |  inputs:
+        |    - name: web
+        |      tag: app.web
+        |    - name: other_src
+        |      tag: other
+        |  filters:
+        |    - name: grep
+        |      match: 'app.*'
+        |      regex: log 200
+        |    - name: modify
+        |      match: '*'
+        |      add: pipeline yaml_or_classic
+        |  outputs:
+        |    - name: file
+        |      match: 'app.*'
+        |      format: csv
+        |""".stripMargin
+    val classic =
+      """[INPUT]
+        |    name web
+        |    tag app.web
+        |[INPUT]
+        |    name other_src
+        |    tag other
+        |[FILTER]
+        |    name grep
+        |    match app.*
+        |    regex log 200
+        |[FILTER]
+        |    name modify
+        |    match *
+        |    add pipeline yaml_or_classic
+        |[OUTPUT]
+        |    name file
+        |    match app.*
+        |    format csv
+        |""".stripMargin
+    val streams = Map("app.web" -> in.filter(col("tag") === "app.web"),
+      "other" -> in.filter(col("tag") === "other"))
+    val y = YamlConfig.assemble(spark, yaml, streams)("file:app.*")
+    val c = ClassicConfig.assemble(spark, classic, streams)("file:app.*")
+    val ys = y.collect().map(_.toString).sorted.toSeq
+    val cs = c.collect().map(_.toString).sorted.toSeq
+    assert(ys == cs)
+    assert(ys.size == 2) // the two " 200" web lines
+  }
+
+  test("assemble: input-attached processors run before routed filters") {
+    val in = Seq(("e1", 10L), ("e2", 200L)).toDF("name", "v")
+    val outs = YamlConfig.assemble(spark,
+      """pipeline:
+        |  inputs:
+        |    - name: ev
+        |      tag: t
+        |      processors:
+        |        logs:
+        |          - name: content_modifier
+        |            action: insert
+        |            key: src
+        |            value: proc
+        |          - name: content_modifier
+        |            action: hash
+        |            key: name
+        |  outputs:
+        |    - name: file
+        |      match: t
+        |      format: csv
+        |""".stripMargin, Map("t" -> in))
+    val got = outs("file:t").collect().map(_.getString(1)).sorted
+    // hash(name) = sha256 hex; src column appended after it
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    def hex(s: String) =
+      sha.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got.toSeq == Seq(s"${hex("e1")},10,proc", s"${hex("e2")},200,proc").sorted)
+  }
+
+  test("assemble: multiline filter with a yaml-defined parser") {
+    val in = Seq(
+      (1L, "ERROR boom"), (2L, "  at f1"), (3L, "  at f2"),
+      (4L, "ERROR second"), (5L, "  at g1")
+    ).toDF("seq", "log").withColumn("tag", lit("t"))
+    val outs = YamlConfig.assemble(spark,
+      """multiline_parsers:
+        |  - name: exc
+        |    type: regex
+        |    rules:
+        |      - state: start_state
+        |        regex: "/^ERROR/"
+        |        next_state: cont
+        |      - state: cont
+        |        regex: "/^\\s+at /"
+        |        next_state: cont
+        |pipeline:
+        |  inputs:
+        |    - name: s
+        |      tag: t
+        |  filters:
+        |    - name: multiline
+        |      match: '*'
+        |      multiline.parser: exc
+        |      multiline.key_content: log
+        |  outputs:
+        |    - name: file
+        |      match: '*'
+        |      format: json
+        |""".stripMargin, Map("t" -> in))
+    val rows = outs("file:*").collect()
+    assert(rows.length == 2)
+  }
+
+  test("assemble: stream task over yaml-filtered frame") {
+    val in = Seq(("a", 1L), ("a", 2L), ("b", 30L))
+      .toDF("k", "v").withColumn("tag", lit("t"))
+    val outs = YamlConfig.assemble(spark,
+      """stream_processor:
+        |  - name: agg
+        |    exec: SELECT k, COUNT(*) AS n FROM STREAM:CONF GROUP BY k;
+        |pipeline:
+        |  inputs:
+        |    - name: s
+        |      tag: t
+        |  outputs:
+        |    - name: "null"
+        |      match: '*'
+        |""".stripMargin, Map("t" -> in))
+    val got = outs("stream_task:agg").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("a" -> 2L, "b" -> 1L))
+  }
+}
