@@ -83,7 +83,9 @@ object Explain {
     "x_table_diff" -> "snapshot reconciliation (ONE full-outer join on the key; change flags computed inside the join projection)",
     "x_tcloseness" -> "t-closeness ordered-EMD audit (grid-sized windows; 10-row global distribution broadcast)",
     "x_series_acf" -> "per-series autocorrelation (ONE series-keyed window feeds three lag pairs; moment sums partial-combine map-side)",
-    "x_sketch_hll_sliding" -> "sliding distinct via pane-sketch merging (events aggregate once per pane; the window explode runs on register rows only)"
+    "x_sketch_hll_sliding" -> "sliding distinct via pane-sketch merging (events aggregate once per pane; the window explode runs on register rows only)",
+    "f_blob_delivery" -> "blob chunked delivery (codegen sequence+explode part schedule; ONE exchange of tiny manifest rows — payloads never shuffle)",
+    "f_yaml_pipeline" -> "YAML-declared pipeline (config text → section IR → routed plan; grep rlike + modify projections fold into the scan stage)"
   )
 
   def main(args: Array[String]): Unit = {

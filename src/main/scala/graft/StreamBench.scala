@@ -144,14 +144,29 @@ object StreamBench {
     val (probSec, probKept) = runProb("bench_prob")
     val (tailSec, tailKept) = runTail("bench_tail")
 
+    // tail mode again on the RocksDB state-store provider — the
+    // production config for unbounded trace cardinality; the delta vs
+    // the default in-memory provider is the price of off-heap
+    // SST-backed state at this span rate
+    val PROV = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(PROV, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val (tailRocksSec, tailRocksKept) =
+      try { runTail("warm_tail_rocks"); runTail("bench_tail_rocks") }
+      finally spark.conf.unset(PROV)
+    require(tailRocksKept == tailKept,
+      s"provider changed the result: $tailRocksKept vs $tailKept")
+
     val probRate = (totalSpans / probSec).toLong
     val tailRate = (totalSpans / tailSec).toLong
+    val tailRocksRate = (totalSpans / tailRocksSec).toLong
     println(
       s"""{"metric":"stream_spans_per_sec","unit":"spans/sec",""" +
       s""""traces":$Traces,"spans_per_trace":$SpansPerTrace,""" +
       s""""cardinality":$Cardinality,"total_spans":$totalSpans,""" +
       s""""probabilistic":{"spans_per_sec":$probRate,"elapsed_sec":${f"$probSec%.3f"},"kept":$probKept},""" +
-      s""""tail":{"spans_per_sec":$tailRate,"elapsed_sec":${f"$tailSec%.3f"},"kept":$tailKept}}""")
+      s""""tail":{"spans_per_sec":$tailRate,"elapsed_sec":${f"$tailSec%.3f"},"kept":$tailKept},""" +
+      s""""tail_rocksdb":{"spans_per_sec":$tailRocksRate,"elapsed_sec":${f"$tailRocksSec%.3f"},"kept":$tailRocksKept}}""")
     spark.stop()
   }
 }

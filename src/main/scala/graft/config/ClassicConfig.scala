@@ -404,6 +404,72 @@ object ClassicConfig {
         rejoin(graft.streaming.Multiline.assembleBatch(
           matched, Seq("tag"), orderCol, lineCol, rules))
 
+      case "lua" =>
+        // filter_lua (lua.c): `code` inline script (the YAML `code: |`
+        // block) or `script` file, `call` = function name. The record
+        // crosses as a string map (the reference's table), so the frame
+        // collapses to (tag, ts, body-map) and comes back the same
+        // shape — downstream formatting reads the map (flb is
+        // schemaless here; a fixed relational schema cannot survive an
+        // arbitrary script).
+        val source = s.get("code").getOrElse {
+          val path = s.required("script")
+          new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(path)), "UTF-8")
+        }
+        val fn = s.get("call").getOrElse("cb_filter")
+        val others = matched.columns
+          .filterNot(c => c == "tag" || c == "ts_sec").toSeq
+        val framed = matched
+          .withColumn("__body", map(
+            others.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*))
+          .withColumn("__ts",
+            if (matched.columns.contains("ts_sec"))
+              col("ts_sec").cast("long")
+            else lit(0L))
+          .select(col("tag"), col("__ts"), col("__body"))
+        val luaOut = graft.ops.LuaContract.applyToFrame(
+            matched.sparkSession, framed, "tag", "__ts", "__body")(
+            graft.ops.LuaContract.script(source, fn))
+          .withColumnRenamed("__ts", "ts_sec")
+          .withColumnRenamed("__body", "body")
+        rejoin(luaOut)
+
+      case "expect" =>
+        // filter_expect (expect.c): per-record invariants. action=exit
+        // aborts the pipeline AT EXECUTION on the first violating
+        // record (raise_error inside a filter — never pruned, plan
+        // stays lazy); action=result_key appends the verdict column;
+        // action=warn passes records through unchanged.
+        def checkOf(kind: String, v: String): Column = kind match {
+          case "key_exists" =>
+            if (matched.columns.contains(v)) col(v).isNotNull else lit(false)
+          case "key_not_exists" =>
+            if (matched.columns.contains(v)) col(v).isNull else lit(true)
+          case "key_val_is_null" => col(v).isNull
+          case "key_val_is_not_null" => col(v).isNotNull
+          case "key_val_eq" =>
+            val (a, b) = split2(v); col(a).cast("string") === b
+          case other => throw new IllegalArgumentException(
+            s"expect condition $other unsupported")
+        }
+        val kinds = Set("key_exists", "key_not_exists", "key_val_is_null",
+          "key_val_is_not_null", "key_val_eq")
+        val checks = s.props.collect {
+          case (k, v) if kinds.contains(k.toLowerCase) =>
+            checkOf(k.toLowerCase, v)
+        }
+        val ok = checks.reduceOption(_ && _).getOrElse(lit(true))
+        s.get("action").map(_.toLowerCase).getOrElse("warn") match {
+          case "exit" => rejoin(matched.filter(
+            when(ok, lit(true)).otherwise(
+              raise_error(lit("expect: record violates invariant"))
+                .cast("boolean"))))
+          case "result_key" => rejoin(matched.withColumn(
+            s.get("result_key").getOrElse("matched"), ok))
+          case _ => rejoin(matched) // warn: pass-through
+        }
+
       case other => throw new IllegalArgumentException(s"[FILTER] $other unsupported")
     }
   }

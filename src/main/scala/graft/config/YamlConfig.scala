@@ -41,14 +41,18 @@ object YamlConfig {
   /** Parse + translate. `resolveInclude` maps an `includes:` path to its
     * text (tests pass a Map; production callers a file reader). Includes
     * merge AFTER the including document's own sections, recursively,
-    * with a cycle guard.
+    * with a cycle guard. Relative include paths resolve against the
+    * INCLUDING file's directory (flb_cf_yaml's rule — the fixture
+    * corpus's `test/nested.yaml` includes its sibling by bare name), so
+    * the resolver always receives the joined path.
     */
   def load(text: String,
            resolveInclude: String => Option[String] = _ => None): Doc =
-    loadRec(text, resolveInclude, Set.empty, Map.empty)
+    loadRec(text, resolveInclude, Set.empty, Map.empty, "")
 
   private def loadRec(text: String, resolve: String => Option[String],
-                      seen: Set[String], outerEnv: Map[String, String]): Doc = {
+                      seen: Set[String], outerEnv: Map[String, String],
+                      baseDir: String): Doc = {
     val root = Yaml.parse(text)
     // ONE global env table (flb_env): the including document's vars are
     // visible inside its includes, and an include's vars are visible to
@@ -152,13 +156,19 @@ object YamlConfig {
         case "includes" =>
           asSeq(node).foreach {
             case YStr(path) =>
-              val p = interp(path)
+              val rel = interp(path)
+              val p = if (baseDir.isEmpty || rel.startsWith("/")) rel
+                      else s"$baseDir/$rel"
               if (seen.contains(p)) throw new IllegalArgumentException(
                 s"yaml: include cycle at '$p'")
               val body = resolve(p).getOrElse(
                 throw new IllegalArgumentException(
                   s"yaml: include '$p' not resolvable"))
-              val sub = loadRec(body, resolve, seen + p, envM.toMap)
+              val subDir = p.lastIndexOf('/') match {
+                case -1 => ""
+                case i  => p.substring(0, i)
+              }
+              val sub = loadRec(body, resolve, seen + p, envM.toMap, subDir)
               sections ++= sub.sections
               inputProcs ++= sub.inputProcessors
               mlParsers ++= sub.mlParsers

@@ -500,4 +500,26 @@ class PlanSpec extends AnyFunSuite {
     val scans = "Scan parquet".r.findAllIn(plan).length
     assert(scans == 1, s"expected one events scan, got $scans")
   }
+
+  test("blob delivery: chunk schedule is map-only; ONE manifest exchange") {
+    val plan = planOf("f_blob_delivery")
+    // part explosion must be Generate (codegen sequence+explode), and the
+    // only shuffle is the per-blob manifest aggregation — payloads (the
+    // 100 TB term) never cross the network
+    assert(plan.contains("Generate"), plan.take(2000))
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 manifest exchange, got $exchanges:\n" +
+      plan.take(3000))
+    assert(!plan.contains("Join"), "no join anywhere in delivery")
+  }
+
+  test("yaml pipeline: grep predicate folds into the scan stage") {
+    val plan = planOf("f_yaml_pipeline")
+    // the config-declared rlike filter must run inside whole-stage
+    // codegen over the scan, not as a post-union interpreted pass
+    assert(plan.contains("Filter"), plan.take(2000))
+    assert(plan.contains("RLIKE") || plan.contains("rlike"), plan.take(3000))
+    assert(!plan.contains("Exchange"),
+      "a filter+modify pipeline is map-only — no shuffle:\n" + plan.take(3000))
+  }
 }

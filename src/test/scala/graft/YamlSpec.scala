@@ -368,6 +368,194 @@ class YamlSpec extends AnyFunSuite {
     assert(rows.length == 2)
   }
 
+  test("assemble: lua filter with a yaml code block (the smoke-test shape)") {
+    val in = Seq(("click", 7L), ("view", 9L), ("error", 11L))
+      .toDF("event_type", "event_id").withColumn("tag", lit("test"))
+    val outs = YamlConfig.assemble(spark,
+      """pipeline:
+        |  inputs:
+        |    - name: ev
+        |      tag: test
+        |  filters:
+        |    - name: lua
+        |      match: test
+        |      call: append_tag
+        |      code: |
+        |          function append_tag(tag, timestamp, record)
+        |             if record["event_type"] == "error" then
+        |               return -1, timestamp, record
+        |             end
+        |             record["tag_copy"] = tag
+        |             record["double_id"] = tostring(tonumber(record["event_id"]) * 2)
+        |             return 1, timestamp, record
+        |          end
+        |  outputs:
+        |    - name: "null"
+        |      match: test
+        |""".stripMargin, Map("test" -> in))
+    // the lua frame shape is (tag, ts_sec, body map); read it back via a
+    // second assembly that exposes it — here just re-run and inspect
+    val framed = YamlConfig.load(
+      """pipeline:
+        |  inputs:
+        |    - name: ev
+        |""".stripMargin)
+    assert(framed.sections.nonEmpty) // translation sanity
+    assert(outs.contains("null:test"))
+    // assemble again, capturing the filtered frame through a file output
+    val outs2 = YamlConfig.assemble(spark,
+      """pipeline:
+        |  inputs:
+        |    - name: ev
+        |      tag: test
+        |  filters:
+        |    - name: lua
+        |      match: test
+        |      call: append_tag
+        |      code: |
+        |          function append_tag(tag, timestamp, record)
+        |             if record["event_type"] == "error" then
+        |               return -1, timestamp, record
+        |             end
+        |             record["tag_copy"] = tag
+        |             record["double_id"] = tostring(tonumber(record["event_id"]) * 2)
+        |             return 1, timestamp, record
+        |          end
+        |  outputs:
+        |    - name: stdout
+        |      match: test
+        |      format: plain
+        |""".stripMargin, Map("test" -> in))
+    // plain format renders the first non-tag column (ts_sec); what we
+    // assert is on the frame that REACHED the output: 2 records (error
+    // dropped by the -1 return), via the formatted row count
+    assert(outs2("stdout:test").count() == 2)
+  }
+
+  test("assemble: the same yaml pipeline runs UNCHANGED on a streaming source") {
+    // the assembly is plan construction — inject a readStream-style
+    // source and the whole config-declared pipeline (grep + modify +
+    // json output) becomes a streaming query, no code changes
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val src = in.toDS().toDF("event_type", "event_id")
+      .withColumn("tag", lit("t"))
+    val out = YamlConfig.assemble(spark,
+      """pipeline:
+        |  inputs:
+        |    - name: ev
+        |      tag: t
+        |  filters:
+        |    - name: grep
+        |      match: '*'
+        |      regex: event_type ^click$
+        |    - name: modify
+        |      match: '*'
+        |      add: src stream
+        |  outputs:
+        |    - name: file
+        |      match: '*'
+        |      format: json
+        |""".stripMargin, Map("t" -> src))("file:*")
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("yaml_stream_sink")
+      .outputMode("append").start()
+    try {
+      in.addData(("click", 1L), ("view", 2L), ("click", 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("yaml_stream_sink").collect().map(_.getString(1))
+    spark.catalog.dropTempView("yaml_stream_sink")
+    assert(rows.length == 2 && rows.forall(_.contains("\"src\":\"stream\"")),
+      rows.mkString("; "))
+  }
+
+  test("assemble: expect filter — result_key verdict and exit abort") {
+    val in = Seq(("a", 1L), ("b", 2L), (null, 3L))
+      .toDF("k", "v").withColumn("tag", lit("t"))
+    val verdict = YamlConfig.assemble(spark,
+      """pipeline:
+        |  inputs:
+        |    - name: s
+        |      tag: t
+        |  filters:
+        |    - name: expect
+        |      match: '*'
+        |      key_exists: k
+        |      action: result_key
+        |      result_key: k_ok
+        |  outputs:
+        |    - name: file
+        |      match: '*'
+        |      format: csv
+        |""".stripMargin, Map("t" -> in))("file:*")
+    val lines = verdict.collect().map(_.getString(1)).sorted.toSeq
+    assert(lines == Seq("a,1,true", "b,2,true", ",3,false").sorted)
+    val aborting = YamlConfig.assemble(spark,
+      """pipeline:
+        |  inputs:
+        |    - name: s
+        |      tag: t
+        |  filters:
+        |    - name: expect
+        |      match: '*'
+        |      key_exists: k
+        |      action: exit
+        |  outputs:
+        |    - name: file
+        |      match: '*'
+        |      format: csv
+        |""".stripMargin, Map("t" -> in))("file:*")
+    // plan stays lazy; the violation aborts at EXECUTION (flb's exit)
+    val e = intercept[Exception](aborting.collect())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.toString +: chain(t.getCause)
+    assert(chain(e).exists(_.contains("expect")), chain(e).mkString(" | "))
+  }
+
+  test("parser handles the reference's yaml fixture corpus shapes") {
+    // the reference repo ships a YAML config fixture corpus
+    // (tests/internal/data/config_format/yaml). Parse every VALID
+    // fixture — structural compatibility evidence against the real
+    // files, not hand-picked snippets. Skips cleanly if the reference
+    // checkout is absent.
+    val dir = new java.io.File(
+      "/root/reference/tests/internal/data/config_format/yaml")
+    assume(dir.isDirectory, "reference fixture corpus not present")
+    // invalid_*/broken_*/clusterfuzz_* document malformed configs the
+    // C parser rejects; missing_include needs its include resolved
+    val skip = Set("invalid_input_property.yaml",
+      "invalid_output_property.yaml", "broken_plugin_variant.yaml",
+      "clusterfuzz_variant_missing_key.yaml")
+    val files = dir.listFiles.filter(f => f.getName.endsWith(".yaml") &&
+      !skip.contains(f.getName)).sortBy(_.getName)
+    assert(files.nonEmpty)
+    val failures = files.flatMap { f =>
+      try {
+        val m = Yaml.parse(new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+        if (m.entries.isEmpty && f.length > 0) Some(s"${f.getName}: empty parse")
+        else None
+      } catch { case e: Exception => Some(s"${f.getName}: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+    // and the flagship fixture translates into sections end-to-end
+    val fb = new java.io.File(dir, "fluent-bit.yaml")
+    val resolver = (p: String) => {
+      val inc = new java.io.File(dir, p)
+      if (inc.isFile) Some(new String(
+        java.nio.file.Files.readAllBytes(inc.toPath), "UTF-8")) else None
+    }
+    val doc = YamlConfig.load(new String(
+      java.nio.file.Files.readAllBytes(fb.toPath), "UTF-8"), resolver)
+    // 2 tail inputs of its own + the dummy input pulled in through the
+    // service.yaml → test/nested.yaml → dummy_pipeline.yaml include chain
+    assert(doc.sections.count(_.name == "INPUT") == 3)
+    assert(doc.sections.exists(s => s.name == "FILTER" &&
+      s.get("record").contains("powered_by calyptia")))
+    assert(doc.env.contains("observability")) // exported by the include
+  }
+
   test("assemble: stream task over yaml-filtered frame") {
     val in = Seq(("a", 1L), ("a", 2L), ("b", 30L))
       .toDF("k", "v").withColumn("tag", lit("t"))
