@@ -87,7 +87,8 @@ object ClassicConfig {
   def assembleSections(spark: SparkSession, sections: Seq[Section],
                streams: Map[String, DataFrame] = Map.empty,
                mlParsers: Map[String, Seq[graft.streaming.Multiline.Rule]] = Map.empty,
-               inputProcessors: Seq[Seq[Section]] = Nil): Map[String, DataFrame] = {
+               inputProcessors: Seq[Seq[Section]] = Nil,
+               outputProcessors: Seq[Seq[Section]] = Nil): Map[String, DataFrame] = {
     val parsers = sections.filter(_.name == "PARSER")
       .map(s => s.required("name") -> s).toMap
 
@@ -138,10 +139,15 @@ object ClassicConfig {
     // outputs with the same Match are legal in the reference (different
     // paths/formats) and must both survive the map.
     val seenIds = scala.collection.mutable.Map[String, Int]()
-    val sinkOutputs = sections.filter(_.name == "OUTPUT").map { s =>
+    val sinkOutputs = sections.filter(_.name == "OUTPUT").zipWithIndex.map { case (s, oi) =>
       val name = s.required("name").toLowerCase
       val pat = s.get("match").getOrElse("*")
-      val routed = Router.route(filtered, "tag", pat)
+      // output-attached processors (YAML `processors:` on an output)
+      // run on THIS output's routed frame only — never the global flow
+      val routed = outputProcessors.lift(oi).getOrElse(Nil)
+        .foldLeft(Router.route(filtered, "tag", pat)) { (df, p) =>
+          applyFilter(df, p, parsers, mlParsers)
+        }
       val formatted = name match {
         case "null" => routed.limit(0)
         case "stdout" | "file" =>

@@ -33,6 +33,7 @@ object YamlConfig {
   final case class Doc(
       sections: Seq[ClassicConfig.Section],
       inputProcessors: Seq[Seq[ClassicConfig.Section]],
+      outputProcessors: Seq[Seq[ClassicConfig.Section]],
       mlParsers: Map[String, Seq[Multiline.Rule]],
       env: Map[String, String],
       service: Map[String, String],
@@ -74,6 +75,7 @@ object YamlConfig {
 
     val sections = scala.collection.mutable.ArrayBuffer[ClassicConfig.Section]()
     val inputProcs = scala.collection.mutable.ArrayBuffer[Seq[ClassicConfig.Section]]()
+    val outputProcs = scala.collection.mutable.ArrayBuffer[Seq[ClassicConfig.Section]]()
     var mlParsers = Map.empty[String, Seq[Multiline.Rule]]
     val service = scala.collection.mutable.Map[String, String]()
     val extras = scala.collection.mutable.Map[String, Node]()
@@ -107,13 +109,14 @@ object YamlConfig {
                 if (secName == "INPUT")
                   inputProcs += procs.map(processorSections(_, interp))
                     .getOrElse(Nil)
+                else if (secName == "OUTPUT")
+                  // output processors run on THIS output's routed frame
+                  // (flb attaches them to the output instance)
+                  outputProcs += procs.map(processorSections(_, interp))
+                    .getOrElse(Nil)
                 else if (procs.isDefined)
-                  // output processors run on the routed frame — model
-                  // them as FILTER sections gated by this output's Match
-                  processorSections(procs.get, interp).foreach { ps =>
-                    sections += ClassicConfig.Section("FILTER",
-                      ps.props :+ ("match" -> m.str("match").getOrElse("*")))
-                  }
+                  throw new IllegalArgumentException(
+                    "yaml: processors on a filter are not part of the format")
               }
             }
           case _ => throw new IllegalArgumentException(
@@ -171,6 +174,7 @@ object YamlConfig {
               val sub = loadRec(body, resolve, seen + p, envM.toMap, subDir)
               sections ++= sub.sections
               inputProcs ++= sub.inputProcessors
+              outputProcs ++= sub.outputProcessors
               mlParsers ++= sub.mlParsers
               sub.env.foreach { case (k, v) =>
                 if (!envM.contains(k)) envM(k) = v
@@ -191,8 +195,8 @@ object YamlConfig {
       }
     }
 
-    Doc(sections.toSeq, inputProcs.toSeq, mlParsers, envM.toMap,
-      service.toMap, extras.toMap)
+    Doc(sections.toSeq, inputProcs.toSeq, outputProcs.toSeq, mlParsers,
+      envM.toMap, service.toMap, extras.toMap)
   }
 
   /** Parse, translate and assemble in one step — the YAML mirror of
@@ -203,7 +207,7 @@ object YamlConfig {
                resolveInclude: String => Option[String] = _ => None): Map[String, DataFrame] = {
     val doc = load(text, resolveInclude)
     ClassicConfig.assembleSections(spark, doc.sections, streams,
-      doc.mlParsers, doc.inputProcessors)
+      doc.mlParsers, doc.inputProcessors, doc.outputProcessors)
   }
 
   // ------------------------------------------------------------ helpers

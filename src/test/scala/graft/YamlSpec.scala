@@ -432,6 +432,34 @@ class YamlSpec extends AnyFunSuite {
     assert(outs2("stdout:test").count() == 2)
   }
 
+  test("assemble: output-attached processors touch ONLY their output's frame") {
+    val in = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+      .withColumn("tag", lit("t"))
+    val outs = YamlConfig.assemble(spark,
+      """pipeline:
+        |  inputs:
+        |    - name: s
+        |      tag: t
+        |  outputs:
+        |    - name: file
+        |      match: '*'
+        |      format: csv
+        |      processors:
+        |        logs:
+        |          - name: content_modifier
+        |            action: insert
+        |            key: via
+        |            value: out_a
+        |    - name: stdout
+        |      match: '*'
+        |      format: csv
+        |""".stripMargin, Map("t" -> in))
+    val a = outs("file:*").collect().map(_.getString(1)).sorted.toSeq
+    val b = outs("stdout:*").collect().map(_.getString(1)).sorted.toSeq
+    assert(a == Seq("a,1,out_a", "b,2,out_a")) // processor applied here
+    assert(b == Seq("a,1", "b,2"))             // ...and ONLY here
+  }
+
   test("assemble: the same yaml pipeline runs UNCHANGED on a streaming source") {
     // the assembly is plan construction — inject a readStream-style
     // source and the whole config-declared pipeline (grep + modify +
