@@ -143,6 +143,74 @@ object SearchQueries {
              FROM rk WHERE rk <= 10""")
     ),
 
+    // Hybrid retrieval: lexical (BM25, term 'hash') ⊕ dense (cosine of
+    // embedding 0, documents ↔ embeddings aligned by id) fused by
+    // reciprocal-rank fusion with integer fixed-point contributions —
+    // the rrf operator OpenSearch/Elasticsearch ship. Fusion input is
+    // bounded (two top-20 legs), so the operator is corpus-size-free;
+    // the legs carry the scale story and are independently gated
+    // (x_search_bm25, x_sim_cosine_topk).
+    GraftQuery(
+      "x_search_hybrid_rrf",
+      (s, dir) => {
+        val lex = Search.bm25(Tables.documents(s, dir), col("doc_id"),
+            col("text"), Seq("hash"), k = 20)
+          .select(col("doc_id"), col("rk"))
+        val emb = Tables.embeddings(s, dir)
+          .withColumn("embedding", col("embedding").cast("array<double>"))
+        val dense = graft.sim.Similarity.bruteForceTopK(
+            emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+            k = 20)
+          .select(col("cid").as("doc_id"), col("rank").as("rk"))
+        Search.rrfFuse(Seq(lex, dense), "doc_id", "rk",
+          kRrf = 60, topK = 10)
+      },
+      Some(T + """,
+             dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                    FROM t GROUP BY 1),
+             tot AS (SELECT CAST(count(*) AS BIGINT) AS s_tokens FROM t),
+             nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+                    FROM documents),
+             tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+                    FROM t WHERE term = 'hash' GROUP BY 1, 2),
+             tfd AS (SELECT term, doc_id, tf,
+                       CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df
+                     FROM tf),
+             sc AS (SELECT term, doc_id,
+                      CAST((2 * n_docs - 2 * df + 1) * 22 * tf * s_tokens
+                        AS DOUBLE) /
+                      CAST((2 * df + 1) * (10 * tf * s_tokens +
+                        3 * s_tokens + 9 * dl * n_docs) AS DOUBLE) AS score
+                    FROM tfd JOIN dl USING (doc_id), tot, nn),
+             lex AS (SELECT doc_id, rk FROM (
+                       SELECT doc_id, CAST(row_number() OVER (
+                         ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+                       FROM sc) WHERE rk <= 20),
+             q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                   WHERE vec_id = 0),
+             c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                   FROM embeddings),
+             cos AS (SELECT cid,
+                       round(list_dot_product(qv, cv) /
+                             (sqrt(list_dot_product(qv, qv)) *
+                              sqrt(list_dot_product(cv, cv))), 3) AS cos
+                     FROM q, c WHERE cid <> 0),
+             dense AS (SELECT cid AS doc_id, rk FROM (
+                         SELECT cid, CAST(row_number() OVER (
+                           ORDER BY cos DESC, cid) AS BIGINT) AS rk
+                         FROM cos) WHERE rk <= 20),
+             legs AS (SELECT * FROM lex UNION ALL SELECT * FROM dense),
+             fused AS (SELECT doc_id,
+                         CAST(sum(1000000000 // (60 + rk)) AS BIGINT)
+                           AS rrf_fp,
+                         CAST(count(*) AS BIGINT) AS n_legs
+                       FROM legs GROUP BY 1)
+             SELECT doc_id, rrf_fp, n_legs, rank FROM (
+               SELECT *, CAST(row_number() OVER (
+                 ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS rank
+               FROM fused) WHERE rank <= 10""")
+    ),
+
     // Degree-oriented triangle counting over the planted graph (3
     // arithmetic links + a 13-hub spoke): orientation makes the wedge
     // join skew-proof; one LEFT-join pass yields wedge + triangle counts.

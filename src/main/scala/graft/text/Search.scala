@@ -115,4 +115,33 @@ object Search {
       .select(col("term"), col("doc_id"), col("tf"), col("dl"),
         col("score"), col("rk"))
   }
+
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack/Clarke/Büttcher
+    * RRF — the fusion OpenSearch/Elasticsearch ship for lexical⊕dense
+    * hybrid queries): each leg contributes 1/(kRrf + rank) for the ids it
+    * ranked; candidates absent from a leg contribute nothing. Scores are
+    * INTEGER fixed-point (1e9 // (kRrf + rank)) so the fused ordering is
+    * exact and engine-portable — no float summation order to defend.
+    *
+    * Scale shape: each leg is already a top-k relation (≤ k rows per
+    * query), so the fusion input is bounded by Σ legs·k regardless of
+    * corpus size — the union + groupBy shuffles candidate IDS only, and
+    * the final global ordering runs on ≤ legs·k rows. The expensive part
+    * of hybrid retrieval is the legs (bm25, ANN), each independently
+    * gated; fusion itself is corpus-size-free.
+    */
+  def rrfFuse(legs: Seq[DataFrame], idCol: String, rankCol: String,
+              kRrf: Int = 60, topK: Int = 10): DataFrame = {
+    require(legs.nonEmpty, "rrf needs at least one ranked leg")
+    val contribs = legs.map(_.select(col(idCol),
+      expr(s"1000000000 div ($kRrf + $rankCol)").as("__contrib")))
+    contribs.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum(col("__contrib")).as("rrf_fp"),
+        count(lit(1)).as("n_legs"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf_fp").desc, col(idCol))).cast("long"))
+      .filter(col("rank") <= topK)
+  }
 }

@@ -67,4 +67,21 @@ class SearchSpec extends AnyFunSuite {
     assert(mass <= n * 1000000L && mass >= n * 900000L,
       s"mass $mass for $n nodes")
   }
+
+  test("rrf fusion: integer contributions, missing-leg ids, tie-break") {
+    val legA = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rk")
+    val legB = Seq((2L, 1L), (4L, 2L)).toDF("id", "rk")
+    val fused = Search.rrfFuse(Seq(legA, legB), "id", "rk",
+        kRrf = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    def c(rank: Long) = 1000000000L / (60L + rank)
+    // id 2 appears in BOTH legs (ranks 2 and 1); singles keep one term
+    val expect = Seq(
+      (2L, c(2) + c(1), 2L, 1L),
+      (1L, c(1), 1L, 2L),
+      (4L, c(2), 1L, 3L),
+      (3L, c(3), 1L, 4L))
+    assert(fused.toSeq == expect, fused.mkString(", "))
+  }
 }
