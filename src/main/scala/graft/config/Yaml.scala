@@ -70,8 +70,6 @@ object Yaml {
     // NOT have comments stripped or content trimmed).
     private val lines: Vector[Line] = raw.zipWithIndex.flatMap {
       case (l, i) =>
-        if (l.contains('\t') && l.takeWhile(c => c == ' ' || c == '\t').contains('\t'))
-          fail(i, "tab in indentation (YAML forbids it)")
         val indent = l.takeWhile(_ == ' ').length
         val body = l.drop(indent)
         if (body.isEmpty || body.startsWith("#")) None
@@ -79,6 +77,17 @@ object Yaml {
         else Some(Line(indent, body, l, i))
     }
     private var pos = 0
+
+    /** Tab-in-indentation is a YAML error — but ONLY for structural
+      * lines. Checked lazily at the point a line is parsed as
+      * structure, so tab-indented CONTENT inside a block scalar (lua
+      * code is the canonical case) passes through untouched.
+      */
+    private def checkIndent(l: Line): Line = {
+      if (l.content.startsWith("\t"))
+        fail(l.num, "tab in indentation (YAML forbids it)")
+      l
+    }
 
     def parseRoot(): Node = {
       if (lines.isEmpty) return YMap(Vector.empty)
@@ -93,7 +102,7 @@ object Yaml {
       * column `indent`.
       */
     private def parseBlock(indent: Int): Node = {
-      val l = lines(pos)
+      val l = checkIndent(lines(pos))
       if (l.content == "-" || l.content.startsWith("- ")) parseSeq(indent)
       else parseMap(indent)
     }
@@ -102,7 +111,7 @@ object Yaml {
       val items = Vector.newBuilder[Node]
       while (pos < lines.length && lines(pos).indent == indent &&
              (lines(pos).content == "-" || lines(pos).content.startsWith("- "))) {
-        val l = lines(pos)
+        val l = checkIndent(lines(pos))
         val rest = l.content.drop(1)
         val restTrim = rest.dropWhile(_ == ' ')
         if (restTrim.isEmpty) {
@@ -114,17 +123,24 @@ object Yaml {
         } else {
           // `- something`: the item starts inline at its own column
           val itemCol = indent + 1 + (rest.length - restTrim.length)
-          if (isMappingStart(restTrim)) {
+          if (restTrim.startsWith("[") || restTrim.startsWith("{")) {
+            // flow collection as a sequence item: `- {k: v}` / `- [a]`
+            // (must be checked BEFORE isMappingStart — the colon inside
+            // the braces would otherwise mis-key on "{k")
+            val (node, remainder) = flowParse(restTrim, l.num)
+            val after = remainder.trim
+            if (after.nonEmpty && !after.startsWith("#"))
+              fail(l.num, s"trailing content after flow item: '$after'")
+            items += node
+            pos += 1
+          } else if (isMappingStart(restTrim)) {
             // inline map item: first entry on this line, siblings below
             // at itemCol. Parse by treating this line as (itemCol, rest).
             items += parseMap(itemCol, firstOverride = Some(l.copy(
               indent = itemCol, content = restTrim)))
           } else if (restTrim.startsWith("- ") || restTrim == "-") {
-            items += {
-              // nested sequence on the dash line (rare)
-              val saved = lines(pos)
-              parseSeqInline(itemCol, saved.copy(indent = itemCol, content = restTrim))
-            }
+            // fluent-bit configs never nest sequences directly
+            fail(l.num, "nested '- -' sequences unsupported")
           } else {
             items += YStr(scalarOf(restTrim, l.num))
             pos += 1
@@ -132,13 +148,6 @@ object Yaml {
         }
       }
       YSeq(items.result())
-    }
-
-    /** Nested `- - x` items: restructure and delegate (fluent-bit configs
-      * never nest sequences directly, but don't mis-parse them).
-      */
-    private def parseSeqInline(indent: Int, first: Line): Node = {
-      fail(first.num, "nested '- -' sequences unsupported")
     }
 
     /** A content string opens a mapping if it has a `key:` separator at
@@ -196,6 +205,7 @@ object Yaml {
       while (!done) {
         cur match {
           case Some(l) if l.indent == indent && keySplit(l.content).isDefined =>
+            checkIndent(l)
             val (key, valuePart) = keySplit(l.content).get
             val consumedSynthetic = first.isDefined
             first = None
@@ -212,6 +222,11 @@ object Yaml {
 
     /** The value side of `key: <valuePart>` at mapping column `indent`. */
     private def parseValue(valuePart: String, indent: Int, num: Int): Node = {
+      // flow collections are checked BEFORE comment stripping: a ' #'
+      // inside a quoted flow scalar (`[a, "x # y"]`) is content, and
+      // flowSeq itself tolerates a trailing comment after the close
+      if (valuePart.startsWith("[")) return flowSeq(valuePart, num)
+      if (valuePart.startsWith("{")) return flowMap(valuePart, num)
       val vp = stripComment(valuePart)
       if (vp.isEmpty) {
         // nested block: deeper-indented lines, OR a sequence whose
@@ -226,10 +241,6 @@ object Yaml {
       } else if (vp == "|" || vp == "|-" || vp == "|+" ||
                  vp == ">" || vp == ">-" || vp == ">+") {
         blockScalar(vp, indent, num)
-      } else if (vp.startsWith("[")) {
-        flowSeq(vp, num)
-      } else if (vp.startsWith("{")) {
-        flowMap(vp, num)
       } else YStr(scalarOf(vp, num))
     }
 
@@ -376,12 +387,16 @@ object Yaml {
         (s.head == '\'' && s.last == '\''))) s.substring(1, s.length - 1)
       else s
 
-    /** Trailing comment: ` #` outside quotes cuts a plain scalar. */
+    /** Trailing comment: ` #` outside quotes cuts a plain scalar. A '#'
+      * at index 0 is ALSO a comment — `key: # note` is an empty value
+      * followed by a comment in YAML (a plain scalar cannot start with
+      * '#' after the separating space).
+      */
     private def stripComment(s: String): String = {
       if (s.startsWith("\"") || s.startsWith("'")) return s // scalarOf handles
       var i = 0
       while (i < s.length) {
-        if (s.charAt(i) == '#' && i > 0 && s.charAt(i - 1) == ' ')
+        if (s.charAt(i) == '#' && (i == 0 || s.charAt(i - 1) == ' '))
           return s.take(i).reverse.dropWhile(_ == ' ').reverse
         i += 1
       }

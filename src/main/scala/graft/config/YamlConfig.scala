@@ -224,13 +224,21 @@ object YamlConfig {
   }
 
   /** A plugin's `processors:` value → ordered pseudo-FILTER sections.
-    * Only the `logs` channel has query semantics here (metrics/traces
-    * processors configure telemetry-signal paths; flb_cf_yaml:2567-2575
-    * accepts all three — we retain but do not apply the other two).
+    * Only the `logs` channel has query semantics here; `metrics` and
+    * `traces` (flb_cf_yaml:2567-2575 accepts all three) are accepted
+    * and DROPPED — they configure telemetry-signal paths this engine
+    * models elsewhere. Any other channel name is an error, not a silent
+    * drop (a typo like `log:` must not vanish).
     */
   private def processorSections(n: Node, interp: String => String): Seq[ClassicConfig.Section] =
     n match {
       case m: YMap =>
+        m.entries.collectFirst {
+          case (k, _) if !Set("logs", "metrics", "traces")
+            .contains(k.toLowerCase) =>
+            throw new IllegalArgumentException(
+              s"yaml: unknown processors channel '$k' (logs/metrics/traces)")
+        }
         m.seq("logs").toSeq.map(item =>
           ClassicConfig.Section("FILTER",
             flatten(asMap(item, "processor entry"), interp)))

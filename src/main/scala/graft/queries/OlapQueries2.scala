@@ -11,6 +11,26 @@ import graft.obs.Observability.cents
   */
 object OlapQueries2 {
 
+  /** One-time JVM-exit cleanup for the session-scoped schema-merge
+    * scratch dir: per-session naming fixed the concurrent-clobber bug
+    * but would otherwise leak two parquet snapshots per session in
+    * java.io.tmpdir forever. Registered once per path (the gate runs
+    * many times per bench session).
+    */
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def registerScratchCleanup(path: String): Unit =
+    if (cleanupRegistered.add(path)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(path))
+      }))
+    }
+
   def all: Seq[GraftQuery] = Seq(
 
     // Skyline / Pareto front: the parts no other part beats on BOTH
@@ -219,6 +239,7 @@ object OlapQueries2 {
           System.getProperty("java.io.tmpdir"),
           "graft_schema_merge_" + s.sparkContext.applicationId)
           .getAbsolutePath
+        registerScratchCleanup(tmp)
         o.filter(col("o_orderkey") % 2 === 0).select("o_orderkey", "cents")
           .write.mode("overwrite").parquet(tmp + "/v1")
         o.filter(col("o_orderkey") % 2 =!= 0)

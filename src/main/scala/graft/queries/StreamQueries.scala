@@ -113,8 +113,18 @@ object StreamQueries {
     if (savedParts == null)
       savedParts = sess.conf.get("spark.sql.shuffle.partitions")
     sess.conf.set("spark.sql.shuffle.partitions", "4")
-    ds.writeStream.format("memory").queryName(table)
+    try ds.writeStream.format("memory").queryName(table)
       .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    catch { case e: Throwable =>
+      // start() itself failed (duplicate query name, provider
+      // misconfig): the gate's abort path never runs because its try
+      // block is never entered — restore the pin here
+      if (savedParts != null) {
+        sess.conf.set("spark.sql.shuffle.partitions", savedParts)
+        savedParts = null
+      }
+      throw e
+    }
   }
 
   /** Feed `rows` (already in replay order) in four deterministic chunks

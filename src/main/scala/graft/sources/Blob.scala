@@ -26,9 +26,14 @@ object Blob {
     */
   def chunkPlan(df: DataFrame, sizeCol: Column, chunk: Long): DataFrame = {
     require(chunk > 0, "chunk size must be positive")
-    df.withColumn("part_idx",
-        explode(sequence(lit(0L),
-          ceil(sizeCol.cast("double") / chunk).cast("long") - 1)))
+    // guard the empty blob BEFORE the explode: sequence(0, -1) defaults
+    // to step -1 and would yield [0, -1] — two bogus parts for a
+    // zero-length blob instead of the empty schedule the contract (and
+    // the oracle's generate_series) promises
+    df.withColumn("__np", ceil(sizeCol.cast("double") / chunk).cast("long"))
+      .filter(col("__np") > 0)
+      .withColumn("part_idx", explode(sequence(lit(0L), col("__np") - 1)))
+      .drop("__np")
       .withColumn("offset", col("part_idx") * chunk)
       .withColumn("len",
         least(lit(chunk), sizeCol.cast("long") - col("offset")))

@@ -502,9 +502,11 @@ object Stateful {
     * batch window's ROWS -lookback..-1 row, regardless of micro-batch
     * boundaries (the pre-r13 form silently dropped evaluations for
     * buckets older than the 13 newest within one large batch). A late
-    * count for a retained bucket accumulates and re-evaluates against
-    * the then-current cells; buckets older than the window are dropped,
-    * which IS the retention policy.
+    * count for a bucket STRICTLY newer than the oldest retained cell
+    * accumulates and re-evaluates against the then-current cells; a
+    * late count at or below that floor is dropped — its own trailing
+    * cells are already evicted, so evaluating it would score against a
+    * truncated window (drop-not-fabricate, including the boundary).
     */
   def burstStream(spark: SparkSession, counts: Dataset[BucketCount],
                   num: Int = 3, den: Int = 1,

@@ -76,6 +76,18 @@ class Round14Spec extends AnyFunSuite {
     assert(got.count(_.bucketUs == 3L) == 2, "retained late not re-evaluated")
   }
 
+  test("blob chunk plan: empty blobs produce NO parts (sequence(0,-1) guard)") {
+    import graft.sources.Blob
+    val blobs = Seq((1L, "abcdefgh", 8L), (2L, "", 0L), (3L, "xyz", 3L))
+      .toDF("blob_id", "text", "blob_len")
+    val parts = Blob.chunkPlan(blobs, col("blob_len"), 4L)
+      .select("blob_id", "part_idx", "offset", "len")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    // blob 1: two full parts; blob 2: NONE (not [0,-1]); blob 3: one
+    assert(parts == Seq((1L, 0L, 0L, 4L), (1L, 1L, 4L, 4L),
+      (3L, 0L, 0L, 3L)))
+  }
+
   test("skyline2d: NULL coordinates are excluded, not NPE") {
     val schema = StructType(Seq(
       StructField("id", StringType), StructField("x", LongType),

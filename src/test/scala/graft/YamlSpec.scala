@@ -168,6 +168,42 @@ class YamlSpec extends AnyFunSuite {
       Yaml.parse("a: 1\n    stray: deeper\nb: 2"))
   }
 
+  test("parse: tab-indented CONTENT inside a block scalar is fine") {
+    // lua code is commonly tab-indented; only STRUCTURAL tab
+    // indentation is a YAML error
+    val m = Yaml.parse(
+      "code: |\n  function f()\n  \treturn 1\n  end\nafter: ok\n")
+    assert(m.str("code").contains("function f()\n\treturn 1\nend\n"))
+    assert(m.str("after").contains("ok"))
+  }
+
+  test("parse: '#' at value start is a comment; key gets nested block") {
+    val m = Yaml.parse(
+      """pipeline:   # main pipeline
+        |  inputs:
+        |    - name: dummy
+        |empty: # just a note
+        |""".stripMargin)
+    assert(m.get("pipeline").get.asInstanceOf[YMap].seq("inputs").size == 1)
+    assert(m.str("empty").contains(""))
+  }
+
+  test("parse: flow collections as sequence items") {
+    val m = Yaml.parse(
+      """rules:
+        |  - {state: start_state, regex: "/^E/", next_state: cont}
+        |  - [a, b]
+        |""".stripMargin)
+    val rules = m.seq("rules")
+    assert(rules(0).asInstanceOf[YMap].str("state").contains("start_state"))
+    assert(rules(1) == YSeq(Vector(YStr("a"), YStr("b"))))
+  }
+
+  test("parse: ' #' inside a quoted flow scalar is content, not comment") {
+    val m = Yaml.parse("list: [a, \"x # y\"]  # trailing ok\n")
+    assert(m.get("list").get == YSeq(Vector(YStr("a"), YStr("x # y"))))
+  }
+
   // ----------------------------------------------------- interpolation
 
   test("env interpolation: config env, then empty for undefined") {
