@@ -23,7 +23,7 @@ object ConfigQueries {
     * click/view records, modify renames user_id→uid and stamps the
     * pipeline source, the output formats JSON lines.
     */
-  private val yamlPipeline =
+  private[queries] val yamlPipeline =
     """pipeline:
       |  inputs:
       |    - name: events
@@ -62,9 +62,11 @@ object ConfigQueries {
       |""".stripMargin
 
   /** Both frontends run the SAME oracle — byte-identical output is the
-    * equivalence claim (one assembly, two syntaxes).
+    * equivalence claim (one assembly, two syntaxes) — and so does the
+    * STREAMING replay twin (`f_yaml_stream` in StreamQueries): one
+    * config text, three execution paths, one oracle.
     */
-  private val pipelineOracle =
+  private[queries] val pipelineOracle =
     """SELECT 'app.events' AS tag,
        to_json(struct_pack(event_id := event_id, event_type := event_type,
                            uid := user_id, source := 'yaml_or_classic')) AS line

@@ -1275,6 +1275,39 @@ object StreamQueries {
                     (71827 * ((CAST(256 * 256 AS BIGINT) *
                       (1::BIGINT << 25)) // s_scaled)) // 100000 AS est
              FROM fin""")
+    ),
+
+    // Config-frontend streaming twin (24th replay gate): the EXACT
+    // yaml text f_yaml_pipeline assembles in batch mode, re-assembled
+    // over a MemoryStream source and driven through the micro-batch
+    // engine — one config text, three gated execution paths (yaml
+    // batch, classic batch, yaml streaming), ONE oracle. The pipeline
+    // is stateless (grep filter + modify projections + json format),
+    // so replay determinism needs no clocks: the sink multiset equals
+    // the batch result whatever the batch boundaries.
+    GraftQuery(
+      "f_yaml_stream",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("user_id"))
+        val rows = ev.as[(Long, String, Long)].collect()
+          .sortBy(_._1).toSeq
+        implicit val sqlCtx = s.sqlContext
+        val in = MemoryStream[(Long, String, Long)]
+        val src = in.toDS().toDF("event_id", "event_type", "user_id")
+        val out = graft.config.YamlConfig.assemble(
+          s, ConfigQueries.yamlPipeline,
+          Map("app.events" -> src))("file:app.*")
+        val table = sinkName("f_yaml_stream")
+        val q = startToMemory(out, table)
+        try {
+          feed(in, rows, q)
+        } catch { case e: Throwable => abortReplay(s, table); throw e }
+        finally q.stop()
+        takeSink(s, table)
+      },
+      Some(ConfigQueries.pipelineOracle)
     )
   )
 
