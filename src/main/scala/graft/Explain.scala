@@ -85,7 +85,8 @@ object Explain {
     "x_series_acf" -> "per-series autocorrelation (ONE series-keyed window feeds three lag pairs; moment sums partial-combine map-side)",
     "x_sketch_hll_sliding" -> "sliding distinct via pane-sketch merging (events aggregate once per pane; the window explode runs on register rows only)",
     "f_blob_delivery" -> "blob chunked delivery (codegen sequence+explode part schedule; ONE exchange of tiny manifest rows — payloads never shuffle)",
-    "f_yaml_pipeline" -> "YAML-declared pipeline (config text → section IR → routed plan; grep rlike + modify projections fold into the scan stage)"
+    "f_yaml_pipeline" -> "YAML-declared pipeline (config text → section IR → routed plan; grep rlike + modify projections fold into the scan stage)",
+    "x_search_hybrid_rrf" -> "hybrid RRF retrieval (two bounded top-k legs union → integer-contribution aggregate → global order on ≤ legs·k rows — fusion is corpus-size-free)"
   )
 
   def main(args: Array[String]): Unit = {
