@@ -53,7 +53,13 @@ object Yaml {
     * an empty mapping (flb accepts an empty config file).
     */
   def parse(text: String): YMap = {
-    val raw = text.split("\n", -1).toVector
+    // split("\n", -1) on a trailing-newline source yields one artificial
+    // empty last element; drop it so keep-chomping block scalars (|+/>+)
+    // don't count it as a blank content line (k: |+\n  a\n is "a\n",
+    // not "a\n\n")
+    val raw0 = text.split("\n", -1).toVector
+    val raw = if (raw0.nonEmpty && raw0.last.isEmpty) raw0.dropRight(1)
+              else raw0
     val p = new Parser(raw)
     p.parseRoot() match {
       case m: YMap   => m
@@ -133,7 +139,7 @@ object Yaml {
               fail(l.num, s"trailing content after flow item: '$after'")
             items += node
             pos += 1
-          } else if (isMappingStart(restTrim)) {
+          } else if (isMappingStart(restTrim, l.num)) {
             // inline map item: first entry on this line, siblings below
             // at itemCol. Parse by treating this line as (itemCol, rest).
             items += parseMap(itemCol, firstOverride = Some(l.copy(
@@ -153,7 +159,8 @@ object Yaml {
     /** A content string opens a mapping if it has a `key:` separator at
       * top level (outside quotes), i.e. a ':' followed by space/EOL.
       */
-    private def isMappingStart(s: String): Boolean = keySplit(s).isDefined
+    private def isMappingStart(s: String, num: Int): Boolean =
+      keySplit(s, num).isDefined
 
     /** Split `key: value` → (key, valuePart). Handles quoted keys; the
       * separator is the first unquoted ':' that is followed by a space
@@ -161,7 +168,7 @@ object Yaml {
       * URLs *inside values* are never re-split — values aren't passed
       * here).
       */
-    private def keySplit(s: String): Option[(String, String)] = {
+    private def keySplit(s: String, num: Int): Option[(String, String)] = {
       if (s.startsWith("\"") || s.startsWith("'")) {
         val q = s.charAt(0)
         var i = 1
@@ -172,7 +179,8 @@ object Yaml {
           if (q == '\'' && c == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') {
             sb.append('\''); i += 2
           } else if (q == '"' && c == '\\' && i + 1 < s.length) {
-            sb.append(unescape(s.charAt(i + 1))); i += 2
+            val (u, adv) = unescapeAt(s, i + 1, num)
+            sb.append(u); i += 1 + adv
           } else if (c == q) { closed = i; i += 1 }
           else { sb.append(c); i += 1 }
         }
@@ -204,9 +212,10 @@ object Yaml {
       var done = false
       while (!done) {
         cur match {
-          case Some(l) if l.indent == indent && keySplit(l.content).isDefined =>
+          case Some(l) if l.indent == indent &&
+                          keySplit(l.content, l.num).isDefined =>
             checkIndent(l)
-            val (key, valuePart) = keySplit(l.content).get
+            val (key, valuePart) = keySplit(l.content, l.num).get
             val consumedSynthetic = first.isDefined
             first = None
             pos += 1 // past the key line (synthetic or real — same line)
@@ -340,11 +349,38 @@ object Yaml {
           val r = rest.dropWhile(_ == ' ')
           if (r.startsWith("}")) { rest = r.drop(1); closed = true }
           else {
-            val ci = r.indexOf(':')
-            if (ci < 0) fail(num, s"flow mapping entry missing ':' near '$r'")
-            val k = r.take(ci).trim
-            val (v, rr) = flowScalarOrNested(r.drop(ci + 1), num)
-            entries += stripQuotes(k) -> v
+            // quote-aware key split: a QUOTED flow key may contain ':'
+            // ({"a:b": v}) — scan past the close quote before looking
+            // for the separator, mirroring keySplit's block-context rule
+            val (k, afterColon) =
+              if (r.startsWith("\"") || r.startsWith("'")) {
+                val q = r.charAt(0)
+                var i = 1
+                val sb = new StringBuilder
+                var closed = -1
+                while (i < r.length && closed < 0) {
+                  val c = r.charAt(i)
+                  if (q == '\'' && c == '\'' && i + 1 < r.length &&
+                      r.charAt(i + 1) == '\'') { sb.append('\''); i += 2 }
+                  else if (q == '"' && c == '\\' && i + 1 < r.length) {
+                    val (u, adv) = unescapeAt(r, i + 1, num)
+                    sb.append(u); i += 1 + adv
+                  } else if (c == q) { closed = i; i += 1 }
+                  else { sb.append(c); i += 1 }
+                }
+                if (closed < 0) fail(num, "unclosed quote in flow mapping key")
+                val rest = r.drop(closed + 1).dropWhile(_ == ' ')
+                if (!rest.startsWith(":"))
+                  fail(num, s"flow mapping entry missing ':' near '$r'")
+                (sb.toString, rest.drop(1))
+              } else {
+                val ci = r.indexOf(':')
+                if (ci < 0)
+                  fail(num, s"flow mapping entry missing ':' near '$r'")
+                (r.take(ci).trim, r.drop(ci + 1))
+              }
+            val (v, rr) = flowScalarOrNested(afterColon, num)
+            entries += k -> v
             val r2 = rr.dropWhile(_ == ' ')
             if (r2.startsWith(",")) rest = r2.drop(1)
             else if (r2.startsWith("}")) { rest = r2.drop(1); closed = true }
@@ -368,24 +404,33 @@ object Yaml {
           if (q == '\'' && c == '\'' && i + 1 < t.length && t.charAt(i + 1) == '\'') {
             sb.append('\''); i += 2
           } else if (q == '"' && c == '\\' && i + 1 < t.length) {
-            sb.append(unescape(t.charAt(i + 1))); i += 2
+            val (u, adv) = unescapeAt(t, i + 1, num)
+            sb.append(u); i += 1 + adv
           } else if (c == q) end = i
           else { sb.append(c); i += 1 }
         }
         if (end < 0) fail(num, "unclosed quote in flow scalar")
         (YStr(sb.toString), t.drop(end + 1))
       } else {
+        // a plain flow scalar also stops at ' #': in YAML the comment
+        // runs to end-of-line (swallowing the closing bracket), so a
+        // single-line flow like `[a # c]` is unterminated — stopping
+        // here makes the enclosing flowParse fail loudly rather than
+        // keeping "a # c" as content
         val stop = t.indexWhere(c => c == ',' || c == ']' || c == '}')
-        val (v, rest) =
-          if (stop < 0) (t, "") else (t.take(stop), t.drop(stop))
-        (YStr(v.trim), rest)
+        val cut = if (stop < 0) t.length else stop
+        val hash = if (t.startsWith("#")) 0 else {
+          var h = -1; var i = 1
+          while (h < 0 && i < cut) {
+            if (t.charAt(i) == '#' && t.charAt(i - 1) == ' ') h = i
+            i += 1
+          }
+          h
+        }
+        val end = if (hash >= 0) hash else cut
+        (YStr(t.take(end).trim), t.drop(end))
       }
     }
-
-    private def stripQuotes(s: String): String =
-      if (s.length >= 2 && ((s.head == '"' && s.last == '"') ||
-        (s.head == '\'' && s.last == '\''))) s.substring(1, s.length - 1)
-      else s
 
     /** Trailing comment: ` #` outside quotes cuts a plain scalar. A '#'
       * at index 0 is ALSO a comment — `key: # note` is an empty value
@@ -417,7 +462,8 @@ object Yaml {
           if (q == '\'' && c == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') {
             sb.append('\''); i += 2
           } else if (q == '"' && c == '\\' && i + 1 < s.length) {
-            sb.append(unescape(s.charAt(i + 1))); i += 2
+            val (u, adv) = unescapeAt(s, i + 1, num)
+            sb.append(u); i += 1 + adv
           } else if (c == q) end = i
           else { sb.append(c); i += 1 }
         }
@@ -429,12 +475,48 @@ object Yaml {
       } else stripComment(s).trim
     }
 
-    private def unescape(c: Char): Char = c match {
-      case 'n'   => '\n'
-      case 't'   => '\t'
-      case 'r'   => '\r'
-      case '0'   => '\u0000'
-      case other => other // \" \\ \/ and anything else: literal
+    /** Decode the double-quoted escape whose introducing char sits at
+      * s(i) (the char AFTER the backslash). Returns (decoded text,
+      * chars consumed from i). Covers libyaml's escape set; an UNKNOWN
+      * escape fails loudly -- silently degrading \\u00e9 to the text
+      * "u00e9" is exactly the mis-parse class the parser's
+      * fail-on-out-of-scope policy exists to prevent.
+      */
+    private def unescapeAt(s: String, i: Int, num: Int): (String, Int) = {
+      def hex(n: Int): String = {
+        if (i + n >= s.length)
+          fail(num, s"truncated \\${s.charAt(i)} escape")
+        val h = s.substring(i + 1, i + 1 + n)
+        if (!h.forall(c => Character.digit(c, 16) >= 0))
+          fail(num, s"bad hex digits in \\${s.charAt(i)}$h")
+        val cp = java.lang.Long.parseLong(h, 16)
+        if (cp > 0x10FFFFL)
+          fail(num, s"escape \\${s.charAt(i)}$h beyond U+10FFFF")
+        new String(Character.toChars(cp.toInt))
+      }
+      s.charAt(i) match {
+        case 'n'   => ("\n", 1)
+        case 't'   => ("\t", 1)
+        case 'r'   => ("\r", 1)
+        case '0'   => ("\u0000", 1)
+        case 'a'   => ("\u0007", 1)
+        case 'b'   => ("\b", 1)
+        case 'e'   => ("\u001b", 1)
+        case 'f'   => ("\f", 1)
+        case 'v'   => ("\u000b", 1)
+        case '"'   => ("\"", 1)
+        case '\\'  => ("\\", 1)
+        case '/'   => ("/", 1)
+        case ' '   => (" ", 1)
+        case 'N'   => ("\u0085", 1) // next line
+        case '_'   => ("\u00a0", 1) // non-breaking space
+        case 'L'   => ("\u2028", 1) // line separator
+        case 'P'   => ("\u2029", 1) // paragraph separator
+        case 'x'   => (hex(2), 3)
+        case 'u'   => (hex(4), 5)
+        case 'U'   => (hex(8), 9)
+        case other => fail(num, s"unsupported escape '\\$other'")
+      }
     }
   }
 }

@@ -266,7 +266,11 @@ object YamlConfig {
 
   /** `${VAR}` interpolation: config env → process env → empty (the
     * reference's flb_env translate order and its undefined-variable
-    * behavior).
+    * behavior), plus bash-style defaults `${VAR:-word}` — if unset OR
+    * empty, expand `word` (flb_env.c:315-316, 368-374: the separator is
+    * the FIRST ':' and only when followed by '-'; a config-env hit that
+    * is empty still falls back to the default; a process-env hit must be
+    * non-empty to count at all, flb_env.c:304-306).
     */
   private[graft] def interpolate(v: String, env: Map[String, String]): String = {
     if (!v.contains("${")) return v
@@ -277,8 +281,19 @@ object YamlConfig {
         val end = v.indexOf('}', i + 2)
         if (end < 0) { out.append(v.substring(i)); i = v.length }
         else {
-          val name = v.substring(i + 2, end)
-          out.append(env.getOrElse(name, sys.env.getOrElse(name, "")))
+          val body = v.substring(i + 2, end)
+          val ci = body.indexOf(':')
+          val (name, defOpt) =
+            if (ci >= 0 && ci + 1 < body.length && body.charAt(ci + 1) == '-')
+              (body.take(ci), Some(body.substring(ci + 2)))
+            else (body, None)
+          val resolved =
+            env.get(name).orElse(sys.env.get(name).filter(_.nonEmpty))
+          out.append(resolved match {
+            case Some(value) if value.isEmpty && defOpt.isDefined => defOpt.get
+            case Some(value)                                      => value
+            case None => defOpt.getOrElse("")
+          })
           i = end + 1
         }
       } else { out.append(v.charAt(i)); i += 1 }

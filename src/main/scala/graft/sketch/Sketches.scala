@@ -239,7 +239,7 @@ object Sketches {
   def hllEstimate(df: DataFrame, key: Column, p: Int = 8): DataFrame = {
     val est = hllEstimateFromRegs(hllRegisters(df, key, p), p)
     val exact = df.agg(countDistinct(key).as("exact_cnt"))
-    est.crossJoin(exact)
+    est.crossJoin(broadcast(exact))
       .select(col("m"), col("nonzero_buckets"), col("s_scaled"), col("est"),
         col("exact_cnt"),
         (abs(col("est") - col("exact_cnt")) * 5 <= col("exact_cnt")).as("ok"))
@@ -631,7 +631,7 @@ object Sketches {
         max(when(col("g") === segB, 1L).otherwise(0L)).as("ib"))
       .agg(sum(col("ia")).as("exact_a"), sum(col("ib")).as("exact_b"),
         count(lit(1)).as("exact_union"))
-    val out = estA.crossJoin(estB).crossJoin(estU).crossJoin(exact)
+    val out = estA.crossJoin(broadcast(estB)).crossJoin(broadcast(estU)).crossJoin(broadcast(exact))
       .withColumn("est_inter",
         greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
       .withColumn("exact_inter",

@@ -41,10 +41,19 @@ object Blob {
 
   /** Slice a text blob's payload for each part row (char units; for a
     * binary column the same plan applies over `substr(bin, ...)`).
+    * A JVM String caps at ~2^31 chars, so the int casts are safe for
+    * every representable payload — but a DECLARED offset/len beyond
+    * that (a corrupt size column) must fail loudly instead of wrapping
+    * to a negative offset and slicing garbage.
     */
   def textPayload(parts: DataFrame, textCol: Column): Column =
-    substring(textCol,
-      (col("offset") + 1).cast("int"), col("len").cast("int"))
+    when(col("offset") + col("len") <= lit(Int.MaxValue.toLong),
+      substring(textCol,
+        (col("offset") + 1).cast("int"), col("len").cast("int")))
+      .otherwise(raise_error(concat(
+        lit("blob part beyond 2^31 chars: offset="),
+        col("offset").cast("string"), lit(" len="),
+        col("len").cast("string"))))
 
   /** Commit manifest per blob — the sink-side block list: part count,
     * delivered length, and the ordered digest-of-digests (commit the

@@ -907,7 +907,7 @@ object TextAnalysis {
         expr("CAST(floor(sqrt(CAST(n_d AS DOUBLE))) AS BIGINT)"))
     val norm = counts.agg(sum(col("s_d")).as("s_sum"),
       sum(col("n_d")).as("n_total"))
-    counts.crossJoin(norm)
+    counts.crossJoin(broadcast(norm))
       .withColumn("thr",
         expr(s"((n_total div 4) * ${1L << 20} * s_d) div (s_sum * n_d)"))
       .select(col("domain"), col("n_d"), col("thr"))
@@ -961,7 +961,7 @@ object TextAnalysis {
         expr("CAST(floor(sqrt(CAST(n_d AS DOUBLE))) AS BIGINT)"))
     val norm = counts.agg(sum(col("s_d")).as("s_sum"),
       sum(col("n_d")).as("n_total"))
-    counts.crossJoin(norm)
+    counts.crossJoin(broadcast(norm))
       .withColumn("r_milli",
         expr(s"CAST((CAST($epochsMilli AS DECIMAL(38,0)) * n_total * s_d)" +
           " div (CAST(s_sum AS DECIMAL(38,0)) * n_d) AS BIGINT)"))
@@ -1086,7 +1086,7 @@ object TextAnalysis {
     val winners = bi.filter(col("c_xy") >= minCount)
       .join(uni.select(col("h").as("h1"), col("c_w").as("c_x")), "h1")
       .join(uni.select(col("h").as("h2"), col("c_w").as("c_y")), "h2")
-      .crossJoin(n)
+      .crossJoin(broadcast(n))
       .withColumn("pmi_ppm", expr(
         "CAST((CAST(1000000 AS DECIMAL(38,0)) * c_xy * n_bi)" +
           " div (CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)"))

@@ -212,6 +212,60 @@ class YamlSpec extends AnyFunSuite {
     assert(YamlConfig.interpolate("no vars", Map("a" -> "b")) == "no vars")
   }
 
+  test("env interpolation: bash-style ${VAR:-default} (flb_env.c:315)") {
+    // unset -> default; do not assign
+    assert(YamlConfig.interpolate("${graft_unset_v:-fb}", Map.empty) == "fb")
+    // set non-empty -> value wins over the default
+    assert(YamlConfig.interpolate("${n:-fb}", Map("n" -> "V")) == "V")
+    // set EMPTY -> default (the reference skips an empty hit when a
+    // fallback is defined, flb_env.c:395)
+    assert(YamlConfig.interpolate("${n:-fb}", Map("n" -> "")) == "fb")
+    // empty default text is a valid default
+    assert(YamlConfig.interpolate("[${graft_unset_v:-}]", Map.empty) == "[]")
+    // the separator is the FIRST ':' and only when followed by '-':
+    // `${a:b:-c}` has ':b' first, so the WHOLE body is the (missing) name
+    assert(YamlConfig.interpolate("${a:b:-c}", Map("a" -> "X")) == "")
+    // default text may itself contain ':' (split once, at the first ':-')
+    assert(YamlConfig.interpolate("${u:-h:p}", Map.empty) == "h:p")
+  }
+
+  // ------------------------------------------------- round-15 parser fixes
+
+  test("parse: keep-chomping |+ does not double the final newline") {
+    // trailing-newline source: |+ keeps exactly the one final break
+    assert(Yaml.parse("k: |+\n  a\n").str("k").contains("a\n"))
+    // a real trailing blank line IS kept
+    assert(Yaml.parse("k: |+\n  a\n\nz: w\n").str("k").contains("a\n\n"))
+    // clip (default) unchanged
+    assert(Yaml.parse("k: |\n  a\n\nz: w\n").str("k").contains("a\n"))
+    // strip unchanged
+    assert(Yaml.parse("k: |-\n  a\n\nz: w\n").str("k").contains("a"))
+  }
+
+  test("parse: quoted flow-mapping key may contain ':'") {
+    val m = Yaml.parse("map: {\"a:b\": v, 'c:d': w, plain: x}\n")
+    val fm = m.get("map").get.asInstanceOf[YMap]
+    assert(fm.str("a:b").contains("v"))
+    assert(fm.str("c:d").contains("w"))
+    assert(fm.str("plain").contains("x"))
+  }
+
+  test("parse: ' #' after a plain flow scalar fails loudly (comment swallows ])") {
+    intercept[IllegalArgumentException](Yaml.parse("list: [a # c]\n"))
+  }
+
+  test("parse: double-quoted unicode/control escapes decode like libyaml") {
+    val m = Yaml.parse(
+      "a: \"caf\\u00e9\"\nb: \"\\x41\\x42\"\nc: \"bell\\a\"\nd: \"\\u0394\"\n")
+    assert(m.str("a").contains("caf\u00e9"))
+    assert(m.str("b").contains("AB"))
+    assert(m.str("c").contains("bell\u0007"))
+    assert(m.str("d").contains("\u0394"))
+    // unknown escapes fail loudly instead of silently degrading
+    intercept[IllegalArgumentException](Yaml.parse("a: \"bad\\q\"\n"))
+    intercept[IllegalArgumentException](Yaml.parse("a: \"trunc\\u00\"\n"))
+  }
+
   // -------------------------------------------------------- translation
 
   test("load: sections, env, service, multiline parsers, stream tasks") {
