@@ -301,6 +301,43 @@ object YamlConfig {
     out.toString
   }
 
+  /** One node of an `upstream_servers` group — out_forward's HA target
+    * (`src/flb_upstream_ha.c`; YAML shape per the reference fixture
+    * `tests/internal/data/config_format/yaml/upstream.yaml`: groups
+    * carry `name` + `nodes`, each node `name`/`host`/`port` plus
+    * arbitrary per-node properties like `shared_key`/`tls`).
+    */
+  final case class UpstreamNode(name: String, host: String, port: Int,
+                                props: Map[String, String])
+
+  /** Typed view of the retained `upstream_servers` section: group name
+    * → node list, every scalar env-interpolated. Feeds
+    * `graft.sinks.ForwardSink.writeHa` (round-robin + failover — the
+    * reference's flb_upstream_ha_node_get rotation).
+    */
+  def upstreams(doc: Doc): Map[String, Seq[UpstreamNode]] =
+    doc.extras.get("upstream_servers") match {
+      case Some(Yaml.YSeq(groups)) => groups.collect {
+        case g: Yaml.YMap =>
+          val gname = g.str("name")
+            .map(interpolate(_, doc.env)).getOrElse("")
+          val nodes = g.seq("nodes").collect {
+            case n: Yaml.YMap =>
+              val props = n.entries.collect {
+                case (k, Yaml.YStr(v)) =>
+                  k.toLowerCase -> interpolate(v, doc.env)
+              }.toMap
+              UpstreamNode(props.getOrElse("name", ""),
+                props.getOrElse("host", ""),
+                // 24224 = the forward protocol's registered default
+                props.get("port").map(_.trim.toInt).getOrElse(24224),
+                props -- Seq("name", "host", "port"))
+          }
+          gname -> (nodes: Seq[UpstreamNode])
+      }.toMap
+      case _ => Map.empty
+    }
+
   /** The reference wraps multiline regexes in `/.../` — strip one layer. */
   private def stripSlashes(s: String): String =
     if (s.length >= 2 && s.head == '/' && s.last == '/')

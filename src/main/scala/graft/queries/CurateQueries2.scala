@@ -198,9 +198,9 @@ object CurateQueries2 {
     // no engine-specific shift-overflow semantics are in play; lo from
     // an independent second digest). Three prefix lengths cross the
     // interesting mask cases: /9 (hi-only mask, synthetic rules), /68
-    // (full hi + 4 lo bits, rules drawn from a 1/257 sample of the data
-    // itself), /128 (exact address, 1/509 sample) — LPM picks the
-    // deepest. Same shape as IPv4: one codegen'd two-long binary-search
+    // (full hi + 4 lo bits, rules drawn from a capped 1/11 sample of
+    // the data itself), /128 (exact address, capped 1/23 sample) — LPM
+    // picks the deepest. Same shape as IPv4: one codegen'd two-long binary-search
     // lookup per row, fact side map-only, zero joins, zero expansion.
     GraftQuery(
       "x_enrich_cidr6",
@@ -217,18 +217,23 @@ object CurateQueries2 {
         val withIp = Tables.events(s, dir).select(col("event_id"))
           .withColumn("ip_hi", twoLong(col("event_id")))
           .withColumn("ip_lo", twoLong(col("event_id") * 2 + 1))
-        // rule table = driver model state (a CIDR db is a static
+        // rule table = driver model state (a CIDR db is a STATIC
         // dimension): ONE sampled scan derives both data-drawn rule
-        // sets, so the probe pass is the only full scan in the plan —
-        // a distributed rule derivation here would re-scan the fact
-        // side once per branch plus once per broadcast build
+        // sets, so the probe pass is the only full scan in the plan.
+        // The sample is CAPPED to the low id range (< 1e6 — replica-0
+        // ids at every scale-up) so the rule table is a FIXED ~13.5k
+        // rules (9.1k /68 + 4.3k /128 + 24 /9) at sf1/sf10/sf100 —
+        // r14's uncapped 1/257 derivation grew the dimension WITH the
+        // fact table, confounding the decade trend (VERDICT r14 #2:
+        // a real CIDR db does not grow with traffic volume)
         val sampled = withIp
-          .filter(col("event_id") % 257 === 0 || col("event_id") % 509 === 0)
+          .filter((col("event_id") % 11 === 0 ||
+              col("event_id") % 23 === 0) && col("event_id") < 1000000)
           .collect()
-        val r68 = sampled.filter(_.getLong(0) % 257 == 0)
+        val r68 = sampled.filter(_.getLong(0) % 11 == 0)
           .map(r => (r.getLong(1), r.getLong(2) & (-1L << 60), 68L, "net68"))
           .distinct.toSeq
-        val r128 = sampled.filter(_.getLong(0) % 509 == 0)
+        val r128 = sampled.filter(_.getLong(0) % 23 == 0)
           .map(r => (r.getLong(1), r.getLong(2), 128L, "net128"))
           .distinct.toSeq
         val r9 = (0 until 24).map(r =>
@@ -255,9 +260,11 @@ object CurateQueries2 {
                     FROM (SELECT unnest(range(24)) AS r)),
              r68 AS (SELECT DISTINCT ip_hi AS net_hi,
                             ip_lo & -1152921504606846976 AS net_lo
-                     FROM ips WHERE event_id % 257 = 0),
+                     FROM ips WHERE event_id % 11 = 0
+                       AND event_id < 1000000),
              r128 AS (SELECT DISTINCT ip_hi AS net_hi, ip_lo AS net_lo
-                      FROM ips WHERE event_id % 509 = 0),
+                      FROM ips WHERE event_id % 23 = 0
+                        AND event_id < 1000000),
              j AS (SELECT i.ip_hi,
                           (r128.net_hi IS NOT NULL) AS m128,
                           (r68.net_hi IS NOT NULL) AS m68,

@@ -148,6 +148,97 @@ object StreamQueries {
   private val mlRules =
     Seq(Multiline.Rule(Set("start", "cont"), "^\\s+at ", "cont"))
 
+  /** One-time JVM-exit cleanup for the resume gates' session-scoped
+    * scratch base (same pattern as OlapQueries2's schema-merge dir):
+    * per-invocation subdirs accumulate during a bench session and are
+    * swept once at exit.
+    */
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def registerScratchCleanup(path: String): Unit =
+    if (cleanupRegistered.add(path)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(path))
+      }))
+    }
+
+  /** Evidence the resume gates' restart REALLY resumed: batch ids seen
+    * by the killed run and the first batch id of the resumed run
+    * (must be past 0 — a from-scratch restart would re-run batch 0).
+    * Written by [[resumeDedup]], asserted by Round15Spec.
+    */
+  final case class ResumeStats(killedAtBatch: Long, resumedFromBatch: Long,
+                               rowsBeforeKill: Long)
+  @volatile private[graft] var lastResumeStats: ResumeStats = null
+
+  /** The checkpoint-resume replay body shared by the two resume gates:
+    * run [[Stateful.dedupStream]] to a parquet sink with a checkpoint,
+    * kill the query mid-feed (one chunk fed but not drained, so an
+    * uncommitted in-flight batch is possible BY DESIGN — the file
+    * sink's manifest must make the result invariant to where exactly
+    * the kill lands), let the backlog arrive while the engine is down,
+    * restart from the same checkpoint, finish, and re-read the
+    * manifest-committed output.
+    */
+  private[graft] def resumeDedup(s: SparkSession, dir: String,
+                                   provider: Option[String]): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select(md5(col("text")).as("hash"), col("doc_id").as("docId"))
+      .as[Stateful.HashedDoc].collect().sortBy(_.docId).toSeq
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[Stateful.HashedDoc]
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_resume_" + s.sparkContext.applicationId).getAbsolutePath
+    registerScratchCleanup(base)
+    val run = base + "/" + provider.getOrElse("hdfs") + "_" +
+      nameCtr.incrementAndGet()
+    val out = run + "/out"
+    val ckpt = run + "/ckpt"
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      def start() = Stateful.dedupStream(s, in.toDS()).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+      // replay order: ascending docId in 4 deterministic chunks — the
+      // kill lands between chunk 2 (committed) and chunk 3 (in flight)
+      val chunks = docs.grouped(math.max(1, (docs.size + 3) / 4)).toVector
+      val q1 = start()
+      val (killedAt, before) =
+        try {
+          chunks.take(2).foreach { c =>
+            in.addData(c); q1.processAllAvailable()
+          }
+          val committed =
+            Option(q1.lastProgress).map(_.batchId).getOrElse(0L)
+          val nBefore = s.read.parquet(out).count()
+          // chunk 3 is fed but NOT drained: the stop may interrupt its
+          // batch mid-commit — exactly-once means the result cannot care
+          chunks.drop(2).headOption.foreach(in.addData(_))
+          (committed, nBefore)
+        } finally q1.stop() // the KILL: engine down, state on disk only
+      // the tail of the feed arrives while the engine is down (the
+      // reference's filesystem-buffered backlog)
+      chunks.drop(3).foreach(in.addData(_))
+      val q2 = start() // resume from the SAME checkpoint
+      try {
+        q2.processAllAvailable()
+        val resumedFrom = q2.recentProgress.headOption
+          .map(_.batchId).getOrElse(-1L)
+        lastResumeStats = ResumeStats(killedAt, resumedFrom, before)
+      } finally q2.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    s.read.parquet(out)
+      .select(col("hash").as("content_hash"), col("docId").as("keep_id"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
 
     // Multiline flush_ms twin: same line derivation as f_multiline_batch
@@ -409,6 +500,50 @@ object StreamQueries {
         }
         takeSink(s, table).select(col("hash").as("content_hash"),
           col("docId").as("keep_id"))
+      },
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id
+             FROM documents GROUP BY 1""")
+    ),
+
+    // Checkpoint-resume twin (VERDICT r14 #1): the exactly-once
+    // counterpart of the reference's filesystem-buffer at-least-once
+    // story (`/root/reference/src/flb_input_chunk.c` stream_off
+    // incremental offsets; `storage.type filesystem`,
+    // `src/flb_storage.c`). The SAME keeper machine as
+    // x_dedup_exact_stream, but delivered through the FILE sink's
+    // commit manifest (_spark_metadata) under a checkpoint dir: the
+    // query is KILLED mid-feed — with a fed-but-undrained chunk in
+    // flight, so the kill can interrupt an uncommitted micro-batch —
+    // the backlog keeps arriving while the engine is down, a NEW query
+    // resumes from the same checkpoint, finishes the feed, and the
+    // manifest-read output must hash-match the batch oracle EXACTLY:
+    // no duplicate keepers (recovered state suppresses re-emission of
+    // hashes decided before the kill), no lost rows (unprocessed
+    // source offsets replay), no orphan parts (the batch reader honors
+    // the sink manifest, ignoring files from interrupted commits).
+    GraftQuery(
+      "x_dedup_resume_stream",
+      (s, dir) => resumeDedup(s, dir, provider = None),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id
+             FROM documents GROUP BY 1""")
+    ),
+
+    // ...and the same mid-feed kill over the RocksDB provider — the
+    // PRODUCTION recovery question (VERDICT r14 #1): a restart must
+    // reload per-key state from the checkpointed SST snapshot + change
+    // log, not from executor memory. Identical oracle, identical hash.
+    GraftQuery(
+      "x_dedup_resume_rocksdb",
+      (s, dir) => {
+        val PROV = "spark.sql.streaming.stateStore.providerClass"
+        val savedProv = s.conf.getOption(PROV)
+        s.conf.set(PROV, "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+        try resumeDedup(s, dir, provider = Some("rocksdb"))
+        finally savedProv match {
+          case Some(v) => s.conf.set(PROV, v)
+          case None    => s.conf.unset(PROV)
+        }
       },
       Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id
              FROM documents GROUP BY 1""")
