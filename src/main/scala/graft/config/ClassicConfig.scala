@@ -34,6 +34,32 @@ object ClassicConfig {
       throw new IllegalArgumentException(s"[$name] missing '$k'"))
   }
 
+  /** Parse a classic `upstream` file — `[UPSTREAM] name` plus repeated
+    * `[NODE] name/host/port (+per-node props)` sections
+    * (`flb_upstream_ha_from_file`, `src/flb_upstream_ha.c:356-446`;
+    * fixture shape
+    * `tests/runtime/data/forward/upstream_retain_metadata.conf`) —
+    * into the same typed nodes the YAML `upstream_servers` frontend
+    * produces: one upstream definition, two config syntaxes, one HA
+    * sink ([[graft.sinks.ForwardSink.writeHa]]).
+    */
+  def upstreamFile(text: String): (String, Seq[YamlConfig.UpstreamNode]) = {
+    val sections = parse(text)
+    val name = sections.find(_.name.equalsIgnoreCase("upstream"))
+      .map(_.required("name"))
+      .getOrElse(throw new IllegalArgumentException(
+        "upstream file: section 'upstream' could not be found"))
+    val nodes = sections.filter(_.name.equalsIgnoreCase("node")).map { s =>
+      val props = s.props.map { case (k, v) => k.toLowerCase -> v }.toMap
+      YamlConfig.UpstreamNode(
+        props.getOrElse("name", ""),
+        props.getOrElse("host", ""),
+        props.get("port").map(_.trim.toInt).getOrElse(24224),
+        props -- Seq("name", "host", "port"))
+    }
+    (name, nodes)
+  }
+
   /** Parse the classic format: `[NAME]` headers, indented `key value`
     * entries (first token = key, remainder = value). Comments are
     * FULL lines starting with `#` — an inline `#` is part of the value

@@ -120,6 +120,44 @@ class Round15Spec extends AnyFunSuite {
       ("app.hb", "three")))
   }
 
+  test("classic upstream file parses to the same typed nodes as the " +
+       "YAML section (one definition, two syntaxes)") {
+    val (name, nodes) = graft.config.ClassicConfig.upstreamFile(
+      """[UPSTREAM]
+        |    name forward-balancing
+        |
+        |[NODE]
+        |    name node-1
+        |    host 127.0.0.1
+        |    port 43000
+        |
+        |[NODE]
+        |    name node-2
+        |    host 127.0.0.1
+        |    port 44000
+        |    shared_key secret
+        |""".stripMargin)
+    assert(name == "forward-balancing")
+    assert(nodes.map(n => (n.name, n.host, n.port)) ==
+      Seq(("node-1", "127.0.0.1", 43000), ("node-2", "127.0.0.1", 44000)))
+    assert(nodes(1).props.get("shared_key").contains("secret"))
+    // identical to the YAML frontend's typed view of the same definition
+    val doc = graft.config.YamlConfig.load(
+      """upstream_servers:
+        |  - name: forward-balancing
+        |    nodes:
+        |      - name: node-1
+        |        host: 127.0.0.1
+        |        port: 43000
+        |      - name: node-2
+        |        host: 127.0.0.1
+        |        port: 44000
+        |        shared_key: secret
+        |""".stripMargin)
+    assert(graft.config.YamlConfig.upstreams(doc)("forward-balancing") ==
+      nodes)
+  }
+
   // ------------------------------------------------- engine self-telemetry
 
   test("self-telemetry: StreamingQueryProgress flows as cmetrics rows " +
