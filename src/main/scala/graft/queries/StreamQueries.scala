@@ -170,46 +170,44 @@ object StreamQueries {
   /** Evidence the resume gates' restart REALLY resumed: batch ids seen
     * by the killed run and the first batch id of the resumed run
     * (must be past 0 — a from-scratch restart would re-run batch 0).
-    * Written by [[resumeDedup]], asserted by Round15Spec.
+    * Written by [[resumeReplay]], asserted by Round15Spec.
     */
   final case class ResumeStats(killedAtBatch: Long, resumedFromBatch: Long,
                                rowsBeforeKill: Long)
   @volatile private[graft] var lastResumeStats: ResumeStats = null
 
-  /** The checkpoint-resume replay body shared by the two resume gates:
-    * run [[Stateful.dedupStream]] to a parquet sink with a checkpoint,
-    * kill the query mid-feed (one chunk fed but not drained, so an
-    * uncommitted in-flight batch is possible BY DESIGN — the file
-    * sink's manifest must make the result invariant to where exactly
-    * the kill lands), let the backlog arrive while the engine is down,
-    * restart from the same checkpoint, finish, and re-read the
-    * manifest-committed output.
+  /** The checkpoint-resume replay harness shared by the resume gates:
+    * run `build(source)` to a parquet sink with a checkpoint, kill the
+    * query mid-feed (one chunk fed but not drained, so an uncommitted
+    * in-flight batch is possible BY DESIGN — the file sink's manifest
+    * must make the result invariant to where exactly the kill lands),
+    * let the backlog arrive while the engine is down, restart from the
+    * same checkpoint, finish, and re-read the manifest-committed
+    * output.
     */
-  private[graft] def resumeDedup(s: SparkSession, dir: String,
-                                   provider: Option[String]): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir)
-      .select(md5(col("text")).as("hash"), col("doc_id").as("docId"))
-      .as[Stateful.HashedDoc].collect().sortBy(_.docId).toSeq
+  private[graft] def resumeReplay[T](
+      s: SparkSession, rows: Seq[T],
+      build: Dataset[T] => Dataset[_], runTag: String)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): DataFrame = {
     implicit val sqlCtx = s.sqlContext
-    val in = MemoryStream[Stateful.HashedDoc]
+    val in = MemoryStream[T]
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_resume_" + s.sparkContext.applicationId).getAbsolutePath
     registerScratchCleanup(base)
-    val run = base + "/" + provider.getOrElse("hdfs") + "_" +
-      nameCtr.incrementAndGet()
+    val run = base + "/" + runTag + "_" + nameCtr.incrementAndGet()
     val out = run + "/out"
     val ckpt = run + "/ckpt"
     val saved = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      def start() = Stateful.dedupStream(s, in.toDS()).writeStream
+      def start() = build(in.toDS()).writeStream
         .format("parquet").option("path", out)
         .option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
-      // replay order: ascending docId in 4 deterministic chunks — the
-      // kill lands between chunk 2 (committed) and chunk 3 (in flight)
-      val chunks = docs.grouped(math.max(1, (docs.size + 3) / 4)).toVector
+      // replay order: the caller's deterministic order in 4 chunks —
+      // the kill lands between chunk 2 (committed) and chunk 3 (in
+      // flight)
+      val chunks = rows.grouped(math.max(1, (rows.size + 3) / 4)).toVector
       val q1 = start()
       val (killedAt, before) =
         try {
@@ -236,6 +234,19 @@ object StreamQueries {
       } finally q2.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     s.read.parquet(out)
+  }
+
+  /** Exact-dedup instantiation of [[resumeReplay]] — the two gates'
+    * shared body (default provider and RocksDB).
+    */
+  private[graft] def resumeDedup(s: SparkSession, dir: String,
+                                 provider: Option[String]): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select(md5(col("text")).as("hash"), col("doc_id").as("docId"))
+      .as[Stateful.HashedDoc].collect().sortBy(_.docId).toSeq
+    resumeReplay(s, docs, (ds: Dataset[Stateful.HashedDoc]) =>
+      Stateful.dedupStream(s, ds), provider.getOrElse("hdfs"))
       .select(col("hash").as("content_hash"), col("docId").as("keep_id"))
   }
 
@@ -547,6 +558,57 @@ object StreamQueries {
       },
       Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id
              FROM documents GROUP BY 1""")
+    ),
+
+    // Cursor-state resume (the third resume gate): sequence packing's
+    // per-shard state is a CURSOR (the next free token offset), not a
+    // set-membership flag — if recovery lost or replayed it, every
+    // post-restart document's tok_begin would shift and the hash could
+    // not match. This pins that ORDER-DEPENDENT state survives the
+    // mid-feed kill, complementing the dedup gates' idempotent-set
+    // recovery. Same oracle as x_pack_stream.
+    GraftQuery(
+      "x_pack_resume_stream",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id").as("docId"),
+            (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+              .cast("long") % 8).cast("int").as("shard"),
+            size(split(col("text"), " ")).cast("long").as("nTokens"))
+          .as[Stateful.Doc].collect()
+          .sortBy(d => (localMd5Hex(d.docId), d.docId)).toSeq
+        resumeReplay(s, docs, (ds: Dataset[Stateful.Doc]) =>
+          Stateful.packStream(s, ds, seqLen = 256), "pack")
+          .select(col("docId").as("doc_id"),
+            (col("tokEnd") - col("tokBegin")).as("n_tokens"),
+            col("shard"), col("tokEnd").as("tok_end"),
+            col("tokBegin").as("tok_begin"),
+            col("firstSeq").as("first_seq"), col("lastSeq").as("last_seq"),
+            pmod(col("tokBegin"), lit(256L)).as("seq_offset"),
+            (col("lastSeq") - col("firstSeq") + 1).as("n_seqs"))
+      },
+      Some("""WITH t AS (
+               SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                           ::BIGINT % 8 AS INT) AS shard
+               FROM documents),
+             c AS (
+               SELECT doc_id, n_tokens, shard,
+                      CAST(SUM(n_tokens) OVER (PARTITION BY shard
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+               FROM t)
+             SELECT doc_id, n_tokens, shard, tok_end,
+                    CAST(tok_end - n_tokens AS BIGINT) AS tok_begin,
+                    CAST((tok_end - n_tokens) // 256 AS BIGINT) AS first_seq,
+                    CAST((tok_end - 1) // 256 AS BIGINT) AS last_seq,
+                    CAST((tok_end - n_tokens) % 256 AS BIGINT) AS seq_offset,
+                    CAST((tok_end - 1) // 256 - (tok_end - n_tokens) // 256 + 1
+                      AS BIGINT) AS n_seqs
+             FROM c"""
+      )
     ),
 
     // Incremental MinHash-LSH dedup (VERDICT r12 #6): band signatures
