@@ -213,6 +213,55 @@ class Round15Spec extends AnyFunSuite {
       s"state rows ${stateRows.toSeq} != distinct keys ${batchSizes.sum}")
   }
 
+  test("out_forward upstream_servers: round-robin SPREADS load across " +
+       "live nodes (partition i starts at node i % n)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    def listener(port: Int, table: String) = {
+      val df = spark.readStream.format("graft.sources.ForwardServerSource")
+        .option("port", port).load()
+        .select(col("tag"), element_at(col("record"), "msg").as("msg"))
+      df.writeStream.format("memory").queryName(table)
+        .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    }
+    val pa = new java.net.ServerSocket(0); val portA = pa.getLocalPort
+    pa.close()
+    val pb = new java.net.ServerSocket(0); val portB = pb.getLocalPort
+    pb.close()
+    val qa = listener(portA, "rr_a")
+    val qb = listener(portB, "rr_b")
+    try {
+      Seq(portA, portB).foreach { port =>
+        val deadline = System.currentTimeMillis + 30000
+        var up = false
+        while (!up && System.currentTimeMillis < deadline) {
+          try { new java.net.Socket("127.0.0.1", port).close(); up = true }
+          catch { case _: java.net.ConnectException => Thread.sleep(100) }
+        }
+        assert(up)
+      }
+      // repartition(4) with no columns = RoundRobinPartitioning: 40 rows
+      // split 10/10/10/10, partitions {0,2} -> node A, {1,3} -> node B
+      val outDf = (0 until 40)
+        .map(i => ("app.rr", 1704067200L + i, Map("msg" -> s"m$i")))
+        .toDF("tag", "ts_sec", "record").repartition(4)
+      graft.sinks.ForwardSink.writeHa(outDf, Seq(
+        graft.sinks.ForwardSink.Node("127.0.0.1", portA),
+        graft.sinks.ForwardSink.Node("127.0.0.1", portB)))
+      val deadline = System.currentTimeMillis + 30000
+      while (spark.table("rr_a").count() + spark.table("rr_b").count() < 40 &&
+             System.currentTimeMillis < deadline) Thread.sleep(100)
+    } finally { qa.stop(); qb.stop() }
+    val a = spark.table("rr_a").select("msg").as[String].collect().toSet
+    val b = spark.table("rr_b").select("msg").as[String].collect().toSet
+    spark.catalog.dropTempView("rr_a")
+    spark.catalog.dropTempView("rr_b")
+    assert(a.size == 20 && b.size == 20,
+      s"round-robin spread broken: ${a.size}/${b.size}")
+    assert((a ++ b) == (0 until 40).map(i => s"m$i").toSet, "rows lost")
+  }
+
   test("out_forward upstream_servers: every node down raises after " +
        "trying the whole ring") {
     import spark.implicits._
