@@ -48,6 +48,31 @@ class Round15Spec extends AnyFunSuite {
     runResume("x_dedup_resume_rocksdb")
   }
 
+  test("checkpoint-resume: RocksDB CHANGELOG checkpointing (the modern " +
+       "low-latency recovery path) also restores keeper state exactly") {
+    val PROV = "spark.sql.streaming.stateStore.providerClass"
+    val CLOG = "spark.sql.streaming.stateStore.rocksdb." +
+      "changelogCheckpointing.enabled"
+    val savedProv = spark.conf.getOption(PROV)
+    val savedClog = spark.conf.getOption(CLOG)
+    spark.conf.set(PROV, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    spark.conf.set(CLOG, "true")
+    try {
+      StreamQueries.lastResumeStats = null
+      val got = StreamQueries.resumeDedup(spark, sf, Some("rocksclog"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == batchExpect,
+        "changelog-checkpointed resume != batch dedup relation")
+      val st = StreamQueries.lastResumeStats
+      assert(st != null && st.resumedFromBatch > 0 && st.rowsBeforeKill > 0,
+        s"restart did not resume under changelog checkpointing: $st")
+    } finally {
+      savedProv.fold(spark.conf.unset(PROV))(spark.conf.set(PROV, _))
+      savedClog.fold(spark.conf.unset(CLOG))(spark.conf.set(CLOG, _))
+    }
+  }
+
   // ------------------------------------------- upstream_servers failover
 
   private def awaitRows(table: String, expected: Long): Unit = {
