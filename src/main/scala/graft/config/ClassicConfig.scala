@@ -43,18 +43,29 @@ object ClassicConfig {
     * produces: one upstream definition, two config syntaxes, one HA
     * sink ([[graft.sinks.ForwardSink.writeHa]]).
     */
-  def upstreamFile(text: String): (String, Seq[YamlConfig.UpstreamNode]) = {
+  def upstreamFile(text: String, env: Map[String, String] = Map.empty)
+      : (String, Seq[YamlConfig.UpstreamNode]) = {
     val sections = parse(text)
     val name = sections.find(_.name.equalsIgnoreCase("upstream"))
       .map(_.required("name"))
       .getOrElse(throw new IllegalArgumentException(
         "upstream file: section 'upstream' could not be found"))
     val nodes = sections.filter(_.name.equalsIgnoreCase("node")).map { s =>
-      val props = s.props.map { case (k, v) => k.toLowerCase -> v }.toMap
+      // every node property env-interpolates, like the YAML frontend and
+      // the reference's translate_environment_variables over node kvs
+      // (flb_upstream_ha.c:330-346) — '${SHARED_KEY}' must resolve, not
+      // ship as a literal credential (ADVICE r15)
+      val props = s.props.map { case (k, v) =>
+        k.toLowerCase -> YamlConfig.interpolate(v, env)
+      }.toMap
+      // name/host/port are REQUIRED, matching create_node's rejection of
+      // an incomplete [NODE] (flb_upstream_ha.c:141-170) — a typo'd
+      // section must fail at parse time, not be silently skipped by
+      // writeHa's connect-failover at delivery time (ADVICE r15)
+      def req(k: String): String = props.getOrElse(k,
+        throw new IllegalArgumentException(s"[NODE] missing '$k'"))
       YamlConfig.UpstreamNode(
-        props.getOrElse("name", ""),
-        props.getOrElse("host", ""),
-        props.get("port").map(_.trim.toInt).getOrElse(24224),
+        req("name"), req("host"), req("port").trim.toInt,
         props -- Seq("name", "host", "port"))
     }
     (name, nodes)

@@ -327,10 +327,14 @@ object YamlConfig {
                 case (k, Yaml.YStr(v)) =>
                   k.toLowerCase -> interpolate(v, doc.env)
               }.toMap
-              UpstreamNode(props.getOrElse("name", ""),
-                props.getOrElse("host", ""),
-                // 24224 = the forward protocol's registered default
-                props.get("port").map(_.trim.toInt).getOrElse(24224),
+              // name/host/port REQUIRED — create_node rejects an
+              // incomplete node (flb_upstream_ha.c:141-170); a typo'd
+              // node must fail at config load, not be silently skipped
+              // by delivery-time failover (ADVICE r15, both frontends)
+              def req(k: String): String = props.getOrElse(k,
+                throw new IllegalArgumentException(
+                  s"upstream_servers node missing '$k'"))
+              UpstreamNode(req("name"), req("host"), req("port").trim.toInt,
                 props -- Seq("name", "host", "port"))
           }
           gname -> (nodes: Seq[UpstreamNode])

@@ -47,11 +47,15 @@ object Blob {
     * to a negative offset and slicing garbage.
     */
   def textPayload(parts: DataFrame, textCol: Column): Column =
-    when(col("offset") + col("len") <= lit(Int.MaxValue.toLong),
+    // STRICT bound: offset+len == Int.MaxValue would make (offset+1)
+    // overflow its int cast when len == 0, and negative offset/len are
+    // the same corrupt-schedule class — all three raise (ADVICE r15)
+    when(col("offset") >= 0 && col("len") >= 0 &&
+         col("offset") + col("len") < lit(Int.MaxValue.toLong),
       substring(textCol,
         (col("offset") + 1).cast("int"), col("len").cast("int")))
       .otherwise(raise_error(concat(
-        lit("blob part beyond 2^31 chars: offset="),
+        lit("blob part outside [0, 2^31) chars: offset="),
         col("offset").cast("string"), lit(" len="),
         col("len").cast("string"))))
 
