@@ -39,8 +39,13 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     def onlyMatches(n: String): Boolean = only.forall(_.exists(p =>
       if (p.endsWith("$")) n == p.dropRight(1) else n.startsWith(p)))
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[n,c,mem_mb] benches multi-JVM
+    // (see Verify) — pins/records stay local[N]-only: the committed
+    // bench_full.json is a local-mode record and a local-cluster run
+    // must never overwrite it (guarded below via the master check).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       // wide MinHash aggregates (k=128 min-columns) must stay inside
       // whole-stage codegen; the default maxFields=100 silently drops them
@@ -57,7 +62,10 @@ object Bench {
       // by trace; one exchange instead of two composite reshuffles)
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster"))
+      builder.config("spark.executor.extraClassPath",
+        sys.props("java.class.path"))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       onlyMatches(n)
@@ -199,8 +207,14 @@ object Bench {
           }.sorted
           math.min(med, t2(t2.size / 2))
         } else med
+      // Annotation is broader than the retry gate: a >2x reading with
+      // >1 s absolute excess (the retry class) OR a >4x relative blowup
+      // in the sub-second tail (0.08 s -> 0.9 s is storm-worthy evidence
+      // even though it never earns a retry window — ADVICE r15). Both
+      // count toward the storm-heavy write protection.
       if (retried > 0 && action == "count" &&
-          pins.get(name).exists(p => retried > 2 * p && retried - p > 1.0))
+          pins.get(name).exists(p =>
+            (retried > 2 * p && retried - p > 1.0) || retried > 4 * p))
         stormRows += name
       name -> retried
     }
@@ -231,7 +245,9 @@ object Bench {
       """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
         .forall(_.group(1) == sfDir)
     } catch { case _: Throwable => true } // no record yet: establish one
-    if (only.isEmpty && action == "count" && !stormHeavy && sfMatches) {
+    val localMaster = master.startsWith("local[")
+    if (only.isEmpty && action == "count" && !stormHeavy && sfMatches &&
+        localMaster) {
       try {
         val w = new java.io.PrintWriter("bench_full.json")
         // sf rides along so the storm-retry pins only ever compare
