@@ -62,9 +62,25 @@ object Bench {
       // by trace; one exchange instead of two composite reshuffles)
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
-    if (master.startsWith("local-cluster"))
+    if (master.startsWith("local-cluster")) {
       builder.config("spark.executor.extraClassPath",
         sys.props("java.class.path"))
+      builder.config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
+      // local-cluster's third argument sizes the WORKER; the executor
+      // JVM still defaults to 1g — size it explicitly or state-heavy
+      // streaming stages OOM off-JVM while local[N] (one big heap)
+      // sails through
+      builder.config("spark.executor.memory",
+        sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "3g"))
+      builder.config("spark.executor.extraJavaOptions",
+        Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+          "java.io", "java.net", "java.nio", "java.util",
+          "java.util.concurrent", "java.util.concurrent.atomic",
+          "sun.nio.ch", "sun.nio.cs", "sun.security.action",
+          "sun.util.calendar")
+          .map(p => s"--add-opens=java.base/$p=ALL-UNNAMED")
+          .mkString(" "))
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>

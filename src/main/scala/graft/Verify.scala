@@ -34,6 +34,12 @@ object Verify {
       // unless the scala version is pinned (AbstractCommandBuilder
       // .getScalaVersion: "Cannot find any build directories")
       builder.config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
+      // local-cluster's third argument sizes the WORKER; the executor
+      // JVM still defaults to 1g — size it explicitly or state-heavy
+      // streaming stages OOM off-JVM while local[N] (one big heap)
+      // sails through
+      builder.config("spark.executor.memory",
+        sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "3g"))
       // executors are plain JVMs, not spark-submit children: JDK 17
       // module opens must ride along like the driver's (build.sbt)
       builder.config("spark.executor.extraJavaOptions",
