@@ -278,4 +278,66 @@ class Round16Spec extends AnyFunSuite {
       spark.catalog.dropTempView("http_probe")
     }
   }
+
+  test("self-scrape loop: the engine scrapes its OWN monitoring " +
+       "endpoint with its own scrape-text parser and recovers the " +
+       "register set exactly (the reference's in_prometheus_scrape of " +
+       "its own http_server)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.Stateful
+    implicit val sqlCtx = spark.sqlContext
+    val listener = new graft.obs.SelfTelemetry.Listener
+    spark.streams.addListener(listener)
+    val server = new graft.obs.MonitoringServer(spark, listener)
+    val in = MemoryStream[Stateful.HashedDoc]
+    val q = Stateful.dedupStream(spark, in.toDS())
+      .writeStream.format("memory").queryName("scrape_probe")
+      .outputMode("append").start()
+    try {
+      in.addData((1L to 30L).map(i => Stateful.HashedDoc(s"sp$i", i)))
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis + 30000
+      def ready: Boolean = listener.currentRows.exists(r =>
+        r.name == "graft_input_records_total" &&
+          r.labels.get("query").contains("scrape_probe"))
+      while (!ready && System.currentTimeMillis < deadline) Thread.sleep(50)
+
+      // scrape over a REAL socket — the loop's wire hop
+      val sock = new java.net.Socket("127.0.0.1", server.port)
+      val body = try {
+        sock.getOutputStream.write(
+          "GET /api/v1/metrics/prometheus HTTP/1.1\r\n\r\n".getBytes("UTF-8"))
+        sock.getOutputStream.flush()
+        val all = new String(sock.getInputStream.readAllBytes(), "UTF-8")
+        all.substring(all.indexOf("\r\n\r\n") + 4)
+      } finally sock.close()
+
+      // re-ingest through the GATED scrape-text parser (the
+      // parse_prom_scrape machinery, in_prometheus_scrape analog)
+      val lines = body.split("\n").toSeq.toDF("line")
+      val parsed = graft.parse.Parsers.promText(lines, col("line"))
+        .filter(col("name").isNotNull)
+        .select(col("name"), col("labels"), col("value"))
+        .collect()
+        .map(r => (r.getString(0),
+          r.getMap[String, String](1).toSeq.sorted.mkString(","),
+          r.getDouble(2)))
+
+      // the scraped frame equals the live register set — the loop is
+      // lossless for every series (counters, gauges, state rows)
+      val registers = listener.currentRows
+        .map(r => (r.name, r.labels.toSeq.sorted.mkString(","), r.value))
+      assert(parsed.toSet == registers.toSet,
+        s"scrape round-trip diverged:\n got ${parsed.toSet}\n" +
+          s" want ${registers.toSet}")
+      assert(registers.exists(_._1 == "graft_state_rows"),
+        "register set missing state telemetry")
+    } finally {
+      q.stop()
+      server.close()
+      spark.streams.removeListener(listener)
+      spark.catalog.dropTempView("scrape_probe")
+    }
+  }
 }
