@@ -125,6 +125,21 @@ object StreamBench {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
+    // SPARK_GRAFT_TELEMETRY=1 runs every cell with the full monitoring
+    // loop LIVE — listener attached, HTTP endpoint serving — so the
+    // spans/s delta against a bare run prices self-telemetry the way
+    // the reference prices `http_server on` (its monitoring thread +
+    // cmetrics updates ride along with the data path). The listener's
+    // work is per-PROGRESS-EVENT (one per micro-batch), so the expected
+    // tax is ~0 at these batch sizes; the row exists to PROVE that.
+    val telemetry = sys.env.get("SPARK_GRAFT_TELEMETRY").contains("1")
+    val telListener = if (telemetry) {
+      val l = new graft.obs.SelfTelemetry.Listener
+      spark.streams.addListener(l)
+      Some(l)
+    } else None
+    val telServer = telListener.map(new graft.obs.MonitoringServer(spark, _))
+
     // ---- probabilistic mode: stateless trace-hash keep (~25%) --------
     def runProb(spans: IndexedSeq[Stateful.Span]): (Double, Long) = {
       val name = "prob_" + nameCtr.incrementAndGet()
@@ -223,7 +238,10 @@ object StreamBench {
       s""""probabilistic":$probCell,"tail":$tailCell,""" +
       s""""tail_rocksdb":$rocksCell},""" +
       s""""card65536":{"traces":64000,"total_spans":$hiTotal,""" +
-      s""""tail":$hiTailCell,"tail_rocksdb":$hiRocksCell}}""")
+      s""""tail":$hiTailCell,"tail_rocksdb":$hiRocksCell}""" +
+      (if (telemetry) s""","telemetry":"on"""" else "") + "}")
+    telServer.foreach(_.close())
+    telListener.foreach(spark.streams.removeListener)
     spark.stop()
   }
 }
