@@ -71,6 +71,57 @@ object ExtQueries {
        FROM a3 a LEFT JOIN mx USING (vec_id)"""
   }
 
+  /** DuckDB replay of [[graft.sim.Similarity.semDedupScaled]]: the same
+    * two-iteration k-means chain as [[kmeansOracle]] and the identical
+    * fixed-point mean update, but the assignment argmax replays the
+    * [[graft.functions.NearestCell]] kernel — fixed-point
+    * floor(cos·1e6+0.5), ties to the LOWER centroid id (the
+    * `ascore`/`assign` pattern the x_ann_ivfpq oracle already uses) —
+    * then within-cell pairwise cosine against lower ids, as
+    * [[semDedupOracle]].
+    */
+  private def semDedupOracleScaled(k: Int, dim: Int,
+                                   threshold: Double): String = {
+    def scoreCte(name: String, cents: String) =
+      s"""$name AS (SELECT v.vec_id, c.cent_id,
+            CAST(floor((list_dot_product(v.ev, c.cv) /
+                  (sqrt(list_dot_product(v.ev, v.ev)) *
+                   sqrt(list_dot_product(c.cv, c.cv))))*1000000 + 0.5)
+              AS BIGINT) AS fs
+          FROM v, $cents c)"""
+    def assignCte(name: String, score: String) =
+      s"""$name AS (SELECT vec_id, cent_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY fs DESC, cent_id) AS rnk FROM $score)
+          WHERE rnk = 1)"""
+    def centCte(name: String, assign: String) = {
+      val means = (1 to dim).map(i =>
+        s"CAST(SUM(CAST(floor(v.ev[$i] * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000000/count(*)")
+      s"""$name AS (SELECT $assign.cell AS cent_id,
+            list_value(${means.mkString(", ")}) AS cv
+          FROM v JOIN $assign USING (vec_id) GROUP BY $assign.cell)"""
+    }
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       c0 AS (SELECT vec_id AS cent_id, ev AS cv FROM v WHERE vec_id < $k),
+       ${scoreCte("s1", "c0")}, ${assignCte("a1", "s1")}, ${centCte("c1", "a1")},
+       ${scoreCte("s2", "c1")}, ${assignCte("a2", "s2")}, ${centCte("c2", "a2")},
+       ${scoreCte("s3", "c2")}, ${assignCte("a3", "s3")},
+       pairs AS (
+         SELECT a.vec_id,
+                round(list_dot_product(va.ev, vb.ev) /
+                      (sqrt(list_dot_product(va.ev, va.ev)) *
+                       sqrt(list_dot_product(vb.ev, vb.ev))), 6) AS pcos
+         FROM a3 a JOIN a3 b ON a.cell = b.cell AND b.vec_id < a.vec_id
+         JOIN v va ON va.vec_id = a.vec_id
+         JOIN v vb ON vb.vec_id = b.vec_id),
+       mx AS (SELECT vec_id, max(pcos) AS nn FROM pairs GROUP BY 1)
+       SELECT a.vec_id, a.cell,
+              coalesce(mx.nn, -1.0) AS nn_cos,
+              CASE WHEN coalesce(mx.nn, -1.0) >= $threshold
+                   THEN 1 ELSE 0 END AS is_dup
+       FROM a3 a LEFT JOIN mx USING (vec_id)"""
+  }
+
   /** DuckDB replay of [[graft.sim.Similarity.quantizedTopK]]: per-dim
     * min/max CTE, identical quantization expression (same IEEE op
     * order), exact integer dot-product scoring, total-ordered top-k.
@@ -1612,6 +1663,24 @@ object ExtQueries {
         Similarity.semDedup(Tables.embeddings(s, dir), "vec_id",
           "embedding", k = 8, iters = 2, dim = 64, threshold = 0.4),
       Some(semDedupOracle(k = 8, dim = 64, threshold = 0.4))
+    ),
+
+    // The k-SCALABLE SemDeDup twin: identical pipeline with training
+    // argmax + assignment through the NearestCell codegen kernel
+    // (centroid matrix = ONE codegen reference object) instead of the
+    // k-struct literal expression tree, whose plan grows O(k·dim) and
+    // falls out of whole-stage codegen past a few dozen centroids.
+    // Production SemDeDup runs thousands of cells (11k for LAION) —
+    // growing k is what shrinks the (n/k)² cell bound, so this path IS
+    // the 100 TB path. Gate params mirror the literal twin; only the
+    // assignment tie/rounding semantics differ (fixed-point floor, the
+    // IVF kernels' contract), and the oracle replays that formula.
+    GraftQuery(
+      "x_dedup_semantic_scaled",
+      (s, dir) =>
+        Similarity.semDedupScaled(Tables.embeddings(s, dir), "vec_id",
+          "embedding", k = 8, iters = 2, dim = 64, threshold = 0.4),
+      Some(semDedupOracleScaled(k = 8, dim = 64, threshold = 0.4))
     ),
 
     // DSIR-style importance weighting: hashed-bigram count tables for

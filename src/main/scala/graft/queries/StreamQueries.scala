@@ -229,6 +229,17 @@ object StreamQueries {
                                restartStateParts: Long = -1L)
   @volatile private[graft] var lastResumeStats: ResumeStats = null
 
+  /** Evidence from the bounded-state soak gate (`x_soak_window_stream`):
+    * per-batch state-store occupancy across a long watermarked replay.
+    * The gate itself fails loudly on a plateau violation; Round16Spec
+    * additionally asserts the recorded numbers (eviction really ran,
+    * the replay really spanned many stateful batches).
+    */
+  final case class SoakStats(statefulBatches: Int, maxStateRows: Long,
+                             removedRows: Long, plateauBound: Long,
+                             emittedRows: Long)
+  @volatile private[graft] var lastSoakStats: SoakStats = null
+
   /** The checkpoint-resume replay harness shared by the resume gates:
     * run `build(source)` to a parquet sink with a checkpoint, kill the
     * query mid-feed (one chunk fed but not drained, so an uncommitted
@@ -1714,6 +1725,96 @@ object StreamQueries {
              SELECT 'graft_state_rows', n_keep,
                     'graft_state_rows{query="probe"} ' ||
                       CAST(n_keep AS VARCHAR) FROM m""")
+    ),
+
+    // Bounded-state soak (the "runs forever" axis): a watermarked
+    // tumbling-window aggregation fed a MONTH of events in 12
+    // time-ordered slices — ~26 micro-batches (each drain runs the data
+    // batch plus the watermark's no-data batch), each slice advancing
+    // the watermark ~2.5 days. The claim under test decides
+    // whether the engine survives an unbounded stream at 100 TB/day:
+    // state EVICTS as the watermark passes window ends, so the store
+    // plateaus at (series × slice horizon) instead of growing with
+    // stream length — here a bound of ~2×(series×windows-per-slice),
+    // computed from the feed itself, against ~3600 total windows the
+    // replay pushes through the store at sf0.1. The gate FAILS LOUDLY
+    // (not just in the spec) if the plateau is exceeded or nothing was
+    // ever evicted; the append-mode output hash-matches the batch
+    // oracle over every closed window. Reference analog: the stream
+    // processor retires tumbling-window state at flush
+    // (/root/reference/src/stream_processor/flb_sp_window.c).
+    GraftQuery(
+      "x_soak_window_stream",
+      (s, dir) => {
+        import s.implicits._
+        val ev = fixture("x_soak_window_stream#ev", dir) {
+          Tables.events(s, dir)
+            .select(col("event_type"), unix_micros(col("ts")).as("us"),
+              col("value"))
+            .as[(String, Long, Double)].collect().sortBy(_._2).toSeq
+        }
+        val slices = 12
+        val chunk = math.max(1, (ev.size + slices - 1) / slices)
+        val winUs = 3600L * 1000000L
+        // plateau bound from the feed itself: at batch end the store
+        // holds at most the just-fed slice's windows (the watermark
+        // that would evict them arrives with the NEXT batch) plus the
+        // ≤2-window watermark horizon of leftovers, per series; +8
+        // windows of slack for uneven slice edges, +1 for the sentinel
+        val series = ev.map(_._1).distinct.size
+        val maxSliceWins = ev.grouped(chunk)
+          .map(c => c.last._2 / winUs - c.head._2 / winUs + 1).max
+        val bound = series * (maxSliceWins + 8) + 1
+        val flush =
+          ("zz_soak_flush", ev.last._2 + 86400L * 30 * 1000000L, 0.0)
+        implicit val sqlCtx = s.sqlContext
+        val in = MemoryStream[(String, Long, Double)]
+        val agg = in.toDS().toDF("event_type", "us", "value")
+          .withColumn("ts", timestamp_micros(col("us")))
+          .withWatermark("ts", "2 hours")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(28,6)")).cast("double")
+              .as("value_sum"))
+          .select(unix_micros(col("window.start")).as("win_us"),
+            col("event_type"), col("n_events"), col("value_sum"))
+        val table = sinkName("x_soak_window_stream")
+        val q = startToMemory(agg, table)
+        try {
+          ev.grouped(chunk).foreach { c =>
+            in.addData(c)
+            q.processAllAvailable()
+          }
+          in.addData(flush)
+          q.processAllAvailable()
+        } catch { case e: Throwable => abortReplay(s, table); throw e }
+        finally q.stop()
+        val prog = q.recentProgress.toSeq.filter(_.stateOperators.nonEmpty)
+        val maxState =
+          if (prog.isEmpty) 0L
+          else prog.map(_.stateOperators.head.numRowsTotal).max
+        val removed = prog.map(_.stateOperators.head.numRowsRemoved).sum
+        val out = takeSink(s, table)
+          .filter(col("event_type") =!= "zz_soak_flush")
+        lastSoakStats =
+          SoakStats(prog.size, maxState, removed, bound, out.count())
+        if (maxState > bound)
+          throw new IllegalStateException(
+            s"soak: state grew past the watermark plateau ($maxState " +
+            s"rows > bound $bound over ${prog.size} batches) — " +
+            "eviction broken")
+        if (removed == 0)
+          throw new IllegalStateException(
+            s"soak: no state rows evicted across ${prog.size} stateful " +
+            "batches — eviction broken")
+        out
+      },
+      Some("""SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_us,
+                    event_type,
+                    CAST(count(*) AS BIGINT) AS n_events,
+                    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                      AS value_sum
+             FROM events GROUP BY 1, 2""")
     )
   )
 

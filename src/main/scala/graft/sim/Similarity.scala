@@ -447,6 +447,81 @@ object Similarity {
         when(col("__r.nn_cos") >= threshold, 1).otherwise(0).as("is_dup"))
   }
 
+  /** k-SCALABLE twin of [[kmeansTrainModel]]: the identical
+    * fixed-point mean update (floor(x·1e9+0.5) long accumulators), but
+    * the per-row argmax runs through the
+    * [[graft.functions.NearestCell]] codegen kernel — the centroid
+    * matrix rides along as ONE codegen reference object, so the plan
+    * is O(1) in k. The literal-struct argmax stops fitting whole-stage
+    * codegen past a few dozen centroids (k·dim literal doubles in the
+    * expression tree, 64 KB method limit → interpreted fallback);
+    * production SemDeDup cell counts are in the thousands (11k for
+    * LAION in Abbas et al. 2023), which only this path survives.
+    * Assignment semantics are NearestCell's fixed-point
+    * floor(cos·1e6+0.5) with ties to the LOWER centroid id — the
+    * oracle replays the same floor formula, exactly as the IVF gates
+    * already do.
+    */
+  def kmeansTrainScaled(vecs: DataFrame, idCol: String, vecCol: String,
+                        k: Int, iters: Int,
+                        dim: Int): Array[(Long, Array[Double])] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val base = vecs.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("ev"))
+    var cents: Array[(Long, Array[Double])] =
+      base.filter(col("vec_id") < k).as[(Long, Seq[Double])]
+        .collect().sortBy(_._1).map { case (id, v) => (id, v.toArray) }
+    var it = 0
+    while (it < iters) {
+      val cell =
+        graft.functions.VectorFunctions.nearestCell(col("ev"), cents)
+          .as("cell")
+      val sums = (0 until dim).map(i =>
+        sum(floor(element_at(col("ev"), i + 1) * 1e9 + 0.5)).as(s"__s$i"))
+      val agg = base
+        .select(cell, col("ev"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("__n"), sums: _*)
+        .select(col("cell"), col("__n").as("__n"),
+          array((0 until dim).map(i => col(s"__s$i")): _*).as("__sums"))
+      cents = agg.as[(Long, Long, Seq[Long])].collect()
+        .sortBy(_._1)
+        .map { case (id, n, s) =>
+          (id, s.map(x => x.toDouble / 1e9 / n).toArray)
+        }
+      it += 1
+    }
+    cents
+  }
+
+  /** [[semDedup]] at production cell counts: training argmax AND final
+    * assignment both run through [[graft.functions.NearestCell]]
+    * (plan size O(1) in k — see [[kmeansTrainScaled]]); the per-cell
+    * quadratic keeps the same [[graft.functions.CellMaxCosine]]
+    * kernel. Growing k is what actually shrinks the SemDeDup (n/k)²
+    * cell bound, so the scale path and the k-scaling path are the same
+    * thing.
+    */
+  def semDedupScaled(vecs: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int, dim: Int,
+                     threshold: Double): DataFrame = {
+    val model = kmeansTrainScaled(vecs, idCol, vecCol, k, iters, dim)
+    val base = vecs.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("ev"))
+    val withCell = base.withColumn("cell",
+      graft.functions.VectorFunctions.nearestCell(col("ev"), model))
+    withCell
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("vec_id"), col("ev"))).as("__vs"))
+      .select(col("cell"),
+        explode(graft.functions.VectorFunctions.cellMaxCosine(col("__vs")))
+          .as("__r"))
+      .select(col("__r.vec_id").as("vec_id"), col("cell"),
+        col("__r.nn_cos").as("nn_cos"),
+        when(col("__r.nn_cos") >= threshold, 1).otherwise(0).as("is_dup"))
+  }
+
   /** Product-quantization codebooks (Jégou et al. 2011, "Product
     * quantization for nearest neighbor search"): the vector space is
     * split into `m` subspaces of `dsub` dims; each subspace gets `k`
