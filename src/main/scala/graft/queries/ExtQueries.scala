@@ -80,7 +80,7 @@ object ExtQueries {
     * then within-cell pairwise cosine against lower ids, as
     * [[semDedupOracle]].
     */
-  private def semDedupOracleScaled(k: Int, dim: Int,
+  private def semDedupOracleScaled(kSql: String, dim: Int,
                                    threshold: Double): String = {
     def scoreCte(name: String, cents: String) =
       s"""$name AS (SELECT v.vec_id, c.cent_id,
@@ -102,7 +102,7 @@ object ExtQueries {
           FROM v JOIN $assign USING (vec_id) GROUP BY $assign.cell)"""
     }
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-       c0 AS (SELECT vec_id AS cent_id, ev AS cv FROM v WHERE vec_id < $k),
+       c0 AS (SELECT vec_id AS cent_id, ev AS cv FROM v WHERE vec_id < $kSql),
        ${scoreCte("s1", "c0")}, ${assignCte("a1", "s1")}, ${centCte("c1", "a1")},
        ${scoreCte("s2", "c1")}, ${assignCte("a2", "s2")}, ${centCte("c2", "a2")},
        ${scoreCte("s3", "c2")}, ${assignCte("a3", "s3")},
@@ -1672,15 +1672,24 @@ object ExtQueries {
     // falls out of whole-stage codegen past a few dozen centroids.
     // Production SemDeDup runs thousands of cells (11k for LAION) —
     // growing k is what shrinks the (n/k)² cell bound, so this path IS
-    // the 100 TB path. Gate params mirror the literal twin; only the
-    // assignment tie/rounding semantics differ (fixed-point floor, the
-    // IVF kernels' contract), and the oracle replays that formula.
+    // the 100 TB path, and k here is ADAPTIVE: both engines derive
+    // k = clamp(n/2000, 8, 4096) from the corpus itself (≈2000-vector
+    // cells at every scale — the gate text is scale-invariant, k=8 at
+    // the verify scales, 1000 cells at the 2M-vector decade). Only the
+    // assignment tie/rounding semantics differ from the literal twin
+    // (fixed-point floor, the IVF kernels' contract), and the oracle
+    // replays that formula.
     GraftQuery(
       "x_dedup_semantic_scaled",
-      (s, dir) =>
-        Similarity.semDedupScaled(Tables.embeddings(s, dir), "vec_id",
-          "embedding", k = 8, iters = 2, dim = 64, threshold = 0.4),
-      Some(semDedupOracleScaled(k = 8, dim = 64, threshold = 0.4))
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val k = math.max(8L, math.min(4096L, emb.count() / 2000L)).toInt
+        Similarity.semDedupScaled(emb, "vec_id",
+          "embedding", k = k, iters = 2, dim = 64, threshold = 0.4)
+      },
+      Some(semDedupOracleScaled(
+        kSql = "(SELECT greatest(8, least(4096, count(*)//2000)) FROM v)",
+        dim = 64, threshold = 0.4))
     ),
 
     // DSIR-style importance weighting: hashed-bigram count tables for

@@ -266,6 +266,19 @@ class PlanSpec extends AnyFunSuite {
       "cell pass must not self-join:\n" + plan.take(3000))
   }
 
+  test("scaled semantic dedup: NearestCell assignment, no joins at all") {
+    val plan = planOf("x_dedup_semantic_scaled")
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+                    "SortMergeJoin", "BroadcastHashJoin"))
+      assert(!plan.contains(bad),
+        s"scaled cell pass must be map-only + one cell shuffle, found " +
+          s"$bad:\n" + plan.take(3000))
+    assert(plan.contains("nearest_cell"),
+      "assignment must run through the NearestCell kernel (plan O(1) " +
+        "in k):\n" + plan.take(3000))
+    assert(plan.contains("cell_max_cosine"), plan.take(3000))
+  }
+
   test("c4 line cleaning and gopher rules are map-only projections") {
     // both filters must compose into the single corpus scan at 100 TB:
     // the line rules fold over split(text) in place, the quality rules
