@@ -1745,70 +1745,7 @@ object StreamQueries {
     // (/root/reference/src/stream_processor/flb_sp_window.c).
     GraftQuery(
       "x_soak_window_stream",
-      (s, dir) => {
-        import s.implicits._
-        val ev = fixture("x_soak_window_stream#ev", dir) {
-          Tables.events(s, dir)
-            .select(col("event_type"), unix_micros(col("ts")).as("us"),
-              col("value"))
-            .as[(String, Long, Double)].collect().sortBy(_._2).toSeq
-        }
-        val slices = 12
-        val chunk = math.max(1, (ev.size + slices - 1) / slices)
-        val winUs = 3600L * 1000000L
-        // plateau bound from the feed itself: at batch end the store
-        // holds at most the just-fed slice's windows (the watermark
-        // that would evict them arrives with the NEXT batch) plus the
-        // ≤2-window watermark horizon of leftovers, per series; +8
-        // windows of slack for uneven slice edges, +1 for the sentinel
-        val series = ev.map(_._1).distinct.size
-        val maxSliceWins = ev.grouped(chunk)
-          .map(c => c.last._2 / winUs - c.head._2 / winUs + 1).max
-        val bound = series * (maxSliceWins + 8) + 1
-        val flush =
-          ("zz_soak_flush", ev.last._2 + 86400L * 30 * 1000000L, 0.0)
-        implicit val sqlCtx = s.sqlContext
-        val in = MemoryStream[(String, Long, Double)]
-        val agg = in.toDS().toDF("event_type", "us", "value")
-          .withColumn("ts", timestamp_micros(col("us")))
-          .withWatermark("ts", "2 hours")
-          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("n_events"),
-            sum(col("value").cast("decimal(28,6)")).cast("double")
-              .as("value_sum"))
-          .select(unix_micros(col("window.start")).as("win_us"),
-            col("event_type"), col("n_events"), col("value_sum"))
-        val table = sinkName("x_soak_window_stream")
-        val q = startToMemory(agg, table)
-        try {
-          ev.grouped(chunk).foreach { c =>
-            in.addData(c)
-            q.processAllAvailable()
-          }
-          in.addData(flush)
-          q.processAllAvailable()
-        } catch { case e: Throwable => abortReplay(s, table); throw e }
-        finally q.stop()
-        val prog = q.recentProgress.toSeq.filter(_.stateOperators.nonEmpty)
-        val maxState =
-          if (prog.isEmpty) 0L
-          else prog.map(_.stateOperators.head.numRowsTotal).max
-        val removed = prog.map(_.stateOperators.head.numRowsRemoved).sum
-        val out = takeSink(s, table)
-          .filter(col("event_type") =!= "zz_soak_flush")
-        lastSoakStats =
-          SoakStats(prog.size, maxState, removed, bound, out.count())
-        if (maxState > bound)
-          throw new IllegalStateException(
-            s"soak: state grew past the watermark plateau ($maxState " +
-            s"rows > bound $bound over ${prog.size} batches) — " +
-            "eviction broken")
-        if (removed == 0)
-          throw new IllegalStateException(
-            s"soak: no state rows evicted across ${prog.size} stateful " +
-            "batches — eviction broken")
-        out
-      },
+      (s, dir) => soakWindowReplay(s, dir),
       Some("""SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_us,
                     event_type,
                     CAST(count(*) AS BIGINT) AS n_events,
@@ -1817,6 +1754,77 @@ object StreamQueries {
              FROM events GROUP BY 1, 2""")
     )
   )
+
+  /** Body of the `x_soak_window_stream` gate, callable directly so
+    * Round16Spec can re-run the identical soak under the RocksDB state
+    * provider (the provider conf wraps THIS call — the gate itself
+    * always runs the session default).
+    */
+  private[graft] def soakWindowReplay(s: SparkSession,
+                                      dir: String): DataFrame = {
+    import s.implicits._
+    val ev = fixture("x_soak_window_stream#ev", dir) {
+      Tables.events(s, dir)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"),
+          col("value"))
+        .as[(String, Long, Double)].collect().sortBy(_._2).toSeq
+    }
+    val slices = 12
+    val chunk = math.max(1, (ev.size + slices - 1) / slices)
+    val winUs = 3600L * 1000000L
+    // plateau bound from the feed itself: at batch end the store
+    // holds at most the just-fed slice's windows (the watermark
+    // that would evict them arrives with the NEXT batch) plus the
+    // ≤2-window watermark horizon of leftovers, per series; +8
+    // windows of slack for uneven slice edges, +1 for the sentinel
+    val series = ev.map(_._1).distinct.size
+    val maxSliceWins = ev.grouped(chunk)
+      .map(c => c.last._2 / winUs - c.head._2 / winUs + 1).max
+    val bound = series * (maxSliceWins + 8) + 1
+    val flush =
+      ("zz_soak_flush", ev.last._2 + 86400L * 30 * 1000000L, 0.0)
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(String, Long, Double)]
+    val agg = in.toDS().toDF("event_type", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,6)")).cast("double")
+          .as("value_sum"))
+      .select(unix_micros(col("window.start")).as("win_us"),
+        col("event_type"), col("n_events"), col("value_sum"))
+    val table = sinkName("x_soak_window_stream")
+    val q = startToMemory(agg, table)
+    try {
+      ev.grouped(chunk).foreach { c =>
+        in.addData(c)
+        q.processAllAvailable()
+      }
+      in.addData(flush)
+      q.processAllAvailable()
+    } catch { case e: Throwable => abortReplay(s, table); throw e }
+    finally q.stop()
+    val prog = q.recentProgress.toSeq.filter(_.stateOperators.nonEmpty)
+    val maxState =
+      if (prog.isEmpty) 0L
+      else prog.map(_.stateOperators.head.numRowsTotal).max
+    val removed = prog.map(_.stateOperators.head.numRowsRemoved).sum
+    val out = takeSink(s, table)
+      .filter(col("event_type") =!= "zz_soak_flush")
+    lastSoakStats =
+      SoakStats(prog.size, maxState, removed, bound, out.count())
+    if (maxState > bound)
+      throw new IllegalStateException(
+        s"soak: state grew past the watermark plateau ($maxState " +
+        s"rows > bound $bound over ${prog.size} batches) — " +
+        "eviction broken")
+    if (removed == 0)
+      throw new IllegalStateException(
+        s"soak: no state rows evicted across ${prog.size} stateful " +
+        "batches — eviction broken")
+    out
+  }
 
   /** Driver-side twin of the executors' hash-priority key (full md5 hex
     * of the id's decimal rendering) — used to feed replays in the batch

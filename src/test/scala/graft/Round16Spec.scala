@@ -374,4 +374,41 @@ class Round16Spec extends AnyFunSuite {
     assert(st.maxStateRows < st.emittedRows / 2,
       s"peak state not ≪ total windows — eviction suspect: $st")
   }
+
+  test("bounded-state soak under the RocksDB provider: same plateau " +
+       "contract, same closed-window relation") {
+    val PROV = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(PROV)
+    spark.conf.set(PROV, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      StreamQueries.lastSoakStats = null
+      val got = StreamQueries.soakWindowReplay(spark, sf)
+        .select("win_us", "event_type", "n_events").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val st = StreamQueries.lastSoakStats
+      assert(st != null && st.statefulBatches >= 20, s"short soak: $st")
+      // eviction must hold in the OFF-HEAP provider too — RocksDB's
+      // numRowsRemoved path is a different store implementation, the
+      // one a 100 TB deployment would actually run
+      assert(st.removedRows > 0 && st.removedRows >= st.emittedRows,
+        s"RocksDB eviction did not keep pace: $st")
+      assert(st.maxStateRows <= st.plateauBound,
+        s"RocksDB state exceeded the watermark plateau: $st")
+      val want = spark.read.parquet(sf + "/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_micros(col("w.start")), col("event_type"),
+          col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got == want,
+        s"RocksDB soak sink != batch relation (${got.size} vs " +
+          s"${want.size})")
+    } finally saved match {
+      case Some(v) => spark.conf.set(PROV, v)
+      case None    => spark.conf.unset(PROV)
+    }
+  }
 }
