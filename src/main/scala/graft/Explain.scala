@@ -23,6 +23,7 @@ object Explain {
     "f_throttle_size" -> "admit-only byte throttle ((key,pane) repartition + one sorted pass)",
     "fql_agg_group" -> "FluentQL frontend → Catalyst aggregate",
     "x_ann_kmeans" -> "k-means final assignment (fused literal-centroid argmax — map-only, no join, no exchange)",
+    "x_dedup_semantic_scaled" -> "adaptive-k SemDeDup (map-only nearest_cell assignment + one cell shuffle + cell_max_cosine — plan O(1) in k, no joins)",
     "x_ann_quantized" -> "scalar-quantized top-k (binary-packed vectors, codegen byte dot product)",
     "f_otlp_ingest_pb" -> "OTLP binary protobuf ingest (gzip + direct pb→rows decode, single message walk)",
     "x_text_ngrams" -> "corpus ngram census (codegen shingles → HashAggregate → TakeOrderedAndProject)",

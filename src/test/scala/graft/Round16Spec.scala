@@ -411,4 +411,57 @@ class Round16Spec extends AnyFunSuite {
       case None    => spark.conf.unset(PROV)
     }
   }
+
+  test("dedup-horizon soak: dropDuplicatesWithinWatermark evicts " +
+       "expired keys, suppresses within the horizon, re-admits beyond") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 3000 events, one per minute, over 50 recycling keys: each key
+    // recurs every 50 min against a 60-min dedup horizon — recurrences
+    // are suppressed while the key's state epoch lives, re-admitted
+    // after watermark eviction. 12 drains ≈ 250-min watermark steps.
+    val horizonSec = 3600L
+    val rows = (0 until 3000).map(i =>
+      (s"k${i % 50}", 1700000000L + i * 60L))
+    val in = MemoryStream[(String, Long)]
+    val dd = in.toDS().toDF("hash", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", s"$horizonSec seconds")
+      .dropDuplicatesWithinWatermark("hash")
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.queries.StreamQueries.scratchRoot),
+      "graft_horizon_soak").toString
+    val tbl = "horizon_soak_sink"
+    val q = dd.writeStream.format("memory").queryName(tbl)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      rows.grouped(250).foreach { c =>
+        in.addData(c); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table(tbl).select("hash", "sec").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    spark.catalog.dropTempView(tbl)
+    val prog = q.recentProgress.toSeq.filter(_.stateOperators.nonEmpty)
+    val maxState = prog.map(_.stateOperators.head.numRowsTotal).max
+    val removed = prog.map(_.stateOperators.head.numRowsRemoved).sum
+    // (a) bounded state: live epochs ≤ ~keys × overlapping horizons —
+    // never the 3000-event stream length
+    assert(maxState <= 200 && maxState < rows.size / 4,
+      s"horizon state not bounded: max $maxState of ${rows.size} events")
+    assert(removed > 0, "no horizon evictions ever happened")
+    // (b) re-admission beyond the horizon: eviction is visible in the
+    // OUTPUT, not just the store metrics
+    val byKey = got.groupBy(_._1).map { case (_, v) =>
+      v.map(_._2).sorted }
+    assert(byKey.exists(_.size >= 2),
+      s"no key was ever re-admitted (${got.length} emissions)")
+    // (c) the dedup contract: consecutive emissions of the SAME key are
+    // ≥ horizon apart in event time (state expires at firstSeen +
+    // horizon, never earlier)
+    for (times <- byKey; w <- times.sliding(2) if w.size == 2)
+      assert(w(1) - w(0) >= horizonSec,
+        s"duplicate admitted inside the horizon: ${w(0)} -> ${w(1)}")
+  }
 }
