@@ -187,6 +187,47 @@ object StreamBench {
       (elapsed, got)
     }
 
+    // ---- windowed-agg mode: watermark eviction LIVE -------------------
+    // The engine's windowed-aggregation ingest rate with the state store
+    // evicting behind the watermark the whole time — the throughput twin
+    // of the x_soak_window_stream correctness gate, and the reference's
+    // core stream-processor shape (WINDOW TUMBLING,
+    // /root/reference/src/stream_processor/flb_sp_window.c). One event
+    // per second over `card` series, 1-hour windows, 2-hour watermark:
+    // every 20k-event chunk advances the watermark ~5.5 hours, so state
+    // holds ~(card × horizon) windows while hundreds have been emitted
+    // and evicted by the drain. A far-future flush event (sentinel
+    // series, never emitted itself) closes every real window so the
+    // drain target is the full closed-window relation.
+    def runWindow(evs: IndexedSeq[(String, Long, Double)],
+                  expected: Long): (Double, Long) = {
+      val name = "win_" + nameCtr.incrementAndGet()
+      val chunks = evs.grouped(20000).toSeq
+      val flush = ("zz_flush", evs.last._2 + 86400L * 30, 0.0)
+      val in = MemoryStream[(String, Long, Double)]
+      val agg = in.toDS().toDF("series", "sec", "value")
+        .withColumn("ts", timestamp_seconds(col("sec")))
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("series"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.ProcessingTime(25)).start()
+      val t0 = System.nanoTime()
+      chunks.foreach(in.addData(_))
+      in.addData(flush)
+      val got = drainCount(spark, name, expected, deadlineMs = 300000)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      spark.catalog.dropTempView(name)
+      require(got == expected,
+        s"window drain incomplete: $got of $expected closed windows")
+      (elapsed, got)
+    }
+
+    def mkEvents(n: Int, card: Int): IndexedSeq[(String, Long, Double)] =
+      (0 until n).map(i =>
+        (s"s${i % card}", 1700000000L + i.toLong, (i % 997).toDouble))
+
     val PROV = "spark.sql.streaming.stateStore.providerClass"
     def withRocks[T](body: => T): T = {
       spark.conf.set(PROV, "org.apache.spark.sql.execution.streaming." +
@@ -231,6 +272,16 @@ object StreamBench {
     val hiTailCell = cell(hiTotal, () => runTail(hi))
     val hiRocksCell = withRocks(cell(hiTotal, () => runTail(hi)))
 
+    // windowed-agg eviction cells: 1.2M events / 256 series / ~333
+    // 1-hour windows closed per run — events/s with eviction live
+    val wev = mkEvents(n = 1200000, card = 256)
+    val wevTotal = wev.size.toLong
+    val wevExpected = wev.map(e => (e._2 / 3600L, e._1)).distinct.size.toLong
+    runWindow(wev, wevExpected); withRocks(runWindow(wev, wevExpected))
+    val winCell = cell(wevTotal, () => runWindow(wev, wevExpected))
+    val winRocksCell =
+      withRocks(cell(wevTotal, () => runWindow(wev, wevExpected)))
+
     println(
       s"""{"metric":"stream_spans_per_sec","unit":"spans/sec",""" +
       s""""spans_per_trace":$SpansPerTrace,""" +
@@ -238,7 +289,10 @@ object StreamBench {
       s""""probabilistic":$probCell,"tail":$tailCell,""" +
       s""""tail_rocksdb":$rocksCell},""" +
       s""""card65536":{"traces":64000,"total_spans":$hiTotal,""" +
-      s""""tail":$hiTailCell,"tail_rocksdb":$hiRocksCell}""" +
+      s""""tail":$hiTailCell,"tail_rocksdb":$hiRocksCell},""" +
+      s""""windowed_agg":{"events":$wevTotal,"series":256,""" +
+      s""""closed_windows":$wevExpected,""" +
+      s""""eviction":$winCell,"eviction_rocksdb":$winRocksCell}""" +
       (if (telemetry) s""","telemetry":"on"""" else "") + "}")
     telServer.foreach(_.close())
     telListener.foreach(spark.streams.removeListener)
