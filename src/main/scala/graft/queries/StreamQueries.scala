@@ -1769,7 +1769,12 @@ object StreamQueries {
           col("value"))
         .as[(String, Long, Double)].collect().sortBy(_._2).toSeq
     }
-    val slices = 12
+    // GRAFT_SOAK_SLICES overrides the drain count for extended-soak
+    // probes: the RESULT is slice-count-invariant (same oracle hash at
+    // any batching), so a 48-slice run proves batch-boundary invariance
+    // and a 4×-longer eviction history at 4× the micro-batch floor
+    val slices =
+      sys.env.getOrElse("GRAFT_SOAK_SLICES", "12").toInt.max(2)
     val chunk = math.max(1, (ev.size + slices - 1) / slices)
     val winUs = 3600L * 1000000L
     // plateau bound from the feed itself: at batch end the store
