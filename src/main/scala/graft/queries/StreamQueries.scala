@@ -1800,6 +1800,14 @@ object StreamQueries {
       .select(unix_micros(col("window.start")).as("win_us"),
         col("event_type"), col("n_events"), col("value_sum"))
     val table = sinkName("x_soak_window_stream")
+    // the stats below read q.recentProgress — a ring buffer (default
+    // 100) that would silently DROP the earliest batches of a long
+    // extended-soak run (the same ring-eviction undercount class the
+    // r15 ADVICE flagged for SelfTelemetry.snapshot): size it to the
+    // replay so every stateful batch is visible, and restore after
+    val RING = "spark.sql.streaming.numRecentProgressUpdates"
+    val savedRing = s.conf.getOption(RING)
+    s.conf.set(RING, math.max(100, slices * 3).toString)
     val q = startToMemory(agg, table)
     try {
       ev.grouped(chunk).foreach { c =>
@@ -1809,7 +1817,13 @@ object StreamQueries {
       in.addData(flush)
       q.processAllAvailable()
     } catch { case e: Throwable => abortReplay(s, table); throw e }
-    finally q.stop()
+    finally {
+      q.stop()
+      savedRing match {
+        case Some(v) => s.conf.set(RING, v)
+        case None    => s.conf.unset(RING)
+      }
+    }
     val prog = q.recentProgress.toSeq.filter(_.stateOperators.nonEmpty)
     val maxState =
       if (prog.isEmpty) 0L

@@ -439,7 +439,14 @@ class Round16Spec extends AnyFunSuite {
       rows.grouped(250).foreach { c =>
         in.addData(c); q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(ckpt))
+    }
     val got = spark.table(tbl).select("hash", "sec").collect()
       .map(r => (r.getString(0), r.getLong(1)))
     spark.catalog.dropTempView(tbl)
