@@ -19,6 +19,12 @@ import graft.queries.StreamQueries
   * `/api/v1/metrics` endpoint
   * (`/root/reference/src/http_server/api/v1/metrics.c`).
   * (4) Upstream-node config strictness + env interpolation (ADVICE r15).
+  * (5) The round's unbounded-runtime evidence: the bounded-state soak
+  * (`x_soak_window_stream`) asserted here beyond the gate's own checks
+  * (plateau ≪ stream length, eviction keeps pace), re-run under the
+  * RocksDB provider, plus the dedup-HORIZON soak
+  * (`dropDuplicatesWithinWatermark`: state plateaus, expired keys
+  * re-admit beyond the horizon, same-key emissions ≥ horizon apart).
   */
 class Round16Spec extends AnyFunSuite {
   import TestSpark._
