@@ -418,6 +418,98 @@ class Round16Spec extends AnyFunSuite {
     }
   }
 
+  test("file-tail soak: the eviction soak holds on the PRODUCTION " +
+       "source path — files arriving like rotated logs, not " +
+       "MemoryStream") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Paths.get(
+      graft.queries.StreamQueries.scratchRoot)
+    val watched = java.nio.file.Files
+      .createTempDirectory(root, "graft_tail_soak")
+    val stage = java.nio.file.Files
+      .createTempDirectory(root, "graft_tail_soak_stage")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(root, "graft_tail_soak_ckpt")
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    try {
+      val ev = spark.read.parquet(sf + "/events.parquet")
+        .select(col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          col("value"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._2).toSeq
+      val slices = 12
+      val chunk = math.max(1, (ev.size + slices - 1) / slices)
+      val winUs = 3600L * 1000000L
+      val series = ev.map(_._1).distinct.size
+      val maxSliceWins = ev.grouped(chunk)
+        .map(c => c.last._2 / winUs - c.head._2 / winUs + 1).max
+      val bound = series * (maxSliceWins + 8) + 1
+      import spark.implicits._
+      // one parquet file per slice, landed ATOMICALLY into the watched
+      // dir (write to a staging dir, move the part file in) — the
+      // rotated-log arrival pattern FileStreamSource is built for
+      def land(rows: Seq[(String, Long, Double)], name: String): Unit = {
+        val tmp = stage.resolve(name)
+        rows.toDF("event_type", "us", "value")
+          .coalesce(1).write.parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          watched.resolve(name + ".parquet"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+      }
+      val sch = StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("us", LongType),
+        StructField("value", DoubleType)))
+      val agg = spark.readStream.schema(sch).parquet(watched.toString)
+        .withColumn("ts", timestamp_micros(col("us")))
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_micros(col("window.start")).as("win_us"),
+          col("event_type"), col("n_events"))
+      val tbl = "tail_soak_sink"
+      val q = agg.writeStream.format("memory").queryName(tbl)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try {
+        ev.grouped(chunk).zipWithIndex.foreach { case (c, i) =>
+          land(c, f"slice_$i%03d"); q.processAllAvailable()
+        }
+        land(Seq(("zz_soak_flush",
+          ev.last._2 + 86400L * 30 * 1000000L, 0.0)), "slice_flush")
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table(tbl)
+        .filter(col("event_type") =!= "zz_soak_flush")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      spark.catalog.dropTempView(tbl)
+      val prog = q.recentProgress.toSeq.filter(_.stateOperators.nonEmpty)
+      val maxState = prog.map(_.stateOperators.head.numRowsTotal).max
+      val removed = prog.map(_.stateOperators.head.numRowsRemoved).sum
+      assert(prog.size >= 12, s"too few stateful batches: ${prog.size}")
+      assert(maxState <= bound && maxState < got.size.max(1),
+        s"file-source state not bounded: max $maxState, bound $bound, " +
+          s"windows ${got.size}")
+      assert(removed > 0 && removed >= got.size,
+        s"file-source eviction lagged emission: removed $removed of " +
+          s"${got.size}")
+      val want = ev.groupBy(e => (e._2 / winUs * winUs, e._1))
+        .map { case ((w, s2), v) => (w, s2, v.size.toLong) }.toSet
+      assert(got == want,
+        s"file-tail soak relation mismatch: ${got.size} vs ${want.size}")
+    } finally {
+      rm(watched.toFile); rm(stage.toFile); rm(ckpt.toFile)
+    }
+  }
+
   test("dedup-horizon soak: dropDuplicatesWithinWatermark evicts " +
        "expired keys, suppresses within the horizon, re-admits beyond") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
