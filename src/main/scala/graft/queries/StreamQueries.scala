@@ -1727,6 +1727,55 @@ object StreamQueries {
                       CAST(n_keep AS VARCHAR) FROM m""")
     ),
 
+    // WINDOW-state checkpoint-resume (completing the resume trilogy:
+    // set state = x_dedup_resume_*, order-dependent cursor state =
+    // x_pack_resume_stream, and now windowed-aggregation state under a
+    // watermark): the soak's tumbling-window aggregation killed
+    // mid-feed with an undrained chunk in flight. Because the chunks
+    // are count-based quarters of a time-ordered feed, a 1-hour window
+    // STRADDLES the kill — its partial count/sum lives only in the
+    // checkpointed state store while the rest of its events arrive
+    // after the restart — and the recovered run must also restore the
+    // WATERMARK from the offset log (a reset watermark could re-emit
+    // already-closed windows; a corrupted partial would miscount the
+    // straddler). Exactly-once of the whole closed-window relation is
+    // the oracle hash. Reference analog: window state surviving an
+    // agent restart via filesystem buffers
+    // (/root/reference/src/flb_storage.c, flb_sp_window.c).
+    GraftQuery(
+      "x_window_resume_stream",
+      (s, dir) => {
+        import s.implicits._
+        val ev = fixture("x_soak_window_stream#ev", dir) {
+          Tables.events(s, dir)
+            .select(col("event_type"), unix_micros(col("ts")).as("us"),
+              col("value"))
+            .as[(String, Long, Double)].collect().sortBy(_._2).toSeq
+        }
+        val rows =
+          ev :+ (("zz_soak_flush",
+            ev.last._2 + 86400L * 30 * 1000000L, 0.0))
+        resumeReplay(s, rows, (ds: Dataset[(String, Long, Double)]) =>
+          ds.toDF("event_type", "us", "value")
+            .withColumn("ts", timestamp_micros(col("us")))
+            .withWatermark("ts", "2 hours")
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(col("value").cast("decimal(28,6)")).cast("double")
+                .as("value_sum"))
+            .select(unix_micros(col("window.start")).as("win_us"),
+              col("event_type"), col("n_events"), col("value_sum")),
+          "window")
+          .filter(col("event_type") =!= "zz_soak_flush")
+      },
+      Some("""SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_us,
+                    event_type,
+                    CAST(count(*) AS BIGINT) AS n_events,
+                    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                      AS value_sum
+             FROM events GROUP BY 1, 2""")
+    ),
+
     // Bounded-state soak (the "runs forever" axis): a watermarked
     // tumbling-window aggregation fed a MONTH of events in 12
     // time-ordered slices — ~26 micro-batches (each drain runs the data

@@ -418,6 +418,27 @@ class Round16Spec extends AnyFunSuite {
     }
   }
 
+  test("window-state resume: the restart really resumed, windows were " +
+       "emitted on BOTH sides of the kill, and the relation is exact") {
+    StreamQueries.lastResumeStats = null
+    val got = SparkEntry.queries("x_window_resume_stream")(spark, sf)
+    val n = got.count()
+    val st = StreamQueries.lastResumeStats
+    assert(st != null && st.resumedFromBatch > 0,
+      s"window restart did not resume from the checkpoint: $st")
+    // windows emitted BEFORE the kill (watermark advanced far enough
+    // to close some), and the relation was NOT complete at the kill —
+    // the straddling window's partial state had to be recovered
+    assert(st.rowsBeforeKill > 0 && st.rowsBeforeKill < n,
+      s"kill point did not split the window relation: " +
+        s"${st.rowsBeforeKill} of $n at kill")
+    val want = spark.read.parquet(sf + "/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .count().count()
+    assert(n == want, s"window-resume relation: $n vs batch $want")
+  }
+
   test("file-tail soak: the eviction soak holds on the PRODUCTION " +
        "source path — files arriving like rotated logs, not " +
        "MemoryStream") {
