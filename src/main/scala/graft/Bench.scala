@@ -140,8 +140,19 @@ object Bench {
         try {
           graft.graph.GraphFixtures.plantedEdges(spark, sfDir)
           graft.graph.GraphFixtures.plantedDegrees(spark, sfDir)
-          graft.graph.GraphFixtures.orientedPlanted(spark, sfDir)
-          graft.graph.GraphFixtures.suppressedAdj(spark, sfDir)
+          // oriented and suppressed depend only on edges+degrees, not on
+          // each other — overlap their jobs so one build's straggler
+          // tail back-fills with the other's tasks (guide §2.6)
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+          try {
+            val fs = Seq(
+              () => graft.graph.GraphFixtures.orientedPlanted(spark, sfDir),
+              () => graft.graph.GraphFixtures.suppressedAdj(spark, sfDir)
+            ).map(f => pool.submit(new java.util.concurrent.Callable[AnyRef] {
+              def call(): AnyRef = f()
+            }))
+            fs.foreach(_.get())
+          } finally pool.shutdown()
           Seq("x_graph_fixture_build" -> (System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable =>
           Seq("x_graph_fixture_build" -> -1.0)

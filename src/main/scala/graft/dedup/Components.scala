@@ -72,8 +72,18 @@ object Components {
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25,
                           reliable: Boolean = false): DataFrame = {
+    // LAZY checkpoint (r16 optimization round): the eager form ran one
+    // job to materialize each round's edge set and a SECOND job for the
+    // convergence signature right after. Lazily marking the checkpoint
+    // lets sig()'s aggregate materialize the blocks in the SAME job —
+    // the edge relation is computed exactly once either way (sig scans
+    // it once), but each round pays one job/scheduling round-trip
+    // instead of two. Lineage is still truncated before the next round
+    // builds on it: the returned plan is already a LogicalRDD, and the
+    // sig() action (which always follows, below) persists the blocks
+    // and drops the RDD lineage.
     def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      if (reliable) df.checkpoint() else df.localCheckpoint(eager = false)
     var e = truncate(pairs
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))

@@ -44,8 +44,13 @@ object Dedup {
     * window function, no shuffle, no per-document sort.
     */
   def shingles(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame =
-    df.select(idCol.as("doc_id"),
-      explode(graft.functions.TextFunctions.wordShingles(textCol, n)).as("shingle"))
+    // fanOut (r16): the shingle explode and every per-shingle digest
+    // downstream (k-way minhash) otherwise run inside the split-starved
+    // scan's single task; identity at production split counts
+    graft.model.Tables.fanOut(df.select(idCol.as("doc_id"), textCol.as("__t")),
+        col("doc_id"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.wordShingles(col("__t"), n)).as("shingle"))
 
   /** Mersenne prime 2^31-1 — modulus of the universal hash family. */
   val P31 = 2147483647L
@@ -175,7 +180,9 @@ object Dedup {
     * of the vote sum per bit. Pure expressions — no UDF.
     */
   def simhash64(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val toks = df.select(idCol.as("doc_id"), explode(split(textCol, " ")).as("tok"))
+    val toks = graft.model.Tables.fanOut(
+        df.select(idCol.as("doc_id"), textCol.as("__t")), col("doc_id"))
+      .select(col("doc_id"), explode(split(col("__t"), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val votes = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
@@ -265,7 +272,9 @@ object Dedup {
     * oracle-checkable form; same algorithm, narrower signature.
     */
   def simhash16(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val toks = df.select(idCol.as("doc_id"), explode(split(textCol, " ")).as("tok"))
+    val toks = graft.model.Tables.fanOut(
+        df.select(idCol.as("doc_id"), textCol.as("__t")), col("doc_id"))
+      .select(col("doc_id"), explode(split(col("__t"), " ")).as("tok"))
       .withColumn("h", md5(col("tok")))
     val votes = (1 to 16).map { p =>
       sum(when(ascii(substring(col("h"), p, 1)) % 2 === 1, 1).otherwise(-1)).as(s"v$p")
@@ -293,7 +302,12 @@ object Dedup {
     */
   def chunkDedup(df: DataFrame, idCol: Column, textCol: Column,
                  chunkTokens: Int = 20): DataFrame = {
-    val toks = split(textCol, " ")
+    // fanOut (r16): chunk slicing + hashing is the expensive map work on
+    // BOTH the counting and the reassembly side; both read this base
+    val base = graft.model.Tables.fanOut(
+      df.select(idCol.as("__id"), textCol.as("__t")), col("__id"))
+    val idCol2 = col("__id")
+    val toks = split(col("__t"), " ")
     val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
     val chunks = transform(sequence(lit(0), nChunks - 1), i =>
       struct(i.as("pos"),
@@ -304,8 +318,8 @@ object Dedup {
     // reassembly shuffle (twice over the network); now it crosses once,
     // in the final doc-keyed join, and the dup verdict comes back as a
     // small sorted position list applied map-side
-    val exploded = df
-      .select(idCol.as("doc_id"), explode(chunks).as("c"))
+    val exploded = base
+      .select(idCol2.as("doc_id"), explode(chunks).as("c"))
       .select(col("doc_id"), col("c.pos").as("pos"),
         xxhash64(col("c.chunk")).as("__h"))
     val counts = exploded.groupBy(col("__h"))
@@ -316,7 +330,7 @@ object Dedup {
         sum(when(col("__n") > 1, 1L).otherwise(0L)).as("n_dup"),
         sort_array(collect_list(when(col("__n") > 1, col("pos"))))
           .as("__dups"))
-    df.select(idCol.as("doc_id"), chunks.as("__cs"))
+    base.select(idCol2.as("doc_id"), chunks.as("__cs"))
       .join(verdict, "doc_id")
       .select(col("doc_id"), col("n_chunks"), col("n_dup"),
         array_join(transform(
@@ -341,14 +355,17 @@ object Dedup {
     */
   def boilerplateStrip(df: DataFrame, idCol: Column, textCol: Column,
                        chunkTokens: Int = 20, minDocs: Int = 3): DataFrame = {
-    val toks = split(textCol, " ")
+    val base = graft.model.Tables.fanOut(
+      df.select(idCol.as("__id"), textCol.as("__t")), col("__id"))
+    val idCol2 = col("__id")
+    val toks = split(col("__t"), " ")
     val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
     val chunks = transform(sequence(lit(0), nChunks - 1), i =>
       struct(i.as("pos"),
         array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")
           .as("chunk")))
-    val exploded = df
-      .select(idCol.as("doc_id"), explode(chunks).as("c"))
+    val exploded = base
+      .select(idCol2.as("doc_id"), explode(chunks).as("c"))
       .select(col("doc_id"), col("c.pos").as("pos"),
         xxhash64(col("c.chunk")).as("__h"))
     val heavy = exploded.select(col("doc_id"), col("__h")).distinct()
@@ -362,7 +379,7 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("__nb"),
         sort_array(collect_list(col("pos"))).as("__bp"))
-    df.select(idCol.as("doc_id"), chunks.as("__cs"))
+    base.select(idCol2.as("doc_id"), chunks.as("__cs"))
       .join(verdict, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("__cs")).cast("long").as("n_chunks"),
@@ -402,9 +419,10 @@ object Dedup {
     // (doc, hash) table is roughly corpus-sized, so caching it trades
     // executor memory for a cheap stateless re-scan (the kernel re-runs
     // at parquet-scan speed).
-    val windows = df
-      .select(idCol.as("doc_id"),
-        explode(graft.functions.TextFunctions.windowMd5(text, win, stride))
+    val windows = graft.model.Tables.fanOut(
+        df.select(idCol.as("doc_id"), text.as("__t")), col("doc_id"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.windowMd5(col("__t"), win, stride))
           .as("__h"))
     val counts = windows.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
     // only the DUPLICATED hashes flow back — in a mostly-unique corpus
@@ -446,7 +464,13 @@ object Dedup {
   def editDistanceJoin(df: DataFrame, idCol: Column, strCol: Column,
                        q: Int = 8, maxDist: Int = 2,
                        hotGramCap: Int = 64): DataFrame = {
-    val base = df.select(idCol.cast("long").as("id"), strCol.as("s"))
+    // fanOut (r16): a split-starved scan otherwise runs the whole gram
+    // derivation below in ONE task (6.6 s of a 7.7 s sf0.1 run) — the
+    // q-gram explode is the operator's expensive map work and must ride
+    // the session's full parallelism. Identity at production split
+    // counts (see Tables.fanOut).
+    val base = graft.model.Tables.fanOut(
+      df.select(idCol.cast("long").as("id"), strCol.as("s")), col("id"))
     // gram rows carry (id, len, gram) — the string BODY never rides the
     // candidate stream: the gram join, the length prefilter and the
     // pair-dedup all run on ids + a 4-byte length, so the wide shuffle

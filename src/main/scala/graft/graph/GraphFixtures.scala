@@ -113,8 +113,10 @@ object GraphFixtures {
       if (old != null && !k._1.sparkContext.isStopped) old
       else {
         val e = plantedEdges(s, dir)
+        // explode over the 2-element endpoint array = ONE scan of the
+        // cached edge relation instead of the union's two (r16)
         materialize(
-          e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+          e.select(explode(array(col("a"), col("b"))).as("v"))
             .groupBy(col("v")).agg(count(lit(1)).as("dg")))
       })
 

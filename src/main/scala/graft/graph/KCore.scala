@@ -46,11 +46,18 @@ object KCore {
       s"peel is a bounded-loop operator: rounds=$rounds > $MaxRounds; " +
         "chunk longer runs with explicit checkpoints between chunks")
     val spark = edgesRaw.sparkSession
+    // ONE scan of the edge set per degree build (r16 optimization
+    // round): the former unionAll form scanned e twice (once per
+    // endpoint projection) — with the lazy per-round checkpoint below,
+    // a double scan inside the materializing job could even compute a
+    // yet-uncached partition twice. explode over the 2-element endpoint
+    // array is the same multiset of vertex rows from a single pass.
     def degOf(e: DataFrame): DataFrame =
-      e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      e.select(explode(array(col("a"), col("b"))).as("v"))
         .groupBy(col("v")).agg(count(lit(1)).as("dg"))
     val round0 =
-      if (inputMaterialized) edgesRaw else edgesRaw.localCheckpoint()
+      if (inputMaterialized) edgesRaw
+      else edgesRaw.localCheckpoint(eager = false) // round 1 materializes
     var edges = round0
     var deg = degOf(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val metrics = Seq.newBuilder[(Long, Long, Long)]
@@ -69,9 +76,12 @@ object KCore {
         .join(dropped.select(col("v").as("a")), Seq("a"), "left_anti")
         .join(dropped.select(col("v").as("b")), Seq("b"), "left_anti")
         .select(col("a"), col("b"))
-        // truncate the iterative lineage (see scaladoc) — also the
-        // round barrier that materializes the new edge set
-        .localCheckpoint()
+        // truncate the iterative lineage (see scaladoc). LAZY (r16
+        // optimization round): the fused degree/metrics aggregate below
+        // is the round barrier that materializes the new edge set —
+        // one job per round instead of a checkpoint job plus a metrics
+        // job (degOf scans edges once, so nothing is computed twice)
+        .localCheckpoint(eager = false)
       deg = degOf(edges).persist(StorageLevel.MEMORY_AND_DISK)
       // ONE fused aggregate yields both metrics (Σdg = 2·|E|) and
       // materializes the persisted degree table for the next round's
@@ -131,7 +141,9 @@ object KCore {
           "left_semi")
         .select(col("v")).distinct()
         .join(broadcast(visited), Seq("v"), "left_anti")
-        .localCheckpoint()
+        // lazy: the count() right below is the materializing action —
+        // one job per round instead of checkpoint + count (r16)
+        .localCheckpoint(eager = false)
       checkpoints += frontier
       val nf = frontier.count()
       // visited is a union of already-checkpointed frontiers — its

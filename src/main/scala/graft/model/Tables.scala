@@ -38,6 +38,39 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread expression-heavy map work across the session's shuffle
+    * parallelism when the upstream scan is split-starved (guide §2.5
+    * "input skew: one unsplittable file — repartition immediately after
+    * the read"). A single-row-group parquet file plans as ONE task, so
+    * every per-row expression downstream (gram explode, k-way minhash,
+    * digest derivation) runs single-threaded no matter how many cores
+    * the session has — measured 6.6 s of an 7.7 s x_fuzzy_join run in
+    * one task at sf0.1. The repartition hashes on `key` with an EXPLICIT
+    * partition count (user-specified counts are exempt from AQE
+    * coalescing, which would otherwise fold the small exchange right
+    * back to one partition). Scale-adaptive by construction: when the
+    * scan already has at least a quarter of the session parallelism
+    * (any real multi-file table at production scale), this is the
+    * identity — no extra exchange ever reaches a 100 TB plan.
+    */
+  def fanOut(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    // streaming inputs have no .rdd and their micro-batch sources set
+    // their own partitioning — the split-starvation question is a batch
+    // scan concern only
+    if (df.isStreaming) return df
+    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions * 4 < target) df.repartition(target, key)
+    else df
+  }
+
+  // NOTE (r16): a row-hash fanOut variant for the OTLP body encoders
+  // was tried and REVERTED — their input rows are wide (attr maps,
+  // span-event arrays), so the extra exchange's serialization cost
+  // exceeded the single-task map work it parallelized (f_otlp_traces
+  // +90% measured). fanOut pays only where the pre-exchange rows are
+  // narrow and the downstream per-row work is expensive (gram/shingle/
+  // token explodes, digest loops).
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")

@@ -257,8 +257,18 @@ object ExtQueries {
       lit(crlf + crlf), payload, lit(crlf + crlf))
     val info = "WARC/1.0" + crlf + "WARC-Type: warcinfo" + crlf +
       "Content-Length: 0" + crlf + crlf + crlf + crlf
+    // segment spread (r16): AQE coalesces the 16-group segment exchange
+    // to ONE post-shuffle partition at bench scale, so the whole
+    // downstream warc-scan → extract → gopher chain ran single-task
+    // (1.48 s of the 2.3 s x_crawl_pipeline run). The segment count is
+    // fixed at 16 by construction (doc_id % 16), so hash-repartitioning
+    // 16 one-blob rows is free at every scale and spreads the blob
+    // scanners across cores (hash, not range: repartitionByRange pays a
+    // sampling job per action — measured a 2x slowdown on the small
+    // x_warc_ingest gate).
     val plain = docs.groupBy((col("doc_id") % 16).as("seg"))
       .agg(concat_ws("", collect_list(rec)).as("recs"))
+      .repartition(16, col("seg"))
       .select(encode(concat(lit(info), col("recs")), "UTF-8").as("blob"))
     if (gzip)
       plain.select(

@@ -39,7 +39,11 @@ object Sketches {
     */
   def countMinCells(df: DataFrame, text: Column, d: Int = 4,
                     w: Int = 1024): DataFrame =
-    df.select(explode(split(text, " ")).as("tok"))
+    // fanOut (r16): the token explode runs d md5 digests per token —
+    // a split-starved scan otherwise serializes the whole build on one
+    // task (0.99 s of the 1.5 s x_sketch_countmin pin)
+    graft.model.Tables.fanOut(df.select(text.as("__t")), col("__t"))
+      .select(explode(split(col("__t"), " ")).as("tok"))
       .select(col("tok"),
         explode(typedLit((0 until d).toArray)).as("r"))
       .groupBy(col("r"),
@@ -68,8 +72,9 @@ object Sketches {
                        cms: Array[Array[Long]]): DataFrame = {
     val d = cms.length
     val w = cms(0).length
-    val trueCounts = df
-      .select(explode(split(text, " ")).as("token"))
+    val trueCounts = graft.model.Tables.fanOut(
+        df.select(text.as("__t")), col("__t"))
+      .select(explode(split(col("__t"), " ")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("true_cnt"))
     def cell(r: Int): Column =
       element_at(typedLit(cms(r)),

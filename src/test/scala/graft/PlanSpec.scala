@@ -17,6 +17,37 @@ class PlanSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  test("fanOut spreads a split-starved scan; identity when well-split or streaming") {
+    // r16: single-row-group parquet plans as ONE task, so every
+    // expression-heavy map chain downstream ran single-threaded; fanOut
+    // repartitions to the session parallelism ONLY in that deficit case
+    import org.apache.spark.sql.functions.col
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try {
+      val target = 16
+      val starved = graft.model.Tables.documents(spark, sf)
+      assert(starved.rdd.getNumPartitions * 4 < target,
+        "fixture not split-starved; test premise broken")
+      val spread = graft.model.Tables.fanOut(starved, col("doc_id"))
+      assert(spread.rdd.getNumPartitions == target,
+        s"expected $target partitions, got ${spread.rdd.getNumPartitions}")
+      // result-identity: same multiset of rows
+      assert(spread.count() == starved.count())
+      assert(spread.select("doc_id").exceptAll(starved.select("doc_id")).isEmpty)
+      // well-split input: fanOut must be the identity (no extra exchange)
+      val wide = starved.repartition(target, col("doc_id"))
+      assert(graft.model.Tables.fanOut(wide, col("doc_id")) eq wide)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    // streaming input: must pass through untouched (no .rdd probe)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val sdf = mem.toDS().toDF("doc_id")
+    assert(graft.model.Tables.fanOut(sdf, col("doc_id")) eq sdf)
+  }
+
   test("WHERE predicates push down to the parquet scan") {
     val plan = planOf("s04_where_cond")
     assert(plan.contains("PushedFilters: [Or(And(GreaterThan(value"), plan.take(2000))
@@ -304,11 +335,14 @@ class PlanSpec extends AnyFunSuite {
   test("crawl pipeline: gate composes into the scan, only builder+dedup shuffle") {
     // extract + gopher gate must stay inside the record scan (no
     // self-join); the only exchanges are the segment builder's groupBy
-    // (test-side synthesis) and the dedup window — 2 total
+    // (test-side synthesis), the builder's 16-row segment spread (r16:
+    // keeps each blob's scanner on its own core — AQE otherwise
+    // coalesces the whole downstream chain onto one task) and the
+    // dedup window — 3 total
     val plan = planOf("x_crawl_pipeline")
     assert(!plan.contains("Join"), "gate must not self-join:\n" + plan.take(3000))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(exchanges == 2, s"expected builder+dedup shuffles only, got $exchanges:\n" +
+    assert(exchanges == 3, s"expected builder+spread+dedup shuffles only, got $exchanges:\n" +
       plan.take(3000))
   }
 
@@ -353,13 +387,14 @@ class PlanSpec extends AnyFunSuite {
 
   test("warc ingest scans each segment once, inside codegen") {
     // parsing must be the warc_scan single-pass expression feeding
-    // Generate; the only shuffle is the segment-builder groupBy (the
-    // test-side synthesis) — segments themselves are embarrassingly
-    // parallel, the axis a 64k-file crawl dump scales on
+    // Generate; the only shuffles are the segment-builder groupBy (the
+    // test-side synthesis) and its 16-row segment spread (r16) —
+    // segments themselves are embarrassingly parallel, the axis a
+    // 64k-file crawl dump scales on
     val plan = planOf("x_warc_ingest")
     assert(plan.contains("warc_scan"), plan.take(3000))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(exchanges == 1, s"expected only the builder shuffle, got $exchanges:\n" +
+    assert(exchanges == 2, s"expected builder+spread shuffles only, got $exchanges:\n" +
       plan.take(2500))
   }
 
