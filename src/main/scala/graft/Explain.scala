@@ -34,7 +34,7 @@ object Explain {
     "x_dsir_weights" -> "DSIR importance scoring (literal count-table model state, map-only fold)",
     "x_warc_ingest" -> "WARC/WET segment scan (codegen warc_scan feeding Generate; segments embarrassingly parallel)",
     "x_html_extract" -> "HTML→text extraction (map-only strip chain + codegen entity scanner)",
-    "x_crawl_pipeline" -> "crawl→corpus composition (scan→extract→gate in one projection; builder+dedup shuffles only)",
+    "x_crawl_pipeline" -> "crawl→corpus composition (scan→extract→gate in one projection; builder+segment-spread+dedup shuffles only)",
     "x_contamination_bloom" -> "Bloom decontamination probe (literal bitset, pure projection — no join/explode)",
     "x_pack_sequences" -> "sequence packing (per-shard window cumsum, exact div/mod — no global sort)",
     "x_ann_pq" -> "product-quantized ADC top-k (codegen encode kernel → 8-byte codes, per-query LUT sum)",
