@@ -138,21 +138,7 @@ object Bench {
         graft.graph.GraphFixtures.reset()
         val t0 = System.nanoTime()
         try {
-          graft.graph.GraphFixtures.plantedEdges(spark, sfDir)
-          graft.graph.GraphFixtures.plantedDegrees(spark, sfDir)
-          // oriented and suppressed depend only on edges+degrees, not on
-          // each other — overlap their jobs so one build's straggler
-          // tail back-fills with the other's tasks (guide §2.6)
-          val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-          try {
-            val fs = Seq(
-              () => graft.graph.GraphFixtures.orientedPlanted(spark, sfDir),
-              () => graft.graph.GraphFixtures.suppressedAdj(spark, sfDir)
-            ).map(f => pool.submit(new java.util.concurrent.Callable[AnyRef] {
-              def call(): AnyRef = f()
-            }))
-            fs.foreach(_.get())
-          } finally pool.shutdown()
+          graft.graph.GraphFixtures.buildAll(spark, sfDir)
           Seq("x_graph_fixture_build" -> (System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable =>
           Seq("x_graph_fixture_build" -> -1.0)
@@ -167,7 +153,12 @@ object Bench {
         java.nio.file.Paths.get("bench_full.json")), "UTF-8")
       val sfOk = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
         .exists(_.group(1) == sfDir)
-      if (!sfOk) Map.empty
+      // pins from a different core count are not comparable (the r16
+      // driver's 8-core scaling run was ~15% FASTER than its stormy
+      // 32-core run); a legacy record without the field is accepted
+      val cpusOk = """"cpus":([0-9]+)""".r.findFirstMatchIn(txt)
+        .forall(_.group(1) == cpus)
+      if (!sfOk || !cpusOk) Map.empty
       else """"([^"]+)":([0-9]+\.[0-9]+)""".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
@@ -272,14 +263,23 @@ object Bench {
       """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
         .forall(_.group(1) == sfDir)
     } catch { case _: Throwable => true } // no record yet: establish one
+    // ...or at a DIFFERENT core count (the r16 hazard: the driver's
+    // 8-core scaling run silently overwrote the 32-core calm pins).
+    // Legacy records without the field are upgradable.
+    val cpusMatches = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_full.json")), "UTF-8")
+      """"cpus":([0-9]+)""".r.findFirstMatchIn(txt)
+        .forall(_.group(1) == cpus)
+    } catch { case _: Throwable => true }
     val localMaster = master.startsWith("local[")
     if (only.isEmpty && action == "count" && !stormHeavy && sfMatches &&
-        localMaster) {
+        cpusMatches && localMaster) {
       try {
         val w = new java.io.PrintWriter("bench_full.json")
-        // sf rides along so the storm-retry pins only ever compare
-        // same-scale readings
-        try w.println(s"""{"sf":"$sfDir","queries":${jmap(results)}}""")
+        // sf and cpus ride along so the storm-retry pins only ever
+        // compare same-scale, same-core-count readings
+        try w.println(s"""{"sf":"$sfDir","cpus":$cpus,"queries":${jmap(results)}}""")
         finally w.close()
       } catch { case _: Throwable => () }
     } else if (stormHeavy) {
@@ -287,6 +287,9 @@ object Bench {
         s"past 2x pin after retries) - bench_full.json NOT overwritten")
     } else if (only.isEmpty && action == "count" && !sfMatches) {
       System.err.println(s"[bench] sf $sfDir differs from the committed " +
+        "bench_full.json record - NOT overwritten")
+    } else if (only.isEmpty && action == "count" && !cpusMatches) {
+      System.err.println(s"[bench] cpus $cpus differs from the committed " +
         "bench_full.json record - NOT overwritten")
     }
 
@@ -310,7 +313,16 @@ object Bench {
         val names = stormRows.take(5).map("\"" + _ + "\"").mkString(",")
         s""","n_storms":${stormRows.size},"storms":[$names]"""
       }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"n_queries":${results.size},"load1":${r3(load1)},"queries":$qs,"groups":${jmap(family)},"sf":"$sfDir"$stormJson}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"n_queries":${results.size},"load1":${r3(load1)},"queries":$qs,"groups":${jmap(family)},"sf":"$sfDir","cpus":$cpus$stormJson}"""
+    println(line)
+    // The driver captures stdout through sbt, which prefixes every line
+    // with "[info] " — its JSON parse has failed every round (BENCH_r*:
+    // parsed null since r01). Write the SAME line to a file as a clean
+    // second channel; the stdout contract above is unchanged.
+    try {
+      val w = new java.io.PrintWriter("bench_line.json")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -153,6 +153,33 @@ object GraphFixtures {
           .select(col("u"), col("w"), col("dgw")))
       })
 
+  /** Build all four fixture relations. edges → degrees are sequential
+    * (degrees reads edges), but oriented and suppressed depend only on
+    * those two, not on each other — overlap their jobs from a 2-thread
+    * pool so one build's straggler tail back-fills with the other's
+    * tasks (guide §2.6). On failure the sibling task is cancelled
+    * (shutdownNow + await) so no background build contaminates whatever
+    * the caller times next.
+    */
+  def buildAll(s: SparkSession, dir: String): Unit = {
+    plantedEdges(s, dir)
+    plantedDegrees(s, dir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fs = Seq(
+        () => orientedPlanted(s, dir),
+        () => suppressedAdj(s, dir)
+      ).map(f => pool.submit(new java.util.concurrent.Callable[AnyRef] {
+        def call(): AnyRef = f()
+      }))
+      fs.foreach(_.get())
+    } catch { case t: Throwable =>
+      pool.shutdownNow()
+      pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+      throw t
+    } finally pool.shutdown()
+  }
+
   def orientedPlanted(s: SparkSession, dir: String): DataFrame =
     orientedCache.compute((s, dir), (k, old) =>
       if (old != null && !k._1.sparkContext.isStopped) old
