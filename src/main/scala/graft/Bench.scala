@@ -318,8 +318,10 @@ object Bench {
     // The driver captures stdout through sbt, which prefixes every line
     // with "[info] " — its JSON parse has failed every round (BENCH_r*:
     // parsed null since r01). Write the SAME line to a file as a clean
-    // second channel; the stdout contract above is unchanged.
-    try {
+    // second channel; the stdout contract above is unchanged. Full
+    // default-action runs only — a local subset iteration must not
+    // clobber the record of the last full run.
+    if (only.isEmpty && action == "count") try {
       val w = new java.io.PrintWriter("bench_line.json")
       try w.println(line) finally w.close()
     } catch { case _: Throwable => () }

@@ -134,4 +134,28 @@ object Components {
           .partitionBy(col("component"))))
       .withColumn("is_canonical", col("doc_id") === col("component"))
   }
+
+  /** [[clusters]] over a pre-projected per-document relation: `perDoc`
+    * carries a long `doc_id` (one row per document) plus any feature
+    * columns, which RIDE ALONG through the cluster assignment instead of
+    * being re-joined afterwards. This is the fused-curation shape (r17,
+    * guide §1.2/§2.3): a pipeline that needs per-doc features alongside
+    * the cluster verdict computes them in the SAME corpus scan that
+    * feeds the assignment — at 100 TB each avoided project-then-rejoin
+    * is a full extra scan plus a join of corpus-sized relations. Output:
+    * perDoc's columns + `component`, `cluster_size`, `is_canonical`
+    * (same derivation as [[clusters]]).
+    */
+  def clustersKeeping(perDoc: DataFrame, pairs: DataFrame,
+                      srcCol: String, dstCol: String): DataFrame = {
+    val cc = connectedComponents(pairs, srcCol, dstCol)
+    perDoc
+      .join(cc, col("doc_id") === col("id"), "left")
+      .drop("id")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("component"))))
+      .withColumn("is_canonical", col("doc_id") === col("component"))
+  }
 }

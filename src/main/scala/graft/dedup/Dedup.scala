@@ -124,10 +124,25 @@ object Dedup {
       .select(col("doc_id"), col("__bs.band").as("band"), col("__bs.sig").as("sig"))
   }
 
-  /** Candidate pairs: equi-join on (band, sig), deduped, a<b. */
+  /** Candidate pairs: equi-join on (band, sig), deduped, a<b.
+    *
+    * The input is consumed by BOTH sides of the self-join, and its
+    * heavy ancestry (shingle explode → k minhashes) sits ABOVE the one
+    * doc-keyed exchange since r16's fanOut — so each join side would
+    * recompute the full signature chain (the r17 calm re-pin caught
+    * exactly this on the simhash twins). Repartitioning on the JOIN KEY
+    * here places one shared exchange below both sides (guide §2.4 "two
+    * operations keyed the same way share one exchange"): the signature
+    * subtree computes once, ReuseExchange collapses the second copy,
+    * and the join needs no further shuffle. Rows are (doc_id, band,
+    * 16-byte sig) — narrow and linear at any scale, strictly fewer
+    * bytes than the two per-side exchanges it replaces.
+    */
+
   def candidatePairs(bands: DataFrame): DataFrame = {
-    val a = bands.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
-    val b = bands.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
+    val shared = bands.repartition(col("band"), col("sig"))
+    val a = shared.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+    val b = shared.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
@@ -210,9 +225,13 @@ object Dedup {
       explode(array(bands: _*)).as("__b"))
       .select(col("doc_id"), col("simhash"),
         col("__b.band").as("band"), col("__b.bsig").as("bsig"))
-    val a = exploded.select(col("band"), col("bsig"),
+      // shared join-key exchange below both self-join sides: the vote
+      // aggregation above the r16 fanOut exchange would otherwise run
+      // once PER SIDE (see candidatePairs — same fix, same rationale)
+    val shared = exploded.repartition(col("band"), col("bsig"))
+    val a = shared.select(col("band"), col("bsig"),
       col("doc_id").as("doc_a"), col("simhash").as("__ha"))
-    val b = exploded.select(col("band"), col("bsig"),
+    val b = shared.select(col("band"), col("bsig"),
       col("doc_id").as("doc_b"), col("simhash").as("__hb"))
     // first-matching-band dedup: keep a pair only in the lowest band
     // where its slices agree — every pair emits exactly once, so no
@@ -253,9 +272,14 @@ object Dedup {
       explode(array(bands: _*)).as("__b"))
       .select(col("doc_id"), col("__n"),
         col("__b.band").as("band"), col("__b.bsig").as("bsig"))
-    val a = exploded.select(col("band"), col("bsig"),
+      // shared join-key exchange below both self-join sides: the 16
+      // parity-vote sums above the r16 fanOut exchange would otherwise
+      // run once PER SIDE (see candidatePairs — same fix, same
+      // rationale; caught by the r17 calm re-pin on x_corpus_curate)
+    val shared = exploded.repartition(col("band"), col("bsig"))
+    val a = shared.select(col("band"), col("bsig"),
       col("doc_id").as("doc_a"), col("__n").as("__na"))
-    val b = exploded.select(col("band"), col("bsig"),
+    val b = shared.select(col("band"), col("bsig"),
       col("doc_id").as("doc_b"), col("__n").as("__nb"))
     // first-matching-band dedup (see simhashPairs64): band 1 emits only
     // when the band-0 (high byte) slices differ — no distinct() shuffle.

@@ -293,6 +293,12 @@ object ExtQueries {
       (s, dir) => {
         val sh = Dedup.shingles(Tables.documents(s, dir), col("doc_id"), col("text"), 3)
         val mh = Dedup.minhash(sh, MinhashK)
+        // NOTE (r17): mh's chain recomputes once more for the
+        // estimatedJaccard signature joins (their broadcast sides share
+        // ONE build via broadcast-exchange reuse — Profile-verified). A
+        // doc-keyed repartition can NOT be the sharing point here: the
+        // r16 fanOut already partitions by doc_id, so the optimizer
+        // removes the no-op exchange and the recompute stays.
         val pairs = Dedup.candidatePairs(Dedup.bandSignatures(mh, MinhashK, RowsPerBand))
         Dedup.estimatedJaccard(pairs, mh, MinhashK)
       },
@@ -1474,16 +1480,20 @@ object ExtQueries {
         val docs = Tables.documents(s, dir)
         val pairs = Dedup.simhashPairs16(
           Dedup.simhash16(docs, col("doc_id"), col("text")), maxHamming = 1)
-        val clusters = graft.dedup.Components.clusters(
-          docs, col("doc_id"), pairs, "doc_a", "doc_b")
-        val qual = TextAnalysis.quality(docs, col("doc_id"), col("text"))
-          .select(col("doc_id"), col("quality_score"))
-        val lang = docs.select(col("doc_id"),
-          TextAnalysis.languageId(col("text")).as("pred_lang"))
-        val split = TextAnalysis.hashSplit(docs, col("doc_id"))
-          .select(col("doc_id"), col("split"))
-        clusters.join(qual, "doc_id").join(lang, "doc_id")
-          .join(split, "doc_id")
+        // ONE per-doc feature pass fused into the cluster-assignment
+        // scan (r17, guide §1.2 "don't compute things twice" / §2.3
+        // "project before the exchange"): quality + language + split are
+        // all map-only column expressions over the same rows, so they
+        // ride the docs side of the component join instead of three
+        // separate documents scans re-joined on doc_id afterwards
+        // (before: 4 scans of documents, 3 broadcast joins; the result
+        // set is unchanged — same expressions, same filter).
+        val feats = docs.select(col("doc_id").cast("long").as("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality_score"),
+          TextAnalysis.languageId(col("text")).as("pred_lang"),
+          TextAnalysis.splitOf(col("doc_id")).as("split"))
+        graft.dedup.Components.clustersKeeping(feats, pairs,
+            "doc_a", "doc_b")
           .filter(col("is_canonical") && col("pred_lang") === "en" &&
             col("quality_score") >= 0.5)
           .select(col("doc_id"), col("component"), col("cluster_size"),

@@ -23,6 +23,20 @@ object TextAnalysis {
   def languageId(text: Column, threshold: Int = 2): Column =
     when(enStopwordHits(text) >= threshold, lit("en")).otherwise(lit("other"))
 
+  /** The composite quality score of [[quality]] as a bare column — the
+    * ONE definition both the standalone operator and fused curation
+    * passes share (r17: composing it into a single corpus scan replaces
+    * a project-then-rejoin in `x_corpus_curate`).
+    */
+  def qualityScore(text: Column): Column = {
+    val nWords = size(split(text, " "))
+    val nStop = enStopwordHits(text)
+    round(
+      least(lit(1.0), nWords.cast("double") / 50) * lit(0.5) +
+        least(lit(1.0), nStop.cast("double") * 10 / nWords) * lit(0.5),
+      3)
+  }
+
   /** Quality metrics: length, word count, average word length, stopword
     * ratio, punctuation count; composite score in [0,1] from exact
     * integer ratios (deterministic across engines).
@@ -39,10 +53,7 @@ object TextAnalysis {
       round(nChars.cast("double") / nWords, 3).as("avg_word_len"),
       round(nStop.cast("double") / nWords, 3).as("stopword_ratio"),
       nPunct.as("n_punct"),
-      round(
-        least(lit(1.0), nWords.cast("double") / 50) * lit(0.5) +
-          least(lit(1.0), nStop.cast("double") * 10 / nWords) * lit(0.5),
-        3).as("quality_score"))
+      qualityScore(text).as("quality_score"))
   }
 
   /** Token counting: whitespace tokens and a BPE-ish regex segmentation
@@ -79,11 +90,21 @@ object TextAnalysis {
     * family uses): 0-7 train, 8 val, 9 test. Map-only, no shuffle.
     */
   def hashSplit(df: DataFrame, idCol: Column): DataFrame = {
-    val h = (conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
+    val h = splitBucket(idCol)
+    df.select(idCol.as("doc_id"), h.as("bucket"), splitOf(idCol).as("split"))
+  }
+
+  /** The [[hashSplit]] bucket / label as bare columns (shared with the
+    * fused curation pass — same single-definition rule as
+    * [[qualityScore]]).
+    */
+  def splitBucket(idCol: Column): Column =
+    (conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
       .cast("long") % 10).cast("int")
-    df.select(idCol.as("doc_id"), h.as("bucket"),
-      when(h <= 7, "train").when(h === 8, "val").otherwise("test")
-        .as("split"))
+
+  def splitOf(idCol: Column): Column = {
+    val h = splitBucket(idCol)
+    when(h <= 7, "train").when(h === 8, "val").otherwise("test")
   }
 
   /** Within-document repetition ratio — the Gopher-style quality signal

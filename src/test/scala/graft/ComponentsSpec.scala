@@ -63,4 +63,25 @@ class ComponentsSpec extends AnyFunSuite {
       (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false),
       (4L, 4L, 1L, true), (5L, 5L, 1L, true)))
   }
+
+  test("clustersKeeping: feature columns ride along, assignment matches clusters") {
+    val perDoc = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+      .toDF("doc_id", "feat")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val kept = Components.clustersKeeping(perDoc, pairs, "doc_a", "doc_b")
+    assert(kept.columns.toSeq ==
+      Seq("doc_id", "feat", "component", "cluster_size", "is_canonical"))
+    val out = kept.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), r.getLong(3), r.getBoolean(4))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "a", 1L, 3L, true), (2L, "b", 1L, 3L, false),
+      (3L, "c", 1L, 3L, false), (4L, "d", 4L, 1L, true),
+      (5L, "e", 5L, 1L, true)))
+    // same assignment as the single-column form on the same input
+    val plain = Components.clusters(perDoc, col("doc_id"), pairs,
+      "doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(plain.toSeq == out.map(t => (t._1, t._3, t._4, t._5)).toSeq)
+  }
 }
