@@ -501,10 +501,14 @@ object Dedup {
     // moves ~16-byte rows no matter how long the strings are (titles,
     // URLs, fingerprints). Bodies come back in two id-keyed joins only
     // for the surviving pairs' distance verify.
+    // distinct grams via the codegen CharGrams expression (r17): the
+    // interpreted transform+substring+array_distinct chain spent 29% of
+    // the gram stage in GC at sf0.1 and was the stage most sensitive to
+    // a dirty shared heap (the in-suite-vs-isolated divergence
+    // BASELINE.md documents for this gate). Value-identical output.
     val grams = base.filter(length(col("s")) >= q)
       .select(col("id"), length(col("s")).as("len"),
-        explode(array_distinct(expr(
-          s"transform(sequence(1, length(s) - ${q - 1}), i -> substring(s, i, $q))")))
+        explode(graft.functions.TextFunctions.charGrams(col("s"), q))
           .as("gram"))
     // ONE gram-keyed shuffle generates the candidates: group the gram's
     // members and expand pairs inside the group. A self equi-join would

@@ -57,6 +57,52 @@ object WordShingles {
   }
 }
 
+/** Distinct character q-grams in one codegen pass — the candidate-gram
+  * derivation of the edit-distance fuzzy join. The composable form —
+  * `array_distinct(transform(sequence(1, length(s)-q+1), i ->
+  * substring(s, i, q)))` — runs the lambda interpreted per position and
+  * allocates a boxed position array, a full pre-distinct gram array and
+  * a second distinct pass per row; at millions of rows that allocation
+  * churn (29% GC in the gram stage at sf0.1, and the stage most
+  * GC-storm-sensitive in a shared JVM) dominated the hashing. One loop,
+  * one first-occurrence hash set, grams sliced by CHARACTER (SQL
+  * substring semantics on non-ASCII text) — value-identical output,
+  * whole-stage-codegen resident. Strings shorter than q yield an empty
+  * array (the caller filters those rows anyway).
+  */
+case class CharGrams(child: Expression, q: Int) extends UnaryExpression {
+  require(q >= 1, s"gram size must be >= 1, got $q")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    CharGrams.compute(input.asInstanceOf[UTF8String], q)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharGrams.compute($c, $q);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "char_grams"
+}
+
+object CharGrams {
+  /** Static entry shared by eval and generated code. */
+  def compute(s: UTF8String, q: Int): ArrayData = {
+    val m = s.numChars() - q + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String](m * 2)
+    var i = 1 // SQL substring is 1-indexed
+    while (i <= m) {
+      seen.add(s.substringSQL(i, q))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+}
+
 /** Stride-sampled window hashes for exact-substring dedup: one pass
   * emits the 64-bit md5 identity of every `win`-char window at `stride`
   * — no per-window hex string, no substring Column round trips (the
@@ -1055,6 +1101,10 @@ object TextFunctions {
   /** All word n-grams of `text` (split on single spaces). */
   def wordShingles(text: Column, n: Int): Column =
     shim.column(WordShingles(shim.expression(text), n))
+
+  /** Distinct character q-grams of `s`, one codegen pass. */
+  def charGrams(s: Column, q: Int): Column =
+    shim.column(CharGrams(shim.expression(s), q))
 
   /** Unicode NFC normalization (UAX #15), ASCII fast-pathed. */
   def nfcNormalize(s: Column): Column =

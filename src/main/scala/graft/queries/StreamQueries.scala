@@ -126,11 +126,21 @@ object StreamQueries {
     else System.getProperty("java.io.tmpdir")
   }
 
-  private def startToMemory[T](ds: Dataset[T], table: String) = {
+  /** `parts`: the replay's state-partition pin — default 4 (see
+    * [[savedParts]]). The stream-stream join gate pins 1: it keeps FOUR
+    * state stores per partition per batch, so the per-store fixed cost
+    * (load + eviction scan + commit) dominates at replay state sizes
+    * and fewer, fuller stores win (A/B: 5.5/6.0 → 4.5/5.2 s; the
+    * single-store twins measured flat-to-worse at 1 and keep 4).
+    * GRAFT_REPLAY_STATE_PARTS overrides for floor probes.
+    */
+  private def startToMemory[T](ds: Dataset[T], table: String,
+                               parts: String = "4") = {
     val sess = ds.sparkSession
     if (savedParts == null)
       savedParts = sess.conf.get("spark.sql.shuffle.partitions")
-    sess.conf.set("spark.sql.shuffle.partitions", "4")
+    sess.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("GRAFT_REPLAY_STATE_PARTS", parts))
     val ckptBase = new java.io.File(scratchRoot,
       "graft_replay_" + sess.sparkContext.applicationId).getAbsolutePath
     registerScratchCleanup(ckptBase)
@@ -1448,12 +1458,13 @@ object StreamQueries {
             col("cus").as("click_us"), col("pus").as("purchase_us"),
             col("purchase_value"))
         val table = sinkName("x_interval_join_stream")
-        // startToMemory pins the state partitioning to 4 (the
-        // stream-stream join keeps FOUR state stores per shuffle
-        // partition and commits each every micro-batch — 32.3 → 7.4 s
-        // from that pin); takeSink restores it
+        // state partitioning pinned to 1 (r17): the stream-stream join
+        // keeps FOUR state stores per shuffle partition and commits each
+        // every micro-batch — the original 32·k → 4 pin took this gate
+        // 32.3 → 7.4 s, and 4 → 1 a further ~15% (per-store fixed cost
+        // dominates at replay state sizes); takeSink restores it
         val q = startToMemory(
-          joined.as[(Long, Long, Long, Long, Double)], table)
+          joined.as[(Long, Long, Long, Long, Double)], table, parts = "1")
         try {
           val cBy = clicks.groupBy(c => sliceOf(c._3))
           val pBy = purchases.groupBy(p => sliceOf(p._2))

@@ -371,6 +371,32 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("char_grams equals the composable distinct-substring form") {
+    // the codegen CharGrams expression (r17) must be value-identical to
+    // array_distinct(transform(sequence(...), substring)) — including
+    // multi-byte characters (SQL substring slices by CHARACTER) and
+    // below-q strings (empty array)
+    val rows = Seq("abcdefgh", "aaaaaaaaaa", "короткий текст ётž",
+      "ab", "", "the quick brown fox", "ééééééé").zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    for (q <- Seq(2, 8)) {
+      val d = rows.toDF("id", "s")
+      val got = d.select(col("id"),
+          graft.functions.TextFunctions.charGrams(col("s"), q).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      // the composable form is only defined for len >= q (sequence with
+      // end < start counts DOWN); production filters those rows first,
+      // and CharGrams returns an empty array for them
+      val exp = d.filter(length(col("s")) >= q)
+        .select(col("id"), array_distinct(expr(
+          s"transform(sequence(1, length(s) - ${q - 1}), i -> substring(s, i, $q))"))
+          .as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+        .withDefaultValue(Set.empty[String])
+      assert(got.forall { case (k, v) => v == exp(k) }, s"q=$q")
+    }
+  }
+
   test("property: asof join equals brute-force latest-at-or-before") {
     import graft.ops.AsofJoin
     import org.scalacheck.Gen
