@@ -265,10 +265,14 @@ object ExtQueries {
     // 16 one-blob rows is free at every scale and spreads the blob
     // scanners across cores (hash, not range: repartitionByRange pays a
     // sampling job per action — measured a 2x slowdown on the small
-    // x_warc_ingest gate).
+    // x_warc_ingest gate). 64 partitions for 16 keys (r17, ADVICE r16):
+    // pmod(hash(seg), 16) collides — on average only ~10 of 16
+    // partitions were non-empty with 2-3 blobs sharing a task; at 64
+    // the expected max-per-task drops to ~1 and the 16 one-blob rows
+    // moved stay free at any scale.
     val plain = docs.groupBy((col("doc_id") % 16).as("seg"))
       .agg(concat_ws("", collect_list(rec)).as("recs"))
-      .repartition(16, col("seg"))
+      .repartition(64, col("seg"))
       .select(encode(concat(lit(info), col("recs")), "UTF-8").as("blob"))
     if (gzip)
       plain.select(
